@@ -1,0 +1,87 @@
+"""Distributed as-of join.
+
+The reference's core temporal primitive is "latest snapshot at or
+before T" (``2_collect_database_schema_info.py:34-55``), computed in
+driver Python over collected rows. The general distributed form is an
+as-of join; Spark has no native one, so we use the union+window
+sort-merge pattern:
+
+1. tag left/right rows and union them on (key, ts),
+2. one shuffle partitions by key, sort by (ts, side),
+3. ``last(right_payload, ignorenulls=True)`` over the ordered window
+   fills each left row with the most recent right row at-or-before it.
+
+Cost: a single hash shuffle of |L|+|R| rows + per-partition sort —
+identical asymptotics to a sort-merge join, with no range-condition
+row explosion. At 100 TB the shuffle is on the join key, so hot keys
+skew; mitigate by pre-filtering right to the left key set (semi-join)
+and, for pathological keys, salting with per-salt right replication.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_SIDE = "__asof_side"
+_R = "__asof_r"
+_M = "__asof_m"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` (direction='backward', inclusive) or the
+    least ``right_ts >= left_ts`` ('forward') sharing the join key.
+
+    Right payload columns (everything except key + timestamp) are
+    appended to the left schema; ``how='inner'`` drops unmatched left
+    rows. Ties on ``right_ts`` resolve to the max payload struct
+    (deterministic; right payload must be orderable).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in set(on_cols) | {right_ts}]
+    if not payload:
+        raise ValueError("right side has no payload columns")
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload collides with left columns: {sorted(overlap)}")
+
+    l2 = left.withColumn(_T, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    r2 = right.select(
+        *on_cols,
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in payload]).alias(_R),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    ts_order: Column = F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
+    # at equal timestamps the right row sorts first → inclusive match;
+    # _R as final key makes equal-ts right rows resolve deterministically
+    w = (
+        Window.partitionBy(*on_cols)
+        .orderBy(ts_order, F.col(_SIDE).asc(), F.col(_R).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn(_M, F.last(_R, ignorenulls=True).over(w))
+    out = filled.where(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.where(F.col(_M).isNotNull())
+    for c in payload:
+        out = out.withColumn(c, F.col(f"{_M}.{c}"))
+    return out.drop(_T, _SIDE, _R, _M)

@@ -1,0 +1,232 @@
+"""Deduplication operators (north star X1/X2): exact, keep-latest,
+exact n-gram Jaccard, MinHash+LSH, and SimHash.
+
+Scale design notes (100 TB):
+
+- Exact dedup is a hash shuffle on the dedup key — already minimal.
+- The exact-Jaccard pair join shuffles on *shingle*; a shingle shared
+  by d docs fans out to d² candidate rows, so ultra-frequent shingles
+  are the skew hazard. ``max_shingle_docs`` drops them (a shingle in
+  thousands of docs carries ~no similarity signal); both the operator
+  and any oracle must apply the same cap.
+- MinHash/LSH replaces the all-pairs shingle join with a band-bucket
+  join: cost O(docs × bands) rows, candidates verified exactly. This
+  is the path that survives a billion documents.
+- All hashing uses bounded arithmetic (< 2^51) so the expressions are
+  safe under ANSI mode (no silent/raising bigint overflow).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators.text import word_shingles
+
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact dedup on a key set (X1): one hash shuffle."""
+    return df.dropDuplicates(list(keys))
+
+
+def keep_latest(
+    df: DataFrame, keys: Sequence[str], ts_col: str, tiebreak: str
+) -> DataFrame:
+    """Keep the newest row per key — the reference's 'latest snapshot
+    per table' resolution (A3) as a general dedup policy."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for doc pairs sharing ≥1 shingle.
+
+    ``shingles``: (doc_id, shingle) distinct. If ``pair_filter``
+    (doc_a, doc_b) is given, only those candidate pairs are scored —
+    the LSH verify path.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if pair_filter is not None:
+        inter = inter.join(pair_filter.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"])
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Ground truth for the approximate variants; quadratic in the worst
+    case — cap hot shingles via ``max_shingle_docs`` at scale.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    if max_shingle_docs is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(freq.where(F.col("df") <= max_shingle_docs).select("shingle")),
+            "shingle",
+        )
+    return _pair_jaccard(sh).where(F.col("jaccard") >= threshold)
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 20), rng.randrange(0, 1 << 20)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, m0..m{H-1}) MinHash signature columns.
+
+    Shingle → xxhash64 → fold to 31 bits; hash family is the classic
+    universal (a·h + b) mod (2^31−1), all products < 2^51 (ANSI-safe).
+    Computed as H simultaneous MIN aggregates over the exploded
+    shingle relation — one shuffle, map-side partial mins.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    h31 = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    mins = [
+        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Bands of r = H/bands rows; docs agreeing on any band become
+    candidates (prob 1−(1−s^r)^bands; H=128, b=32 → ~1.0 recall at
+    s ≥ 0.8, still ≈0.98 at s = 0.5). Candidates are then scored with
+    exact Jaccard, so precision is exact and recall is the only
+    approximation. Output schema matches ngram_jaccard_pairs.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = word_shingles(docs, id_col, text_col, n)
+    return _pair_jaccard(sh, pair_filter=candidates).where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over the token multiset → (doc_id, simhash).
+
+    Per bit k: sign of Σ_tokens (bit_k(xxhash64(token)) ? +1 : −1);
+    64 conditional SUM aggregates in one pass, reassembled with
+    shifts. Hamming distance between signatures approximates angular
+    distance between token-frequency vectors.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("bigint")
+    for k in range(64):
+        sig = sig + F.when(F.col(f"s{k}") > 0, F.shiftleft(F.lit(1).cast("bigint"), k)).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``bands`` blocks; any pair
+    within distance < bands must agree on ≥1 block → equi-join per
+    block, exact popcount verify. Linear-ish candidate generation
+    instead of the quadratic all-pairs XOR.
+    """
+    width = 64 // bands
+    sigs = simhash_signatures(docs, id_col, text_col)
+    mask = (1 << width) - 1
+    block_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    blocks = sigs.select(F.col(id_col), F.col("simhash"), F.posexplode(block_arr).alias("band", "blk"))
+    a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "blk")
+    b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "blk")
+    return (
+        a.join(b, ["band", "blk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,249 @@
+"""Vector similarity search over embedding columns (north star X3).
+
+Two tiers, per the scale contract:
+
+- **Brute-force exact** (`cosine_topk`, `cosine_pairs`): Arrow-batched
+  block matmul via ``mapInPandas`` against a broadcast query/corpus
+  matrix. Per-partition local top-k reduction keeps the shuffle at
+  O(partitions × queries × k) rows regardless of corpus size. Exact;
+  the oracle/recall baseline. Broadcast side must fit in executor
+  memory (~1M × 64 fp32 ≈ 256 MB is the practical ceiling).
+- **LSH-bucketed approximate** (`cosine_pairs_lsh`, `knn_lsh`):
+  random-hyperplane signatures, banded equi-join candidate
+  generation, exact re-scoring of candidates only. No broadcast of
+  the corpus, no quadratic pair space — the 100 TB path.
+
+NumPy matmul is used inside the UDFs (vectorized, f64 accumulate);
+similarity values are only ever used for ranking/thresholding with
+data-dependent margins, never hash-compared raw.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOPK_SCHEMA = "qid bigint, vec_id bigint, sim double"
+_PAIRS_SCHEMA = "vec_a bigint, vec_b bigint, sim double"
+
+
+def _as_matrix(pdf_vec: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_vec])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small: collected + broadcast) vs ``emb`` (arbitrarily
+    large: streamed through mapInPandas). Self-matches (same id) are
+    excluded. Deterministic ordering: (sim desc, vec_id asc).
+    """
+    q_rows = queries.select(query_id_col, vec_col).collect()  # small, documented bound
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows]))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            sims = m @ mat_q.T  # (batch, nq)
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = []
+            for j, qid in enumerate(ids_q):
+                s = sims[:, j]
+                keep = vids != qid
+                vv, ss = vids[keep], s[keep]
+                if len(vv) > k:  # local top-k: sort by (-sim, vec_id)
+                    idx = np.lexsort((vv, -ss))[:k]
+                else:
+                    idx = np.lexsort((vv, -ss))
+                out.append(pd.DataFrame({"qid": qid, "vec_id": vv[idx], "sim": ss[idx]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(score, schema=_TOPK_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "sim", "rk")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (embedding near-dup, X1/X3).
+
+    Corpus matrix broadcast once; each partition block-matmuls its
+    rows against it and emits only (a < b, sim ≥ τ) pairs — compute
+    is quadratic but shuffle output is just the survivors.
+    """
+    rows = emb.select(id_col, vec_col).collect()  # broadcast-side bound documented above
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows]))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = m @ all_mat.T
+            bi, bj = np.where(sims >= threshold)
+            a, b, s = vids[bi], all_ids[bj], sims[bi, bj]
+            keep = a < b
+            yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep], "sim": s[keep]})
+
+    return emb.select(id_col, vec_col).mapInPandas(score, schema=_PAIRS_SCHEMA)
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _band_signature_df(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bands: int,
+    planes_per_band: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, sig) — random-hyperplane sign signatures per band."""
+    planes = _hyperplanes(bands * planes_per_band, dim, seed)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _as_matrix(pdf[vec_col])
+            bits = (m @ pl.T) >= 0  # (batch, bands*ppb)
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = []
+            for band in range(bands):
+                blk = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
+                sig = np.zeros(len(m), dtype=np.int64)
+                for j in range(planes_per_band):
+                    sig = (sig << 1) | blk[:, j].astype(np.int64)
+                out.append(pd.DataFrame({"vec_id": vids, "band": band, "sig": sig}))
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(sign, schema="vec_id bigint, band int, sig bigint")
+
+
+def _exact_pair_sims(pairs: DataFrame, emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Re-score candidate (vec_a, vec_b) pairs with exact cosine."""
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    joined = pairs.join(ea, "vec_a").join(eb, "vec_b")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = _normalize(_as_matrix(pdf["__va"]))
+            b = _normalize(_as_matrix(pdf["__vb"]))
+            sims = np.einsum("ij,ij->i", a, b)
+            yield pd.DataFrame({"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "sim": sims})
+
+    return joined.mapInPandas(score, schema=_PAIRS_SCHEMA)
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    bands: int = 16,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-LSH banding → equi-join
+    candidates → exact re-score ≥ threshold. No corpus broadcast; the
+    quadratic space never materializes."""
+    sigs = _band_signature_df(emb, id_col, vec_col, dim, bands, planes_per_band, seed)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return _exact_pair_sims(cands, emb, id_col, vec_col).where(F.col("sim") >= threshold)
+
+
+def knn_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    bands: int = 16,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band with the query,
+    then exact re-rank. Recall is tested against cosine_topk."""
+    qs = queries.select(F.col(query_id_col).alias(id_col), vec_col)
+    q_sigs = _band_signature_df(qs, id_col, vec_col, dim, bands, planes_per_band, seed).select(
+        F.col("vec_id").alias("qid"), "band", "sig"
+    )
+    e_sigs = _band_signature_df(emb, id_col, vec_col, dim, bands, planes_per_band, seed)
+    cands = (
+        q_sigs.join(e_sigs, ["band", "sig"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # query vectors are re-resolved from the corpus by id for the exact
+    # re-score (queries must be corpus members or be unioned in upstream)
+    corpus = emb.select(id_col, vec_col).unionByName(qs).dropDuplicates([id_col])
+    scored = _exact_pair_sims(cands, corpus, id_col, vec_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("vec_id"), "sim", "rk")
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines (north star X4).
+
+Whitespace tokenization, character n-gram-free word shingles,
+quality/stat features, rule-based language scoring, and a rolling
+polynomial fingerprint — all as JVM-side expressions (split /
+higher-order array functions), no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FP_MOD = 1_000_000_007
+FP_MULT = 31
+
+#: tiny per-language stopword marker sets for the rule-based language
+#: scorer (heuristic n-gram/stopword language-ID, X4)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "et", "un"),
+    "de": ("der", "und", "das"),
+}
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space; fixture texts are
+    single-spaced word soup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Built with sequence/transform/slice so shingling happens inside
+    whole-stage codegen; docs shorter than ``n`` words yield no rows
+    (guarded — Spark's ``sequence`` would otherwise run backwards).
+    """
+    w = words(text_col)
+    shingle_arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))"
+    )
+    return (
+        df.where(F.size(w) >= n)
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality stats: token count, distinct-token count,
+    chars/token, uniq-token ratio. Integer-derived doubles, so values
+    are bit-deterministic across engines."""
+    w = words(text_col)
+    n_tok = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (F.length(text_col).cast("double") / n_tok).alias("chars_per_token"),
+        (n_uniq.cast("double") / n_tok).alias("uniq_ratio"),
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Stopword-overlap score per candidate language: number of
+    distinct marker words present in the text."""
+    w = words(text_col)
+    return {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text_col: str = "text") -> Column:
+    """Argmax of marker-overlap scores with fixed priority order on
+    ties (en > es > fr > de > 'und' when all zero)."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_MARKERS)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def rolling_fingerprint(text_col: str = "text") -> Column:
+    """Order-sensitive polynomial rolling hash over tokens:
+    ``acc = (acc*31 + ascii(first_char) + len(word)) mod 1e9+7``.
+
+    Deterministic document fingerprint (X4); the DuckDB twin is
+    ``list_reduce(list_prepend(0, …))`` — parity-tested."""
+    return F.aggregate(
+        words(text_col),
+        F.lit(0).cast("bigint"),
+        lambda acc, wd: (acc * FP_MULT + F.ascii(wd) + F.length(wd)) % FP_MOD,
+    )

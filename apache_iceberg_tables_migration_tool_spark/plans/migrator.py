@@ -1,0 +1,128 @@
+"""Plan execution: create target tables + copy snapshot data.
+
+Reference stages 3+5 (``3_create_dst_tables.py:66-112``,
+``5_migrate_tables_data.py:44-110``) with the fidelity gaps closed:
+
+- G1: DDL uses Spark ``simpleString()`` types (round-trips nested
+  struct/array/map/decimal), not ``str(dataType)``.
+- G2: the partition spec reaches the target table and the copy write.
+- double-scan: record counts come from the target commit manifest,
+  not a separate ``df.count()`` before the write.
+
+Table-level parallelism: the reference migrates tables serially on
+the driver (``5_migrate_tables_data.py:186-193``); we submit per-table
+copy jobs from a thread pool, so independent tables occupy the
+cluster concurrently (Spark's scheduler interleaves their stages).
+Per-table errors are isolated into the report, matching the
+reference's try/except-per-table behavior.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from apache_iceberg_tables_migration_tool_spark.plans.plan import MigrationPlan, TableMigration
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("database", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("records_migrated", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class MigrationResult:
+    database: str
+    table_name: str
+    status: str
+    snapshot_id: int
+    records_migrated: int
+    duration_sec: float
+    error: str | None = None
+
+
+def _migrate_one(
+    spark: SparkSession,
+    entry: TableMigration,
+    src: SnapCatalog,
+    dst: SnapCatalog,
+    committed_at: str | None,
+) -> MigrationResult:
+    t0 = time.monotonic()
+    try:
+        # stage-3 equivalent: namespace + table DDL on the target
+        dst.create_namespace(entry.database)
+        dst.create_table(
+            entry.database,
+            entry.table_name,
+            entry.schema_ddl,
+            partition_by=entry.partition_spec,
+            committed_at=committed_at,
+        )
+        # stage-5 equivalent: time-travel read at the planned snapshot,
+        # full overwrite into the target; one distributed pass
+        df: DataFrame = src.table(entry.database, entry.table_name).read(
+            spark, snapshot_id=entry.snapshot_id
+        )
+        snap = dst.write(
+            entry.database,
+            entry.table_name,
+            df,
+            mode="overwrite",
+            partition_by=entry.partition_spec,
+            committed_at=committed_at,
+        )
+        return MigrationResult(
+            database=entry.database,
+            table_name=entry.table_name,
+            status="success",
+            snapshot_id=entry.snapshot_id,
+            records_migrated=snap.total_records,  # commit metrics, no extra count()
+            duration_sec=time.monotonic() - t0,
+        )
+    except Exception as e:  # per-table isolation, like the reference
+        return MigrationResult(
+            database=entry.database,
+            table_name=entry.table_name,
+            status="failed",
+            snapshot_id=entry.snapshot_id,
+            records_migrated=0,
+            duration_sec=time.monotonic() - t0,
+            error=f"{type(e).__name__}: {e}",
+        )
+
+
+def migrate(
+    spark: SparkSession,
+    plan: MigrationPlan,
+    src: SnapCatalog,
+    dst: SnapCatalog,
+    max_parallel_tables: int = 4,
+    committed_at: str | None = None,
+) -> DataFrame:
+    """Execute the plan; returns the migration report as a DataFrame
+    (database, table_name, status, records, duration)."""
+    if not plan.tables:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
+        results = list(
+            pool.map(lambda e: _migrate_one(spark, e, src, dst, committed_at), plan.tables)
+        )
+    rows = [
+        (r.database, r.table_name, r.status, r.snapshot_id, r.records_migrated,
+         r.duration_sec, r.error)
+        for r in results
+    ]
+    return spark.createDataFrame(rows, RESULT_SCHEMA)

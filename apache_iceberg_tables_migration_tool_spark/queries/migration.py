@@ -1,0 +1,123 @@
+"""The migration engine end-to-end as driver-checkable queries.
+
+These build a temporary snapshot-catalog warehouse from the fixture
+parquet (multi-commit histories per FIXTURES.md §3), run the full
+plan→create→copy→verify pipeline, and return the engine's report
+DataFrames. Non-SQL-expressible (filesystem + multi-job pipeline) →
+rows-only checks; the strong assertions live in tests/test_migration.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.plans import (
+    collect_plan,
+    migrate,
+    summarize_report,
+    verify,
+)
+from apache_iceberg_tables_migration_tool_spark.queries.registry import query
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+#: deterministic commit timeline for the synthetic histories
+_T = [f"2024-06-0{i}T00:00:00.000000+00:00" for i in range(1, 7)]
+
+
+def build_source_warehouse(spark: SparkSession, sf_dir: str, root: str) -> SnapCatalog:
+    """Synthesize a source catalog with real snapshot histories
+    (FIXTURES.md §3): lineitem in 3 partitioned appends, orders as
+    append+overwrite, plus a nested-type round-trip table."""
+    src = SnapCatalog(os.path.join(root, "src"))
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_shipmonth", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    third = li.withColumn("__b", F.pmod(F.col("l_orderkey"), F.lit(3)))
+    for i in range(3):  # 3 commits → 3 snapshots, partitioned (G2 fixture)
+        src.write(
+            "db", "lineitem_snap", third.where(F.col("__b") == i).drop("__b"),
+            mode="append", partition_by=["l_shipmonth"], committed_at=_T[i],
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    src.write("db", "orders_snap", orders, mode="append", committed_at=_T[0])
+    src.write(  # overwrite commit → distinct operation values in history
+        "db", "orders_snap", orders.where(F.col("o_orderstatus") != "P"),
+        mode="overwrite", committed_at=_T[2],
+    )
+
+    typed = load(spark, sf_dir, "events").limit(100).select(
+        F.col("event_id").alias("id"),
+        (F.col("value") > 50).alias("flag"),
+        F.col("value").cast("decimal(12,2)").alias("d"),
+        F.to_date("ts").alias("bd"),
+        F.col("ts").alias("tz"),
+        F.struct(F.col("user_id").alias("a"), F.col("event_type").alias("b")).alias("s"),
+        F.array(F.col("user_id"), F.col("event_id")).alias("arr"),
+        F.create_map(F.col("event_type"), F.col("value")).alias("m"),
+        F.encode(F.col("props"), "utf-8").alias("bin"),
+    )
+    src.write("db", "typed_snap", typed, mode="append", committed_at=_T[1])
+    return src
+
+
+@query("migration_e2e_report", tags=("migration", "e2e"))
+def migration_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline at a point-in-time (as-of = T[2], so lineitem
+    migrates at snapshot 2 of 3 — real time travel): collect plan →
+    create targets → copy → verify. Returns the verification report
+    joined with migration status — every row should read
+    success/true across the board."""
+    root = tempfile.mkdtemp(prefix="snapcat_e2e_")
+    try:
+        src = build_source_warehouse(spark, sf_dir, root)
+        dst = SnapCatalog(os.path.join(root, "dst"))
+        plan = collect_plan(src, as_of="2024-06-03T12:00:00+00:00")
+        mig = migrate(spark, plan, src, dst, committed_at=_T[4])
+        ver = verify(spark, plan, src, dst)
+        out = (
+            mig.select("database", "table_name", F.col("status").alias("migrate_status"),
+                       "snapshot_id", "records_migrated")
+            .join(ver.select("database", "table_name", "schema_match", "partition_match",
+                             "count_match", "checksum_match",
+                             F.col("status").alias("verify_status")),
+                  ["database", "table_name"])
+            .orderBy("database", "table_name")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before cleanup
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("snapshot_history_ops", tags=("migration", "metadata"))
+def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-metadata surface (S2) + maintenance (X7): commit
+    history of the 3-append table, then expire+compact, returning the
+    before/after history (phase, snapshot_id, operation, records,
+    files)."""
+    root = tempfile.mkdtemp(prefix="snapcat_hist_")
+    try:
+        src = build_source_warehouse(spark, sf_dir, root)
+        tbl = src.table("db", "lineitem_snap")
+        before = tbl.snapshots_df(spark).select(
+            F.lit("before").alias("phase"), "snapshot_id", "operation",
+            "total_records", "total_files",
+        )
+        src.expire_snapshots("db", "lineitem_snap", keep_last=1)
+        src.compact("db", "lineitem_snap", spark, target_partitions=4)
+        after = tbl.snapshots_df(spark).select(
+            F.lit("after").alias("phase"), "snapshot_id", "operation",
+            "total_records", "total_files",
+        )
+        out = before.unionByName(after).orderBy("phase", "snapshot_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,361 @@
+"""North-star operators as oracle-checked queries: dedup (exact,
+keep-latest, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+(brute-force + LSH), text analysis, multimodal metadata plumbing, and
+event-time windows.
+
+Float-derived values (cosine similarities) are never hash-compared
+raw — outputs carry ids/ranks with data-verified margins around every
+threshold (documented per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
+from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+from apache_iceberg_tables_migration_tool_spark.operators import text as X
+from apache_iceberg_tables_migration_tool_spark.operators import windows as W
+from apache_iceberg_tables_migration_tool_spark.functions.portable import dsum
+from apache_iceberg_tables_migration_tool_spark.queries.registry import query
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+
+# --------------------------------------------------------------------------
+# Dedup (X1/X2)
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    tags=("dedup",),
+    oracle="""
+SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup keeping the lowest doc_id (X1): single hash
+    shuffle on the content key."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("survivor_id", "n_copies")
+
+
+@query(
+    "dedup_keep_latest_events",
+    tags=("dedup", "window"),
+    oracle="""
+SELECT user_id, event_type, event_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_keep_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest dedup policy (X1) — the reference's snapshot
+    resolution rule as a dedup operator."""
+    ev = load(spark, sf_dir, "events")
+    return D.keep_latest(ev, ["user_id", "event_type"], "ts", "event_id").select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+_JACCARD_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", headline=True, tags=("dedup",), oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 (fixture pairs
+    sit at ≥0.9 vs ≤0.067 — wide threshold margin). Ground truth for
+    the MinHash/SimHash variants."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query("dedup_minhash_lsh", headline=True, tags=("dedup", "approx"), oracle=_JACCARD_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+banded LSH(32×4) candidates, exact-Jaccard
+    verified at the same τ=0.5 — the scale path (no all-pairs shingle
+    join). Oracle is the exact-Jaccard SQL: at H=128/b=32 the miss
+    probability at s ≥ 0.9 is < 1e-9, so outputs match exactly
+    (recall additionally pinned by tests vs the exact operator)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=32, seed=42)
+
+
+@query("dedup_simhash", tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 6 via 8-band pigeonhole).
+    Hash-construction is Spark-specific (xxhash64) → rows-only check;
+    recall vs exact Jaccard is asserted in tests."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=6)
+
+
+@query(
+    "dedup_embedding_cosine",
+    tags=("dedup", "vector"),
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, cosine ≥ 0.45 (fixture margin: no
+    pair within ±4e-4 of the threshold, far above f32/f64 noise).
+    Block-matmul mapInPandas; sim itself excluded from the output so
+    only ids are hash-compared."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, threshold=0.45).select("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+# Similarity search (X3)
+# --------------------------------------------------------------------------
+
+@query(
+    "knn_topk_cosine",
+    headline=True,
+    tags=("vector", "topk"),
+    oracle="""
+SELECT qid, vec_id, rk FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                     e.vec_id) AS rk
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rk <= 5
+""",
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast
+    queries, per-partition local top-k, global window re-rank. Ranks
+    (not sims) are compared — adjacent fixture sims differ ≫ float
+    noise."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return S.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rk")
+
+
+@query("knn_lsh_bucketed", tags=("vector", "approx"))
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via hyperplane-LSH banding + exact re-rank —
+    the no-broadcast scale path. Rows-only check; recall@5 vs the
+    exact operator is asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=4).select(
+        "qid", "vec_id", "rk"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (X4)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_stats_by_lang",
+    tags=("text", "agg"),
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ntok = X.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(ntok).alias("total_tokens"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality_features",
+    tags=("text",),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+FROM documents
+""",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.quality_features(docs)
+
+
+@query(
+    "lang_id_rulebased",
+    tags=("text",),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_intersect(string_split(text,' '), ['the','and','of']))  AS s_en,
+         len(list_intersect(string_split(text,' '), ['el','la','de']))    AS s_es,
+         len(list_intersect(string_split(text,' '), ['le','et','un']))    AS s_fr,
+         len(list_intersect(string_split(text,' '), ['der','und','das'])) AS s_de
+  FROM documents)
+SELECT doc_id, lang AS actual_lang,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+            ELSE 'de' END AS predicted_lang
+FROM s
+""",
+)
+def lang_id_rulebased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language scorer (heuristic lang-ID, X4):
+    deterministic argmax with fixed tie order."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        X.predict_lang("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ' '),
+                                     w -> CAST(ascii(w) + length(w) AS BIGINT))),
+         (a, b) -> (a * {X.FP_MULT} + b) % {X.FP_MOD}) AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint over tokens
+    (X4) — pure integer arithmetic, bit-identical cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.rolling_fingerprint("text").alias("fp"))
+
+
+@query(
+    "multimodal_metadata",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, ascii(text) AS first_cp, n_chars
+FROM documents
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata plumbing (X5 shape): byte length +
+    leading code point of the payload treated as binary. The full
+    binary-column pipeline (typed metadata struct, stubbed decoders,
+    mapInPandas batch plumbing) lives in streaming/multimodal tests."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.ascii("text").alias("first_cp"),
+        "n_chars",
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows (X6)
+# --------------------------------------------------------------------------
+
+@query(
+    "tumbling_window_events",
+    headline=True,
+    tags=("window", "events"),
+    oracle="""
+SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type. Window starts emit
+    as epoch seconds (ns-precision fixture timestamps don't survive a
+    cross-engine hash otherwise)."""
+    ev = load(spark, sf_dir, "events")
+    return W.tumbling(
+        ev, "ts", 600, ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value")],
+    ).select("window_start", "event_type", "n_events", "total_value")
+
+
+@query(
+    "sliding_window_events",
+    tags=("window", "events"),
+    oracle="""
+SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 - 300 * o AS BIGINT) AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+GROUP BY 1
+""",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    2 windows; the oracle derives both starts arithmetically."""
+    ev = load(spark, sf_dir, "events")
+    return W.sliding(
+        ev, "ts", 600, 300, [], [F.count(F.lit(1)).alias("n_events")]
+    ).select("window_start", "n_events")
+
+
+@query(
+    "session_window_events",
+    headline=True,
+    tags=("window", "events", "session"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR EPOCH(ts) - EPOCH(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap via native
+    ``session_window`` (the same merging-window operator Structured
+    Streaming uses with state); oracle is the gaps-and-islands SQL."""
+    ev = load(spark, sf_dir, "events")
+    return W.session(
+        ev, "ts", 1800, ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    ).select("user_id", "session_start", "n_events")

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-minded defaults.
+
+The reference boots one session per CLI stage with only catalog
+config (``1_collect_src_snapshots.py:22-35``). We centralize session
+creation and bake in the settings that matter at 100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  join strategy switch) — at cluster scale this is what turns a bad
+  static plan into a good one after the first shuffle's statistics.
+- UTC session timezone — keeps timestamp semantics stable across
+  engines (and vs the DuckDB oracle).
+- Parquet vectorized reader + aggregate pushdown (count/min/max can
+  be answered from footers — the reference's ``df.count()`` before a
+  full copy (``5_migrate_tables_data.py:76``) becomes metadata-only).
+- Arrow for any pandas interchange (our Pandas UDF paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: defaults applied to every session; callers may override via extra_conf
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # local runs: broadcast generously; on a real cluster this stays
+    # the 10m default unless overridden per-join with broadcast()
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "iceberg-migration-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Master defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract)
+    or ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,429 @@
+"""Parquet snapshot catalog — the engine's Iceberg-model substrate.
+
+The reference drives real Iceberg through the Spark runtime jar
+(``1_collect_src_snapshots.py:24-35``); that jar doesn't ship in this
+environment, so the engine implements the same *model* directly:
+
+- a table is a directory of immutable parquet data files plus a
+  metadata log,
+- every write is a **commit** producing a new snapshot (id, parent,
+  committed_at, operation, summary, file manifest, schema, partition
+  spec),
+- reads resolve a snapshot (current, by id, or latest ≤ timestamp)
+  and scan exactly its manifest — time travel à la
+  ``option("snapshot-id", …)`` (``5_migrate_tables_data.py:72-74``),
+- ``.snapshots`` / ``.files`` / ``.history`` are DataFrames, like
+  Iceberg metadata tables (``1_collect_src_snapshots.py:61-62``,
+  fixing gap G3 — files live in the files manifest, not snapshots),
+- maintenance: ``expire_snapshots`` and ``compact`` (≙ Iceberg's
+  ``expire_snapshots`` / ``rewrite_data_files`` procedures, X7).
+
+Scale notes: the data plane is 100% executor-side Spark parquet IO;
+partitioned tables write real ``col=value`` directories so partition
+pruning happens at scan planning. The metadata log is driver-side
+JSON — the control plane — and holds per-file stats captured from
+parquet footers at commit time (the analog of Iceberg manifest
+metrics), so ``count()``-style questions are answered without
+touching data (the reference instead re-scanned:
+``5_migrate_tables_data.py:76``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timezone
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _utcnow_iso() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    records: int
+    bytes: int
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    committed_at: str  # ISO-8601 UTC
+    operation: str  # append | overwrite | replace
+    summary: dict[str, str]
+    schema_ddl: str  # Spark DDL ("col type, ..."), G1-correct
+    partition_spec: list[str]
+    files: list[DataFile] = field(default_factory=list)
+
+    @property
+    def total_records(self) -> int:
+        return sum(f.records for f in self.files)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.bytes for f in self.files)
+
+
+SNAPSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("total_records", T.LongType()),
+        T.StructField("total_files", T.LongType()),
+    ]
+)
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+    ]
+)
+
+
+def _parse_iso(ts: str) -> datetime:
+    return datetime.fromisoformat(ts.replace("Z", "+00:00"))
+
+
+class SnapTable:
+    """Handle to one snapshot-versioned table."""
+
+    def __init__(self, catalog: "SnapCatalog", database: str, name: str):
+        self.catalog = catalog
+        self.database = database
+        self.name = name
+        self.root = os.path.join(catalog.warehouse, database, name)
+
+    # ---- metadata log --------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "metadata", "table.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _save_meta(self, meta: dict) -> None:
+        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path)  # atomic commit swap
+
+    def snapshots(self) -> list[Snapshot]:
+        if not self.exists():
+            return []
+        meta = self._load_meta()
+        return [
+            Snapshot(
+                snapshot_id=s["snapshot_id"],
+                parent_id=s.get("parent_id"),
+                committed_at=s["committed_at"],
+                operation=s["operation"],
+                summary=s.get("summary", {}),
+                schema_ddl=s["schema_ddl"],
+                partition_spec=s.get("partition_spec", []),
+                files=[DataFile(**f) for f in s.get("files", [])],
+            )
+            for s in meta["snapshots"]
+        ]
+
+    def current_snapshot(self) -> Snapshot | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def resolve_snapshot(
+        self, snapshot_id: int | None = None, as_of: str | datetime | None = None
+    ) -> Snapshot:
+        """Current, by id, or latest committed_at ≤ as_of — the
+        reference's resolution rule (2_collect_database_schema_info.py:34-55)."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise LookupError(f"table {self.database}.{self.name} has no snapshots")
+        if snapshot_id is not None:
+            for s in snaps:
+                if s.snapshot_id == snapshot_id:
+                    return s
+            raise LookupError(f"snapshot {snapshot_id} not found in {self.database}.{self.name}")
+        if as_of is not None:
+            ts = _parse_iso(as_of) if isinstance(as_of, str) else as_of
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            valid = [s for s in snaps if _parse_iso(s.committed_at) <= ts]
+            if not valid:
+                raise LookupError(
+                    f"no snapshot of {self.database}.{self.name} at or before {ts.isoformat()}"
+                )
+            return valid[-1]
+        return snaps[-1]
+
+    # ---- data plane ----------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of: str | datetime | None = None,
+    ) -> DataFrame:
+        """Time-travel scan (S3/S4). Files are grouped by their commit
+        directory so partitioned commits keep their ``col=value``
+        layout (→ partition pruning); the snapshot's schema is applied
+        explicitly (schema-at-snapshot semantics)."""
+        snap = self.resolve_snapshot(snapshot_id, as_of)
+        schema = T._parse_datatype_string(snap.schema_ddl)
+        if not snap.files:
+            return spark.createDataFrame([], schema)
+        by_commit: dict[str, list[str]] = {}
+        for fi in snap.files:
+            commit_dir = os.path.join(self.root, *fi.path.split("/")[:2])  # data/s{N}
+            by_commit.setdefault(commit_dir, []).append(os.path.join(self.root, fi.path))
+        parts = []
+        for commit_dir, paths in sorted(by_commit.items()):
+            reader = spark.read.schema(schema).option("basePath", commit_dir)
+            parts.append(reader.parquet(*sorted(paths)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---- metadata tables (S2; fixes G3) --------------------------------
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                _parse_iso(s.committed_at).replace(tzinfo=None),
+                s.operation,
+                s.summary,
+                s.total_records,
+                len(s.files),
+            )
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+
+    def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.resolve_snapshot(snapshot_id)
+        rows = [(snap.snapshot_id, f.path, f.records, f.bytes) for f in snap.files]
+        return spark.createDataFrame(rows, FILES_SCHEMA)
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        return self.snapshots_df(spark).select(
+            "committed_at", "snapshot_id", "parent_id", "operation"
+        )
+
+    # ---- schema --------------------------------------------------------
+
+    def schema(self, snapshot_id: int | None = None) -> T.StructType:
+        snap = self.resolve_snapshot(snapshot_id)
+        return T._parse_datatype_string(snap.schema_ddl)
+
+    def partition_spec(self) -> list[str]:
+        snap = self.current_snapshot()
+        return snap.partition_spec if snap else []
+
+
+def schema_to_ddl(schema: T.StructType) -> str:
+    """Spark-DDL column list. The G1 fix: ``simpleString()`` per field
+    (→ ``bigint``, ``array<float>``) instead of ``str(dataType)``
+    (→ ``LongType()``), which the reference splices into CREATE TABLE
+    (2_collect_database_schema_info.py:174-179 → 3_create_dst_tables.py:80)."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+class SnapCatalog:
+    """A warehouse of snapshot-versioned tables (≙ one Spark catalog;
+    migration is dataflow between two of these)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---- namespace / listing ops (S1, W1) ------------------------------
+
+    def create_namespace(self, database: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, database), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, database: str) -> list[str]:
+        dbdir = os.path.join(self.warehouse, database)
+        if not os.path.isdir(dbdir):
+            return []
+        return sorted(
+            t for t in os.listdir(dbdir)
+            if os.path.exists(os.path.join(dbdir, t, "metadata", "table.json"))
+        )
+
+    def table(self, database: str, name: str) -> SnapTable:
+        return SnapTable(self, database, name)
+
+    # ---- DDL (W2) ------------------------------------------------------
+
+    def create_table(
+        self,
+        database: str,
+        name: str,
+        schema: T.StructType | str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        committed_at: str | None = None,
+    ) -> SnapTable:
+        """CREATE TABLE: an empty initial snapshot carrying schema +
+        partition spec (G2 fix: the spec survives creation) +
+        properties."""
+        tbl = self.table(database, name)
+        if tbl.exists():
+            return tbl
+        ddl = schema if isinstance(schema, str) else schema_to_ddl(schema)
+        T._parse_datatype_string(ddl)  # validate round-trip (G1 regression guard)
+        snap = Snapshot(
+            snapshot_id=1,
+            parent_id=None,
+            committed_at=committed_at or _utcnow_iso(),
+            operation="create",
+            summary={"engine": "snapcat", **(properties or {})},
+            schema_ddl=ddl,
+            partition_spec=list(partition_by or []),
+            files=[],
+        )
+        tbl._save_meta({"format_version": 1, "snapshots": [asdict(snap)]})
+        return tbl
+
+    # ---- writes (W3) ---------------------------------------------------
+
+    def write(
+        self,
+        database: str,
+        name: str,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        committed_at: str | None = None,
+        operation: str | None = None,
+    ) -> Snapshot:
+        """Commit a write. The data plane is a distributed Spark
+        parquet write into a fresh commit directory; the metadata
+        commit then flips atomically. Record counts come from the
+        written footers (commit metrics), never a second scan."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        self.create_namespace(database)
+        tbl = self.table(database, name)
+        prev = tbl.current_snapshot()
+        spec = list(
+            partition_by
+            if partition_by is not None
+            else (prev.partition_spec if prev else [])
+        )
+        sid = (prev.snapshot_id + 1) if prev else 1
+        commit_rel = f"data/s{sid:06d}"
+        commit_dir = os.path.join(tbl.root, commit_rel)
+        writer = df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(commit_dir)
+
+        new_files: list[DataFile] = []
+        for dirpath, _dirs, fnames in os.walk(commit_dir):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                rel = os.path.relpath(full, tbl.root)
+                new_files.append(
+                    DataFile(path=rel, records=md.num_rows, bytes=os.path.getsize(full))
+                )
+
+        files = new_files if (mode == "overwrite" or prev is None) else (
+            list(prev.files) + new_files
+        )
+        added = sum(f.records for f in new_files)
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=prev.snapshot_id if prev else None,
+            committed_at=committed_at or _utcnow_iso(),
+            operation=operation or mode,
+            summary={
+                "added-records": str(added),
+                "added-data-files": str(len(new_files)),
+                "total-records": str(sum(f.records for f in files)),
+                "total-data-files": str(len(files)),
+            },
+            schema_ddl=schema_to_ddl(df.schema),
+            partition_spec=spec,
+            files=files,
+        )
+        meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
+        meta["snapshots"].append(asdict(snap))
+        tbl._save_meta(meta)
+        return snap
+
+    # ---- maintenance (X7) ----------------------------------------------
+
+    def expire_snapshots(
+        self, database: str, name: str, keep_last: int = 1
+    ) -> list[int]:
+        """Drop all but the last ``keep_last`` snapshots and delete
+        data files no surviving snapshot references (≙ Iceberg
+        ``expire_snapshots``). Returns expired snapshot ids."""
+        tbl = self.table(database, name)
+        meta = tbl._load_meta()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        live = {f["path"] for s in kept for f in s["files"]}
+        for s in expired:
+            for f in s["files"]:
+                if f["path"] not in live:
+                    p = os.path.join(tbl.root, f["path"])
+                    if os.path.exists(p):
+                        os.remove(p)
+        meta["snapshots"] = kept
+        tbl._save_meta(meta)
+        return [s["snapshot_id"] for s in expired]
+
+    def compact(
+        self, database: str, name: str, spark: SparkSession, target_partitions: int | None = None
+    ) -> Snapshot:
+        """Rewrite the current snapshot's data into fewer, larger
+        files (≙ Iceberg ``rewrite_data_files``): small-file compaction
+        is what keeps scan planning cheap after many streaming-ish
+        appends."""
+        tbl = self.table(database, name)
+        df = tbl.read(spark)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        else:
+            df = df.coalesce(max(1, len(tbl.current_snapshot().files) // 8) or 1)
+        return self.write(database, name, df, mode="overwrite", operation="replace")
+
+    def drop_table(self, database: str, name: str) -> None:
+        tbl = self.table(database, name)
+        if os.path.exists(tbl.root):
+            shutil.rmtree(tbl.root)

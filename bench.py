@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() materializes every
+partition) after a warm-up of the session; per-query wall-clock is
+end-to-end including planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
+from apache_iceberg_tables_migration_tool_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [n for n, s in QUERIES.items() if s.headline]
+    # JVM/session warm-up so q1 doesn't pay executor spin-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
