@@ -1,0 +1,79 @@
+"""Streaming variants of the event-window operators (north star X6).
+
+The batch operators in ``operators.windows`` use the exact
+``window()`` / ``session_window()`` expressions Structured Streaming
+executes with state, so a streaming job over the same events produces
+the same aggregates — asserted in tests via ``availableNow`` triggers
+(process-everything-then-stop, the batch-parity mode).
+
+Watermarks bound state: ``withWatermark(ts, delay)`` lets Spark drop
+window state older than the watermark — the knob that makes these
+aggregations run indefinitely at cluster scale without unbounded
+memory. At 100 TB/day the same topology applies with a Kafka source
+swapped in for the file source; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import (
+    _EVENTS_RAW_SCHEMA,
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (same ns→µs
+    timestamp handling as the batch loader)."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, width_sec: int = 600, watermark: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{width_sec} seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_sec} seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming aggregation over all available input
+    (``availableNow`` trigger + complete-mode memory sink) and return
+    the result as a DataFrame — the batch-parity harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

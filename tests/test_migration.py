@@ -1,0 +1,112 @@
+"""Migration pipeline: plan resolution, skip semantics, execution,
+verification, report rollups, JSON interchange round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.plans import (
+    MigrationPlan,
+    collect_plan,
+    migrate,
+    summarize_report,
+    verify,
+)
+from apache_iceberg_tables_migration_tool_spark.plans.reports import render_text
+from apache_iceberg_tables_migration_tool_spark.plans.verifier import schema_diff
+from apache_iceberg_tables_migration_tool_spark.queries.migration import (
+    build_source_warehouse,
+)
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+from tests.conftest import SF_DIR
+
+T = [f"2024-06-0{i}T00:00:00.000000+00:00" for i in range(1, 8)]
+
+
+@pytest.fixture()
+def warehouses(spark, tmp_path):
+    src = build_source_warehouse(spark, SF_DIR, str(tmp_path))
+    dst = SnapCatalog(str(tmp_path / "dst"))
+    return src, dst
+
+
+def test_plan_resolves_as_of_and_skips(warehouses):
+    src, _ = warehouses
+    # as-of before any orders_snap overwrite but after lineitem commit 2
+    plan = collect_plan(src, as_of="2024-06-02T12:00:00+00:00")
+    by_name = {t.table_name: t for t in plan.tables}
+    assert by_name["lineitem_snap"].snapshot_id == 2  # 2 of 3 commits ≤ T
+    assert by_name["orders_snap"].snapshot_id == 1  # before the overwrite
+    assert by_name["lineitem_snap"].partition_spec == ["l_shipmonth"]
+    # as-of before everything → all tables skipped with reasons
+    empty = collect_plan(src, as_of="2024-01-01T00:00:00+00:00")
+    assert not empty.tables
+    assert len(empty.skipped) == 3
+    assert all("no snapshot" in s["reason"] for s in empty.skipped)
+
+
+def test_plan_json_roundtrip(tmp_path, warehouses):
+    src, _ = warehouses
+    plan = collect_plan(src, as_of="2024-06-05T00:00:00+00:00")
+    p = str(tmp_path / "plan.json")
+    plan.to_json(p)
+    back = MigrationPlan.from_json(p)
+    assert [t.table_name for t in back.tables] == [t.table_name for t in plan.tables]
+    assert back.tables[0].schema_ddl == plan.tables[0].schema_ddl
+
+
+def test_migrate_and_verify_all_match(spark, warehouses):
+    src, dst = warehouses
+    plan = collect_plan(src, as_of="2024-06-05T00:00:00+00:00")
+    mig = migrate(spark, plan, src, dst, committed_at=T[5])
+    assert {r["status"] for r in mig.collect()} == {"success"}
+    ver = verify(spark, plan, src, dst)
+    rows = ver.collect()
+    assert all(r["status"] == "success" for r in rows), rows
+    assert all(r["checksum_match"] for r in rows)
+    # partition spec survived (G2): target table is really partitioned
+    assert dst.table("db", "lineitem_snap").partition_spec() == ["l_shipmonth"]
+    # records came from manifests and match the source snapshot
+    by = {r["table_name"]: r for r in rows}
+    assert by["lineitem_snap"].src_records == by["lineitem_snap"].dst_records
+
+
+def test_verify_detects_tampering(spark, warehouses):
+    src, dst = warehouses
+    plan = collect_plan(src)
+    plan.tables = [t for t in plan.tables if t.table_name == "orders_snap"]
+    migrate(spark, plan, src, dst, committed_at=T[5])
+    # tamper: drop rows in the target via a new overwrite commit
+    tampered = dst.table("db", "orders_snap").read(spark).where(F.col("o_orderkey") % 10 != 0)
+    dst.write("db", "orders_snap", tampered, mode="overwrite", committed_at=T[6])
+    row = verify(spark, plan, src, dst).collect()[0]
+    assert row["status"] == "mismatch"
+    assert not row["count_match"]
+    assert not row["checksum_match"]
+    assert row["schema_match"]  # schema untouched
+
+
+def test_schema_diff_catches_type_change(spark):
+    from pyspark.sql import types as Ty
+
+    a = Ty._parse_datatype_string("id bigint, v double")
+    b = Ty._parse_datatype_string("id bigint, v string")
+    d = schema_diff(spark, a, b).collect()
+    assert {(r["col_name"], r["side"]) for r in d} == {
+        ("v", "source_only"), ("v", "target_only")
+    }
+
+
+def test_report_rollup_has_grand_total(spark, warehouses):
+    src, dst = warehouses
+    plan = collect_plan(src)
+    rep = migrate(spark, plan, src, dst, committed_at=T[5])
+    summary = summarize_report(rep)
+    rows = summary.collect()
+    total = [r for r in rows if r["database"] is None]
+    assert len(total) == 1
+    assert total[0]["n_tables"] == 3
+    assert total[0]["n_success"] == 3
+    text = render_text(summary)
+    assert "TOTAL" in text

@@ -1,0 +1,154 @@
+"""Operator-level tests: approximate-dedup/search recall vs exact
+ground truth, as-of join semantics, integrity checksums."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
+from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+from apache_iceberg_tables_migration_tool_spark.operators.asof import asof_join
+from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+    row_diff,
+    table_checksum,
+    tables_match,
+)
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- as-of join
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "l1"),
+         (1, _ts("2024-01-01T12:00:00"), "l2"),
+         (2, _ts("2024-01-01T09:00:00"), "l3"),
+         (3, _ts("2024-01-01T09:00:00"), "l4")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), "r1"),
+         (1, _ts("2024-01-01T11:00:00"), "r2"),
+         (2, _ts("2024-01-01T09:00:00"), "r3"),  # exact tie with l3
+         (2, _ts("2024-01-01T23:00:00"), "r4")],
+        "k int, ts timestamp, rv string",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    assert out == {"l1": "r1", "l2": "r2", "l3": "r3", "l4": None}  # inclusive tie
+
+
+def test_asof_inner_drops_unmatched(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", how="inner")
+    assert {r["lv"] for r in out.collect()} == {"l1", "l2", "l3"}
+
+
+def test_asof_forward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert out == {"l1": "r2", "l2": None, "l3": "r3", "l4": None}
+
+
+# ------------------------------------------------------------------ recall
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark):
+    docs = load(spark, SF_DIR, "documents")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, threshold=0.5))
+    approx = _pairs(D.minhash_lsh_pairs(docs, threshold=0.5))
+    assert exact, "fixture should contain near-dup pairs"
+    assert approx <= exact  # exact-verified candidates → perfect precision
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"minhash recall {recall}"
+
+
+def test_simhash_finds_near_dups(spark):
+    docs = load(spark, SF_DIR, "documents")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, threshold=0.5))
+    sim = {(r["doc_a"], r["doc_b"]) for r in D.simhash_pairs(docs, max_hamming=6).collect()}
+    recall = len(sim & exact) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {(r["qid"], r["vec_id"]) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"knn-lsh recall@5 {recall}"
+
+
+def test_cosine_pairs_lsh_recall(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in S.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.cosine_pairs_lsh(
+            emb, threshold=0.4, bands=32, planes_per_band=4
+        ).collect()
+    }
+    assert exact
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"cosine-lsh recall {recall}"
+
+
+# ------------------------------------------------------------------ integrity
+
+def test_checksum_order_insensitive_and_sensitive_to_change(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    shuffled = li.repartition(7).sortWithinPartitions("l_partkey")
+    assert tables_match(li, shuffled)
+    changed = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == 7, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    assert not tables_match(li, changed)
+    c = table_checksum(li)
+    assert c.n_rows == li.count()
+
+
+def test_row_diff_localizes_mismatch(spark):
+    a = spark.range(10).withColumn("v", F.col("id") * 2)
+    b = a.where(F.col("id") != 3).unionByName(
+        spark.range(3, 4).withColumn("v", F.lit(999).cast("bigint"))
+    )
+    d = row_diff(a, b).collect()
+    sides = {(r["id"], r["side"]) for r in d}
+    assert (3, "left_only") in sides and (3, "right_only") in sides
+    assert len(d) == 2

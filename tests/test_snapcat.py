@@ -1,0 +1,156 @@
+"""Snapshot-catalog semantics: commits, time travel, metadata tables,
+schema-at-snapshot, maintenance, partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+    SnapCatalog,
+    schema_to_ddl,
+)
+
+T = [f"2024-01-0{i}T00:00:00.000000+00:00" for i in range(1, 8)]
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return SnapCatalog(str(tmp_path / "wh"))
+
+
+def test_append_creates_snapshot_history(spark, cat):
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    cat.write("db", "t", df, committed_at=T[0])
+    cat.write("db", "t", df, committed_at=T[1])
+    snaps = cat.table("db", "t").snapshots()
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert [s.operation for s in snaps] == ["append", "append"]
+    assert snaps[0].total_records == 10
+    assert snaps[1].total_records == 20
+    assert snaps[1].parent_id == 1
+    assert snaps[1].summary["added-records"] == "10"
+
+
+def test_time_travel_by_id_and_timestamp(spark, cat):
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 10, (i + 1) * 10), committed_at=T[i])
+    tbl = cat.table("db", "t")
+    assert tbl.read(spark, snapshot_id=1).count() == 10
+    assert tbl.read(spark, snapshot_id=2).count() == 20
+    assert tbl.read(spark).count() == 30
+    # as-of between commit 2 and 3 → snapshot 2 (latest ≤ T)
+    assert tbl.read(spark, as_of="2024-01-02T12:00:00+00:00").count() == 20
+    with pytest.raises(LookupError):
+        tbl.resolve_snapshot(as_of="2023-12-31T00:00:00+00:00")
+    with pytest.raises(LookupError):
+        tbl.resolve_snapshot(snapshot_id=99)
+
+
+def test_overwrite_replaces_files(spark, cat):
+    cat.write("db", "t", spark.range(100), committed_at=T[0])
+    cat.write("db", "t", spark.range(5), mode="overwrite", committed_at=T[1])
+    tbl = cat.table("db", "t")
+    assert tbl.read(spark).count() == 5
+    assert tbl.read(spark, snapshot_id=1).count() == 100  # history preserved (G4 fix)
+    assert [s.operation for s in tbl.snapshots()] == ["append", "overwrite"]
+
+
+def test_metadata_tables(spark, cat):
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    cat.write("db", "t", spark.range(10), committed_at=T[1])
+    tbl = cat.table("db", "t")
+    sdf = tbl.snapshots_df(spark)
+    assert sdf.count() == 2
+    assert {r["operation"] for r in sdf.collect()} == {"append"}
+    fdf = tbl.files_df(spark)
+    rows = fdf.collect()
+    assert sum(r["record_count"] for r in rows) == 20
+    assert all(r["file_path"].startswith("data/s") for r in rows)
+    assert tbl.history_df(spark).columns == [
+        "committed_at", "snapshot_id", "parent_id", "operation"
+    ]
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, cat):
+    df = spark.range(100).withColumn("p", F.pmod("id", F.lit(4)).cast("int"))
+    cat.write("db", "t", df, partition_by=["p"], committed_at=T[0])
+    cat.write("db", "t", df, committed_at=T[1])  # spec inherited
+    tbl = cat.table("db", "t")
+    assert tbl.partition_spec() == ["p"]
+    out = tbl.read(spark)
+    assert out.count() == 200
+    assert set(out.columns) == {"id", "p"}
+    pruned = out.where(F.col("p") == 1)
+    assert pruned.count() == 50
+    # partition pruning: physical plan must not list p=2 directories
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "p=2" not in plan
+
+
+def test_schema_at_snapshot(spark, cat):
+    cat.write("db", "t", spark.range(5).withColumn("a", F.lit(1)), committed_at=T[0])
+    cat.write(
+        "db", "t",
+        spark.range(5).withColumn("a", F.lit(1)).withColumn("b", F.lit("x")),
+        mode="overwrite", committed_at=T[1],
+    )
+    tbl = cat.table("db", "t")
+    assert [f.name for f in tbl.schema(snapshot_id=1).fields] == ["id", "a"]
+    assert [f.name for f in tbl.schema().fields] == ["id", "a", "b"]
+
+
+def test_expire_snapshots_removes_orphan_files(spark, cat):
+    for i in range(3):
+        cat.write("db", "t", spark.range(10), committed_at=T[i])
+    cat.write("db", "t", spark.range(7), mode="overwrite", committed_at=T[3])
+    tbl = cat.table("db", "t")
+    expired = cat.expire_snapshots("db", "t", keep_last=1)
+    assert expired == [1, 2, 3]
+    assert [s.snapshot_id for s in tbl.snapshots()] == [4]
+    assert tbl.read(spark).count() == 7
+    # orphaned commit dirs from snapshots 1-3 are gone
+    live_files = {f.path for f in tbl.current_snapshot().files}
+    on_disk = {
+        os.path.relpath(os.path.join(dp, fn), tbl.root)
+        for dp, _d, fns in os.walk(os.path.join(tbl.root, "data"))
+        for fn in fns if fn.endswith(".parquet")
+    }
+    assert on_disk == live_files
+
+
+def test_compact_preserves_data(spark, cat):
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    for i in range(3):
+        cat.write("db", "t", df.where(F.pmod("id", F.lit(3)) == i), committed_at=T[i])
+    tbl = cat.table("db", "t")
+    n_files_before = len(tbl.current_snapshot().files)
+    snap = cat.compact("db", "t", spark, target_partitions=2)
+    assert snap.operation == "replace"
+    assert snap.total_records == 1000
+    assert len(snap.files) <= max(2, n_files_before)
+    assert tbl.read(spark).count() == 1000
+
+
+def test_ddl_roundtrip_nested_types(spark):
+    # G1 regression: simpleString round-trips nested types
+    df = spark.range(1).select(
+        F.col("id"),
+        F.struct(F.lit(1).alias("a"), F.lit("x").alias("b")).alias("s"),
+        F.array(F.lit(1.5)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(2.0)).alias("m"),
+        F.lit(b"abc").alias("bin"),
+        F.lit("1.23").cast("decimal(12,2)").alias("d"),
+    )
+    ddl = schema_to_ddl(df.schema)
+    from pyspark.sql import types as Ty
+
+    parsed = Ty._parse_datatype_string(ddl)
+    # nullability is not part of the DDL contract — compare name/type
+    assert [(f.name, f.dataType.simpleString()) for f in parsed.fields] == [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    assert "struct<a:int,b:string>" in ddl
+    assert "decimal(12,2)" in ddl
