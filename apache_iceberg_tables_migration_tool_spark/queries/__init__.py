@@ -10,5 +10,6 @@ from apache_iceberg_tables_migration_tool_spark.queries.registry import (  # noq
 
 # importing the modules populates the registry
 from apache_iceberg_tables_migration_tool_spark.queries import relational  # noqa: F401,E402
+from apache_iceberg_tables_migration_tool_spark.queries import relational2  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import northstar  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import migration  # noqa: F401,E402
