@@ -57,14 +57,25 @@ def _pair_jaccard(shingles: DataFrame, pair_filter: DataFrame | None = None) -> 
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
     if pair_filter is not None:
-        inter = inter.join(pair_filter.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"])
+        # Candidate-driven verify: expand each candidate pair with
+        # doc_a's shingles, keep those doc_b also has. Cost is
+        # O(candidates × shingles/doc) — independent of global shingle
+        # frequencies, so the all-pairs blowup never materializes.
+        cand = pair_filter.select("doc_a", "doc_b").distinct()
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
