@@ -210,6 +210,94 @@ def cosine_pairs_lsh(
     return _exact_pair_sims(cands, emb, id_col, vec_col).where(F.col("sim") >= threshold)
 
 
+def _kmeans_centroids(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means on unit vectors (driver-side, tiny): maximize
+    dot product, re-normalize means each round. Deterministic under
+    the fixed seed."""
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 100_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: spherical
+    k-means coarse quantizer, cell-bucketed candidate join, exact
+    re-rank inside the probed cells.
+
+    Scale contract: only the training sample (≤ ``train_sample``
+    rows) and the query set touch the driver; assignment and search
+    are distributed. The candidate space per query is
+    O(corpus × nprobe / nlist) instead of O(corpus) — the knob
+    between recall and cost. Recall vs ``cosine_topk`` is pinned in
+    tests.
+    """
+    train_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    mat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in train_rows]))
+    cent = _kmeans_centroids(mat, nlist, iters, seed)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "cell": (m @ c.T).argmax(axis=1)}
+            )
+
+    cells = emb.select(id_col, vec_col).mapInPandas(assign, schema="vec_id bigint, cell int")
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # small, documented bound
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows]))
+    probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probes = spark.createDataFrame(
+        [(int(q), int(c)) for q, cs in zip(q_ids, probe_cells) for c in cs],
+        schema="qid bigint, cell int",
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(F.col("qid").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qs = queries.select(F.col(query_id_col).alias(id_col), vec_col)
+    corpus = emb.select(id_col, vec_col).unionByName(qs).dropDuplicates([id_col])
+    scored = _exact_pair_sims(cands, corpus, id_col, vec_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("vec_id"), "sim", "rk")
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     queries: DataFrame,

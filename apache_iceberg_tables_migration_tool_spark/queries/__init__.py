@@ -13,3 +13,4 @@ from apache_iceberg_tables_migration_tool_spark.queries import relational  # noq
 from apache_iceberg_tables_migration_tool_spark.queries import relational2  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import northstar  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import migration  # noqa: F401,E402
+from apache_iceberg_tables_migration_tool_spark.queries import extensions  # noqa: F401,E402

@@ -1,0 +1,156 @@
+"""Scale-path extension queries: sketches, range join, skew-safe
+aggregation, document-frequency n-grams, and the IVF ANN index.
+
+These go beyond the reference's own surface (SURVEY §2.8 X-ops and
+§7 step 6 hardening): each one demonstrates a pattern that matters at
+100 TB — sketch-based distinct counting, non-equi broadcast joins,
+salting hot keys, and sub-linear candidate generation for ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+from apache_iceberg_tables_migration_tool_spark.operators import skew as K
+from apache_iceberg_tables_migration_tool_spark.operators.text import word_shingles
+from apache_iceberg_tables_migration_tool_spark.queries.registry import query
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+
+
+@query(
+    "approx_distinct_users",
+    tags=("sketch", "agg"),
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type next to the
+    exact count. The oracle pins the exact column AND asserts the
+    sketch lands within 5% — if `approx_count_distinct` drifts past
+    tolerance the boolean flips and the hash check fails. At 100 TB
+    the sketch is the only affordable option (no distinct shuffle,
+    mergeable partials); this query keeps it honest against truth.
+    """
+    ev = load(spark, sf_dir, "events")
+    exact = F.count_distinct(F.col("user_id")).alias("n_exact")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    return ev.groupBy("event_type").agg(
+        exact,
+        (
+            F.abs(approx - F.count_distinct(F.col("user_id")))
+            <= 0.05 * F.count_distinct(F.col("user_id"))
+        ).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "range_join_value_buckets",
+    tags=("join", "range"),
+    oracle="""
+WITH tiers(tier, lo, hi) AS (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 100.0),
+                                    ('high', 100.0, 500.0), ('top', 500.0, 1e9))
+SELECT tier, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier
+""",
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (range) join: bucket every event's value into tier
+    intervals via a broadcast non-equi join — the small side is
+    replicated to every executor, so no shuffle of the fact table and
+    no cross-join blowup."""
+    ev = load(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 100.0), ("high", 100.0, 500.0), ("top", 500.0, 1e9)],
+        schema="tier string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(tiers), (ev.value >= tiers.lo) & (ev.value < tiers.hi))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+@query(
+    "skew_salted_agg",
+    tags=("skew", "agg"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): hot grouping
+    keys spread over 32 salt buckets before the final merge. Results
+    are row-identical to the direct groupBy — which is exactly what
+    the oracle checks."""
+    ev = load(spark, sf_dir, "events")
+    return K.salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("1", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt_cols=["event_id"],
+        salt_buckets=32,
+    )
+
+
+@query(
+    "top_bigrams_per_lang",
+    tags=("text", "topk"),
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] AS bigram
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+c AS (SELECT lang, bigram, COUNT(*) AS doc_freq FROM sh GROUP BY 1, 2)
+SELECT lang, bigram, doc_freq, rk FROM (
+  SELECT lang, bigram, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_freq DESC, bigram) AS rk
+  FROM c)
+WHERE rk <= 3
+""",
+)
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 word bigrams per language by document frequency:
+    codegen'd shingling → (lang, bigram) partial-agg count → window
+    top-k. Deterministic tie-break (count desc, bigram asc)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2)
+    freq = (
+        sh.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("shingle"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("lang", F.col("shingle").alias("bigram"), "doc_freq", "rk")
+    )
+
+
+@query("knn_ivf", tags=("vector", "approx"))
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors through an IVF index (spherical
+    k-means coarse quantizer, nprobe-cell candidate join, exact
+    re-rank). Centroids are seed-deterministic but engine-specific →
+    rows-only check; recall@5 vs the exact operator is pinned in
+    tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    # Fixture vectors are near-isotropic (no real cluster structure), so
+    # recall needs a generous nprobe/nlist ratio; on clustered corpora
+    # the usual ~1/8 ratio applies at far lower cost.
+    return S.knn_ivf(emb, queries, k=5, nlist=16, nprobe=12).select("qid", "vec_id", "rk")

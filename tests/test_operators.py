@@ -152,3 +152,71 @@ def test_row_diff_localizes_mismatch(spark):
     sides = {(r["id"], r["side"]) for r in d}
     assert (3, "left_only") in sides and (3, "right_only") in sides
     assert len(d) == 2
+
+
+# ------------------------------------------------------------- IVF ANN index
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {(r["qid"], r["vec_id"]) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in S.knn_ivf(emb, queries, k=5, nlist=16, nprobe=12).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"knn-ivf recall@5 {recall}"
+
+
+# ----------------------------------------------------------- skew primitives
+
+def test_salted_agg_matches_direct(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.skew import salted_agg
+
+    ev = load(spark, SF_DIR, "events")
+    direct = {
+        r["event_type"]: (r["n"], r["mn"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["mn"], r["mx"])
+        for r in salted_agg(
+            ev,
+            keys=["event_type"],
+            aggs={"n": ("1", "count"), "mn": ("value", "min"), "mx": ("value", "max")},
+            salt_cols=["event_id"],
+            salt_buckets=16,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.skew import salted_join
+
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    direct = {
+        (r["o_orderkey"], r["c_name"]) for r in orders.join(cust, "o_custkey").collect()
+    }
+    salted = {
+        (r["o_orderkey"], r["c_name"])
+        for r in salted_join(orders, cust, on=["o_custkey"], salt_buckets=8).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    out = salted_join(big, small, on=["k"], salt_buckets=4, how="left").collect()
+    assert len(out) == 3
+    assert {r["k"]: r["w"] for r in out} == {1: "x", 2: "y", 99: None}
