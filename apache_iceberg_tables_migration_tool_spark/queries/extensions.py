@@ -154,3 +154,32 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall needs a generous nprobe/nlist ratio; on clustered corpora
     # the usual ~1/8 ratio applies at far lower cost.
     return S.knn_ivf(emb, queries, k=5, nlist=16, nprobe=12).select("qid", "vec_id", "rk")
+
+
+@query(
+    "stateful_user_totals",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) / 1e6 AS total_value,
+       MAX(ts) AS last_seen
+FROM events GROUP BY user_id
+""",
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count / exact micro-unit value total / last-seen,
+    drained over the event stream with an availableNow trigger. The
+    final state equals the batch aggregate — which is exactly what
+    the oracle checks (exact integer micro-units make the total
+    independent of micro-batch split)."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        read_events_stream,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.stateful import (
+        run_update_to_completion,
+        user_stats_stateful,
+    )
+
+    stream = user_stats_stateful(read_events_stream(spark, sf_dir))
+    return run_update_to_completion(stream, "q_stateful_user_totals")

@@ -338,3 +338,89 @@ def year_over_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", 2).alias("total_price"),
         F.count(F.when(F.col("o_totalprice") >= 300000, 1)).alias("n_large"),
     )
+
+
+@query(
+    "min_price_item_per_order",
+    tags=("sql", "subquery", "decorrelation"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_orderkey = l.l_orderkey)
+  AND l_orderkey % 10 = 0
+""",
+)
+def min_price_item_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17's shape): cheapest line
+    item(s) within each order. Catalyst decorrelates the subquery
+    into a per-orderkey MIN aggregate + equi-join — one shuffle on
+    the correlation key, no per-row re-execution. MIN compare is
+    exact (no float arithmetic), so the boundary is deterministic."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM v_li l
+        WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM v_li l2
+                                 WHERE l2.l_orderkey = l.l_orderkey)
+          AND l_orderkey % 10 = 0
+        """
+    )
+
+
+@query(
+    "churned_buyers_1998",
+    tags=("sql", "subquery", "antijoin"),
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+""",
+)
+def churned_buyers_1998(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS in one predicate (churn cohort): planned
+    as a semi-join chained with an anti-join on the same key — two
+    pushdown-friendly hash joins, no distinct, no count subquery."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_ord")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_cust c
+        WHERE EXISTS (SELECT 1 FROM v_ord o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                      AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+          AND NOT EXISTS (SELECT 1 FROM v_ord o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+        """
+    )
+
+
+@query(
+    "nation_customer_share",
+    tags=("sql", "subquery", "scalar"),
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM customer) AS share
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def nation_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery feeding a projection: per-nation
+    customer share of the global total. The total is one extra
+    scalar job reused across rows (broadcast as a literal), and
+    int÷int division is a single IEEE op — bit-deterministic."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_cust2")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nat2")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM v_cust2) AS share
+        FROM v_cust2 JOIN v_nat2 ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -72,3 +72,55 @@ def test_sample_chunks(spark):
     content = bytes(row["content"])
     assert len(row["chunks"]) == 4
     assert bytes(row["chunks"][0]) == content[:8]
+
+
+def test_stateful_user_stats_matches_batch(spark):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        read_events_stream,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.stateful import (
+        run_update_to_completion,
+        user_stats_stateful,
+    )
+
+    stream = user_stats_stateful(read_events_stream(spark, SF_DIR))
+    got = run_update_to_completion(stream, "user_stats_test")
+    # last update per user wins (single-batch availableNow → already final)
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["last_seen"])
+        for r in got.collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6), r["last"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 1e6).cast("bigint")) / 1e6).alias("tv"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    assert final == want
+
+
+def test_streaming_dedup_bounded_state(spark):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        read_events_stream, run_to_completion,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.stateful import (
+        dedup_events_stream,
+    )
+
+    stream = dedup_events_stream(read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_test").count()
+    want = load(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert got == want
