@@ -1,0 +1,232 @@
+"""Command-line surface mirroring the reference's six CLI stages.
+
+The reference ships six standalone scripts chained by JSON files
+(`1_collect_src_snapshots.py` … `6_verify_data_integrity.py`); a
+user drives them as `python 1_... --catalog ... --output-file ...`.
+This CLI exposes the same workflow over the engine:
+
+| Reference stage | Subcommand |
+|---|---|
+| 1 collect snapshots | `snapshots` |
+| 2 resolve + collect schema | `plan` (also stage 1's enumeration) |
+| 3 create target tables | `migrate` (DDL + copy in one pass) |
+| 4 verify creation | `verify` (schema diff included) |
+| 5 migrate data | `migrate` |
+| 6 verify integrity | `verify` (counts + checksum) |
+| (maintenance procedures) | `maintain` |
+| (analytics queries) | `query` / `list-queries` |
+
+JSON plan files remain the interchange format between `plan` and
+`migrate`/`verify`, so the stage-by-stage operational model (run,
+inspect, continue) is preserved — but each subcommand is one engine
+call, not a script with its own SparkSession/config copy-paste.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(cpus: str | None) -> SparkSession:
+    from apache_iceberg_tables_migration_tool_spark.session import get_spark
+
+    master = f"local[{cpus}]" if cpus else None
+    spark = get_spark(app_name="iceberg-migration-cli", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_snapshots(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    src = SnapCatalog(args.source)
+    out: dict[str, list[dict]] = {}
+    for db in args.databases or src.list_namespaces():
+        for name in src.list_tables(db):
+            snaps = src.table(db, name).snapshots()
+            out[f"{db}.{name}"] = [
+                {
+                    "snapshot_id": s.snapshot_id,
+                    "committed_at": s.committed_at,
+                    "operation": s.operation,
+                    "summary": dict(s.summary),
+                }
+                for s in snaps
+            ]
+    text = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    else:
+        print(text)
+    return 0
+
+
+def cmd_plan(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.plans.plan import collect_plan
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    src = SnapCatalog(args.source)
+    plan = collect_plan(src, databases=args.databases, as_of=args.as_of)
+    plan.to_json(args.out)
+    print(f"planned {len(plan.tables)} tables, skipped {len(plan.skipped)} -> {args.out}")
+    for s in plan.skipped:
+        print(f"  skipped {s['database']}.{s['table_name']}: {s['reason']}")
+    return 0
+
+
+def cmd_migrate(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.plans.migrator import migrate
+    from apache_iceberg_tables_migration_tool_spark.plans.plan import MigrationPlan
+    from apache_iceberg_tables_migration_tool_spark.plans.reports import (
+        render_text,
+        summarize_report,
+    )
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    plan = MigrationPlan.from_json(args.plan)
+    report = migrate(
+        spark,
+        plan,
+        SnapCatalog(args.source),
+        SnapCatalog(args.target),
+        max_parallel_tables=args.parallel,
+    )
+    report.persist()
+    text = render_text(summarize_report(report))
+    print(text)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(text + "\n")
+    failed = report.where("status <> 'success'").count()
+    report.unpersist()
+    return 1 if failed else 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.plans.plan import MigrationPlan
+    from apache_iceberg_tables_migration_tool_spark.plans.reports import (
+        render_text,
+        summarize_report,
+    )
+    from apache_iceberg_tables_migration_tool_spark.plans.verifier import verify
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    plan = MigrationPlan.from_json(args.plan)
+    report = verify(spark, plan, SnapCatalog(args.source), SnapCatalog(args.target))
+    report.persist()
+    text = render_text(summarize_report(report))
+    print(text)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(text + "\n")
+    failed = report.where("status <> 'success'").count()
+    report.unpersist()
+    return 1 if failed else 0
+
+
+def cmd_maintain(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    for db in args.databases or cat.list_namespaces():
+        for name in cat.list_tables(db):
+            if args.expire_keep_last:
+                expired = cat.expire_snapshots(db, name, keep_last=args.expire_keep_last)
+                print(f"{db}.{name}: expired {len(expired)} snapshots")
+            if args.compact:
+                cat.compact(spark, db, name)
+                print(f"{db}.{name}: compacted")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = QUERIES[args.name].fn(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list_queries(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
+
+    for name, spec in sorted(QUERIES.items()):
+        oracle = "oracle" if spec.oracle else "rows-only"
+        tags = ",".join(spec.tags)
+        print(f"{name:40s} {oracle:9s} {tags}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="apache_iceberg_tables_migration_tool_spark",
+        description="PySpark-native snapshot-migration + analytics engine",
+    )
+    p.add_argument("--cpus", default=None, help="local[N] cores (default: env/all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("snapshots", help="stage 1: dump snapshot histories")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--databases", nargs="*", default=None)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_snapshots)
+
+    sp = sub.add_parser("plan", help="stages 1+2: resolve snapshots as-of, collect schemas")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--databases", nargs="*", default=None)
+    sp.add_argument("--as-of", dest="as_of", default=None)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_plan)
+
+    sp = sub.add_parser("migrate", help="stages 3+5: create target tables + copy data")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--plan", required=True)
+    sp.add_argument("--report", default=None)
+    sp.add_argument("--parallel", type=int, default=4)
+    sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser("verify", help="stages 4+6: schema diff + counts + checksum")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--plan", required=True)
+    sp.add_argument("--report", default=None)
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("maintain", help="expire snapshots / compact files")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--databases", nargs="*", default=None)
+    sp.add_argument("--expire-keep-last", type=int, default=None)
+    sp.add_argument("--compact", action="store_true")
+    sp.set_defaults(fn=cmd_maintain)
+
+    sp = sub.add_parser("query", help="run a registered analytics query")
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("list-queries", help="list the registered query surface")
+    sp.set_defaults(fn=cmd_list_queries)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""End-to-end CLI workflow: the reference's six-stage UX
+(snapshots → plan → migrate → verify → maintain) through one engine
+CLI against a fixture-derived warehouse."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from apache_iceberg_tables_migration_tool_spark.cli import main
+from apache_iceberg_tables_migration_tool_spark.queries.migration import (
+    build_source_warehouse,
+)
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_wh")
+    build_source_warehouse(spark, SF_DIR, str(root))  # creates <root>/src
+    return root, str(root / "src")
+
+
+def test_cli_full_workflow(spark, warehouse, capsys):
+    root, src_root = warehouse
+    dst_root = str(root / "dst")
+    plan_path = str(root / "plan.json")
+    snaps_path = str(root / "snaps.json")
+
+    assert main(["snapshots", "--source", src_root, "--out", snaps_path]) == 0
+    snaps = json.load(open(snaps_path))
+    assert snaps and all(len(v) >= 1 for v in snaps.values())
+
+    assert main(["plan", "--source", src_root, "--out", plan_path]) == 0
+    plan = json.load(open(plan_path))
+    assert plan["tables"]
+
+    assert main([
+        "migrate", "--source", src_root, "--target", dst_root, "--plan", plan_path,
+        "--report", str(root / "mig.txt"),
+    ]) == 0
+    assert main([
+        "verify", "--source", src_root, "--target", dst_root, "--plan", plan_path,
+        "--report", str(root / "ver.txt"),
+    ]) == 0
+    report = open(root / "ver.txt").read()
+    assert "TOTAL" in report
+
+    # stage-4/6 failure mode: tamper with the target, verify must flag it
+    dst = SnapCatalog(dst_root)
+    db = plan["tables"][0]["database"]
+    name = plan["tables"][0]["table_name"]
+    tampered = dst.table(db, name).read(spark).limit(5)
+    dst.write(db, name, tampered, mode="overwrite")
+    assert main([
+        "verify", "--source", src_root, "--target", dst_root, "--plan", plan_path,
+    ]) == 1
+
+
+def test_cli_maintain_and_query(warehouse, capsys):
+    _, src_root = warehouse
+    assert main(["maintain", "--warehouse", src_root, "--expire-keep-last", "1"]) == 0
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_topk_revenue" in out and "oracle" in out
+
+    assert main(["query", "--name", "table_counts", "--sf-dir", SF_DIR]) == 0
+    assert main(["query", "--name", "nope"]) == 2

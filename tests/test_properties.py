@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ANY input, not just the fixtures — the strongest guard for
+operators whose failure modes are data-shaped (ties, empty groups,
+hot keys, negative values, duplicate timestamps)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.functions.portable import dsum
+from apache_iceberg_tables_migration_tool_spark.operators.asof import asof_join
+from apache_iceberg_tables_migration_tool_spark.operators.integrity import table_checksum
+from apache_iceberg_tables_migration_tool_spark.operators.skew import salted_agg
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+_BASE = datetime(2024, 1, 1)
+
+# (key, minute-offset) event lists; duplicates and unsorted order allowed
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=25
+)
+
+
+@given(left=_events, right=_events)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_reference(spark, left, right):
+    """For every left row, the matched right row is the latest right
+    row with the same key and ts ≤ left.ts (backward as-of)."""
+    ldf = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(left)],
+        "k int, ts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(right)],
+        "k int, ts timestamp, rid int",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    for i, (k, m) in enumerate(left):
+        cands = [
+            (rm, j) for j, (rk, rm) in enumerate(right) if rk == k and rm <= m
+        ]
+        # tie-break must match the operator: latest ts, then last row wins
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (i, k, m, cands)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)), min_size=1, max_size=40
+    ),
+    buckets=st.sampled_from([1, 2, 7, 32]),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_direct_groupby(spark, rows, buckets):
+    df = spark.createDataFrame([(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v long, rid long")
+    direct = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, keys=["k"],
+            aggs={"n": ("1", "count"), "s": ("v", "sum"),
+                  "mn": ("v", "min"), "mx": ("v", "max")},
+            salt_cols=["rid"], salt_buckets=buckets,
+        ).collect()
+    }
+    assert salted == direct
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-100, 100), st.text(alphabet="abc", max_size=3)),
+        min_size=1, max_size=20,
+    ),
+    seed=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_checksum_is_order_invariant_and_value_sensitive(spark, rows, seed):
+    import random
+
+    df1 = spark.createDataFrame(rows, "a int, b string").repartition(4)
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "a int, b string").repartition(2)
+    c1, c2 = table_checksum(df1), table_checksum(df2)
+    assert c1 == c2  # row order and partitioning never affect the fingerprint
+    tweaked = [(a + 1, b) for a, b in rows[:1]] + rows[1:]
+    if sorted(tweaked) != sorted(rows):
+        c3 = table_checksum(spark.createDataFrame(tweaked, "a int, b string"))
+        assert c3 != c1
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=Decimal("-99999.99"), max_value=Decimal("99999.99"), places=2
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_dsum_equals_exact_decimal_sum(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = df.agg(dsum("v", scale=6).alias("s")).collect()[0]["s"]
+    want = float(sum(vals))  # 2-dp decimals: exact in double, floor(×100) is identity
+    assert got == want
