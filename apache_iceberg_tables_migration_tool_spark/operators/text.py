@@ -104,3 +104,18 @@ def rolling_fingerprint(text_col: str = "text") -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, wd: (acc * FP_MULT + F.ascii(wd) + F.length(wd)) % FP_MOD,
     )
+
+
+#: BPE-ish pre-tokenizer segmentation (GPT-2-style classes, rewritten
+#: without lookaheads so Java (Spark) and RE2 (DuckDB) agree):
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Subword-style token count: number of BPE-ish pre-tokenizer
+    segments (the unit LLM data budgets are measured in, vs the
+    whitespace count of :func:`token_count`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))

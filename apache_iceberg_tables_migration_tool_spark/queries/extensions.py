@@ -183,3 +183,55 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = user_stats_stateful(read_events_stream(spark, sf_dir))
     return run_update_to_completion(stream, "q_stateful_user_totals")
+
+
+@query(
+    "token_count_bpe",
+    tags=("text",),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+           AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish subword token counts per document — the
+    unit a training-data budget is measured in. The segmentation
+    regex is lookahead-free so the Java (Spark) and RE2 (DuckDB)
+    engines produce identical splits, which the oracle verifies
+    count-for-count."""
+    from apache_iceberg_tables_migration_tool_spark.operators.text import (
+        token_count,
+        token_count_bpe as bpe,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe("text").alias("n_bpe_tokens"),
+    )
+
+
+@query("multimodal_feature_knn", tags=("multimodal", "vector"))
+def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline composition: binary payload attach →
+    Arrow-batched feature extraction (byte-histogram stand-in with a
+    real extractor's UDF shape) → exact top-3 cosine search over the
+    extracted features. Features are engine-internal arrays →
+    rows-only check; each stage is unit-tested separately."""
+    from apache_iceberg_tables_migration_tool_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(docs))
+    corpus = feats.select(F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding"))
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return S.cosine_topk(corpus, queries, k=3).select("qid", "vec_id", "rk")

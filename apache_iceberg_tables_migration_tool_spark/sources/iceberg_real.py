@@ -1,0 +1,160 @@
+"""Real Apache Iceberg catalog adapter (production path).
+
+`SnapCatalog` implements the snapshot/time-travel/maintenance
+semantics on plain parquet so the whole engine is testable in this
+container (no Iceberg runtime jar available, and installs are not
+permitted). On a cluster with `iceberg-spark-runtime` on the
+classpath, THIS adapter exposes the same surface over genuine
+Iceberg tables, using exactly the mechanisms the reference uses:
+
+- session catalogs via ``spark.sql.catalog.<name>`` config
+  (≙ `1_collect_src_snapshots.py:24-34`, `5_migrate_tables_data.py:29-36`
+  dual-catalog setup);
+- `.snapshots` metadata table scans (≙ `1_collect_src_snapshots.py:61-62`)
+  — plus `.files`, fixing the reference's G3 (it queried `.snapshots`
+  for `file_path`, a column that lives in `.files`);
+- time-travel reads via the `snapshot-id` / `as-of-timestamp` read
+  options (≙ `2_collect_database_schema_info.py:151-153`,
+  `5_migrate_tables_data.py:72-74`);
+- DDL with `PARTITIONED BY` + `TBLPROPERTIES` (fixing G1/G2: types
+  come from `simpleString()` DDL, partition spec survives creation);
+- maintenance via the Iceberg procedures
+  (`CALL <cat>.system.expire_snapshots/rewrite_data_files`).
+
+Every method raises a clear error when the runtime is absent, so
+importing this module is always safe (import-try gating per the
+build contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(ICEBERG_CATALOG_CLASS)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def configure_hadoop_catalog(builder, name: str, warehouse: str):
+    """Attach a local/HDFS/S3 Hadoop-style Iceberg catalog to a
+    SparkSession builder (test/prod parity with the reference's Glue
+    and S3Tables catalog configs)."""
+    return (
+        builder.config(f"spark.sql.catalog.{name}", ICEBERG_CATALOG_CLASS)
+        .config(f"spark.sql.catalog.{name}.type", "hadoop")
+        .config(f"spark.sql.catalog.{name}.warehouse", warehouse)
+    )
+
+
+class IcebergCatalog:
+    """Same capability surface as ``SnapCatalog``, over real Iceberg
+    tables in a configured Spark catalog."""
+
+    def __init__(self, spark: SparkSession, catalog: str):
+        self.spark = spark
+        self.catalog = catalog
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg Spark runtime not on the classpath; add "
+                "iceberg-spark-runtime to spark.jars.packages (this container "
+                "has no Iceberg jar — use SnapCatalog for local testing)"
+            )
+
+    # ---- naming ---------------------------------------------------------
+
+    def _qualified(self, database: str, name: str) -> str:
+        # uniform backtick quoting (reference quotes only dashed names,
+        # 2_collect_database_schema_info.py:145-148)
+        return f"`{self.catalog}`.`{database}`.`{name}`"
+
+    # ---- enumeration (S1) ----------------------------------------------
+
+    def list_namespaces(self) -> list[str]:
+        rows = self.spark.sql(f"SHOW NAMESPACES IN `{self.catalog}`").collect()
+        return sorted(r[0] for r in rows)
+
+    def list_tables(self, database: str) -> list[str]:
+        rows = self.spark.sql(f"SHOW TABLES IN `{self.catalog}`.`{database}`").collect()
+        return sorted(r["tableName"] for r in rows)
+
+    # ---- metadata tables (S2; G3 fix) ----------------------------------
+
+    def snapshots_df(self, database: str, name: str) -> DataFrame:
+        return self.spark.table(f"{self._qualified(database, name)}.snapshots")
+
+    def files_df(self, database: str, name: str) -> DataFrame:
+        return self.spark.table(f"{self._qualified(database, name)}.files")
+
+    def history_df(self, database: str, name: str) -> DataFrame:
+        return self.spark.table(f"{self._qualified(database, name)}.history")
+
+    # ---- DDL (W1/W2; G1+G2 fixes) --------------------------------------
+
+    def create_namespace(self, database: str) -> None:
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS `{self.catalog}`.`{database}`")
+
+    def create_table(
+        self,
+        database: str,
+        name: str,
+        schema_ddl: str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        parts = f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+        props = (
+            " TBLPROPERTIES (" + ", ".join(f"'{k}'='{v}'" for k, v in properties.items()) + ")"
+            if properties
+            else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._qualified(database, name)} "
+            f"({schema_ddl}) USING iceberg{parts}{props}"
+        )
+
+    # ---- reads (S3/S4/S5) ----------------------------------------------
+
+    def read(
+        self,
+        database: str,
+        name: str,
+        snapshot_id: int | None = None,
+        as_of: str | None = None,
+    ) -> DataFrame:
+        reader = self.spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", snapshot_id)
+        elif as_of is not None:
+            reader = reader.option("as-of-timestamp", as_of)
+        return reader.table(self._qualified(database, name))
+
+    # ---- writes (W3) ----------------------------------------------------
+
+    def write(self, database: str, name: str, df: DataFrame, mode: str = "append") -> None:
+        writer = df.writeTo(self._qualified(database, name))
+        if mode == "overwrite":
+            # full overwrite in one commit; partition-scoped overwrites
+            # should use overwritePartitions() on a partitioned target
+            writer.using("iceberg").createOrReplace()
+        else:
+            writer.append()
+
+    # ---- maintenance (X7) ----------------------------------------------
+
+    def expire_snapshots(self, database: str, name: str, older_than: str) -> DataFrame:
+        return self.spark.sql(
+            f"CALL `{self.catalog}`.system.expire_snapshots("
+            f"table => '{database}.{name}', older_than => TIMESTAMP '{older_than}')"
+        )
+
+    def compact(self, database: str, name: str) -> DataFrame:
+        return self.spark.sql(
+            f"CALL `{self.catalog}`.system.rewrite_data_files(table => '{database}.{name}')"
+        )
