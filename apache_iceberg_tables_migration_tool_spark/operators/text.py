@@ -42,13 +42,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     whole-stage codegen; docs shorter than ``n`` words yield no rows
     (guarded — Spark's ``sequence`` would otherwise run backwards).
     """
-    w = words(text_col)
+    # split once into a projected column — the naive form re-evaluates
+    # split() inside the guard, the sequence bound, and every slice
+    # (Catalyst does not CSE across those positions; measured ~3× the
+    # scan cost at sf0.1)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     shingle_arr = F.expr(
-        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))"
+        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
     )
     return (
-        df.where(F.size(w) >= n)
+        toks.where(F.size("__toks") >= n)
         .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
     )
 
