@@ -28,8 +28,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [n for n, s in QUERIES.items() if s.headline]
-    # JVM/session warm-up so q1 doesn't pay executor spin-up
+    # JVM/session warm-up so q1 doesn't pay executor spin-up, plus one
+    # tiny parquet touch so codegen/parquet-footer paths are hot too
+    # (q1 would otherwise absorb ~1s of one-time session cost)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in headline:
