@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
 from apache_iceberg_tables_migration_tool_spark.operators import skew as K
+from apache_iceberg_tables_migration_tool_spark.functions.portable import dsum
 from apache_iceberg_tables_migration_tool_spark.operators.text import word_shingles
 from apache_iceberg_tables_migration_tool_spark.queries.registry import query
 from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
@@ -235,3 +236,149 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return S.cosine_topk(corpus, queries, k=3).select("qid", "vec_id", "rk")
+
+
+@query(
+    "portable_corr_stats",
+    tags=("agg", "stats"),
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       CAST(FLOOR((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e9) AS BIGINT) / 1e9 AS corr_qty_price
+FROM m
+""",
+)
+def portable_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moment sums. Built-in
+    corr()/stddev() accumulate doubles, so partial-aggregation order
+    changes the last ULPs — not reproducible across engines. Exact
+    integer-cent moments cast to double once, then one algebraic
+    formula, is bit-deterministic and embarrassingly parallel (five
+    decimal SUMs in a single map-side-combined pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # moments larger than 2^53 pick up engine-specific decimal->double
+    # rounding in the last ULPs; flooring the result to a 1e-9 grid makes
+    # the comparison exact (diff is ~1e-18, nine orders below the grid)
+    corr9 = F.floor(corr * F.lit(1e9)).cast("long") / F.lit(1e9)
+    return m.select("l_returnflag", "n", corr9.alias("corr_qty_price"))
+
+
+@query(
+    "user_event_type_sets",
+    tags=("agg", "collect"),
+    oracle="""
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation rendered deterministically: collect_set is
+    unordered by contract, so the output is sorted before joining —
+    the canonical way to make set-valued results comparable."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+        F.count_distinct(F.col("event_type")).alias("n_types"),
+    )
+
+
+@query(
+    "orders_by_weekday",
+    tags=("agg", "datetime"),
+    oracle="""
+SELECT dayofweek(o_orderdate) AS dow, COUNT(*) AS n_orders,
+       CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100) AS BIGINT) / 100.0 AS total_price
+FROM orders GROUP BY 1
+""",
+)
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension aggregation. Weekday numbering differs by
+    engine (Spark: 1=Sunday…7; DuckDB: 0=Sunday…6) — normalized here
+    rather than papered over with locale-dependent day names."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy((F.dayofweek("o_orderdate") - 1).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("total_price"),
+    )
+
+
+@query(
+    "clean_text_stats",
+    tags=("text", "regex"),
+    oracle="""
+SELECT doc_id,
+       length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+              ' +', ' ', 'g')) AS n_clean_chars,
+       len(string_split(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+              ' +', ' ', 'g'), ' ')) AS n_clean_tokens
+FROM documents
+""",
+)
+def clean_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleaning pipeline (lowercase → strip non-alphanumerics →
+    collapse whitespace) as pure JVM expressions; the char/token
+    counts of the cleaned form are the oracle-checkable surface.
+    Character classes only — identical semantics in Java and RE2."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " +", " "
+    )
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).alias("n_clean_chars"),
+        F.size(F.split(cleaned, " ")).alias("n_clean_tokens"),
+    )
+
+
+@query(
+    "rolling_30d_customer_spend",
+    tags=("window", "range-frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) * 100) AS BIGINT) / 100.0
+         AS spend_30d
+FROM orders
+""",
+)
+def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-customer trailing-30-day
+    spend. The frame is expressed on days-since-epoch with
+    rangeBetween(-30, 0) — equivalent to the SQL INTERVAL frame,
+    including peer rows on equal dates. Exact decimal sum + floored
+    cents keeps every frame's total bit-identical to the oracle."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    spend = F.floor(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).over(w) * 100).cast(
+        "long"
+    ) / F.lit(100.0)
+    return o.select("o_custkey", "o_orderkey", spend.alias("spend_30d"))
