@@ -324,6 +324,7 @@ class SnapCatalog:
         partition_by: list[str] | None = None,
         committed_at: str | None = None,
         operation: str | None = None,
+        summary_extra: dict[str, str] | None = None,
     ) -> Snapshot:
         """Commit a write. The data plane is a distributed Spark
         parquet write into a fresh commit directory; the metadata
@@ -373,6 +374,7 @@ class SnapCatalog:
                 "added-data-files": str(len(new_files)),
                 "total-records": str(sum(f.records for f in files)),
                 "total-data-files": str(len(files)),
+                **(summary_extra or {}),
             },
             schema_ddl=schema_to_ddl(df.schema),
             partition_spec=spec,

@@ -77,3 +77,55 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def sliding_counts_stream(
+    events: DataFrame, width_sec: int = 1200, slide_sec: int = 600, watermark: str = "1 hour"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{width_sec} seconds", f"{slide_sec} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def ingest_stream_to_catalog(
+    events: DataFrame,
+    catalog,
+    database: str,
+    table: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingestion into the snapshot catalog: every
+    micro-batch becomes one append commit (a snapshot), exactly how
+    an Iceberg streaming sink commits — so the migration/time-travel
+    surface applies to continuously-arriving data. foreachBatch is
+    the bridge between Structured Streaming and any batch-committing
+    sink; the checkpoint dir gives at-least-once batch replay, and
+    the per-batch commit makes replayed batches idempotent per
+    batch_id at the sink if the sink dedupes on it (SnapCatalog
+    stamps batch_id into the snapshot summary for that purpose)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.write(
+            database,
+            table,
+            batch_df,
+            mode="append",
+            summary_extra={"streaming.batch_id": str(batch_id)},
+        )
+
+    return (
+        events.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

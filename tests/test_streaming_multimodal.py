@@ -124,3 +124,41 @@ def test_streaming_dedup_bounded_state(spark):
     got = spark.table("dedup_test").count()
     want = load(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        read_events_stream, run_to_completion, sliding_counts_stream,
+    )
+
+    got = run_to_completion(
+        sliding_counts_stream(read_events_stream(spark, SF_DIR)), "sliding_test"
+    )
+    want = W.sliding(
+        load(spark, SF_DIR, "events"), "ts", 1200, 600, ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n_events"] for r in want.collect()}
+    assert g == w
+
+
+def test_stream_ingest_commits_snapshots(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        ingest_stream_to_catalog, read_events_stream,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    q = ingest_stream_to_catalog(
+        read_events_stream(spark, SF_DIR), cat, "stream_db", "events_live",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    tbl = cat.table("stream_db", "events_live")
+    snaps = tbl.snapshots()
+    assert len(snaps) >= 1
+    assert all("streaming.batch_id" in s.summary for s in snaps)
+    got = tbl.read(spark).count()
+    want = load(spark, SF_DIR, "events").count()
+    assert got == want
