@@ -39,6 +39,7 @@ def asof_join(
     right_ts: str,
     how: str = "left",
     direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (direction='backward', inclusive) or the
@@ -48,6 +49,10 @@ def asof_join(
     appended to the left schema; ``how='inner'`` drops unmatched left
     rows. Ties on ``right_ts`` resolve to the max payload struct
     (deterministic; right payload must be orderable).
+    ``tolerance_sec`` bounds the match gap (pandas/polars merge_asof
+    semantics): a right row farther than the tolerance counts as no
+    match. The bound is applied after the window fill — no extra
+    shuffle.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -66,7 +71,10 @@ def asof_join(
         *on_cols,
         F.col(right_ts).alias(_T),
         F.lit(0).alias(_SIDE),
-        F.struct(*[F.col(c) for c in payload]).alias(_R),
+        # matched right ts rides along as the struct's first field so the
+        # tolerance check needs no second join; equal-ts ties still break
+        # on the payload (same first field within a tie group)
+        F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload]).alias(_R),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
 
@@ -80,6 +88,11 @@ def asof_join(
     )
     filled = u.withColumn(_M, F.last(_R, ignorenulls=True).over(w))
     out = filled.where(F.col(_SIDE) == 1)
+    if tolerance_sec is not None:
+        gap = F.abs(
+            F.col(_T).cast("double") - F.col(f"{_M}.__rts").cast("double")
+        )
+        out = out.withColumn(_M, F.when(gap <= F.lit(float(tolerance_sec)), F.col(_M)))
     if how == "inner":
         out = out.where(F.col(_M).isNotNull())
     for c in payload:

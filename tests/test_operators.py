@@ -220,3 +220,26 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, small, on=["k"], salt_buckets=4, how="left").collect()
     assert len(out) == 3
     assert {r["k"]: r["w"] for r in out} == {1: "x", 2: "y", 99: None}
+
+
+def test_asof_tolerance_bounds_match_gap(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "l1"), (2, _ts("2024-01-01T12:00:00"), "l2")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:59:00"), "recent"),
+         (2, _ts("2024-01-01T09:00:00"), "stale")],
+        "k int, ts timestamp, rv string",
+    )
+    out = {
+        r["k"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", tolerance_sec=600
+        ).collect()
+    }
+    assert out == {1: "recent", 2: None}  # stale match nulled by tolerance
+    inner = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", how="inner", tolerance_sec=600
+    ).count()
+    assert inner == 1
