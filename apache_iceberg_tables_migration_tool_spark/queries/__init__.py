@@ -14,3 +14,4 @@ from apache_iceberg_tables_migration_tool_spark.queries import relational2  # no
 from apache_iceberg_tables_migration_tool_spark.queries import northstar  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import migration  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import extensions  # noqa: F401,E402
+from apache_iceberg_tables_migration_tool_spark.queries import tpch_ext  # noqa: F401,E402

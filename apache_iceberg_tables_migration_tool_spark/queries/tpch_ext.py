@@ -1,0 +1,380 @@
+"""Adapted TPC-H decision-support suite over the driver fixtures.
+
+The reference's data plane is "read table at snapshot → aggregate →
+report" (`5_migrate_tables_data.py:72-83`, `6_verify_data_integrity.py:66-81`);
+its users run their real analytics through the same Spark session.
+This module widens the oracle-checked query surface with the classic
+TPC-H shapes the fixture schema can express (the fixtures omit
+``partsupp`` and several columns — `FIXTURES.md §1` — so Q2/Q11/Q12/
+Q16/Q20/Q21 are out of scope; the rest are adapted to the available
+columns, keeping each query's canonical join/agg/subquery *shape*).
+
+All monetary aggregates run through ``functions.portable`` so results
+are bit-identical to the DuckDB oracle (order-insensitive exact
+decimal sums, FLOOR-cents for scale>2).
+
+Scale notes (100 TB): every query below shuffles only on its join or
+group keys, dimensions (nation/region/supplier) are broadcast, and
+fact-side filters sit below the joins so they reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.functions.portable import (
+    davg,
+    dsum,
+    portable_sum_sql,
+)
+from apache_iceberg_tables_migration_tool_spark.queries.registry import query
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and ship year.
+# Shape: 6-way join with two *roles* of nation (supplier's vs customer's),
+# fact filtered on a date band, group on derived columns.
+# --------------------------------------------------------------------------
+@query(
+    "volume_shipping_q7",
+    tags=("join", "agg", "tpch"),
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {portable_sum_sql(_REV, 6)} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # supplier and both nation roles are tiny dims → broadcast; the only
+    # shuffles left are lineitem⋈orders (orderkey) and ⋈customer (custkey)
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(dsum(_rev(), 6).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share of one supplier-nation inside one customer-region for
+# one part type, per order year. Shape: conditional-aggregate ratio.
+# --------------------------------------------------------------------------
+@query(
+    "market_share_q8",
+    tags=("join", "agg", "tpch"),
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       ({portable_sum_sql(f"CASE WHEN n1.n_name = 'NATION_0' THEN {_REV} ELSE 0.0 END", 6)})
+     / ({portable_sum_sql(_REV, 6)}) AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n2.n_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY 1
+""",
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    # customer-side nation restricted to the region before broadcasting —
+    # the region predicate becomes a semi-filter on the build side
+    n2 = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    vol = _rev()
+    target = F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg((dsum(target, 6) / dsum(vol, 6)).alias("mkt_share"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9-adapted — profit by supplier nation and year. The fixtures carry no
+# partsupp/ps_supplycost, so cost is proxied as 1% of retail price per
+# unit; the canonical 6-way join + signed-amount aggregate shape is kept.
+# --------------------------------------------------------------------------
+@query(
+    "profit_by_nation_year_q9",
+    tags=("join", "agg", "tpch"),
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {portable_sum_sql(f"{_REV} - CAST(0.01 AS DOUBLE) * p_retailprice * l_quantity", 6)} AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1, 2
+""",
+)
+def profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    amount = _rev() - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(dsum(amount, 6).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution. Shape: outer join + two-level
+# aggregate (count per customer, then histogram of counts).
+# --------------------------------------------------------------------------
+@query(
+    "order_count_distribution_q13",
+    tags=("join", "agg", "tpch"),
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def order_count_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue. Shape: derived revenue view
+# + argmax against its own aggregate (window max — one scan, no self-join).
+# --------------------------------------------------------------------------
+@query(
+    "top_supplier_q15",
+    tags=("join", "agg", "window", "tpch"),
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {portable_sum_sql(_REV, 6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    # aggregate BEFORE joining the dim: map-side partials shrink lineitem
+    # to one row per supplier, so the window-max runs over a tiny relation
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), 6).alias("total_revenue")
+    )
+    best = revenue.withColumn("__mx", F.max("total_revenue").over(Window.partitionBy())).where(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return best.join(supp, best.supplier_no == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers. Shape: HAVING on a fact aggregate feeding
+# a dim join; top-k by price.
+# --------------------------------------------------------------------------
+@query(
+    "large_volume_customers_q18",
+    tags=("join", "agg", "topk", "tpch"),
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 180
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("__q"))
+        .where(F.col("__q") > 180)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, li.l_orderkey == big.big_okey)  # semi-shape: qualifying orders only
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19-adapted — bracketed discounted revenue. The fixtures lack
+# p_container/l_shipmode, so the brackets are (brand, size, quantity);
+# the OR-of-ANDs predicate across a join is the shape under test.
+# --------------------------------------------------------------------------
+@query(
+    "bracket_revenue_q19",
+    tags=("join", "agg", "tpch"),
+    oracle=f"""
+SELECT {portable_sum_sql(_REV, 6)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    b = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(b)
+        .agg(dsum(_rev(), 6).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22-adapted — idle balances: customers with above-average positive
+# balance and no orders, rolled up per nation (the fixtures carry no
+# c_phone, so nation replaces the phone country-code). Shape: scalar
+# subquery + anti-join + aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "idle_balance_by_nation_q22",
+    tags=("join", "agg", "subquery", "tpch", "scalar-broadcast"),
+    oracle="""
+SELECT n_name AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+)
+def idle_balance_by_nation_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    # scalar average as a 1-row broadcast (no driver collect — the plan
+    # stays lazy and the scalar is computed executor-side)
+    avg_bal = F.broadcast(
+        cust.where(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", 2).alias("__avg"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        cust.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", 2).alias("totacctbal"))
+    )

@@ -17,8 +17,9 @@ from tests.conftest import SF_DIR
 _PYTHON_OK = {"vector", "multimodal", "stateful"}
 
 #: broadcast nested-loop is the *intended* strategy for the tiny-side
-#: non-equi range join; nowhere else
-_BNLJ_OK = {"range"}
+#: non-equi range join and for 1-row scalar-aggregate broadcasts;
+#: nowhere else
+_BNLJ_OK = {"range", "scalar-broadcast"}
 
 #: queries that execute during planning (streaming drain / filesystem
 #: catalog) — skipped here, covered by their own e2e tests
