@@ -129,3 +129,56 @@ def ingest_stream_to_catalog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """``run_to_completion`` twin for non-aggregating streams (joins,
+    projections): append-mode memory sink, availableNow trigger."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join. The static side is re-planned
+    per micro-batch (so a slowly-changing dim table picks up updates
+    between batches) and broadcast when small — the standard pattern
+    for attaching reference data to a live stream. Stateless: no
+    watermark needed, state size O(1)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap_sec: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``max_gap_sec``
+    after a click by the same user. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can expire
+    buffered rows once the watermark passes ``click_ts + max_gap`` —
+    bounded state on an unbounded stream (the 100 TB/day-safe form;
+    an unconstrained stream-stream join would buffer forever)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
+    )

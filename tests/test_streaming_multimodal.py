@@ -162,3 +162,47 @@ def test_stream_ingest_commits_snapshots(spark, tmp_path):
     got = tbl.read(spark).count()
     want = load(spark, SF_DIR, "events").count()
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    events = load(spark, SF_DIR, "events")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .withColumn("tier", F.when(F.col("user_events") >= 20, "heavy").otherwise("light"))
+        .select("user_id", "tier")
+    )
+    stream = P.read_events_stream(spark, SF_DIR)
+    out = P.run_append_to_completion(
+        P.enrich_stream_static(stream, dim).select("event_id", "tier"), "t_enrich"
+    )
+    batch = events.join(dim, "user_id", "left").select("event_id", "tier")
+    cols = ["event_id", "tier"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    stream = P.read_events_stream(spark, SF_DIR)
+    clicks_s = stream.where(F.col("event_type") == "click")
+    purch_s = stream.where(F.col("event_type") == "purchase")
+    out = P.run_append_to_completion(
+        P.click_purchase_stream_join(clicks_s, purch_s, max_gap_sec=1800), "t_ssjoin"
+    )
+    ev = load(spark, SF_DIR, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("click_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = c.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1800 SECONDS")),
+    ).select(F.col("u").alias("user_id"), "click_ts", "purchase_ts", "purchase_value")
+    cols = ["user_id", "click_ts", "purchase_ts", "purchase_value"]
+    assert len(_rows(out, cols)) > 0
+    assert _rows(out, cols) == _rows(batch, cols)
