@@ -24,7 +24,9 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from apache_iceberg_tables_migration_tool_spark.operators.text import word_shingles
+from apache_iceberg_tables_migration_tool_spark.operators.text import (
+    hashed_word_shingles,
+)
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
@@ -50,9 +52,17 @@ def keep_latest(
 def _pair_jaccard(shingles: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for doc pairs sharing ≥1 shingle.
 
-    ``shingles``: (doc_id, shingle) distinct. If ``pair_filter``
-    (doc_a, doc_b) is given, only those candidate pairs are scored —
-    the LSH verify path.
+    ``shingles``: (doc_id, shingle) distinct-per-doc (string or
+    hashed long — ``text.hashed_word_shingles`` for the fast join).
+    If ``pair_filter`` (doc_a, doc_b) is given, only those candidate
+    pairs are scored — the LSH verify path.
+
+    The per-doc set sizes come from a separate small aggregation and
+    are joined onto the (tiny) intersection result at the end. That
+    is deliberate: the alternative — carrying the size with every
+    exploded shingle row — forces the shingle array itself through
+    the ``Generate``, which copies it into every output row
+    (measured 2× slower at sf0.1; see hashed_word_shingles note).
     """
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -102,7 +112,7 @@ def ngram_jaccard_pairs(
     Ground truth for the approximate variants; quadratic in the worst
     case — cap hot shingles via ``max_shingle_docs`` at scale.
     """
-    sh = word_shingles(docs, id_col, text_col, n)
+    sh = hashed_word_shingles(docs, id_col, text_col, n)
     if max_shingle_docs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
@@ -132,8 +142,11 @@ def minhash_signatures(
     Computed as H simultaneous MIN aggregates over the exploded
     shingle relation — one shuffle, map-side partial mins.
     """
-    sh = word_shingles(docs, id_col, text_col, n)
-    h31 = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    sh = hashed_word_shingles(docs, id_col, text_col, n)
+    # shingle is already xxhash64(string) (hashed=True), so folding to
+    # 31 bits is a pmod of the carried long — signature values are
+    # identical to hashing the string here directly
+    h31 = F.pmod(F.col("shingle"), F.lit(_MERSENNE31))
     mins = [
         F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
@@ -178,7 +191,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = word_shingles(docs, id_col, text_col, n)
+    sh = hashed_word_shingles(docs, id_col, text_col, n)
     return _pair_jaccard(sh, pair_filter=candidates).where(F.col("jaccard") >= threshold)
 
 
