@@ -6,6 +6,9 @@ from apache_iceberg_tables_migration_tool_spark.plans.plan import (  # noqa: F40
     TableMigration,
     collect_plan,
 )
-from apache_iceberg_tables_migration_tool_spark.plans.migrator import migrate  # noqa: F401
+from apache_iceberg_tables_migration_tool_spark.plans.migrator import (  # noqa: F401
+    migrate,
+    migrate_history,
+)
 from apache_iceberg_tables_migration_tool_spark.plans.verifier import verify  # noqa: F401
 from apache_iceberg_tables_migration_tool_spark.plans.reports import summarize_report  # noqa: F401

@@ -126,3 +126,91 @@ def migrate(
         for r in results
     ]
     return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+def _replay_one(
+    spark: SparkSession,
+    entry: TableMigration,
+    src: SnapCatalog,
+    dst: SnapCatalog,
+) -> MigrationResult:
+    """History-preserving migration of one table: every source commit
+    up to the planned snapshot is replayed as a commit on the target,
+    keeping committed_at, operation, and per-snapshot row counts —
+    the fix for the reference's G4 (README promises snapshot-history
+    preservation, `README.md:8`, but stage 5 writes one overwrite,
+    `5_migrate_tables_data.py:80-83`, so history is lost).
+
+    Append commits are replayed from the *incremental* file delta
+    (O(changed data), the way an Iceberg changed-data sync works);
+    overwrites replay the full snapshot state. Time travel on the
+    target then works for every migrated point, not just the last.
+    """
+    t0 = time.monotonic()
+    try:
+        table = src.table(entry.database, entry.table_name)
+        snaps = [s for s in table.snapshots() if s.snapshot_id <= entry.snapshot_id]
+        dst.create_namespace(entry.database)
+        total = 0
+        prev_id: int | None = None
+        for s in snaps:
+            if s.operation == "create" and not s.files:
+                dst.create_table(
+                    entry.database, entry.table_name, s.schema_ddl,
+                    partition_by=s.partition_spec, committed_at=s.committed_at,
+                )
+                prev_id = s.snapshot_id
+                continue
+            if s.operation in ("append", "create"):
+                df = table.read_incremental(spark, prev_id, s.snapshot_id)
+                mode = "append"
+            else:  # overwrite (or unknown): replay full state at s
+                df = table.read(spark, snapshot_id=s.snapshot_id)
+                mode = "overwrite"
+            snap = dst.write(
+                entry.database, entry.table_name, df,
+                mode=mode, partition_by=s.partition_spec,
+                committed_at=s.committed_at, operation=s.operation,
+                summary_extra={"replayed-from": str(s.snapshot_id)},
+            )
+            total = snap.total_records
+            prev_id = s.snapshot_id
+        return MigrationResult(
+            database=entry.database,
+            table_name=entry.table_name,
+            status="success",
+            snapshot_id=entry.snapshot_id,
+            records_migrated=total,
+            duration_sec=time.monotonic() - t0,
+        )
+    except Exception as e:  # per-table isolation, like the reference
+        return MigrationResult(
+            database=entry.database,
+            table_name=entry.table_name,
+            status="failed",
+            snapshot_id=entry.snapshot_id,
+            records_migrated=0,
+            duration_sec=time.monotonic() - t0,
+            error=f"{type(e).__name__}: {e}",
+        )
+
+
+def migrate_history(
+    spark: SparkSession,
+    plan: MigrationPlan,
+    src: SnapCatalog,
+    dst: SnapCatalog,
+    max_parallel_tables: int = 4,
+) -> DataFrame:
+    """Execute the plan with full snapshot-history replay (see
+    ``_replay_one``); same report schema as ``migrate``."""
+    if not plan.tables:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
+        results = list(pool.map(lambda e: _replay_one(spark, e, src, dst), plan.tables))
+    rows = [
+        (r.database, r.table_name, r.status, r.snapshot_id, r.records_migrated,
+         r.duration_sec, r.error)
+        for r in results
+    ]
+    return spark.createDataFrame(rows, RESULT_SCHEMA)

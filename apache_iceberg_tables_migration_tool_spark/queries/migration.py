@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from apache_iceberg_tables_migration_tool_spark.plans import (
     collect_plan,
     migrate,
+    migrate_history,
     summarize_report,
     verify,
 )
@@ -119,5 +120,41 @@ def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = before.unionByName(after).orderBy("phase", "snapshot_id")
         return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("migration_history_replay", tags=("migration", "e2e", "incremental"))
+def migration_history_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving migration (the G4 fix; reference loses all
+    but one snapshot, ``5_migrate_tables_data.py:80-83``): replay every
+    source commit onto the target — appends as incremental file-delta
+    reads, overwrites as full-state replays — then report per-snapshot
+    parity. Every row should show equal counts and matching
+    operation/committed_at."""
+    root = tempfile.mkdtemp(prefix="snapcat_replay_")
+    try:
+        src = build_source_warehouse(spark, sf_dir, root)
+        dst = SnapCatalog(os.path.join(root, "dst"))
+        plan = collect_plan(src)
+        migrate_history(spark, plan, src, dst).collect()
+        rows = []
+        for tbl in sorted(src.list_tables("db")):
+            s_snaps = src.table("db", tbl).snapshots()
+            d_by_id = {d.snapshot_id: d for d in dst.table("db", tbl).snapshots()}
+            for s in s_snaps:
+                d = d_by_id.get(s.snapshot_id)
+                rows.append((
+                    tbl, s.snapshot_id, s.operation, s.total_records,
+                    d.total_records if d else -1,
+                    bool(d) and d.operation == s.operation
+                    and d.committed_at == s.committed_at
+                    and d.total_records == s.total_records,
+                ))
+        return spark.createDataFrame(
+            rows,
+            "table_name string, snapshot_id long, operation string, "
+            "src_records long, dst_records long, snapshot_match boolean",
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -110,3 +110,58 @@ def test_report_rollup_has_grand_total(spark, warehouses):
     assert total[0]["n_success"] == 3
     text = render_text(summary)
     assert "TOTAL" in text
+
+
+def test_incremental_read_returns_only_delta(spark, warehouses):
+    src, _ = warehouses
+    t = src.table("db", "lineitem_snap")
+    full2 = t.read(spark, snapshot_id=2).count()
+    full1 = t.read(spark, snapshot_id=1).count()
+    inc = t.read_incremental(spark, 1, 2)
+    assert inc.count() == full2 - full1
+    # delta + snapshot-1 state == snapshot-2 state (row-set equality)
+    s2 = t.read(spark, snapshot_id=2)
+    union = t.read(spark, snapshot_id=1).unionByName(inc)
+    assert union.exceptAll(s2).isEmpty() and s2.exceptAll(union).isEmpty()
+
+
+def test_incremental_read_refuses_overwrite_range(spark, warehouses):
+    src, _ = warehouses
+    t = src.table("db", "orders_snap")  # snapshot 2 is an overwrite
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(spark, 1, 2)
+
+
+def test_history_replay_preserves_snapshots(spark, warehouses):
+    from apache_iceberg_tables_migration_tool_spark.plans import migrate_history
+
+    src, dst = warehouses
+    plan = collect_plan(src)  # latest snapshot of every table
+    report = migrate_history(spark, plan, src, dst)
+    assert {r["status"] for r in report.collect()} == {"success"}
+
+    for tbl in ("lineitem_snap", "orders_snap", "typed_snap"):
+        s_snaps = src.table("db", tbl).snapshots()
+        d_snaps = dst.table("db", tbl).snapshots()
+        assert len(d_snaps) == len(s_snaps), tbl
+        for ss, ds in zip(s_snaps, d_snaps):
+            assert ds.committed_at == ss.committed_at, tbl
+            assert ds.operation == ss.operation, tbl
+            assert ds.total_records == ss.total_records, (tbl, ss.snapshot_id)
+        # time travel works at EVERY historical point, not just the last
+        def comparable(df):
+            # EXCEPT rejects MAP columns → stringify complex types
+            return df.select(
+                *[
+                    F.to_json(c).alias(c)
+                    if df.schema[c].dataType.typeName() in ("map", "struct", "array")
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        for ss, ds in zip(s_snaps, d_snaps):
+            a = comparable(src.table("db", tbl).read(spark, snapshot_id=ss.snapshot_id))
+            b = comparable(dst.table("db", tbl).read(spark, snapshot_id=ds.snapshot_id))
+            assert a.count() == b.count()
+            assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

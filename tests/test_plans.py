@@ -23,7 +23,12 @@ _BNLJ_OK = {"range", "scalar-broadcast"}
 
 #: queries that execute during planning (streaming drain / filesystem
 #: catalog) — skipped here, covered by their own e2e tests
-_SKIP = {"migration_e2e_report", "snapshot_history_ops", "stateful_user_totals"}
+_SKIP = {
+    "migration_e2e_report",
+    "snapshot_history_ops",
+    "stateful_user_totals",
+    "migration_history_replay",
+}
 
 
 def _plans():
