@@ -80,7 +80,10 @@ def cmd_plan(args: argparse.Namespace) -> int:
 
 
 def cmd_migrate(args: argparse.Namespace) -> int:
-    from apache_iceberg_tables_migration_tool_spark.plans.migrator import migrate
+    from apache_iceberg_tables_migration_tool_spark.plans.migrator import (
+        migrate,
+        migrate_history,
+    )
     from apache_iceberg_tables_migration_tool_spark.plans.plan import MigrationPlan
     from apache_iceberg_tables_migration_tool_spark.plans.reports import (
         render_text,
@@ -90,7 +93,8 @@ def cmd_migrate(args: argparse.Namespace) -> int:
 
     spark = _spark(args.cpus)
     plan = MigrationPlan.from_json(args.plan)
-    report = migrate(
+    run = migrate_history if args.history else migrate
+    report = run(
         spark,
         plan,
         SnapCatalog(args.source),
@@ -196,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--plan", required=True)
     sp.add_argument("--report", default=None)
     sp.add_argument("--parallel", type=int, default=4)
+    sp.add_argument(
+        "--history", action="store_true",
+        help="replay every source commit (snapshot-history-preserving; "
+        "appends copy only the incremental file delta)",
+    )
     sp.set_defaults(fn=cmd_migrate)
 
     sp = sub.add_parser("verify", help="stages 4+6: schema diff + counts + checksum")

@@ -68,3 +68,23 @@ def test_cli_maintain_and_query(warehouse, capsys):
 
     assert main(["query", "--name", "table_counts", "--sf-dir", SF_DIR]) == 0
     assert main(["query", "--name", "nope"]) == 2
+
+
+def test_cli_migrate_history_flag(spark, warehouse):
+    root, src_root = warehouse
+    dst_root = str(root / "dst_hist")
+    plan_path = str(root / "plan_hist.json")
+    assert main(["plan", "--source", src_root, "--out", plan_path]) == 0
+    assert main([
+        "migrate", "--history", "--source", src_root, "--target", dst_root,
+        "--plan", plan_path,
+    ]) == 0
+    # the target carries the FULL commit history, not one overwrite
+    src_cat, dst_cat = SnapCatalog(src_root), SnapCatalog(dst_root)
+    for tbl in ("lineitem_snap", "orders_snap"):
+        assert len(dst_cat.table("db", tbl).snapshots()) == len(
+            src_cat.table("db", tbl).snapshots()
+        )
+    assert main([
+        "verify", "--source", src_root, "--target", dst_root, "--plan", plan_path,
+    ]) == 0
