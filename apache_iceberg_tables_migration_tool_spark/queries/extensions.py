@@ -382,3 +382,87 @@ def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     ) / F.lit(100.0)
     return o.select("o_custkey", "o_orderkey", spend.alias("spend_30d"))
+
+
+@query(
+    "funnel_conversion",
+    tags=("events", "agg", "funnel"),
+    oracle="""
+SELECT user_id,
+       first_click_us,
+       COALESCE(last_purchase_us > first_click_us, FALSE) AS converted
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_click_us,
+         MAX(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS last_purchase_us
+  FROM events GROUP BY user_id
+)
+WHERE first_click_us IS NOT NULL
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel in ONE aggregation pass: a user converted
+    iff any purchase follows their first click, which is exactly
+    ``max(purchase_ts) > min(click_ts)`` — no self-join, no second
+    scan, one shuffle on user_id with map-side partials. Timestamps
+    compare as epoch microseconds (the fixtures' native precision on
+    the Spark side), so both engines decide ties identically."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("first_click_us"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("last_purchase_us"),
+    )
+    return agg.where(F.col("first_click_us").isNotNull()).select(
+        "user_id",
+        "first_click_us",
+        F.coalesce(
+            F.col("last_purchase_us") > F.col("first_click_us"), F.lit(False)
+        ).alias("converted"),
+    )
+
+
+@query(
+    "weekly_cohort_retention",
+    tags=("events", "agg", "cohort"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(FLOOR(MIN(epoch_us(CAST(ts AS TIMESTAMP))) / 604800000000) AS BIGINT)
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000) AS BIGINT)
+           AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       a.active_week - f.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted in each later week they were active. Two aggregations and
+    one join, ALL keyed on user_id — at scale the cohort assignment
+    and the distinct-activity dedup reuse the same hash partitioning,
+    and the final (cohort, offset) rollup is tiny. Weeks are epoch-µs
+    ÷ 7-day buckets (no calendar/timezone dependence cross-engine)."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000)).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
