@@ -254,3 +254,56 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components → (doc_id,
+    cluster_id) with cluster_id = min doc_id of the component — the
+    step that turns a pair list into dedup groups with a canonical
+    survivor per group.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; converged when
+    the global label sum stops decreasing (labels are monotone
+    non-increasing, so one scalar per round is a sound fixpoint test).
+    Rounds needed ≈ component diameter — near-dup clusters are
+    clique-ish, so 2-3 rounds in practice; each round is one join +
+    one aggregate shuffled on the node id, and ``localCheckpoint``
+    truncates the lineage so plans stay O(1) per round instead of
+    growing with iterations (the standard Spark iterative-algorithm
+    hazard). Singleton docs (no pairs) are not emitted — left-join
+    from the corpus if needed.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

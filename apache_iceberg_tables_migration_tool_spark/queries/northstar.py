@@ -362,3 +362,46 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session(
         ev, "ts", 1800, ["user_id"], [F.count(F.lit(1)).alias("n_events")]
     ).select("user_id", "session_start", "n_events")
+
+
+@query(
+    "dedup_clusters",
+    tags=("dedup", "graph"),
+    oracle="""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       MIN(dst) AS cluster_id,
+       (src = MIN(dst)) AS is_canonical
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: exact-Jaccard τ=0.5 pairs
+    clustered into connected components by iterative min-label
+    propagation (O(diameter) rounds, lineage-checkpointed); each
+    doc gets its component's min doc_id as cluster_id and the
+    canonical-survivor flag. The oracle computes the same components
+    via a recursive transitive-closure CTE — feasible at oracle scale,
+    while the Spark path is the one that survives a billion docs."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    cc = D.connected_components(pairs)
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )

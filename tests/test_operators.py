@@ -243,3 +243,31 @@ def test_asof_tolerance_bounds_match_gap(spark):
         left, right, on="k", left_ts="ts", right_ts="ts", how="inner", tolerance_sec=600
     ).count()
     assert inner == 1
+
+
+def test_connected_components_chain_and_convergence(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # 1-2-3-4-5 chain (diameter 4 → several propagation rounds),
+    # a separate 2-clique {10,11}, and pair (20,21) joined via 21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        connected_components,
+    )
+    import pytest as _pytest
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(long_chain, max_iter=1)

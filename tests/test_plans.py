@@ -28,6 +28,7 @@ _SKIP = {
     "snapshot_history_ops",
     "stateful_user_totals",
     "migration_history_replay",
+    "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
 }
 
 
