@@ -158,3 +158,49 @@ def migration_history_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "rowlevel_merge_delete",
+    tags=("migration", "rowlevel"),
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'merged' ELSE source END AS source,
+       lang
+FROM documents WHERE lang <> 'de'
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'inserted' AS source, 'xx' AS lang
+FROM documents WHERE doc_id < 5
+""",
+)
+def rowlevel_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE + DELETE with file-level copy-on-write
+    (Iceberg ``MERGE INTO`` / ``DELETE FROM`` semantics): load the
+    documents fixture into a snapshot table, upsert every 10th doc
+    (matched update) plus five brand-new docs (insert), then delete
+    one language. Only files containing touched keys are rewritten
+    (`SnapCatalog.upsert/delete_where`); the oracle reproduces the
+    final state relationally — so the whole row-level path is
+    value-checked, not just row-counted."""
+    root = tempfile.mkdtemp(prefix="snapcat_rowlevel_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+        cat.write("db", "docs", docs.repartition(8), committed_at=_T[0])
+        updates = (
+            docs.where(F.col("doc_id") % 10 == 0)
+            .withColumn("source", F.lit("merged"))
+            .unionByName(
+                docs.where(F.col("doc_id") < 5).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("inserted").alias("source"),
+                    F.lit("xx").alias("lang"),
+                )
+            )
+        )
+        cat.upsert("db", "docs", updates, key_cols=["doc_id"], committed_at=_T[1])
+        cat.delete_where("db", "docs", "lang = 'de'", committed_at=_T[2])
+        out = cat.table("db", "docs").read(spark).select("doc_id", "source", "lang")
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

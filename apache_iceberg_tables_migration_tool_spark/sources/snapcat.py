@@ -191,11 +191,21 @@ class SnapTable:
         schema = T._parse_datatype_string(snap.schema_ddl)
         return self._read_paths(spark, schema, [f.path for f in snap.files])
 
-    def _read_paths(self, spark: SparkSession, schema: T.StructType, rel_paths) -> DataFrame:
+    def _read_paths(
+        self,
+        spark: SparkSession,
+        schema: T.StructType,
+        rel_paths,
+        with_file_path: bool = False,
+    ) -> DataFrame:
         """Scan a set of this table's data files, grouped by commit
-        directory so ``col=value`` layouts keep partition pruning."""
+        directory so ``col=value`` layouts keep partition pruning.
+        ``with_file_path`` appends the source file as ``__file`` (the
+        ``_metadata.file_path`` hidden column) — the hook row-level
+        operations use to find which files a predicate/key touches."""
         if not rel_paths:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            return df.withColumn("__file", F.lit(None).cast("string")) if with_file_path else df
         by_commit: dict[str, list[str]] = {}
         for rel in rel_paths:
             commit_dir = os.path.join(self.root, *rel.split("/")[:2])  # data/s{N}
@@ -203,11 +213,21 @@ class SnapTable:
         parts = []
         for commit_dir, paths in sorted(by_commit.items()):
             reader = spark.read.schema(schema).option("basePath", commit_dir)
-            parts.append(reader.parquet(*sorted(paths)))
+            part = reader.parquet(*sorted(paths))
+            if with_file_path:
+                part = part.select("*", F.col("_metadata.file_path").alias("__file"))
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _abs_to_rel(self, abs_path: str) -> str:
+        """Map a ``_metadata.file_path`` URI back to a manifest-relative
+        path (strip scheme, relativize against the table root)."""
+        p = abs_path.split("://", 1)[-1] if "://" in abs_path else abs_path
+        p = p.removeprefix("file:")
+        return os.path.relpath(p, self.root)
 
     def read_incremental(
         self, spark: SparkSession, from_id: int | None, to_id: int
@@ -372,24 +392,7 @@ class SnapCatalog:
             else (prev.partition_spec if prev else [])
         )
         sid = (prev.snapshot_id + 1) if prev else 1
-        commit_rel = f"data/s{sid:06d}"
-        commit_dir = os.path.join(tbl.root, commit_rel)
-        writer = df.write.mode("overwrite")
-        if spec:
-            writer = writer.partitionBy(*spec)
-        writer.parquet(commit_dir)
-
-        new_files: list[DataFile] = []
-        for dirpath, _dirs, fnames in os.walk(commit_dir):
-            for fn in sorted(fnames):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                md = pq.ParquetFile(full).metadata
-                rel = os.path.relpath(full, tbl.root)
-                new_files.append(
-                    DataFile(path=rel, records=md.num_rows, bytes=os.path.getsize(full))
-                )
+        new_files = self._write_data_files(tbl, sid, df, spec)
 
         files = new_files if (mode == "overwrite" or prev is None) else (
             list(prev.files) + new_files
@@ -415,6 +418,152 @@ class SnapCatalog:
         meta["snapshots"].append(asdict(snap))
         tbl._save_meta(meta)
         return snap
+
+    def _write_data_files(
+        self, tbl: SnapTable, sid: int, df: DataFrame, spec: list[str]
+    ) -> list[DataFile]:
+        """Distributed parquet write into snapshot ``sid``'s commit
+        directory; returns the manifest entries with footer-derived
+        stats (the commit metrics — no post-write count scan)."""
+        commit_dir = os.path.join(tbl.root, f"data/s{sid:06d}")
+        writer = df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(commit_dir)
+        new_files: list[DataFile] = []
+        for dirpath, _dirs, fnames in os.walk(commit_dir):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                rel = os.path.relpath(full, tbl.root)
+                new_files.append(
+                    DataFile(path=rel, records=md.num_rows, bytes=os.path.getsize(full))
+                )
+        return new_files
+
+    def _commit(
+        self,
+        tbl: SnapTable,
+        prev: Snapshot,
+        files: list[DataFile],
+        new_files: list[DataFile],
+        operation: str,
+        committed_at: str | None,
+        summary_extra: dict[str, str] | None = None,
+    ) -> Snapshot:
+        snap = Snapshot(
+            snapshot_id=prev.snapshot_id + 1,
+            parent_id=prev.snapshot_id,
+            committed_at=committed_at or _utcnow_iso(),
+            operation=operation,
+            summary={
+                "added-records": str(sum(f.records for f in new_files)),
+                "added-data-files": str(len(new_files)),
+                "total-records": str(sum(f.records for f in files)),
+                "total-data-files": str(len(files)),
+                **(summary_extra or {}),
+            },
+            schema_ddl=prev.schema_ddl,
+            partition_spec=prev.partition_spec,
+            files=files,
+        )
+        meta = tbl._load_meta()
+        meta["snapshots"].append(asdict(snap))
+        tbl._save_meta(meta)
+        return snap
+
+    # ---- row-level operations (copy-on-write) ---------------------------
+
+    def upsert(
+        self,
+        database: str,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """MERGE with file-level copy-on-write (≙ Iceberg COW
+        ``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT``): rows whose keys match are replaced by the update
+        row, new keys insert. Only data files that actually CONTAIN a
+        matched key are rewritten — matched files are found by
+        semi-joining the update keys against the scan with the
+        ``_metadata.file_path`` column, so a 10-row merge into a
+        10⁶-file table rewrites a handful of files, not the table.
+        Untouched files carry over into the new snapshot by reference."""
+        spark = updates.sparkSession
+        tbl = self.table(database, name)
+        prev = tbl.current_snapshot()
+        if prev is None or not prev.files:
+            return self.write(
+                database, name, updates, mode="append",
+                committed_at=committed_at, operation="merge",
+            )
+        schema = T._parse_datatype_string(prev.schema_ddl)
+        cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
+        keys = updates.select(*key_cols).distinct()
+        affected_abs = [
+            r["__file"]
+            for r in cur.join(keys, key_cols, "left_semi").select("__file").distinct().collect()
+        ]  # O(matched files) driver rows — manifest-scale, not data-scale
+        affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+        if affected_rel:
+            rewritten = (
+                cur.where(F.col("__file").isin(list(affected_abs)))
+                .drop("__file")
+                .join(keys, key_cols, "left_anti")  # drop matched rows
+                .unionByName(updates)
+            )
+        else:
+            rewritten = updates
+        sid = prev.snapshot_id + 1
+        new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
+        files = [f for f in prev.files if f.path not in affected_rel] + new_files
+        return self._commit(
+            tbl, prev, files, new_files, "merge", committed_at,
+            {"rewritten-data-files": str(len(affected_rel))},
+        )
+
+    def delete_where(
+        self,
+        database: str,
+        name: str,
+        condition,
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """Row-level DELETE with file-level copy-on-write: only files
+        containing at least one matching row are rewritten (without
+        the matching rows); every other file carries over by
+        reference. ``condition`` is a Column or SQL string."""
+        spark = SparkSession.getActiveSession()
+        tbl = self.table(database, name)
+        prev = tbl.current_snapshot()
+        if prev is None:
+            raise LookupError(f"table {database}.{name} does not exist")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        schema = T._parse_datatype_string(prev.schema_ddl)
+        cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
+        affected_abs = [
+            r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
+        ]
+        affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+        if not affected_rel:  # no-op delete still commits (audit trail)
+            return self._commit(
+                tbl, prev, list(prev.files), [], "delete", committed_at,
+                {"rewritten-data-files": "0"},
+            )
+        survivors = (
+            cur.where(F.col("__file").isin(list(affected_abs))).where(~cond).drop("__file")
+        )
+        sid = prev.snapshot_id + 1
+        new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
+        files = [f for f in prev.files if f.path not in affected_rel] + new_files
+        return self._commit(
+            tbl, prev, files, new_files, "delete", committed_at,
+            {"rewritten-data-files": str(len(affected_rel))},
+        )
 
     # ---- maintenance (X7) ----------------------------------------------
 

@@ -29,6 +29,7 @@ _SKIP = {
     "stateful_user_totals",
     "migration_history_replay",
     "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
+    "rowlevel_merge_delete",
 }
 
 
