@@ -151,6 +151,35 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    updates = spark.read.parquet(args.updates)
+    snap = SnapCatalog(args.warehouse).upsert(
+        args.database, args.table, updates, key_cols=args.keys.split(",")
+    )
+    print(
+        f"{args.database}.{args.table}: merge committed snapshot {snap.snapshot_id} "
+        f"(rewrote {snap.summary['rewritten-data-files']} files, "
+        f"added {snap.summary['added-records']} records)"
+    )
+    return 0
+
+
+def cmd_delete(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    snap = SnapCatalog(args.warehouse).delete_where(args.database, args.table, args.where)
+    print(
+        f"{args.database}.{args.table}: delete committed snapshot {snap.snapshot_id} "
+        f"(rewrote {snap.summary['rewritten-data-files']} files)"
+    )
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
 
@@ -220,6 +249,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--expire-keep-last", type=int, default=None)
     sp.add_argument("--compact", action="store_true")
     sp.set_defaults(fn=cmd_maintain)
+
+    sp = sub.add_parser("merge", help="row-level MERGE (upsert) from a parquet dataset")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--updates", required=True, help="parquet path with update rows")
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("delete", help="row-level DELETE by SQL predicate")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True, help="SQL predicate, e.g. \"lang = 'de'\"")
+    sp.set_defaults(fn=cmd_delete)
 
     sp = sub.add_parser("query", help="run a registered analytics query")
     sp.add_argument("--name", required=True)

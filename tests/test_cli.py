@@ -88,3 +88,25 @@ def test_cli_migrate_history_flag(spark, warehouse):
     assert main([
         "verify", "--source", src_root, "--target", dst_root, "--plan", plan_path,
     ]) == 0
+
+
+def test_cli_merge_and_delete(spark, warehouse, tmp_path):
+    _, src_root = warehouse
+    upd_path = str(tmp_path / "upd.parquet")
+    cat = SnapCatalog(src_root)
+    first = cat.table("db", "orders_snap").read(spark).limit(3)
+    first.withColumn("o_orderpriority", first["o_orderstatus"]).write.mode(
+        "overwrite"
+    ).parquet(upd_path)
+    n_before = cat.table("db", "orders_snap").read(spark).count()
+    assert main([
+        "merge", "--warehouse", src_root, "--database", "db", "--table", "orders_snap",
+        "--updates", upd_path, "--keys", "o_orderkey",
+    ]) == 0
+    assert cat.table("db", "orders_snap").read(spark).count() == n_before
+    assert main([
+        "delete", "--warehouse", src_root, "--database", "db", "--table", "orders_snap",
+        "--where", "o_orderstatus = 'F'",
+    ]) == 0
+    remaining = cat.table("db", "orders_snap").read(spark)
+    assert remaining.where("o_orderstatus = 'F'").count() == 0

@@ -230,3 +230,23 @@ def test_delete_where_noop_commits_audit_snapshot(spark, cat):
     assert snap.operation == "delete"
     assert snap.summary["rewritten-data-files"] == "0"
     assert cat.table("db", "n").read(spark).count() == 5
+
+
+def test_schema_evolution_add_column(spark, cat):
+    """Add-column evolution: files written before the column appeared
+    read as NULL under the newer snapshot schema (Iceberg add-column
+    semantics); schema-at-snapshot returns each epoch's own schema."""
+    v1 = spark.range(5).withColumn("v", F.lit("a"))
+    cat.write("db", "ev", v1, committed_at=T[0])
+    v2 = spark.range(5, 8).withColumn("v", F.lit("b")).withColumn("extra", F.lit(1.5))
+    cat.write("db", "ev", v2, committed_at=T[1])
+    tbl = cat.table("db", "ev")
+    # snapshot 1 schema has no 'extra'; snapshot 2 schema does
+    assert "extra" not in tbl.schema(1).fieldNames()
+    assert "extra" in tbl.schema(2).fieldNames()
+    cur = tbl.read(spark)
+    assert cur.count() == 8
+    got = {r["id"]: r["extra"] for r in cur.collect()}
+    assert got[6] == 1.5 and got[0] is None  # old files surface NULL
+    # time travel to snapshot 1 → old schema, no 'extra' column at all
+    assert "extra" not in tbl.read(spark, snapshot_id=1).columns
