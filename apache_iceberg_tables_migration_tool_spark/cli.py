@@ -145,9 +145,10 @@ def cmd_maintain(args: argparse.Namespace) -> int:
             if args.expire_keep_last:
                 expired = cat.expire_snapshots(db, name, keep_last=args.expire_keep_last)
                 print(f"{db}.{name}: expired {len(expired)} snapshots")
-            if args.compact:
-                cat.compact(spark, db, name)
-                print(f"{db}.{name}: compacted")
+            if args.compact or args.compact_sort_by:
+                sort_by = args.compact_sort_by.split(",") if args.compact_sort_by else None
+                cat.compact(db, name, spark, sort_by=sort_by)
+                print(f"{db}.{name}: compacted" + (f" (sorted by {sort_by})" if sort_by else ""))
     return 0
 
 
@@ -248,6 +249,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--databases", nargs="*", default=None)
     sp.add_argument("--expire-keep-last", type=int, default=None)
     sp.add_argument("--compact", action="store_true")
+    sp.add_argument(
+        "--compact-sort-by", default=None,
+        help="comma-separated sort columns: range-cluster the rewrite so "
+        "file min/max stats enable scan skipping",
+    )
     sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser("merge", help="row-level MERGE (upsert) from a parquet dataset")

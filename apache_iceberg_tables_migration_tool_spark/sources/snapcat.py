@@ -591,18 +591,32 @@ class SnapCatalog:
         return [s["snapshot_id"] for s in expired]
 
     def compact(
-        self, database: str, name: str, spark: SparkSession, target_partitions: int | None = None
+        self,
+        database: str,
+        name: str,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite the current snapshot's data into fewer, larger
         files (≙ Iceberg ``rewrite_data_files``): small-file compaction
         is what keeps scan planning cheap after many streaming-ish
-        appends."""
+        appends.
+
+        ``sort_by`` range-clusters the rewrite (``repartitionByRange``
+        + ``sortWithinPartitions`` ≙ Iceberg's sort-order rewrite):
+        each output file then covers a disjoint slice of the sort key,
+        so parquet footer min/max stats let filtered scans skip whole
+        files — the layout lever for selective queries at 100 TB."""
         tbl = self.table(database, name)
         df = tbl.read(spark)
-        if target_partitions:
+        n = target_partitions or (max(1, len(tbl.current_snapshot().files) // 8) or 1)
+        if sort_by:
+            df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        elif target_partitions:
             df = df.repartition(target_partitions)
         else:
-            df = df.coalesce(max(1, len(tbl.current_snapshot().files) // 8) or 1)
+            df = df.coalesce(n)
         return self.write(database, name, df, mode="overwrite", operation="replace")
 
     def drop_table(self, database: str, name: str) -> None:

@@ -250,3 +250,40 @@ def test_schema_evolution_add_column(spark, cat):
     assert got[6] == 1.5 and got[0] is None  # old files surface NULL
     # time travel to snapshot 1 → old schema, no 'extra' column at all
     assert "extra" not in tbl.read(spark, snapshot_id=1).columns
+
+
+def test_cli_maintain_compact_runs(spark, cat, tmp_path):
+    """Regression: CLI maintain --compact passed args in the wrong
+    order (spark as database) and crashed on any run with --compact."""
+    from apache_iceberg_tables_migration_tool_spark.cli import main
+
+    cat2 = SnapCatalog(str(tmp_path / "wh2"))
+    for i in range(3):
+        cat2.write("db", "t", spark.range(10), committed_at=T[i])
+    assert main(["maintain", "--warehouse", str(tmp_path / "wh2"), "--compact"]) == 0
+    assert cat2.table("db", "t").read(spark).count() == 30
+
+
+def test_compact_sorted_clusters_files(spark, cat):
+    import pyarrow.parquet as _pq
+    import os as _os
+
+    df = spark.range(10000).withColumn("k", (F.col("id") * 7919) % 10000)
+    cat.write("db", "s", df.repartition(8), committed_at=T[0])
+    snap = cat.compact("db", "s", spark, target_partitions=4, sort_by=["k"])
+    tbl = cat.table("db", "s")
+    assert tbl.read(spark).count() == 10000
+    # each rewritten file covers a disjoint k-range (footer min/max)
+    ranges = []
+    for f in snap.files:
+        md = _pq.ParquetFile(_os.path.join(tbl.root, f.path)).metadata
+        names = md.schema.to_arrow_schema().names
+        idx = names.index("k")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint → filtered scans skip whole files
