@@ -105,3 +105,42 @@ def sample_chunks(
         ]
     )
     return df.withColumn("chunks", chunks)
+
+
+def resize_payload(
+    df: DataFrame,
+    target_bytes: int = 64,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Payload resize (≙ image thumbnail / audio downsample), same
+    contract as ``extract_features``: Arrow-batched mapInPandas with a
+    deterministic fake kernel — evenly-strided byte selection down to
+    ``target_bytes`` (shorter payloads pass through). A real resize
+    swaps the inner numpy block for PIL/ffmpeg on the SAME batch
+    iterator; schema, meta refresh, and partition shape stay as-is."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for payload in pdf[content_col]:
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(raw) > target_bytes:
+                    idx = np.floor(np.arange(target_bytes) * len(raw) / target_bytes)
+                    raw = raw[idx.astype(np.int64)]
+                out.append(raw.tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+
+    resized = df.select(id_col, content_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, resized binary"
+    )
+    return df.join(resized, id_col).withColumn(
+        "meta_resized",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length("resized").cast("bigint").alias("n_bytes"),
+            F.xxhash64("resized").alias("checksum"),
+        ),
+    )

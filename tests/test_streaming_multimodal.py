@@ -206,3 +206,18 @@ def test_stream_stream_interval_join_matches_batch(spark):
     cols = ["user_id", "click_ts", "purchase_ts", "purchase_value"]
     assert len(_rows(out, cols)) > 0
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_resize_payload_bounds_and_determinism(spark):
+    docs = M.attach_payload(load(spark, SF_DIR, "documents").limit(30))
+    out = M.resize_payload(docs, target_bytes=64)
+    rows = out.select("doc_id", "resized", "meta_resized", "meta").collect()
+    assert len(rows) == 30
+    for r in rows:
+        n = r["meta_resized"]["n_bytes"]
+        assert n == len(bytes(r["resized"]))
+        assert n <= 64
+        if r["meta"]["n_bytes"] >= 64:
+            assert n == 64  # long payloads resize exactly to target
+    again = {r["doc_id"]: bytes(r["resized"]) for r in M.resize_payload(docs, 64).collect()}
+    assert all(again[r["doc_id"]] == bytes(r["resized"]) for r in rows)
