@@ -405,3 +405,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
+
+
+@query(
+    "dedup_embedding_clusters",
+    tags=("dedup", "vector", "graph"),
+    oracle="""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+""",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup groups: cosine ≥ 0.45 pairs (block-matmul
+    mapInPandas, same margin analysis as dedup_embedding_cosine)
+    clustered into components by min-label propagation — the
+    embedding-space twin of dedup_clusters, closing the
+    pairs→groups→canonical pipeline for both text and vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs(emb, threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("doc_id").alias("vec_id"), "cluster_id")

@@ -30,6 +30,7 @@ _SKIP = {
     "migration_history_replay",
     "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
     "rowlevel_merge_delete",
+    "dedup_embedding_clusters",  # iterative localCheckpoint
 }
 
 
