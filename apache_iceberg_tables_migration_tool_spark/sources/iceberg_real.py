@@ -158,3 +158,50 @@ class IcebergCatalog:
         return self.spark.sql(
             f"CALL `{self.catalog}`.system.rewrite_data_files(table => '{database}.{name}')"
         )
+
+    def compact_sorted(self, database: str, name: str, sort_by: list[str]) -> DataFrame:
+        """Sort-order rewrite (≙ SnapCatalog.compact(sort_by=…)):
+        range-clusters files so column min/max stats enable scan
+        skipping on the sort key."""
+        order = ", ".join(sort_by)
+        return self.spark.sql(
+            f"CALL `{self.catalog}`.system.rewrite_data_files("
+            f"table => '{database}.{name}', strategy => 'sort', "
+            f"sort_order => '{order}')"
+        )
+
+    # ---- row-level operations (SnapCatalog.upsert/delete_where parity) --
+
+    def upsert(
+        self, database: str, name: str, updates: DataFrame, key_cols: list[str]
+    ) -> None:
+        """MERGE INTO: the Iceberg runtime plans copy-on-write (or
+        merge-on-read per table properties) itself — same contract as
+        ``SnapCatalog.upsert``."""
+        updates.createOrReplaceTempView("__merge_updates")
+        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+        self.spark.sql(
+            f"MERGE INTO {self._qualified(database, name)} t "
+            f"USING __merge_updates s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def delete_where(self, database: str, name: str, condition: str) -> None:
+        """DELETE FROM with a SQL predicate (file-level COW/MOR chosen
+        by the runtime) — ``SnapCatalog.delete_where`` parity."""
+        self.spark.sql(
+            f"DELETE FROM {self._qualified(database, name)} WHERE {condition}"
+        )
+
+    def read_incremental(
+        self, database: str, name: str, from_id: int, to_id: int
+    ) -> DataFrame:
+        """Incremental append scan between snapshots —
+        ``SnapTable.read_incremental`` parity via the native
+        start/end-snapshot-id read options."""
+        return (
+            self.spark.read.option("start-snapshot-id", from_id)
+            .option("end-snapshot-id", to_id)
+            .table(self._qualified(database, name))
+        )
