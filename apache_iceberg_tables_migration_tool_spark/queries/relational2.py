@@ -424,3 +424,79 @@ def nation_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "window_rank_metrics",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best,
+       FIRST_VALUE(o_orderkey) OVER w AS best,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth on one shuffle: percent_rank,
+    cume_dist, nth_value, first/last_value share a single
+    (o_custkey)-partitioned sort — Spark plans ONE Window operator for
+    the ordered frames plus one for the full-frame values, no extra
+    exchanges. Ties broken by orderkey so ranks are deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_best"),
+        F.first("o_orderkey").over(w).alias("best"),
+        F.last("o_orderkey").over(wf).alias("worst"),
+    )
+
+
+@query(
+    "vector_sql_arith",
+    tags=("vector", "higher-order"),
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       SUM(len(list_filter(embedding, x -> x < 0))) AS neg_components,
+       CAST(FLOOR(SUM(CAST(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS DECIMAL(28,8))) * 100000000) AS BIGINT) / 100000000.0
+         AS norm_sum
+FROM embeddings GROUP BY label
+""",
+)
+def vector_sql_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math WITHOUT Python: higher-order functions (transform/
+    aggregate/filter) run element loops inside codegen, so per-row L2
+    norms and component predicates cost no Arrow transfer at all — the
+    fast path for cheap vector features; mapInPandas is reserved for
+    the matmul-shaped work (`similarity.py`). Per-element math is
+    float→double cast BEFORE multiply and summed sequentially in both
+    engines; the cross-row sum goes through exact decimal (scale 8)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    norm = F.sqrt(sq)
+    negs = F.size(F.expr("filter(embedding, x -> x < 0)"))
+    per_row = emb.select("label", norm.alias("__norm"), negs.alias("__negs"))
+    norm_sum = (
+        F.floor(F.sum(F.col("__norm").cast("decimal(28,8)")) * 100_000_000).cast("long")
+        / F.lit(100_000_000.0)
+    )
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("__negs").cast("bigint")).alias("neg_components"),
+        norm_sum.alias("norm_sum"),
+    )
