@@ -30,9 +30,11 @@ touching data (the reference instead re-scanned:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 from dataclasses import asdict, dataclass, field
 from datetime import datetime, timezone
 
@@ -97,6 +99,34 @@ FILES_SCHEMA = T.StructType(
 
 def _parse_iso(ts: str) -> datetime:
     return datetime.fromisoformat(ts.replace("Z", "+00:00"))
+
+
+@contextlib.contextmanager
+def _commit_lock(table_root: str, timeout_sec: float = 300.0):
+    """Per-table commit mutex (≙ Iceberg's catalog-side atomic swap +
+    optimistic retry): concurrent committers to the SAME table would
+    otherwise race on snapshot-id assignment (→ colliding commit
+    directories) and on the metadata read-modify-write (→ lost
+    commits). ``os.mkdir`` is atomic on every POSIX filesystem and
+    works across processes; contending writers spin-wait, so commits
+    serialize per table while different tables commit fully in
+    parallel (the table-parallel migrator's model)."""
+    lock_dir = os.path.join(table_root, "metadata", ".commit_lock")
+    os.makedirs(os.path.dirname(lock_dir), exist_ok=True)
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            os.mkdir(lock_dir)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"commit lock timeout on {table_root}") from None
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.rmdir(lock_dir)
 
 
 class SnapTable:
@@ -385,39 +415,40 @@ class SnapCatalog:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         self.create_namespace(database)
         tbl = self.table(database, name)
-        prev = tbl.current_snapshot()
-        spec = list(
-            partition_by
-            if partition_by is not None
-            else (prev.partition_spec if prev else [])
-        )
-        sid = (prev.snapshot_id + 1) if prev else 1
-        new_files = self._write_data_files(tbl, sid, df, spec)
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()
+            spec = list(
+                partition_by
+                if partition_by is not None
+                else (prev.partition_spec if prev else [])
+            )
+            sid = (prev.snapshot_id + 1) if prev else 1
+            new_files = self._write_data_files(tbl, sid, df, spec)
 
-        files = new_files if (mode == "overwrite" or prev is None) else (
-            list(prev.files) + new_files
-        )
-        added = sum(f.records for f in new_files)
-        snap = Snapshot(
-            snapshot_id=sid,
-            parent_id=prev.snapshot_id if prev else None,
-            committed_at=committed_at or _utcnow_iso(),
-            operation=operation or mode,
-            summary={
-                "added-records": str(added),
-                "added-data-files": str(len(new_files)),
-                "total-records": str(sum(f.records for f in files)),
-                "total-data-files": str(len(files)),
-                **(summary_extra or {}),
-            },
-            schema_ddl=schema_to_ddl(df.schema),
-            partition_spec=spec,
-            files=files,
-        )
-        meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
-        meta["snapshots"].append(asdict(snap))
-        tbl._save_meta(meta)
-        return snap
+            files = new_files if (mode == "overwrite" or prev is None) else (
+                list(prev.files) + new_files
+            )
+            added = sum(f.records for f in new_files)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=prev.snapshot_id if prev else None,
+                committed_at=committed_at or _utcnow_iso(),
+                operation=operation or mode,
+                summary={
+                    "added-records": str(added),
+                    "added-data-files": str(len(new_files)),
+                    "total-records": str(sum(f.records for f in files)),
+                    "total-data-files": str(len(files)),
+                    **(summary_extra or {}),
+                },
+                schema_ddl=schema_to_ddl(df.schema),
+                partition_spec=spec,
+                files=files,
+            )
+            meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
+            meta["snapshots"].append(asdict(snap))
+            tbl._save_meta(meta)
+            return snap
 
     def _write_data_files(
         self, tbl: SnapTable, sid: int, df: DataFrame, spec: list[str]
@@ -501,30 +532,32 @@ class SnapCatalog:
                 database, name, updates, mode="append",
                 committed_at=committed_at, operation="merge",
             )
-        schema = T._parse_datatype_string(prev.schema_ddl)
-        cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
-        keys = updates.select(*key_cols).distinct()
-        affected_abs = [
-            r["__file"]
-            for r in cur.join(keys, key_cols, "left_semi").select("__file").distinct().collect()
-        ]  # O(matched files) driver rows — manifest-scale, not data-scale
-        affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
-        if affected_rel:
-            rewritten = (
-                cur.where(F.col("__file").isin(list(affected_abs)))
-                .drop("__file")
-                .join(keys, key_cols, "left_anti")  # drop matched rows
-                .unionByName(updates)
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()  # re-read under the lock
+            schema = T._parse_datatype_string(prev.schema_ddl)
+            cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
+            keys = updates.select(*key_cols).distinct()
+            affected_abs = [
+                r["__file"]
+                for r in cur.join(keys, key_cols, "left_semi").select("__file").distinct().collect()
+            ]  # O(matched files) driver rows — manifest-scale, not data-scale
+            affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+            if affected_rel:
+                rewritten = (
+                    cur.where(F.col("__file").isin(list(affected_abs)))
+                    .drop("__file")
+                    .join(keys, key_cols, "left_anti")  # drop matched rows
+                    .unionByName(updates)
+                )
+            else:
+                rewritten = updates
+            sid = prev.snapshot_id + 1
+            new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
+            files = [f for f in prev.files if f.path not in affected_rel] + new_files
+            return self._commit(
+                tbl, prev, files, new_files, "merge", committed_at,
+                {"rewritten-data-files": str(len(affected_rel))},
             )
-        else:
-            rewritten = updates
-        sid = prev.snapshot_id + 1
-        new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
-        files = [f for f in prev.files if f.path not in affected_rel] + new_files
-        return self._commit(
-            tbl, prev, files, new_files, "merge", committed_at,
-            {"rewritten-data-files": str(len(affected_rel))},
-        )
 
     def delete_where(
         self,
@@ -543,27 +576,29 @@ class SnapCatalog:
         if prev is None:
             raise LookupError(f"table {database}.{name} does not exist")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        schema = T._parse_datatype_string(prev.schema_ddl)
-        cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
-        affected_abs = [
-            r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
-        ]
-        affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
-        if not affected_rel:  # no-op delete still commits (audit trail)
-            return self._commit(
-                tbl, prev, list(prev.files), [], "delete", committed_at,
-                {"rewritten-data-files": "0"},
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()  # re-read under the lock
+            schema = T._parse_datatype_string(prev.schema_ddl)
+            cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
+            affected_abs = [
+                r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
+            ]
+            affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+            if not affected_rel:  # no-op delete still commits (audit trail)
+                return self._commit(
+                    tbl, prev, list(prev.files), [], "delete", committed_at,
+                    {"rewritten-data-files": "0"},
+                )
+            survivors = (
+                cur.where(F.col("__file").isin(list(affected_abs))).where(~cond).drop("__file")
             )
-        survivors = (
-            cur.where(F.col("__file").isin(list(affected_abs))).where(~cond).drop("__file")
-        )
-        sid = prev.snapshot_id + 1
-        new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
-        files = [f for f in prev.files if f.path not in affected_rel] + new_files
-        return self._commit(
-            tbl, prev, files, new_files, "delete", committed_at,
-            {"rewritten-data-files": str(len(affected_rel))},
-        )
+            sid = prev.snapshot_id + 1
+            new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
+            files = [f for f in prev.files if f.path not in affected_rel] + new_files
+            return self._commit(
+                tbl, prev, files, new_files, "delete", committed_at,
+                {"rewritten-data-files": str(len(affected_rel))},
+            )
 
     # ---- maintenance (X7) ----------------------------------------------
 
