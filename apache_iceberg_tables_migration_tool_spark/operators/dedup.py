@@ -211,6 +211,13 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    # Candidate generation as a band self-join: both sides hash-join on
+    # (band, bucket) over the SAME reused exchange, and pair expansion
+    # parallelizes across the join (skew-robust: a hot bucket fans out
+    # over partitions instead of exploding inside one task). A
+    # collect_set + in-bucket pair-expansion variant measured faster in
+    # isolation but slower in the full pipeline (object-hash aggregate
+    # + per-bucket O(k²) expansion) — keep the join.
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
     candidates = (
