@@ -466,3 +466,33 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "approx_percentile_quality",
+    tags=("sketch", "agg"),
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_exact,
+       quantile_cont(l_quantity, 0.9) AS p90_exact,
+       TRUE AS sketch_within_2pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def approx_percentile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile sketch vs exact (the approx_distinct_users pattern):
+    exact interpolated percentiles are emitted for the value check —
+    both engines use the same linear-interpolation definition, so the
+    doubles hash-match — while the GK-sketch `percentile_approx`
+    (mergeable, bounded memory: the 100 TB path where exact percentile
+    means a full sort) is asserted within 2% THROUGH the oracle gate
+    via the boolean."""
+    li = load(spark, sf_dir, "lineitem")
+    exact5 = F.expr("percentile(l_quantity, 0.5)")
+    exact9 = F.expr("percentile(l_quantity, 0.9)")
+    approx9 = F.expr("percentile_approx(l_quantity, 0.9, 1000)")
+    return li.groupBy("l_returnflag").agg(
+        exact5.alias("p50_exact"),
+        exact9.alias("p90_exact"),
+        (F.abs(approx9 - exact9) <= 0.02 * exact9).alias("sketch_within_2pct"),
+    )
