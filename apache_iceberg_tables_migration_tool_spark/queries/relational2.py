@@ -468,7 +468,7 @@ def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        COUNT(*) AS n_vecs,
-       SUM(len(list_filter(embedding, x -> x < 0))) AS neg_components,
+       CAST(SUM(len(list_filter(embedding, x -> x < 0))) AS BIGINT) AS neg_components,
        CAST(FLOOR(SUM(CAST(sqrt(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS DECIMAL(28,8))) * 100000000) AS BIGINT) / 100000000.0
          AS norm_sum

@@ -48,6 +48,17 @@ def _utcnow_iso() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
 
 
+#: sentinel for "caller did not ask for an optimistic-concurrency check"
+#: (None is a real expectation: "table must not exist yet").
+_UNSET = object()
+
+
+class CommitConflictError(RuntimeError):
+    """A commit's expected parent snapshot no longer matches the
+    table's current snapshot — another writer landed in between (≙
+    Iceberg's CommitFailedException on the atomic swap)."""
+
+
 @dataclass
 class DataFile:
     path: str  # relative to table root
@@ -268,8 +279,18 @@ class SnapTable:
         read, so a changed-data sync costs O(delta), not O(table).
         Raises if the range crosses a non-append commit (an overwrite
         invalidates pure file-level deltas), matching Iceberg's
-        incremental-read restriction."""
+        incremental-read restriction. Also raises LookupError if
+        ``from_id`` no longer exists (e.g. removed by
+        ``expire_snapshots``) — silently treating an expired start as
+        "from creation" would re-emit the whole table as 'added' and
+        duplicate rows in incremental sync, so fail loudly like
+        Iceberg does for expired start snapshots."""
         snaps = self.snapshots()
+        if from_id is not None and not any(s.snapshot_id == from_id for s in snaps):
+            raise LookupError(
+                f"incremental-read start snapshot {from_id} of "
+                f"{self.database}.{self.name} does not exist (expired?)"
+            )
         lo = 0 if from_id is None else from_id
         in_range = [s for s in snaps if lo < s.snapshot_id <= to_id]
         if not in_range:
@@ -406,17 +427,33 @@ class SnapCatalog:
         committed_at: str | None = None,
         operation: str | None = None,
         summary_extra: dict[str, str] | None = None,
+        expect_parent_id: "int | None | object" = _UNSET,
     ) -> Snapshot:
         """Commit a write. The data plane is a distributed Spark
         parquet write into a fresh commit directory; the metadata
         commit then flips atomically. Record counts come from the
-        written footers (commit metrics), never a second scan."""
+        written footers (commit metrics), never a second scan.
+
+        ``expect_parent_id`` (optional) is an optimistic-concurrency
+        guard checked INSIDE the commit lock: the commit only lands if
+        the table's current snapshot id still equals it (None = table
+        must not exist yet), else CommitConflictError — the same
+        validate-then-swap Iceberg uses so read-rewrite-commit
+        sequences (e.g. ``compact``) can't silently drop a commit that
+        landed between their read and their write."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         self.create_namespace(database)
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()
+            if expect_parent_id is not _UNSET:
+                actual = prev.snapshot_id if prev else None
+                if actual != expect_parent_id:
+                    raise CommitConflictError(
+                        f"concurrent commit on {database}.{name}: expected parent "
+                        f"snapshot {expect_parent_id}, found {actual}"
+                    )
             spec = list(
                 partition_by
                 if partition_by is not None
@@ -607,23 +644,30 @@ class SnapCatalog:
     ) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots and delete
         data files no surviving snapshot references (≙ Iceberg
-        ``expire_snapshots``). Returns expired snapshot ids."""
+        ``expire_snapshots``). Returns expired snapshot ids.
+
+        Runs entirely under the per-table commit lock: expiration is a
+        read-modify-write of the metadata log, so racing an unlocked
+        expire against a concurrent append could lose that append (the
+        snapshot list is rewritten from a stale read) or delete files
+        a just-landed snapshot references."""
         tbl = self.table(database, name)
-        meta = tbl._load_meta()
-        snaps = meta["snapshots"]
-        if len(snaps) <= keep_last:
-            return []
-        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
-        live = {f["path"] for s in kept for f in s["files"]}
-        for s in expired:
-            for f in s["files"]:
-                if f["path"] not in live:
-                    p = os.path.join(tbl.root, f["path"])
-                    if os.path.exists(p):
-                        os.remove(p)
-        meta["snapshots"] = kept
-        tbl._save_meta(meta)
-        return [s["snapshot_id"] for s in expired]
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            snaps = meta["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+            live = {f["path"] for s in kept for f in s["files"]}
+            for s in expired:
+                for f in s["files"]:
+                    if f["path"] not in live:
+                        p = os.path.join(tbl.root, f["path"])
+                        if os.path.exists(p):
+                            os.remove(p)
+            meta["snapshots"] = kept
+            tbl._save_meta(meta)
+            return [s["snapshot_id"] for s in expired]
 
     def compact(
         self,
@@ -642,17 +686,37 @@ class SnapCatalog:
         + ``sortWithinPartitions`` ≙ Iceberg's sort-order rewrite):
         each output file then covers a disjoint slice of the sort key,
         so parquet footer min/max stats let filtered scans skip whole
-        files — the layout lever for selective queries at 100 TB."""
+        files — the layout lever for selective queries at 100 TB.
+
+        Conflict-safe: the snapshot to rewrite is resolved OUTSIDE the
+        commit lock, and the commit carries an ``expect_parent_id``
+        guard checked inside it — if another commit landed between the
+        read and the commit, the stale rewrite is discarded and
+        retried against the new snapshot instead of silently dropping
+        that commit (Iceberg's ``rewrite_data_files`` validate-and-
+        retry behavior)."""
         tbl = self.table(database, name)
-        df = tbl.read(spark)
-        n = target_partitions or (max(1, len(tbl.current_snapshot().files) // 8) or 1)
-        if sort_by:
-            df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
-        elif target_partitions:
-            df = df.repartition(target_partitions)
-        else:
-            df = df.coalesce(n)
-        return self.write(database, name, df, mode="overwrite", operation="replace")
+        last_err: CommitConflictError | None = None
+        for _attempt in range(3):
+            base = tbl.current_snapshot()
+            if base is None:
+                raise LookupError(f"table {database}.{name} does not exist")
+            df = tbl.read(spark)
+            n = target_partitions or (max(1, len(base.files) // 8) or 1)
+            if sort_by:
+                df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+            elif target_partitions:
+                df = df.repartition(target_partitions)
+            else:
+                df = df.coalesce(n)
+            try:
+                return self.write(
+                    database, name, df, mode="overwrite", operation="replace",
+                    expect_parent_id=base.snapshot_id,
+                )
+            except CommitConflictError as e:
+                last_err = e
+        raise last_err
 
     def drop_table(self, database: str, name: str) -> None:
         tbl = self.table(database, name)

@@ -110,11 +110,21 @@ def ingest_stream_to_catalog(
     surface applies to continuously-arriving data. foreachBatch is
     the bridge between Structured Streaming and any batch-committing
     sink; the checkpoint dir gives at-least-once batch replay, and
-    the per-batch commit makes replayed batches idempotent per
-    batch_id at the sink if the sink dedupes on it (SnapCatalog
-    stamps batch_id into the snapshot summary for that purpose)."""
+    the sink dedupes on batch_id: each commit stamps
+    ``streaming.batch_id`` into its snapshot summary, and a replayed
+    micro-batch (same batch_id already in the snapshot chain, e.g.
+    after a crash between sink commit and checkpoint write) is
+    skipped instead of appending duplicate rows — the same
+    commit-and-check protocol Iceberg's streaming sink uses."""
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = catalog.table(database, table)
+        if tbl.exists():
+            seen = {
+                s.summary.get("streaming.batch_id") for s in tbl.snapshots()
+            }
+            if str(batch_id) in seen:
+                return  # replayed micro-batch — already committed
         catalog.write(
             database,
             table,

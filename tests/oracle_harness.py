@@ -44,6 +44,20 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
+        # The driver hashes stringified values, so bigint 1653 vs HUGEINT→
+        # float64 1653.0 is a red row even when numerically equal (round-1
+        # vector_sql_arith failure). Mirror that: an int/float dtype-class
+        # split between engines is a parity bug, not noise.
+        g_num = np.issubdtype(g.dtype, np.number)
+        w_num = np.issubdtype(np.asarray(w).dtype, np.number)
+        if g_num and w_num:
+            g_float = np.issubdtype(g.dtype, np.floating)
+            w_float = np.issubdtype(np.asarray(w).dtype, np.floating)
+            assert g_float == w_float, (
+                f"{name}: dtype-class mismatch on {c!r}: spark={g.dtype} vs "
+                f"oracle={np.asarray(w).dtype} — the driver's value hash will "
+                f"differ even if values are equal (CAST the oracle side)"
+            )
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(np.asarray(w).dtype, np.floating):
             g = np.asarray(g, dtype=np.float64)
             w = np.asarray(w, dtype=np.float64)

@@ -308,3 +308,94 @@ def test_concurrent_appends_lose_no_commits(spark, cat):
     assert len(ids) == len(set(ids)) == 9  # create + 8 appends, no losses
     assert tbl.read(spark).count() == 800
     assert {r["w"] for r in tbl.read(spark).select("w").distinct().collect()} == set(range(8))
+
+
+def test_write_expect_parent_id_conflict(spark, cat):
+    """Optimistic-concurrency guard (Iceberg CommitFailedException
+    analog): a commit whose expected parent snapshot is stale must
+    raise, not silently drop the interleaved commit."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import CommitConflictError
+
+    cat.write("db", "t", spark.range(10), committed_at=T[0])  # snapshot 1
+    with pytest.raises(CommitConflictError):
+        cat.write("db", "t", spark.range(5), expect_parent_id=None)  # expects no table
+    with pytest.raises(CommitConflictError):
+        cat.write("db", "t", spark.range(5), expect_parent_id=7)  # stale parent
+    snap = cat.write("db", "t", spark.range(5), expect_parent_id=1)
+    assert snap.snapshot_id == 2
+    assert cat.table("db", "t").read(spark).count() == 15
+
+
+def test_compact_retries_after_concurrent_append(spark, cat, monkeypatch):
+    """compact resolves the snapshot to rewrite outside the lock; if
+    an append lands in between, the stale rewrite must be discarded
+    and retried (not silently drop the append's rows)."""
+    import apache_iceberg_tables_migration_tool_spark.sources.snapcat as sc
+
+    for i in range(4):
+        cat.write("db", "t", spark.range(i * 10, (i + 1) * 10), committed_at=T[i])
+
+    real_write = sc.SnapCatalog.write
+    raced = {"done": False}
+
+    def racing_write(self, database, name, df, *args, **kwargs):
+        # Simulate a commit landing between compact's snapshot read and
+        # its own commit: sneak one append in ahead of the first
+        # replace attempt only.
+        if kwargs.get("operation") == "replace" and not raced["done"]:
+            raced["done"] = True
+            real_write(self, database, name, spark.range(1000, 1005))
+        return real_write(self, database, name, df, *args, **kwargs)
+
+    monkeypatch.setattr(sc.SnapCatalog, "write", racing_write)
+    snap = cat.compact("db", "t", spark, target_partitions=2)
+    assert snap.operation == "replace"
+    # all 40 original rows AND the 5 raced-in rows survive
+    assert cat.table("db", "t").read(spark).count() == 45
+
+
+def test_expire_blocks_on_commit_lock(spark, cat):
+    """expire_snapshots is a metadata read-modify-write and must
+    serialize on the same per-table lock as every other mutator."""
+    import apache_iceberg_tables_migration_tool_spark.sources.snapcat as sc
+
+    for i in range(3):
+        cat.write("db", "t", spark.range(10), committed_at=T[i])
+    tbl = cat.table("db", "t")
+    lock_dir = os.path.join(tbl.root, "metadata", ".commit_lock")
+    os.mkdir(lock_dir)  # hold the lock as a fake concurrent committer
+    try:
+        with pytest.raises(TimeoutError):
+            with monkey_timeout(sc):
+                cat.expire_snapshots("db", "t", keep_last=1)
+    finally:
+        os.rmdir(lock_dir)
+    assert cat.expire_snapshots("db", "t", keep_last=1) == [1, 2]
+
+
+class monkey_timeout:
+    """Temporarily shrink the commit-lock timeout so the blocked-path
+    test completes in milliseconds."""
+
+    def __init__(self, sc_module):
+        self.sc = sc_module
+
+    def __enter__(self):
+        import functools
+        self.orig = self.sc._commit_lock
+        self.sc._commit_lock = functools.partial(self.orig, timeout_sec=0.2)
+
+    def __exit__(self, *exc):
+        self.sc._commit_lock = self.orig
+
+
+def test_read_incremental_expired_start_raises(spark, cat):
+    """An expired from_id must raise (Iceberg behavior), not silently
+    re-emit the whole table as 'added'."""
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 10, (i + 1) * 10), committed_at=T[i])
+    tbl = cat.table("db", "t")
+    assert tbl.read_incremental(spark, 1, 3).count() == 20  # sanity: delta works
+    cat.expire_snapshots("db", "t", keep_last=1)
+    with pytest.raises(LookupError):
+        tbl.read_incremental(spark, 1, 3)
