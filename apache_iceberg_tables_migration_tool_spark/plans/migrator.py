@@ -62,13 +62,16 @@ def _migrate_one(
 ) -> MigrationResult:
     t0 = time.monotonic()
     try:
-        # stage-3 equivalent: namespace + table DDL on the target
+        # stage-3 equivalent: namespace + table DDL on the target —
+        # including source table properties (the reference collects
+        # them per table, 2_collect_database_schema_info.py:176-184)
         dst.create_namespace(entry.database)
         dst.create_table(
             entry.database,
             entry.table_name,
             entry.schema_ddl,
             partition_by=entry.partition_spec,
+            properties=entry.properties,
             committed_at=committed_at,
         )
         # stage-5 equivalent: time-travel read at the planned snapshot,
@@ -157,7 +160,8 @@ def _replay_one(
             if s.operation == "create" and not s.files:
                 dst.create_table(
                     entry.database, entry.table_name, s.schema_ddl,
-                    partition_by=s.partition_spec, committed_at=s.committed_at,
+                    partition_by=s.partition_spec, properties=entry.properties,
+                    committed_at=s.committed_at,
                 )
                 prev_id = s.snapshot_id
                 continue
@@ -175,6 +179,12 @@ def _replay_one(
             )
             total = snap.total_records
             prev_id = s.snapshot_id
+        if entry.properties:
+            # histories that start with a data-bearing commit (no
+            # explicit create snapshot) create the target inside
+            # write(), which carries no properties — re-apply them so
+            # the round-trip holds for every history shape
+            dst.set_properties(entry.database, entry.table_name, entry.properties)
         return MigrationResult(
             database=entry.database,
             table_name=entry.table_name,

@@ -11,6 +11,7 @@ plan object; JSON import/export is kept as an interchange format
 from __future__ import annotations
 
 import json
+import warnings
 from dataclasses import asdict, dataclass, field
 from datetime import datetime
 
@@ -85,13 +86,21 @@ def collect_plan(
 
     Tables with no snapshot at-or-before ``as_of`` are *skipped with a
     reason*, matching the reference's per-table error isolation
-    (``2_collect_database_schema_info.py:105-107``). This walks
-    catalog metadata only — no data jobs. The distributed form of the
-    same resolution (for catalogs with millions of tables) is the
-    window/max_by pattern in queries.relational.asof_snapshot_resolution.
+    (``2_collect_database_schema_info.py:105-107``); so are foreign
+    warehouse entries that are not catalog tables at all (junk
+    directories, stray files — the reference's non-Iceberg-provider
+    skip, ``2_collect_database_schema_info.py:162-171``), each with a
+    warning instead of a crash. This walks catalog metadata only — no
+    data jobs. The distributed form of the same resolution (for
+    catalogs with millions of tables) is the window/max_by pattern in
+    queries.relational.asof_snapshot_resolution.
     """
     plan = MigrationPlan(as_of=as_of if isinstance(as_of, str) or as_of is None else as_of.isoformat())
     for db in databases or src.list_namespaces():
+        for foreign in src.list_foreign_entries(db):
+            reason = "not a snapshot-catalog table (no metadata/table.json)"
+            warnings.warn(f"skipping {db}/{foreign}: {reason}", stacklevel=2)
+            plan.skipped.append({"database": db, "table_name": foreign, "reason": reason})
         for name in src.list_tables(db):
             tbl = src.table(db, name)
             try:
@@ -107,7 +116,7 @@ def collect_plan(
                     committed_at=snap.committed_at,
                     schema_ddl=snap.schema_ddl,
                     partition_spec=list(snap.partition_spec),
-                    properties=dict(snap.summary),
+                    properties=tbl.properties(),
                     records=snap.total_records,
                 )
             )

@@ -142,19 +142,43 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf", tags=("vector", "approx"))
+@query(
+    "knn_ivf",
+    tags=("vector", "approx"),
+    oracle="""
+SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors through an IVF index (spherical
     k-means coarse quantizer, nprobe-cell candidate join, exact
-    re-rank). Centroids are seed-deterministic but engine-specific →
-    rows-only check; recall@5 vs the exact operator is pinned in
-    tests."""
+    re-rank), self-validated against the exact twin IN the query (the
+    reference's stage-6 verify pattern applied to our own
+    approximation): per query vector it emits how many results came
+    back and whether ≥ 4 of the true top-5 were found; the oracle pins
+    (5 results, recall_ok TRUE) per qid. The IVF result list itself is
+    quantizer-dependent (seeded k-means centroids — not portable SQL),
+    but these derived facts are engine-independent, so a recall
+    regression flips booleans and goes red on the scoreboard.
+
+    The 0.8-per-query bar (verified deterministically at sf0.001 and
+    sf0.01: worst query finds 4/5) reflects the fixture's
+    near-isotropic vectors — the coarse quantizer genuinely prunes
+    (nprobe=12 of nlist=16), so occasionally the true 5th neighbor
+    sits in an unprobed cell; on clustered real-world corpora the
+    usual nprobe ≈ nlist/8 gives higher recall at far lower cost."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
-    # Fixture vectors are near-isotropic (no real cluster structure), so
-    # recall needs a generous nprobe/nlist ratio; on clustered corpora
-    # the usual ~1/8 ratio applies at far lower cost.
-    return S.knn_ivf(emb, queries, k=5, nlist=16, nprobe=12).select("qid", "vec_id", "rk")
+    approx = S.knn_ivf(emb, queries, k=5, nlist=16, nprobe=12).select("qid", "vec_id")
+    exact = S.cosine_topk(emb, queries, k=5).select(
+        "qid", "vec_id", F.lit(True).alias("__true_top5")
+    )
+    joined = approx.join(exact, ["qid", "vec_id"], "left")
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.count(F.col("__true_top5")) >= 4).alias("recall_ok"),
+    )
 
 
 @query(
@@ -217,13 +241,40 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_knn", tags=("multimodal", "vector"))
+@query(
+    "multimodal_feature_knn",
+    tags=("multimodal", "vector"),
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), b ->
+           CAST(len(list_filter(range(1, length(text) + 1),
+                                i -> ascii(substring(text, i, 1)) % 16 = b)) AS DOUBLE)) AS hist
+  FROM documents)
+SELECT qid, vec_id, rk FROM (
+  SELECT q.doc_id AS qid, e.doc_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.doc_id
+                            ORDER BY list_cosine_similarity(q.hist, e.hist) DESC,
+                                     e.doc_id) AS rk
+  FROM h q JOIN h e ON e.doc_id <> q.doc_id
+  WHERE q.doc_id < 5
+) WHERE rk <= 3
+""",
+)
 def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline composition: binary payload attach →
     Arrow-batched feature extraction (byte-histogram stand-in with a
     real extractor's UDF shape) → exact top-3 cosine search over the
-    extracted features. Features are engine-internal arrays →
-    rows-only check; each stage is unit-tested separately."""
+    extracted features.
+
+    Oracle-checkable end to end: the fake featurizer is a 16-bin
+    byte-value histogram, the fixture text is pure ASCII (verified at
+    sf0.001/sf0.01: octet_length == char length for every doc), and
+    cosine is scale-invariant — so DuckDB reproduces the ranking from
+    raw per-character code-point histograms without the L1
+    normalization or the float32 cast. Rank margins at the k=3
+    boundary are ≥ 3.8e-5 on the fixtures, two orders above float32
+    quantization noise, so ranks hash-match deterministically."""
     from apache_iceberg_tables_migration_tool_spark.operators.multimodal import (
         attach_payload,
         extract_features,

@@ -3,8 +3,13 @@
 These build a temporary snapshot-catalog warehouse from the fixture
 parquet (multi-commit histories per FIXTURES.md §3), run the full
 plan→create→copy→verify pipeline, and return the engine's report
-DataFrames. Non-SQL-expressible (filesystem + multi-job pipeline) →
-rows-only checks; the strong assertions live in tests/test_migration.py.
+DataFrames. The pipelines themselves are filesystem + multi-job (not
+SQL), but their REPORTS are deterministic functions of the fixture
+data — so each query carries a DuckDB oracle that rebuilds the
+expected report relationally (counts from the commit-split
+predicates, statuses/match-flags pinned as literals), making the
+whole migration plane hash-checked by the driver. Deeper structural
+assertions live in tests/test_migration.py.
 """
 
 from __future__ import annotations
@@ -69,13 +74,36 @@ def build_source_warehouse(spark: SparkSession, sf_dir: str, root: str) -> SnapC
     return src
 
 
-@query("migration_e2e_report", tags=("migration", "e2e"))
+@query(
+    "migration_e2e_report",
+    tags=("migration", "e2e"),
+    oracle="""
+WITH li AS (SELECT COUNT(*) AS n FROM lineitem),
+     os AS (SELECT COUNT(*) FILTER (WHERE o_orderstatus <> 'P') AS n FROM orders)
+SELECT 'db' AS database, 'lineitem_snap' AS table_name, 'success' AS migrate_status,
+       CAST(3 AS BIGINT) AS snapshot_id, CAST(li.n AS BIGINT) AS records_migrated,
+       TRUE AS schema_match, TRUE AS partition_match, TRUE AS count_match,
+       TRUE AS checksum_match, 'success' AS verify_status
+FROM li
+UNION ALL
+SELECT 'db', 'orders_snap', 'success', 2, os.n, TRUE, TRUE, TRUE, TRUE, 'success' FROM os
+UNION ALL
+SELECT 'db', 'typed_snap', 'success', 1, 100, TRUE, TRUE, TRUE, TRUE, 'success'
+""",
+)
 def migration_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline at a point-in-time (as-of = T[2], so lineitem
-    migrates at snapshot 2 of 3 — real time travel): collect plan →
+    """Full pipeline at a point-in-time (as-of = T[2]): collect plan →
     create targets → copy → verify. Returns the verification report
-    joined with migration status — every row should read
-    success/true across the board."""
+    joined with migration status.
+
+    The oracle derives the whole report relationally: lineitem's 3
+    appends are all ≤ as-of so the migrated snapshot is 3 with the
+    full row count; orders' overwrite (status ≠ 'P') is snapshot 2;
+    typed_snap is a fixed 100-row sample; every match flag and status
+    is pinned success/TRUE — so a silent verification regression
+    (schema drift, checksum mismatch, partial copy) flips a value the
+    driver hash-checks, the same stage-6 gate the reference runs
+    (6_verify_data_integrity.py:74-87)."""
     root = tempfile.mkdtemp(prefix="snapcat_e2e_")
     try:
         src = build_source_warehouse(spark, sf_dir, root)
@@ -98,12 +126,41 @@ def migration_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("snapshot_history_ops", tags=("migration", "metadata"))
+@query(
+    "snapshot_history_ops",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey % 3 = 0) AS r0,
+         COUNT(*) FILTER (WHERE l_orderkey % 3 < 2) AS r01,
+         COUNT(*) AS r,
+         COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) FILTER (WHERE l_orderkey % 3 = 0) AS f0,
+         COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) FILTER (WHERE l_orderkey % 3 = 1) AS f1,
+         COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) FILTER (WHERE l_orderkey % 3 = 2) AS f2,
+         COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) AS fall
+  FROM lineitem)
+SELECT 'before' AS phase, CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+       CAST(r0 AS BIGINT) AS total_records, CAST(f0 AS BIGINT) AS total_files FROM m
+UNION ALL SELECT 'before', 2, 'append', r01, f0 + f1 FROM m
+UNION ALL SELECT 'before', 3, 'append', r, f0 + f1 + f2 FROM m
+UNION ALL SELECT 'after', 3, 'append', r, f0 + f1 + f2 FROM m
+UNION ALL SELECT 'after', 4, 'replace', r, fall FROM m
+""",
+)
 def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-metadata surface (S2) + maintenance (X7): commit
     history of the 3-append table, then expire+compact, returning the
     before/after history (phase, snapshot_id, operation, records,
-    files)."""
+    files).
+
+    The oracle rebuilds the expected history relationally: cumulative
+    record counts per third (l_orderkey % 3 commit split), file counts
+    from the partition layout — each append writes one file per
+    l_shipmonth it contains (single writer task at fixture scale), and
+    the sort-clustered compaction lands exactly one file per month.
+    Expire must leave exactly snapshot 3; compact must append a
+    'replace' snapshot 4 with unchanged records — any lost/duplicated
+    rows or wrong snapshot arithmetic flips a hash-checked value."""
     root = tempfile.mkdtemp(prefix="snapcat_hist_")
     try:
         src = build_source_warehouse(spark, sf_dir, root)
@@ -113,7 +170,14 @@ def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_records", "total_files",
         )
         src.expire_snapshots("db", "lineitem_snap", keep_last=1)
-        src.compact("db", "lineitem_snap", spark, target_partitions=4)
+        # sort-clustered compaction: range-partitioning on the partition
+        # column puts each l_shipmonth in exactly one writer task, so the
+        # rewrite lands ONE file per month — deterministic layout the
+        # oracle can derive (a plain repartition(4) round-robins rows and
+        # the per-(task, month) file count depends on input split order)
+        src.compact(
+            "db", "lineitem_snap", spark, target_partitions=4, sort_by=["l_shipmonth"]
+        )
         after = tbl.snapshots_df(spark).select(
             F.lit("after").alias("phase"), "snapshot_id", "operation",
             "total_records", "total_files",
@@ -124,14 +188,39 @@ def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("migration_history_replay", tags=("migration", "e2e", "incremental"))
+@query(
+    "migration_history_replay",
+    tags=("migration", "e2e", "incremental"),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey % 3 = 0) AS r0,
+         COUNT(*) FILTER (WHERE l_orderkey % 3 < 2) AS r01,
+         COUNT(*) AS r
+  FROM lineitem),
+     os AS (SELECT COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE o_orderstatus <> 'P') AS np
+            FROM orders)
+SELECT 'lineitem_snap' AS table_name, CAST(1 AS BIGINT) AS snapshot_id,
+       'append' AS operation, CAST(r0 AS BIGINT) AS src_records,
+       CAST(r0 AS BIGINT) AS dst_records, TRUE AS snapshot_match FROM m
+UNION ALL SELECT 'lineitem_snap', 2, 'append', r01, r01, TRUE FROM m
+UNION ALL SELECT 'lineitem_snap', 3, 'append', r, r, TRUE FROM m
+UNION ALL SELECT 'orders_snap', 1, 'append', n, n, TRUE FROM os
+UNION ALL SELECT 'orders_snap', 2, 'overwrite', np, np, TRUE FROM os
+UNION ALL SELECT 'typed_snap', 1, 'append', 100, 100, TRUE
+""",
+)
 def migration_history_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History-preserving migration (the G4 fix; reference loses all
     but one snapshot, ``5_migrate_tables_data.py:80-83``): replay every
     source commit onto the target — appends as incremental file-delta
     reads, overwrites as full-state replays — then report per-snapshot
-    parity. Every row should show equal counts and matching
-    operation/committed_at."""
+    parity. The oracle rebuilds every (table, snapshot, operation,
+    records) row from the fixture views — cumulative thirds for the
+    3-append lineitem history, full + non-'P' counts for the
+    append-then-overwrite orders history — and pins src == dst with
+    snapshot_match TRUE, so a replay that loses a snapshot, reorders
+    operations, or drifts a row count goes red in the hash compare."""
     root = tempfile.mkdtemp(prefix="snapcat_replay_")
     try:
         src = build_source_warehouse(spark, sf_dir, root)

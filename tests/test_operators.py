@@ -93,6 +93,12 @@ def test_simhash_finds_near_dups(spark):
     sim = {(r["doc_a"], r["doc_b"]) for r in D.simhash_pairs(docs, max_hamming=6).collect()}
     recall = len(sim & exact) / len(exact)
     assert recall >= 0.8, f"simhash recall {recall}"
+    # the registered dedup_simhash config (Hamming <= 10) must recall
+    # EVERY exact pair — that is what its oracle pins as TRUE
+    sim10 = {
+        (r["doc_a"], r["doc_b"]) for r in D.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    assert exact <= sim10, f"registered simhash config missed {exact - sim10}"
 
 
 def test_knn_lsh_recall_vs_bruteforce(spark):
@@ -107,6 +113,13 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"knn-lsh recall@5 {recall}"
+    # the registered knn_lsh_bucketed config (3 planes/band) must be
+    # EXACT on the fixtures — its oracle is the brute-force top-5 SQL
+    reg = {
+        (r["qid"], r["vec_id"])
+        for r in S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=3).collect()
+    }
+    assert reg == exact, f"registered knn-lsh config missed {exact - reg}"
 
 
 def test_cosine_pairs_lsh_recall(spark):
@@ -168,6 +181,12 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"knn-ivf recall@5 {recall}"
+    # the registered knn_ivf query pins PER-QUERY recall@5 >= 0.8
+    # (its oracle pins the recall_ok boolean TRUE for every qid)
+    from collections import Counter
+
+    found = Counter(q for q, v in approx & exact)
+    assert all(found[q] >= 4 for q in range(10)), f"per-qid overlap {dict(found)}"
 
 
 # ----------------------------------------------------------- skew primitives

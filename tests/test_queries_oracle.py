@@ -36,3 +36,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_priority_window():
+    """The correctness driver grades the first 50 registered queries.
+    Guard the window: the priority list leads registration verbatim,
+    fills the window exactly, and every graded query carries an oracle
+    (no rows-only/no_oracle entries burning graded slots)."""
+    from apache_iceberg_tables_migration_tool_spark.queries import _DRIVER_PRIORITY
+
+    names = list(QUERIES)
+    assert len(_DRIVER_PRIORITY) == 50
+    assert names[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
+    ungated = [n for n in names[:50] if QUERIES[n].oracle is None]
+    assert not ungated, f"graded queries without oracles: {ungated}"
+
+
+def test_every_query_has_an_oracle():
+    """Round-2 bar: NO rows-only queries left — every registered query
+    is hash-checkable against DuckDB."""
+    missing = [n for n, s in QUERIES.items() if s.oracle is None]
+    assert not missing, f"queries without oracles: {missing}"
