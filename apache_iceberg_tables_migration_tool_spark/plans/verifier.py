@@ -28,6 +28,7 @@ VERIFY_SCHEMA = T.StructType(
         T.StructField("table_name", T.StringType()),
         T.StructField("schema_match", T.BooleanType()),
         T.StructField("partition_match", T.BooleanType()),
+        T.StructField("properties_match", T.BooleanType()),
         T.StructField("count_match", T.BooleanType()),
         T.StructField("checksum_match", T.BooleanType()),
         T.StructField("src_records", T.LongType()),
@@ -78,6 +79,9 @@ def verify(
 
             sch_ok = schema_diff(spark, s_tbl.schema(entry.snapshot_id), d_tbl.schema()).isEmpty()
             part_ok = list(s_snap.partition_spec) == list(d_snap.partition_spec)
+            # table properties must round-trip (the reference collects
+            # them per table, 2_collect_database_schema_info.py:176-184)
+            props_ok = s_tbl.properties() == d_tbl.properties()
             # counts from manifests — metadata-only (the reference ran
             # two full count() scans, 6_verify_data_integrity.py:74-75)
             s_n, d_n = s_snap.total_records, d_snap.total_records
@@ -86,14 +90,15 @@ def verify(
                 table_checksum(s_tbl.read(spark, snapshot_id=entry.snapshot_id))
                 == table_checksum(d_tbl.read(spark))
             )
-            status = "success" if (sch_ok and part_ok and cnt_ok and chk_ok) else "mismatch"
+            ok = sch_ok and part_ok and props_ok and cnt_ok and chk_ok
+            status = "success" if ok else "mismatch"
             rows.append(
-                (entry.database, entry.table_name, sch_ok, part_ok, cnt_ok, chk_ok,
-                 s_n, d_n, status, time.monotonic() - t0, None)
+                (entry.database, entry.table_name, sch_ok, part_ok, props_ok, cnt_ok,
+                 chk_ok, s_n, d_n, status, time.monotonic() - t0, None)
             )
         except Exception as e:
             rows.append(
                 (entry.database, entry.table_name, None, None, None, None, None, None,
-                 "error", time.monotonic() - t0, f"{type(e).__name__}: {e}")
+                 None, "error", time.monotonic() - t0, f"{type(e).__name__}: {e}")
             )
     return spark.createDataFrame(rows, VERIFY_SCHEMA)

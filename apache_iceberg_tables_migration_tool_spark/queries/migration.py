@@ -52,8 +52,17 @@ def build_source_warehouse(spark: SparkSession, sf_dir: str, root: str) -> SnapC
             mode="append", partition_by=["l_shipmonth"], committed_at=_T[i],
         )
 
+    # table properties ride as first-class metadata through the
+    # migration (reference collects them per table,
+    # 2_collect_database_schema_info.py:176-184)
+    src.set_properties(
+        "db", "lineitem_snap",
+        {"comment": "lineitem in 3 partitioned appends", "write.format": "parquet"},
+    )
+
     orders = load(spark, sf_dir, "orders")
     src.write("db", "orders_snap", orders, mode="append", committed_at=_T[0])
+    src.set_properties("db", "orders_snap", {"owner": "etl", "retention.days": "30"})
     src.write(  # overwrite commit → distinct operation values in history
         "db", "orders_snap", orders.where(F.col("o_orderstatus") != "P"),
         mode="overwrite", committed_at=_T[2],
@@ -82,13 +91,14 @@ WITH li AS (SELECT COUNT(*) AS n FROM lineitem),
      os AS (SELECT COUNT(*) FILTER (WHERE o_orderstatus <> 'P') AS n FROM orders)
 SELECT 'db' AS database, 'lineitem_snap' AS table_name, 'success' AS migrate_status,
        CAST(3 AS BIGINT) AS snapshot_id, CAST(li.n AS BIGINT) AS records_migrated,
-       TRUE AS schema_match, TRUE AS partition_match, TRUE AS count_match,
-       TRUE AS checksum_match, 'success' AS verify_status
+       TRUE AS schema_match, TRUE AS partition_match, TRUE AS properties_match,
+       TRUE AS count_match, TRUE AS checksum_match, 'success' AS verify_status
 FROM li
 UNION ALL
-SELECT 'db', 'orders_snap', 'success', 2, os.n, TRUE, TRUE, TRUE, TRUE, 'success' FROM os
+SELECT 'db', 'orders_snap', 'success', 2, os.n, TRUE, TRUE, TRUE, TRUE, TRUE, 'success'
+FROM os
 UNION ALL
-SELECT 'db', 'typed_snap', 'success', 1, 100, TRUE, TRUE, TRUE, TRUE, 'success'
+SELECT 'db', 'typed_snap', 'success', 1, 100, TRUE, TRUE, TRUE, TRUE, TRUE, 'success'
 """,
 )
 def migration_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +125,7 @@ def migration_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             mig.select("database", "table_name", F.col("status").alias("migrate_status"),
                        "snapshot_id", "records_migrated")
             .join(ver.select("database", "table_name", "schema_match", "partition_match",
-                             "count_match", "checksum_match",
+                             "properties_match", "count_match", "checksum_match",
                              F.col("status").alias("verify_status")),
                   ["database", "table_name"])
             .orderBy("database", "table_name")

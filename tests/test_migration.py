@@ -165,3 +165,84 @@ def test_history_replay_preserves_snapshots(spark, warehouses):
             b = comparable(dst.table("db", tbl).read(spark, snapshot_id=ds.snapshot_id))
             assert a.count() == b.count()
             assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_properties_roundtrip_and_drift_detection(spark, warehouses):
+    """Table properties are first-class metadata: they survive the
+    migrate create path, verify as properties_match, and a post-copy
+    drift on the target flips the flag (the reference collects
+    properties per table, 2_collect_database_schema_info.py:176-184)."""
+    src, dst = warehouses
+    assert src.table("db", "lineitem_snap").properties() == {
+        "comment": "lineitem in 3 partitioned appends",
+        "write.format": "parquet",
+    }
+    plan = collect_plan(src)
+    by_name = {t.table_name: t for t in plan.tables}
+    assert by_name["orders_snap"].properties == {"owner": "etl", "retention.days": "30"}
+
+    migrate(spark, plan, src, dst, committed_at=T[5])
+    assert dst.table("db", "orders_snap").properties() == {
+        "owner": "etl", "retention.days": "30",
+    }
+    ver = {r["table_name"]: r for r in verify(spark, plan, src, dst).collect()}
+    assert all(r["properties_match"] for r in ver.values())
+
+    # drift: retention changed on the target only → flag flips
+    dst.set_properties("db", "orders_snap", {"retention.days": "7"})
+    ver2 = {r["table_name"]: r for r in verify(spark, plan, src, dst).collect()}
+    assert ver2["orders_snap"]["properties_match"] is False
+    assert ver2["orders_snap"]["status"] == "mismatch"
+    assert ver2["lineitem_snap"]["properties_match"] is True
+
+    # unset restores parity
+    dst.set_properties("db", "orders_snap", {"retention.days": "30"})
+    ver3 = {r["table_name"]: r for r in verify(spark, plan, src, dst).collect()}
+    assert ver3["orders_snap"]["properties_match"] is True
+
+
+def test_history_replay_carries_properties(spark, warehouses):
+    """History-preserving migration must also land table properties,
+    including for histories with no explicit create snapshot."""
+    from apache_iceberg_tables_migration_tool_spark.plans import migrate_history
+
+    src, dst = warehouses
+    plan = collect_plan(src)
+    migrate_history(spark, plan, src, dst).collect()
+    assert dst.table("db", "lineitem_snap").properties() == {
+        "comment": "lineitem in 3 partitioned appends",
+        "write.format": "parquet",
+    }
+
+
+def test_foreign_warehouse_entries_skipped_with_warning(spark, tmp_path, warehouses):
+    """A junk directory / stray file in the warehouse is not a table:
+    planning must skip it with a warning and record it in the plan's
+    skipped list (reference skips non-Iceberg providers,
+    2_collect_database_schema_info.py:162-171), never crash."""
+    import os
+    import warnings
+
+    src, dst = warehouses
+    junk_dir = os.path.join(src.warehouse, "db", "_spark_staging")
+    os.makedirs(os.path.join(junk_dir, "whatever"))
+    with open(os.path.join(src.warehouse, "db", "README.txt"), "w") as f:
+        f.write("not a table")
+
+    assert "_spark_staging" not in src.list_tables("db")
+    assert src.list_foreign_entries("db") == ["README.txt", "_spark_staging"]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan = collect_plan(src)
+    assert {t.table_name for t in plan.tables} == {
+        "lineitem_snap", "orders_snap", "typed_snap",
+    }
+    skipped = {s["table_name"]: s["reason"] for s in plan.skipped}
+    assert "_spark_staging" in skipped and "README.txt" in skipped
+    assert all("not a snapshot-catalog table" in r for r in skipped.values())
+    assert any("_spark_staging" in str(x.message) for x in w)
+
+    # the full pipeline runs clean around the junk
+    rep = migrate(spark, plan, src, dst, committed_at=T[5])
+    assert {r["status"] for r in rep.collect()} == {"success"}
