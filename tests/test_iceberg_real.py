@@ -1,0 +1,82 @@
+"""End-to-end test of the real-Iceberg adapter.
+
+SKIPPED in this container: `iceberg-spark-runtime` is not on the
+classpath and cannot be vendored (no network / no Maven cache —
+see README "Real-Iceberg execution status"). On any machine where
+the jar IS present (e.g. `pyspark --packages
+org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:<ver>`), this
+module runs the reference's full lifecycle through
+`sources/iceberg_real.IcebergCatalog` on a local Hadoop catalog:
+create → append ×2 → time-travel → expire_snapshots →
+rewrite_data_files → MERGE → DELETE → incremental read
+(reference substrate: 1_collect_src_snapshots.py:24-35,
+5_migrate_tables_data.py:72-83, 6_verify_data_integrity.py:74-87).
+"""
+
+import pytest
+from pyspark.sql import SparkSession
+
+from apache_iceberg_tables_migration_tool_spark.sources.iceberg_real import (
+    IcebergCatalog,
+    configure_hadoop_catalog,
+    iceberg_available,
+)
+
+
+@pytest.fixture(scope="module")
+def iceberg_spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("iceberg_wh"))
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("iceberg-e2e")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = configure_hadoop_catalog(builder, "it", wh).getOrCreate()
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime not on the classpath (see README)")
+    yield spark
+
+
+def test_full_lifecycle_on_hadoop_catalog(iceberg_spark):
+    spark = iceberg_spark
+    cat = IcebergCatalog(spark, "it")
+    cat.create_namespace("db")
+    cat.create_table(
+        "db", "t", "id BIGINT, region STRING, amount DOUBLE",
+        partition_by=["region"], properties={"owner": "etl"},
+    )
+
+    cat.write("db", "t", spark.createDataFrame(
+        [(1, "eu", 10.0), (2, "us", 20.0)], "id BIGINT, region STRING, amount DOUBLE"))
+    cat.write("db", "t", spark.createDataFrame(
+        [(3, "eu", 30.0)], "id BIGINT, region STRING, amount DOUBLE"))
+
+    snaps = cat.snapshots_df("db", "t").orderBy("committed_at").collect()
+    assert len(snaps) == 2
+    first_id = snaps[0]["snapshot_id"]
+
+    # time travel to the first append
+    assert cat.read("db", "t", snapshot_id=first_id).count() == 2
+    assert cat.read("db", "t").count() == 3
+
+    # incremental read covers exactly the second append
+    inc = cat.read_incremental("db", "t", snaps[0]["snapshot_id"], snaps[1]["snapshot_id"])
+    assert [r["id"] for r in inc.collect()] == [3]
+
+    # row-level ops
+    cat.upsert("db", "t", spark.createDataFrame(
+        [(2, "us", 25.0), (4, "ap", 40.0)], "id BIGINT, region STRING, amount DOUBLE"),
+        key_cols=["id"])
+    assert cat.read("db", "t").where("id = 2").collect()[0]["amount"] == 25.0
+    cat.delete_where("db", "t", "region = 'ap'")
+    assert cat.read("db", "t").where("region = 'ap'").count() == 0
+
+    # maintenance procedures execute and the table stays readable
+    cat.compact("db", "t")
+    cat.compact_sorted("db", "t", ["id"])
+    cat.expire_snapshots("db", "t", older_than="2100-01-01 00:00:00")
+    assert cat.read("db", "t").count() == 3
+    assert cat.files_df("db", "t").count() >= 1
+    assert cat.history_df("db", "t").count() >= 1
