@@ -8,16 +8,19 @@ with a typed metadata struct::
 
 The Spark-side machinery — schemas, Arrow batch shapes, partitioned
 mapInPandas feature extraction, deterministic chunk/frame sampling —
-is real and tested. The actual media decode (image/audio libs are not
-in this container) is STUBBED: ``decode_image`` raises
-``NotImplementedError`` by design, and ``extract_features`` uses a
-deterministic byte-histogram fake with the exact UDF signature a real
-CLIP/mel-spectrogram extractor would have (swap the inner function,
-keep the plumbing).
+is real and tested. Image decode is REAL for the two codecs a pure
+numpy implementation can cover (uncompressed 24-bit BMP and binary
+PPM/P6 — see ``decode_image_bytes``); compressed codecs (JPEG/PNG,
+audio, video) still raise ``NotImplementedError`` because no codec
+library ships in this container. ``extract_features`` keeps a
+deterministic byte-histogram kernel with the exact UDF signature a
+real CLIP/mel-spectrogram extractor would have (swap the inner
+function, keep the plumbing).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,15 +46,154 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(content: Column) -> Column:  # pragma: no cover - stub
-    """STUB: real image decode requires PIL/libvips, not present in
-    this container. The scale design is: Arrow-batched mapInPandas,
-    one decode per row inside a partition iterator (never a
-    row-at-a-time Python UDF), partition count sized so each batch's
-    decoded frames fit executor memory."""
+# ---- image codecs (real, pure numpy) ---------------------------------
+#
+# Uncompressed 24-bit BMP and binary PPM (P6) are fully specified,
+# compression-free formats a numpy-only decoder covers exactly.
+# Compressed codecs (JPEG/PNG/…) need a codec library this container
+# doesn't ship, so they keep the explicit NotImplementedError contract.
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an uncompressed
+    24-bit BMP (BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+    rows padded to 4 bytes)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {px.shape}")
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def _decode_bmp(raw: bytes) -> np.ndarray:
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", raw, 10)
+    _hdr_size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", raw, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up, h = h > 0, abs(h)
+    row_size = (w * 3 + 3) & ~3
+    buf = np.frombuffer(raw, np.uint8, count=row_size * h, offset=data_offset)
+    px = buf.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return (px[::-1] if bottom_up else px).copy()
+
+
+def _decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6), maxval ≤ 255, '#' comments allowed in the
+    header per the netpbm spec."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return (
+        np.frombuffer(raw, np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_image_bytes(raw: bytes) -> np.ndarray:
+    """Decode one image payload to an ``(h, w, 3)`` uint8 RGB array.
+    Dispatches on magic bytes: BMP and PPM decode for real; any other
+    codec raises ``NotImplementedError`` (no codec library in this
+    container — plug PIL/libvips here on a real cluster, the batch
+    plumbing in ``decode_images`` is unchanged)."""
+    raw = bytes(raw)
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    if raw[:2] == b"P6":
+        return _decode_ppm(raw)
     raise NotImplementedError(
-        "image decode is stubbed in this environment; plug a Pandas-UDF "
-        "decoder with the extract_features signature"
+        f"unsupported image codec (magic={raw[:2]!r}); only uncompressed "
+        "BMP and binary PPM decode without a codec library"
+    )
+
+
+IMG_SIDE = 8
+
+
+def render_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image payloads: each row gets an
+    ``IMG_SIDE``² 24-bit BMP whose channel-``c`` pixel ``i`` value is
+    ``((id % 256) * (c + 2) + 5 * i) % 256`` — a closed form an
+    external SQL oracle can recompute, so the encode→decode loop is
+    hash-checkable end to end."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                chans = [((int(did) % 256) * (c + 2) + 5 * i) % 256 for c in range(3)]
+                px = (
+                    np.stack(chans, axis=1)
+                    .astype(np.uint8)
+                    .reshape(IMG_SIDE, IMG_SIDE, 3)
+                )
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({id_col: pdf[id_col], "content": payloads})
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, content binary"
+    )
+
+
+def decode_images(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode image payloads at scale: Arrow-batched ``mapInPandas``,
+    one decode per row inside the partition iterator (never a
+    row-at-a-time Python UDF); partition count sizes how many decoded
+    frames are in flight per executor. Emits per-image dimensions and
+    exact per-channel means (sum/n in float64)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {id_col: pdf[id_col], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for payload in pdf[content_col]:
+                px = decode_image_bytes(payload)
+                h, w, _ = px.shape
+                means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
+from apache_iceberg_tables_migration_tool_spark.operators import multimodal as M
 from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
 from apache_iceberg_tables_migration_tool_spark.operators import text as X
 from apache_iceberg_tables_migration_tool_spark.operators import windows as W
@@ -358,6 +359,32 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("text").alias("first_cp"),
         "n_chars",
     )
+
+
+@query(
+    "multimodal_decode_image",
+    tags=("multimodal",),
+    oracle="""
+SELECT d.doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       AVG(CAST(((d.doc_id % 256) * 2 + 5 * t.i) % 256 AS DOUBLE)) AS mean_r,
+       AVG(CAST(((d.doc_id % 256) * 3 + 5 * t.i) % 256 AS DOUBLE)) AS mean_g,
+       AVG(CAST(((d.doc_id % 256) * 4 + 5 * t.i) % 256 AS DOUBLE)) AS mean_b
+FROM documents d CROSS JOIN range(64) t(i)
+GROUP BY d.doc_id
+""",
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (X5): render a deterministic 8×8 24-bit BMP
+    per document, push the bytes through the numpy BMP decoder inside
+    Arrow-batched mapInPandas, and emit dimensions + exact per-channel
+    means. The oracle recomputes the pixel formula arithmetically, so
+    a single bit wrong anywhere in encode or decode (row padding,
+    BGR↔RGB, bottom-up order) breaks the hash. Means are sums of ints
+    over 64 (a power of two) — bit-exact in float64 cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = M.render_bmp_payloads(docs, id_col="doc_id")
+    return M.decode_images(payloads, content_col="content", id_col="doc_id")
 
 
 # --------------------------------------------------------------------------
