@@ -1,0 +1,246 @@
+"""Training-data curation operators (corpus-scale preprocessing).
+
+The capabilities a 100-TB LLM-pretraining pipeline needs on top of
+dedup/similarity/text-stats: benchmark-contamination detection, PII
+redaction, intra-document repetition metrics, deterministic
+stratified sampling, and GPT-style sequence packing. Everything in
+this module is JVM-side codegen expressions or candidate-bounded
+joins — no Python in the row path anywhere.
+
+Reference scope note: the reference tool has no curation surface;
+these extend the engine per the build contract (first-class
+LLM-pipeline operators), reusing its shingling (`operators/text.py`)
+and portable-hash conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators.text import (
+    hashed_word_shingles,
+    token_count,
+)
+
+# --------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against an eval set)
+# --------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Docs sharing ≥ ``min_shared`` distinct word ``n``-grams with a
+    benchmark/eval corpus → (id, n_shared_shingles, contaminated).
+
+    Scale shape: the benchmark shingle set is DISTINCT-ed and
+    **broadcast** (eval suites are MBs against a 100-TB corpus), so
+    the corpus-side shingle stream joins map-side with no shuffle of
+    corpus data; the only exchange is the per-doc count aggregation,
+    which partial-aggregates map-side first. Shingles travel as
+    xxhash64 longs, not strings."""
+    bench_shingles = (
+        hashed_word_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    doc_shingles = hashed_word_shingles(docs, id_col, text_col, n)
+    shared = (
+        doc_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= min_shared)
+    )
+    return shared.withColumn("contaminated", F.lit(True))
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regex, JVM-side)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) treat
+# identically, so the operator is oracle-checkable cross-engine.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-row PII match counts (emails / IPv4 / NANP-style phones)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_ips": F.regexp_count(c, F.lit(IP_RE)),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>.
+    Order matters: emails first (their host part would otherwise be
+    clipped by the IP rule for numeric domains), then IPs (dotted
+    quads must not be half-eaten by the phone rule), then phones.
+    Pure ``regexp_replace`` chain — whole-stage codegen, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IP_RE, "<IP>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (dup n-gram ratio, Gopher-style)
+# --------------------------------------------------------------------------
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Per-doc repetition profile: total vs distinct word ``n``-grams
+    and the duplicate-n-gram ratio (the classic repetition quality
+    gate). Entirely per-row array expressions inside whole-stage
+    codegen — a narrow map over the scan, no shuffle, no explode."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    n_uniq = F.when(F.size(toks) >= n, F.size(F.array_distinct(grams))).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_ngrams"),
+        n_uniq.alias("n_uniq_ngrams"),
+        F.when(n_grams > 0, 1.0 - n_uniq.cast("double") / n_grams)
+        .otherwise(0.0)
+        .alias("dup_ngram_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+#: LCG constants (glibc): portable int64 arithmetic both Spark and any
+#: ANSI oracle evaluate identically — unlike xxhash64, which external
+#: engines don't implement.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+def sample_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, buckets) from an id:
+    ``((id % 1000003) * A + C) mod 2^31 mod buckets``. The leading
+    prime modulus bounds the multiply far inside int64 for arbitrarily
+    large ids (100-TB id spaces included)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c % 1000003) * _LCG_A + _LCG_C) % _LCG_M % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ``rates_pct[stratum]``-percent sample per
+    stratum (language/domain quota sampling for training mixes).
+    Row-local filter — fully pushed into the scan, zero shuffle, and
+    the same rows survive on every engine and every rerun."""
+    bucket = sample_bucket(id_col)
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, pct).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample: rank by
+    ``md5(id)`` (a seedless portable shuffle order) within each
+    stratum, keep the first N. One shuffle on the stratum key; skewed
+    strata stay bounded because ranking short-circuits at N per
+    partition group (TakeOrdered-style). For very hot strata at 100 TB
+    pre-filter with ``sample_bucket`` to ~10·N/|stratum| first so the
+    window input is small."""
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return df.withColumn("__rk", rk).where(F.col("__rk") <= n).drop("__rk")
+
+
+# --------------------------------------------------------------------------
+# GPT-style sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    concatenate the stratum's token stream in ``id_col`` order and cut
+    every ``budget`` tokens; a doc belongs to the sequence where it
+    starts (GPT-style packing with document spanning). Emits per-doc
+    ``(id, stratum, n_tokens, seq_id)``.
+
+    Scale shape: the per-stratum prefix sum is computed in TWO phases
+    so no single task ever holds a whole stratum — (1) range-partition
+    by (stratum, id) and subtotal each partition, (2) broadcast the
+    tiny subtotal table back as per-partition offsets, then cumsum
+    WITHIN each partition only. A plain
+    ``Window.partitionBy(stratum)`` would serialize 100 TB/stratum
+    through one task; this stays balanced no matter how skewed the
+    strata are."""
+    toks = df.select(
+        F.col(id_col), F.col(strata_col), token_count(text_col).alias("n_tokens")
+    )
+    parts = toks.repartitionByRange(F.col(strata_col), F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=False)  # pin partition ids for reuse
+    subtotals = (
+        parts.groupBy(strata_col, "__pid")
+        .agg(F.sum("n_tokens").alias("__sub"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__sub").over(
+                    Window.partitionBy(strata_col)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__sub")
+    )
+    local_cum = F.sum("n_tokens").over(
+        Window.partitionBy(strata_col, "__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.join(F.broadcast(subtotals), [strata_col, "__pid"])
+        .withColumn("__start", F.col("__offset") + F.coalesce(local_cum, F.lit(0)))
+        .select(
+            id_col,
+            strata_col,
+            "n_tokens",
+            F.floor(F.col("__start") / budget).alias("seq_id"),
+        )
+    )

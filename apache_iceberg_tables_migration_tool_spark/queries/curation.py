@@ -1,0 +1,221 @@
+"""Training-data curation as oracle-checked queries: benchmark
+contamination, PII redaction, repetition profiling, deterministic
+stratified sampling, and GPT-style sequence packing — the
+corpus-preprocessing surface of the engine (operators/curation.py).
+
+Cross-engine determinism notes: sampling/packing use portable int64
+arithmetic (LCG buckets, prefix sums) rather than engine hashes;
+redaction regexes stick to syntax Java regex and RE2 share; ratio
+doubles come from single IEEE ops (correctly rounded on both
+engines), so every query here value-hash matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import curation as C
+from apache_iceberg_tables_migration_tool_spark.queries.registry import query
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+
+# DuckDB twin of operators/text.word_shingles (3-grams)
+_SHINGLE_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t)
+"""
+
+_MIN_SHARED = 5
+
+
+@query(
+    "contamination_benchmark_overlap",
+    tags=("curation", "dedup"),
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+SELECT sh.doc_id, COUNT(*) AS n_shared_shingles, TRUE AS contaminated
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY sh.doc_id
+HAVING COUNT(*) >= {_MIN_SHARED}
+""",
+)
+def contamination_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: corpus docs sharing ≥5 distinct
+    word-3-grams with the held-out benchmark slice (docs with
+    ``doc_id % 97 = 0`` stand in for an eval suite). The benchmark
+    shingle set is broadcast, so the corpus side never shuffles —
+    the decontamination join a pretraining pipeline runs at full
+    scale before every training mix."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return C.contamination(corpus, benchmark, min_shared=_MIN_SHARED)
+
+
+@query(
+    "pii_redaction",
+    tags=("curation", "text"),
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS txt
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{C.EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{C.IP_RE}')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(txt, '{C.PHONE_RE}')) AS INTEGER) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+           '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{C.IP_RE}', '<IP>', 'g'),
+           '{C.PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / IPv4 / phone numbers.
+    Fixture texts carry no PII, so each doc is augmented with
+    deterministic synthetic PII derived from its id — the oracle
+    reproduces the augmentation and the full redaction chain, so the
+    exact replacement semantics (ordering included) are hash-pinned.
+    All regexp_replace/regexp_count — codegen, zero Python."""
+    docs = load(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", txt.alias("txt"))
+    counts = C.pii_counts("txt")
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        C.redact_pii("txt").alias("redacted"),
+    )
+
+
+@query(
+    "repetition_profile",
+    tags=("curation", "text"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         GREATEST(len(w) - 4, 0) AS n_ngrams,
+         CASE WHEN len(w) >= 5 THEN len(list_distinct(list_transform(
+                generate_series(1, len(w) - 4),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                          || ' ' || w[i+4])))
+              ELSE 0 END AS n_uniq_ngrams
+  FROM g)
+SELECT doc_id, CAST(n_ngrams AS INTEGER) AS n_ngrams,
+       CAST(n_uniq_ngrams AS INTEGER) AS n_uniq_ngrams,
+       CASE WHEN n_ngrams > 0
+            THEN 1.0 - CAST(n_uniq_ngrams AS DOUBLE) / n_ngrams
+            ELSE 0.0 END AS dup_ngram_ratio
+FROM m
+""",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (Gopher-style duplicate-5-gram
+    ratio): a narrow codegen map over the scan — no shuffle, no
+    explode — emitting the filterable quality signal per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return C.repetition_metrics(docs, n=5)
+
+
+_RATES = {"en": 50, "es": 30, "zh": 20}
+_DEFAULT_PCT = 10
+
+
+def _rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {p}" for s, p in sorted(_RATES.items())
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_PCT} END"
+
+
+@query(
+    "stratified_sample_langs",
+    tags=("curation", "sampling"),
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 100
+            AS BIGINT) AS bucket
+FROM documents
+WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 100
+      < {_rate_case()}
+""",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling for a training mix: keep 50% of en / 30% of es /
+    20% of zh / 10% otherwise, chosen by a portable LCG bucket of the
+    doc id — a pure row-local filter (pushed to the scan, zero
+    shuffle) that selects the SAME rows on every engine and rerun."""
+    docs = load(spark, sf_dir, "documents")
+    kept = C.stratified_sample(
+        docs, _RATES, strata_col="lang", default_pct=_DEFAULT_PCT
+    )
+    return kept.select(
+        "doc_id", "lang", C.sample_bucket("doc_id").cast("long").alias("bucket")
+    )
+
+
+@query(
+    "sample_fixed_per_lang",
+    tags=("curation", "sampling"),
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= 20
+""",
+)
+def sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language sample ranked by md5(id) — a seedless
+    portable shuffle order, so the 'random' pick is reproducible
+    across engines (eval-set carving / per-domain spot checks)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.sample_per_stratum(docs, n=20).select("doc_id", "lang")
+
+
+_SEQ_BUDGET = 512
+
+
+@query(
+    "pack_training_sequences",
+    tags=("curation", "packing"),
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(FLOOR(CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS DOUBLE) / {_SEQ_BUDGET}) AS BIGINT) AS seq_id
+FROM documents
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per language, concatenate the token
+    stream in doc_id order and cut every 512 tokens; a doc belongs to
+    the sequence where it starts. The Spark side computes the prefix
+    sum in two phases (range-partition subtotals + broadcast offsets)
+    so no task ever holds a whole stratum — the oracle's flat window
+    is semantically identical but would serialize per-stratum at
+    scale; see operators/curation.pack_sequences."""
+    docs = load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=_SEQ_BUDGET).select(
+        "doc_id", "lang", "n_tokens", "seq_id"
+    )

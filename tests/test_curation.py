@@ -1,0 +1,159 @@
+"""Operator-level tests for training-data curation (edge cases the
+sf0.001/sf0.01 oracle gates don't isolate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import curation as C
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+from tests.conftest import SF_DIR
+
+
+def test_contamination_broadcasts_benchmark_and_bounds(spark):
+    docs = load(spark, SF_DIR, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = C.contamination(corpus, bench, min_shared=3)
+    rows = out.collect()
+    assert all(r["n_shared_shingles"] >= 3 and r["contaminated"] for r in rows)
+    # benchmark docs never appear in the output (they're not corpus rows)
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    assert not bench_ids & {r["doc_id"] for r in rows}
+    # the benchmark side must be broadcast — the corpus never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_self_overlap_is_total(spark):
+    """A doc checked against itself shares all its shingles."""
+    docs = load(spark, SF_DIR, "documents").limit(10)
+    out = C.contamination(docs, docs, min_shared=1).collect()
+    assert len(out) == 10
+
+
+def test_redact_pii_ordering_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c%d@sub.domain.io then 10.0.0.1 and 555-123-4567 end"),
+         (2, "no pii here at all"),
+         (3, "two mails x@y.zz w@v.qq one ip 192.168.1.255")],
+        "id bigint, txt string",
+    )
+    counts = C.pii_counts("txt")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            counts["n_emails"].alias("e"),
+            counts["n_ips"].alias("i"),
+            counts["n_phones"].alias("p"),
+            C.redact_pii("txt").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail <EMAIL> then <IP> and <PHONE> end"
+    assert out[2]["red"] == "no pii here at all"
+    assert (out[3]["e"], out[3]["i"]) == (2, 1)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_repetition_short_and_repeated_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"),                      # shorter than n → 0 ngrams
+         (2, "a b c d e"),                  # exactly one 5-gram
+         (3, "x y x y x y x y x y x y")],   # heavy repetition
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in C.repetition_metrics(df, n=5).collect()}
+    assert (out[1]["n_ngrams"], out[1]["n_uniq_ngrams"]) == (0, 0)
+    assert out[1]["dup_ngram_ratio"] == 0.0
+    assert (out[2]["n_ngrams"], out[2]["n_uniq_ngrams"]) == (1, 1)
+    assert out[3]["n_ngrams"] == 8 and out[3]["n_uniq_ngrams"] == 2
+    assert out[3]["dup_ngram_ratio"] == pytest.approx(0.75)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = load(spark, SF_DIR, "documents")
+    rates = {"en": 50, "es": 25}
+    kept = C.stratified_sample(docs, rates, default_pct=0)
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= {"en", "es"}  # default 0% drops other strata
+    for lang, pct in rates.items():
+        share = counts.get(lang, 0) / totals[lang]
+        assert abs(share - pct / 100) < 0.25  # LCG ≈ uniform at small n
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in C.stratified_sample(docs, rates).collect())
+    assert a == b
+
+
+def test_sample_per_stratum_exact_n_disjoint_reruns(spark):
+    docs = load(spark, SF_DIR, "documents")
+    out = C.sample_per_stratum(docs, n=7)
+    per = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 7 for r in per)
+    again = sorted(r["doc_id"] for r in C.sample_per_stratum(docs, n=7).collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_pack_sequences_matches_serial_recompute(spark):
+    """The distributed two-phase prefix sum must equal a serial pack:
+    per stratum in id order, seq_id = floor(tokens_before / budget)."""
+    docs = load(spark, SF_DIR, "documents")
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["seq_id"])
+        for r in C.pack_sequences(docs, budget=256).collect()
+    }
+    local = sorted(
+        (r["lang"], r["doc_id"], len(r["text"].split(" ")))
+        for r in docs.select("doc_id", "lang", "text").collect()
+    )
+    cum: dict[str, int] = {}
+    for lang, did, ntok in local:
+        before = cum.get(lang, 0)
+        assert got[did] == (lang, ntok, before // 256), f"doc {did}"
+        cum[lang] = before + ntok
+
+
+def test_pack_sequences_no_whole_stratum_window(spark):
+    """Guard the scale property: the plan must not contain a window
+    partitioned by the stratum alone (that serializes a stratum
+    through one task); only (stratum, partition-id) windows and the
+    tiny subtotal window are allowed."""
+    docs = load(spark, SF_DIR, "documents")
+    plan = C.pack_sequences(docs, budget=256)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        cols = m.group(1)
+        if "__pid" in cols:
+            continue  # per-partition cumsum — bounded by range partitioner
+        # remaining windows may only run over the subtotal table
+        # (≤ #partitions rows per stratum)
+        assert "n_tokens" not in cols
+
+
+def test_sample_bucket_is_scan_local(spark):
+    """stratified_sample is a pure filter: no exchange in the plan."""
+    docs = load(spark, SF_DIR, "documents")
+    plan = (
+        C.stratified_sample(docs, {"en": 50}, default_pct=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_lcg_bucket_spread():
+    """The portable bucket must be near-uniform over sequential ids."""
+    ids = np.arange(10_000, dtype=np.int64)
+    buckets = ((ids % 1000003) * 1103515245 + 12345) % 2**31 % 100
+    counts = np.bincount(buckets, minlength=100)
+    assert counts.min() > 50 and counts.max() < 200
