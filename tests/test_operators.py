@@ -290,3 +290,28 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(long_chain, max_iter=1)
+
+
+def test_int8_quantization_bounds_and_recall(spark):
+    """SQ8 codes are in [0,255], reconstruction error ≤ scale/2 per
+    component, and quantized top-5 recalls ≥0.9 of the exact top-5."""
+    emb = load(spark, SF_DIR, "embeddings")
+    qz = S.dequantize_int8(S.quantize_int8(emb))
+    row = qz.join(emb, "vec_id").select("embedding", "codes", "scale", "dq").first()
+    assert all(0 <= c <= 255 for c in row["codes"])
+    for x, d in zip(row["embedding"], row["dq"]):
+        assert abs(x - d) <= row["scale"] / 2 + 1e-12
+
+    from apache_iceberg_tables_migration_tool_spark.queries.northstar import (
+        knn_int8_quantized,
+        knn_topk_cosine,
+    )
+
+    exact = {
+        (r["qid"], r["vec_id"]) for r in knn_topk_cosine(spark, SF_DIR).collect()
+    }
+    quant = {
+        (r["qid"], r["vec_id"]) for r in knn_int8_quantized(spark, SF_DIR).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized recall {recall}"
