@@ -219,3 +219,70 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(docs, budget=_SEQ_BUDGET).select(
         "doc_id", "lang", "n_tokens", "seq_id"
     )
+
+
+@query(
+    "curation_pipeline_e2e",
+    tags=("curation", "pipeline"),
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents),
+flt AS (
+  SELECT * FROM q WHERE n_tokens BETWEEN 20 AND 1000 AND uniq_ratio >= 0.3),
+ded AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM flt) WHERE rn = 1),
+samp AS (
+  SELECT * FROM ded
+  WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 100
+        < {_rate_case()}),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR(CAST(COALESCE(SUM(n_tokens)
+                  OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) / {_SEQ_BUDGET}) AS BIGINT) AS seq_id
+  FROM samp)
+SELECT lang, seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed GROUP BY lang, seq_id
+""",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline COMPOSED end to end — the shape a
+    real pretraining data build runs nightly: quality gate (token
+    count + uniq ratio) → exact dedup (deterministic min-id survivor
+    per text) → stratified quota sampling → sequence packing →
+    per-sequence rollup. Every stage is the registered operator, so
+    the oracle replays the identical chain relationally; one narrow
+    pipeline until the dedup shuffle, then the sampling filter is
+    row-local and packing is the two-phase prefix sum."""
+    from pyspark.sql import Window
+
+    from apache_iceberg_tables_migration_tool_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    uniq_ratio = (
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double") / n_tok
+    )
+    flt = docs.where(n_tok.between(20, 1000) & (uniq_ratio >= 0.3))
+    ded = (
+        flt.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+        )
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    samp = C.stratified_sample(ded, _RATES, strata_col="lang", default_pct=_DEFAULT_PCT)
+    packed = C.pack_sequences(samp, budget=_SEQ_BUDGET)
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )

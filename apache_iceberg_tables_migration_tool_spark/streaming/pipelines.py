@@ -192,3 +192,49 @@ def click_purchase_stream_join(
     return c.join(p, cond, "inner").select(
         F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+# ---- continuous curation ingest ---------------------------------------
+
+_DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — stands in for
+    a continuously-landing crawl/ingest directory."""
+    return (
+        spark.readStream.schema(_DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Streaming-compatible curation gate: token-count + uniq-ratio
+    quality filter, duplicate-5-gram repetition cap, and PII
+    redaction. Every transform is a stateless per-row codegen
+    expression, so the SAME function runs on a batch DataFrame and a
+    structured stream (no watermark, no state store) — parity is
+    asserted in tests. Stateful stages (cross-doc dedup, sampling
+    quotas, packing) stay in the batch layer downstream of the
+    continuous gate, where they belong: they need corpus-global
+    views a stream can't have."""
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import redact_pii
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 5), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"
+    )
+    dup_ratio = F.when(
+        n_tok >= 5,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / (n_tok - 4),
+    ).otherwise(0.0)
+    return (
+        docs.where(n_tok.between(20, 1000) & (uniq_ratio >= 0.3) & (dup_ratio <= 0.5))
+        .select("doc_id", "lang", redact_pii("text").alias("clean_text"))
+    )

@@ -316,3 +316,30 @@ def test_stream_ingest_replay_is_idempotent(spark, tmp_path):
     q2.awaitTermination()
     assert tbl.read(spark).count() == n_first  # no duplicate rows
     assert len(tbl.snapshots()) == n_snaps  # no duplicate commits
+
+
+def test_streaming_curation_matches_batch(spark):
+    """curate_documents is stateless, so the structured-streaming run
+    over the same fixture must emit exactly the batch result."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        curate_documents, read_documents_stream,
+    )
+
+    stream = curate_documents(read_documents_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("curate_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_id"], r["lang"], r["clean_text"])
+        for r in spark.table("curate_stream_test").collect()
+    }
+    want = {
+        (r["doc_id"], r["lang"], r["clean_text"])
+        for r in curate_documents(load(spark, SF_DIR, "documents")).collect()
+    }
+    assert got == want and len(want) > 0
