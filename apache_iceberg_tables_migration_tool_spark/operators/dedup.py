@@ -184,6 +184,97 @@ def minhash_signatures(
     return hs.select(F.col(id_col), *mins)
 
 
+def band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh) LSH band-bucket table — the persistable
+    signature INDEX of a corpus. Computing it is one shuffle-free
+    pass over the text (see minhash_signatures); at 100 TB it is
+    written once (partitioned by band) and every incremental ingest
+    joins against it instead of re-reading corpus text."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def dedup_batch_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: which NEW documents duplicate
+    something already in the corpus? The per-ingest step of a crawl
+    pipeline — a fresh batch lands and must be checked against the
+    accumulated 100 TB corpus without rescanning it.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a from the new batch,
+    doc_b from the corpus, exact word-n-gram Jaccard ≥ threshold.
+    Ids must be disjoint across the two inputs (they are distinct
+    corpora by definition).
+
+    Scale shape — the corpus is touched exactly twice, both times
+    narrowly:
+
+    1. Candidate generation joins the small new-batch band table
+       against the corpus band table (pass a precomputed/persisted
+       one via ``corpus_bands`` to skip even that signature pass).
+       The new side is ingest-batch sized, so this hash join is
+       effectively a lookup into the corpus index.
+    2. Verification shingles ONLY the corpus docs that appear as
+       candidates (left-semi prune before tokenizing) — corpus text
+       is read just for the candidate sliver, never in full.
+    """
+    nb = band_table(new_docs, id_col, text_col, n, num_hashes, bands, seed)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else band_table(corpus_docs, id_col, text_col, n, num_hashes, bands, seed)
+    )
+    candidates = (
+        nb.select(F.col(id_col).alias("doc_a"), "band", "bh")
+        .join(cb.select(F.col(id_col).alias("doc_b"), "band", "bh"), ["band", "bh"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_corpus = corpus_docs.join(
+        candidates.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh = hashed_word_shingles(
+        new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+            cand_corpus.select(F.col(id_col), F.col(text_col))
+        ),
+        id_col,
+        text_col,
+        n,
+    )
+    return _pair_jaccard(sh, pair_filter=candidates).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,

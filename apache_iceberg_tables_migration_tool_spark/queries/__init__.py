@@ -16,6 +16,7 @@ from apache_iceberg_tables_migration_tool_spark.queries import migration  # noqa
 from apache_iceberg_tables_migration_tool_spark.queries import extensions  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import tpch_ext  # noqa: F401,E402
 from apache_iceberg_tables_migration_tool_spark.queries import curation  # noqa: F401,E402
+from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.

@@ -1,0 +1,86 @@
+"""Full-text retrieval as oracle-checked queries: integer-scaled
+BM25 ranking and an inverted-index slice over ``documents``
+(operators/search.py). Scores use exact int64 rational arithmetic
+(no ``log``, no float division), so DuckDB reproduces every value
+bit-for-bit — see the determinism note in the operator module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_iceberg_tables_migration_tool_spark.operators import search as S
+from apache_iceberg_tables_migration_tool_spark.queries.registry import query
+from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+
+_QUERY_TERMS = ("join", "spark", "stream", "window")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+_K = 10
+
+# Shared DuckDB tokenization CTEs (twin of operators/search._tokens)
+_TOKEN_CTE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM w),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+"""
+
+
+@query(
+    "bm25_search_topk",
+    # scalar-broadcast: the 1-row corpus-stats aggregate joins in via
+    # BroadcastNestedLoopJoin by design (see test_plans._BNLJ_OK)
+    tags=("search", "text", "scalar-broadcast"),
+    oracle=f"""
+WITH {_TOKEN_CTE}
+SELECT tf.doc_id,
+       CAST(SUM(
+         (GREATEST(0, ({S.IDF_SCALE} * (2*n_docs - 2*df + 1)) // (2*df + 1))
+            * 22 * tf * n_tokens)
+         // (10*tf*n_tokens + 3*n_tokens + 9*dl.dl*n_docs)
+       ) AS BIGINT) AS bm25_scaled
+FROM tf
+JOIN dfreq USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25_scaled DESC, tf.doc_id
+LIMIT {_K}
+""",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {{join, spark, stream, window}}
+    under integer-scaled BM25. One corpus scan, explode pre-filtered
+    to query terms, df/corpus stats broadcast, TakeOrderedAndProject
+    final — the relevance-retrieval step of an eval-vs-corpus audit
+    at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return S.bm25_topk(docs, _QUERY_TERMS, k=_K)
+
+
+@query(
+    "inverted_index_terms",
+    tags=("search", "text"),
+    oracle=f"""
+WITH {_TOKEN_CTE}
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS postings_csv
+FROM tf
+GROUP BY term
+ORDER BY term
+""",
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index slice for four terms: per-term document
+    frequency, total term frequency, and the sorted posting list as
+    CSV. The per-term build unit of a full search index — partition
+    by term and this exact plan scales out."""
+    docs = load(spark, sf_dir, "documents")
+    return S.posting_lists(docs, _QUERY_TERMS)
