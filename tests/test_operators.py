@@ -87,6 +87,31 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.95, f"minhash recall {recall}"
 
 
+def test_incremental_dedup_precomputed_index_matches_inline(spark):
+    """dedup_batch_against_corpus must return identical pairs whether
+    the corpus band table is computed inline or passed precomputed
+    (the persisted-index path an incremental ingest actually uses),
+    and every returned doc_a must come from the new batch."""
+    docs = load(spark, SF_DIR, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inline = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_batch_against_corpus(
+            new, corpus, threshold=0.5, num_hashes=48, bands=12
+        ).collect()
+    }
+    idx = D.band_table(corpus, num_hashes=48, bands=12)
+    via_index = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_batch_against_corpus(
+            new, corpus, threshold=0.5, num_hashes=48, bands=12, corpus_bands=idx
+        ).collect()
+    }
+    assert inline == via_index
+    assert all(a % 5 == 0 and b % 5 != 0 for a, b in inline)
+
+
 def test_simhash_finds_near_dups(spark):
     docs = load(spark, SF_DIR, "documents")
     exact = _pairs(D.ngram_jaccard_pairs(docs, threshold=0.5))
