@@ -159,6 +159,51 @@ def stratified_sample(
     return df.where(bucket < rate)
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_rows: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Budget-driven training-mix composition: draw ``budget_rows``
+    rows distributed across strata by relative ``weights`` ("50% en,
+    20% zh, …" for a fixed-size training run). Per-stratum targets
+    are exact integers fixed at plan time —
+    ``t_s = (w_s * budget) div sum(w)`` — and selection is the
+    md5-rank order of :func:`sample_per_stratum`, so the SAME rows
+    are chosen on every engine and every rerun. A stratum with fewer
+    than ``t_s`` rows contributes everything it has (the mix
+    under-weights it rather than failing; check shortfalls by
+    comparing output counts to targets).
+
+    One shuffle on the stratum key; for a hot stratum at 100 TB
+    pre-filter with ``sample_bucket`` to ~10·t_s/|stratum| first so
+    the window input stays bounded — selection is unchanged because
+    bucket filtering and md5 rank are independent.
+
+    Strata not in ``weights`` are dropped (weight 0).
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    targets = {s: (w * budget_rows) // total_w for s, w in weights.items()}
+    quota = F.lit(0)
+    for stratum, t in sorted(targets.items()):
+        quota = F.when(F.col(strata_col) == stratum, t).otherwise(quota)
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return (
+        df.where(F.col(strata_col).isin(list(targets)))
+        .withColumn("__rk", rk)
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def sample_per_stratum(
     df: DataFrame,
     n: int,

@@ -171,6 +171,40 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"en": 50, "zh": 20, "es": 15, "de": 10, "fr": 5}
+_MIX_BUDGET = 300
+_MIX_QUOTA_CASE = " ".join(
+    f"WHEN '{s}' THEN {(w * _MIX_BUDGET) // sum(_MIX_WEIGHTS.values())}"
+    for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+
+@query(
+    "mixture_weighted_sample",
+    tags=("curation", "sampling"),
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+  WHERE lang IN ({", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))}))
+SELECT doc_id, lang FROM r
+WHERE rk <= CASE lang {_MIX_QUOTA_CASE} ELSE 0 END
+""",
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training-mix draw: 300 docs at weights en 50 /
+    zh 20 / es 15 / de 10 / fr 5. Per-stratum targets are integers
+    fixed at plan time and rows are chosen by portable md5 rank, so
+    the identical mix materializes on every engine and rerun — the
+    data-mixing step in front of a training run."""
+    docs = load(spark, sf_dir, "documents")
+    return C.mixture_sample(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
 @query(
     "sample_fixed_per_lang",
     tags=("curation", "sampling"),
