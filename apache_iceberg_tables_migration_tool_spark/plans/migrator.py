@@ -152,7 +152,9 @@ def _replay_one(
     t0 = time.monotonic()
     try:
         table = src.table(entry.database, entry.table_name)
-        snaps = [s for s in table.snapshots() if s.snapshot_id <= entry.snapshot_id]
+        # published lineage only — staged (WAP) snapshots are not table
+        # history and must not be replayed onto the target
+        snaps = [s for s in table.main_chain() if s.snapshot_id <= entry.snapshot_id]
         dst.create_namespace(entry.database)
         total = 0
         prev_id: int | None = None

@@ -199,6 +199,84 @@ def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wap_audit_publish",
+    tags=("migration", "metadata", "wap"),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey % 3 = 0) AS r0,
+         COUNT(*) FILTER (WHERE l_orderkey % 3 = 1) AS r1,
+         COUNT(*) FILTER (WHERE l_orderkey % 3 = 2) AS r2,
+         COUNT(*) AS r
+  FROM lineitem)
+SELECT 'current_before_publish' AS phase, CAST(r0 AS BIGINT) AS records,
+       TRUE AS ok FROM m
+UNION ALL SELECT 'staged_read_by_id', r0 + r1, TRUE FROM m
+UNION ALL SELECT 'current_after_concurrent_append', r0 + r2, TRUE FROM m
+UNION ALL SELECT 'current_after_publish', r, TRUE FROM m
+UNION ALL SELECT 'tag_after_expire', r0, TRUE FROM m
+""",
+)
+def wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish lifecycle (≙ Iceberg ``spark.wap.id``
+    staged commits + ``cherrypick_snapshot`` + tags): stage an append
+    behind the published head, audit it by snapshot id while normal
+    reads still see the old state, land a concurrent append, publish
+    (which must cherry-pick the staged files onto the moved head),
+    then tag the original snapshot and verify the tag survives
+    ``expire_snapshots``. Every phase emits the published/staged
+    record count the oracle derives from the lineitem thirds; the
+    ``ok`` flags additionally pin the invariants (staged invisible
+    until publish, cherry-pick provenance stamped, tag readable after
+    expire)."""
+    root = tempfile.mkdtemp(prefix="snapcat_wap_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        li = load(spark, sf_dir, "lineitem")
+        third = li.withColumn("__b", F.pmod(F.col("l_orderkey"), F.lit(3)))
+        t = [f"2024-02-0{i}T00:00:00.000000+00:00" for i in range(1, 7)]
+        cat.write("db", "li", third.where(F.col("__b") == 0).drop("__b"),
+                  committed_at=t[0])
+        tbl = cat.table("db", "li")
+        rows: list[tuple[str, int, bool]] = []
+
+        staged = cat.write(
+            "db", "li", third.where(F.col("__b") == 1).drop("__b"),
+            committed_at=t[1], staged=True, wap_id="audit-1",
+        )
+        cur = tbl.current_snapshot()
+        rows.append((
+            "current_before_publish", cur.total_records,
+            cur.snapshot_id == 1 and staged.summary.get("wap.id") == "audit-1",
+        ))
+        rows.append((
+            "staged_read_by_id",
+            tbl.resolve_snapshot(staged.snapshot_id).total_records,
+            tbl.resolve_snapshot(as_of=t[2]).snapshot_id == 1,
+        ))
+        cat.write("db", "li", third.where(F.col("__b") == 2).drop("__b"),
+                  committed_at=t[2])
+        rows.append((
+            "current_after_concurrent_append",
+            tbl.current_snapshot().total_records, True,
+        ))
+        pub = cat.publish("db", "li", staged.snapshot_id, committed_at=t[3])
+        rows.append((
+            "current_after_publish", tbl.current_snapshot().total_records,
+            pub.summary.get("published-from") == str(staged.snapshot_id),
+        ))
+        cat.tag("db", "li", "v1", snapshot_id=1)
+        cat.expire_snapshots("db", "li", keep_last=1)
+        rows.append((
+            "tag_after_expire",
+            tbl.resolve_snapshot(ref="v1").total_records,
+            tbl.current_snapshot().total_records == pub.total_records,
+        ))
+        return spark.createDataFrame(rows, "phase string, records long, ok boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "migration_history_replay",
     tags=("migration", "e2e", "incremental"),
     oracle="""

@@ -146,6 +146,74 @@ class IcebergCatalog:
         else:
             writer.append()
 
+    # ---- refs & write-audit-publish -------------------------------------
+
+    def write_staged(
+        self, database: str, name: str, df: DataFrame, wap_id: str
+    ) -> None:
+        """WAP staged append (≙ SnapCatalog.write(staged=True)): with
+        ``write.wap.enabled`` on the table and ``spark.wap.id`` set,
+        Iceberg commits the snapshot to the log WITHOUT advancing the
+        current pointer; the snapshot carries ``wap.id`` in its
+        summary for the auditor to find."""
+        self.spark.sql(
+            f"ALTER TABLE {self._qualified(database, name)} "
+            f"SET TBLPROPERTIES ('write.wap.enabled' = 'true')"
+        )
+        self.spark.conf.set("spark.wap.id", wap_id)
+        try:
+            df.writeTo(self._qualified(database, name)).append()
+        finally:
+            self.spark.conf.unset("spark.wap.id")
+
+    def find_staged_snapshot(self, database: str, name: str, wap_id: str) -> int:
+        """Snapshot id of a staged WAP commit, from the .snapshots
+        metadata table's summary map."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.snapshots_df(database, name)
+            .where(F.element_at("summary", "wap.id") == wap_id)
+            .select("snapshot_id")
+            .collect()
+        )
+        if not rows:
+            raise LookupError(f"no staged snapshot with wap.id={wap_id!r}")
+        return rows[0]["snapshot_id"]
+
+    def publish(self, database: str, name: str, snapshot_id: int) -> DataFrame:
+        """Publish a staged snapshot (≙ SnapCatalog.publish):
+        ``cherrypick_snapshot`` fast-forwards when the base is
+        unmoved and cherry-picks appends onto a moved base, erroring
+        on non-reappliable changes — the same semantics the
+        filesystem catalog implements."""
+        return self.spark.sql(
+            f"CALL `{self.catalog}`.system.cherrypick_snapshot("
+            f"table => '{database}.{name}', snapshot_id => {snapshot_id})"
+        )
+
+    def tag(
+        self, database: str, name: str, tag_name: str, snapshot_id: int | None = None
+    ) -> None:
+        """CREATE TAG (ref-retained by expire_snapshots, like
+        SnapCatalog.tag)."""
+        at = f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
+        self.spark.sql(
+            f"ALTER TABLE {self._qualified(database, name)} "
+            f"CREATE OR REPLACE TAG `{tag_name}`{at}"
+        )
+
+    def drop_ref(self, database: str, name: str, ref_name: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self._qualified(database, name)} DROP TAG `{ref_name}`"
+        )
+
+    def read_ref(self, database: str, name: str, ref: str) -> DataFrame:
+        """Read a tag/branch by name (``VERSION AS OF 'ref'``)."""
+        return self.spark.read.option("tag", ref).table(
+            self._qualified(database, name)
+        )
+
     # ---- maintenance (X7) ----------------------------------------------
 
     def expire_snapshots(self, database: str, name: str, older_than: str) -> DataFrame:

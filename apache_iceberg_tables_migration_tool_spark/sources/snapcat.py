@@ -112,6 +112,36 @@ def _parse_iso(ts: str) -> datetime:
     return datetime.fromisoformat(ts.replace("Z", "+00:00"))
 
 
+def _snap_from_dict(s: dict) -> Snapshot:
+    return Snapshot(
+        snapshot_id=s["snapshot_id"],
+        parent_id=s.get("parent_id"),
+        committed_at=s["committed_at"],
+        operation=s["operation"],
+        summary=s.get("summary", {}),
+        schema_ddl=s["schema_ddl"],
+        partition_spec=s.get("partition_spec", []),
+        files=[DataFile(**f) for f in s.get("files", [])],
+    )
+
+
+def _current_id(meta: dict) -> int:
+    """Published-head snapshot id: explicit ``current_id`` when the
+    table has seen WAP commits, else the last snapshot (pre-WAP
+    metadata stays valid unchanged). 0 means "nothing published yet"
+    (a table whose only commit is staged)."""
+    if "current_id" in meta:
+        return meta["current_id"]
+    return meta["snapshots"][-1]["snapshot_id"]
+
+
+def _next_id(meta: dict) -> int:
+    """Next snapshot id: max over ALL snapshots + 1 — staged commits
+    can sit beyond the published head, so ``current + 1`` would
+    collide with their ids (and commit directories)."""
+    return max((s["snapshot_id"] for s in meta["snapshots"]), default=0) + 1
+
+
 @contextlib.contextmanager
 def _commit_lock(table_root: str, timeout_sec: float = 300.0):
     """Per-table commit mutex (≙ Iceberg's catalog-side atomic swap +
@@ -172,24 +202,48 @@ class SnapTable:
     def snapshots(self) -> list[Snapshot]:
         if not self.exists():
             return []
-        meta = self._load_meta()
-        return [
-            Snapshot(
-                snapshot_id=s["snapshot_id"],
-                parent_id=s.get("parent_id"),
-                committed_at=s["committed_at"],
-                operation=s["operation"],
-                summary=s.get("summary", {}),
-                schema_ddl=s["schema_ddl"],
-                partition_spec=s.get("partition_spec", []),
-                files=[DataFile(**f) for f in s.get("files", [])],
-            )
-            for s in meta["snapshots"]
-        ]
+        return [_snap_from_dict(s) for s in self._load_meta()["snapshots"]]
 
     def current_snapshot(self) -> Snapshot | None:
-        snaps = self.snapshots()
-        return snaps[-1] if snaps else None
+        """The published head. With WAP staged commits in the log this
+        is ``meta.current_id``, NOT necessarily the last snapshot —
+        staged (unpublished) snapshots are invisible to normal reads
+        until :meth:`SnapCatalog.publish` flips the pointer."""
+        if not self.exists():
+            return None
+        meta = self._load_meta()
+        snaps = meta["snapshots"]
+        if not snaps:
+            return None
+        cid = _current_id(meta)
+        if cid == 0:  # only staged commits exist — nothing published
+            return None
+        for s in snaps:
+            if s["snapshot_id"] == cid:
+                return _snap_from_dict(s)
+        raise LookupError(
+            f"current snapshot {cid} missing from {self.database}.{self.name} metadata"
+        )
+
+    def refs(self) -> dict[str, dict]:
+        """Named refs (≙ Iceberg tags): name → {snapshot_id, type}."""
+        if not self.exists():
+            return {}
+        return dict(self._load_meta().get("refs", {}))
+
+    def main_chain(self) -> list[Snapshot]:
+        """Published lineage, oldest → current, following parent_id
+        from the current snapshot. Staged/abandoned snapshots are not
+        part of it — time travel resolves against THIS history, like
+        Iceberg's main-branch ancestry."""
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        cur = self.current_snapshot()
+        chain: list[Snapshot] = []
+        while cur is not None:
+            chain.append(cur)
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        chain.reverse()
+        return chain
 
     def properties(self) -> dict[str, str]:
         """Table properties (≙ Iceberg table properties / TBLPROPERTIES,
@@ -202,13 +256,25 @@ class SnapTable:
         return dict(self._load_meta().get("properties", {}))
 
     def resolve_snapshot(
-        self, snapshot_id: int | None = None, as_of: str | datetime | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of: str | datetime | None = None,
+        ref: str | None = None,
     ) -> Snapshot:
-        """Current, by id, or latest committed_at ≤ as_of — the
-        reference's resolution rule (2_collect_database_schema_info.py:34-55)."""
+        """Current, by id, by named ref (tag), or latest
+        committed_at ≤ as_of — the reference's resolution rule
+        (2_collect_database_schema_info.py:34-55) plus Iceberg's
+        ``VERSION AS OF 'tag'``. By-id resolution is global (staged
+        WAP snapshots are readable for audit); ``as_of`` and the
+        default resolve against the PUBLISHED lineage only."""
         snaps = self.snapshots()
         if not snaps:
             raise LookupError(f"table {self.database}.{self.name} has no snapshots")
+        if ref is not None:
+            r = self.refs().get(ref)
+            if r is None:
+                raise LookupError(f"ref {ref!r} not found in {self.database}.{self.name}")
+            snapshot_id = r["snapshot_id"]
         if snapshot_id is not None:
             for s in snaps:
                 if s.snapshot_id == snapshot_id:
@@ -218,13 +284,15 @@ class SnapTable:
             ts = _parse_iso(as_of) if isinstance(as_of, str) else as_of
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
-            valid = [s for s in snaps if _parse_iso(s.committed_at) <= ts]
+            valid = [s for s in self.main_chain() if _parse_iso(s.committed_at) <= ts]
             if not valid:
                 raise LookupError(
                     f"no snapshot of {self.database}.{self.name} at or before {ts.isoformat()}"
                 )
             return valid[-1]
-        return snaps[-1]
+        cur = self.current_snapshot()
+        assert cur is not None  # snaps is non-empty
+        return cur
 
     # ---- data plane ----------------------------------------------------
 
@@ -233,12 +301,14 @@ class SnapTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         as_of: str | datetime | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Time-travel scan (S3/S4). Files are grouped by their commit
         directory so partitioned commits keep their ``col=value``
         layout (→ partition pruning); the snapshot's schema is applied
-        explicitly (schema-at-snapshot semantics)."""
-        snap = self.resolve_snapshot(snapshot_id, as_of)
+        explicitly (schema-at-snapshot semantics). ``ref`` reads a
+        named tag (≙ ``VERSION AS OF 'tag'``)."""
+        snap = self.resolve_snapshot(snapshot_id, as_of, ref)
         schema = T._parse_datatype_string(snap.schema_ddl)
         return self._read_paths(spark, schema, [f.path for f in snap.files])
 
@@ -302,7 +372,10 @@ class SnapTable:
                 f"{self.database}.{self.name} does not exist (expired?)"
             )
         lo = 0 if from_id is None else from_id
-        in_range = [s for s in snaps if lo < s.snapshot_id <= to_id]
+        # walk the PUBLISHED lineage only: staged (WAP) snapshots may
+        # hold ids inside the range but are not part of table history
+        # until published
+        in_range = [s for s in self.main_chain() if lo < s.snapshot_id <= to_id]
         if not in_range:
             return spark.createDataFrame([], self.schema(to_id))
         for s in in_range:
@@ -482,6 +555,8 @@ class SnapCatalog:
         operation: str | None = None,
         summary_extra: dict[str, str] | None = None,
         expect_parent_id: "int | None | object" = _UNSET,
+        staged: bool = False,
+        wap_id: str | None = None,
     ) -> Snapshot:
         """Commit a write. The data plane is a distributed Spark
         parquet write into a fresh commit directory; the metadata
@@ -494,7 +569,14 @@ class SnapCatalog:
         must not exist yet), else CommitConflictError — the same
         validate-then-swap Iceberg uses so read-rewrite-commit
         sequences (e.g. ``compact``) can't silently drop a commit that
-        landed between their read and their write."""
+        landed between their read and their write.
+
+        ``staged=True`` is Iceberg's write-audit-publish: the snapshot
+        lands in the log but the published head does NOT move — normal
+        reads still see the old state; auditors read the staged
+        snapshot by id; :meth:`publish` flips (or cherry-picks) it
+        into the main history. ``wap_id`` stamps ``wap.id`` into the
+        summary (≙ ``spark.wap.id``) so the staged commit is findable."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         self.create_namespace(database)
@@ -513,7 +595,8 @@ class SnapCatalog:
                 if partition_by is not None
                 else (prev.partition_spec if prev else [])
             )
-            sid = (prev.snapshot_id + 1) if prev else 1
+            meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
+            sid = _next_id(meta)
             new_files = self._write_data_files(tbl, sid, df, spec)
 
             files = new_files if (mode == "overwrite" or prev is None) else (
@@ -530,14 +613,23 @@ class SnapCatalog:
                     "added-data-files": str(len(new_files)),
                     "total-records": str(sum(f.records for f in files)),
                     "total-data-files": str(len(files)),
+                    **({"wap.id": wap_id} if wap_id is not None else {}),
                     **(summary_extra or {}),
                 },
                 schema_ddl=schema_to_ddl(df.schema),
                 partition_spec=spec,
                 files=files,
             )
-            meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
             meta["snapshots"].append(asdict(snap))
+            if staged:
+                # pin the published head explicitly so the staged
+                # snapshot (now the LAST log entry) can't be mistaken
+                # for it by the legacy last-snapshot fallback
+                meta.setdefault(
+                    "current_id", prev.snapshot_id if prev else 0
+                )
+            else:
+                meta["current_id"] = sid
             tbl._save_meta(meta)
             return snap
 
@@ -574,9 +666,11 @@ class SnapCatalog:
         operation: str,
         committed_at: str | None,
         summary_extra: dict[str, str] | None = None,
+        sid: int | None = None,
     ) -> Snapshot:
+        meta = tbl._load_meta()
         snap = Snapshot(
-            snapshot_id=prev.snapshot_id + 1,
+            snapshot_id=sid if sid is not None else _next_id(meta),
             parent_id=prev.snapshot_id,
             committed_at=committed_at or _utcnow_iso(),
             operation=operation,
@@ -591,8 +685,8 @@ class SnapCatalog:
             partition_spec=prev.partition_spec,
             files=files,
         )
-        meta = tbl._load_meta()
         meta["snapshots"].append(asdict(snap))
+        meta["current_id"] = snap.snapshot_id
         tbl._save_meta(meta)
         return snap
 
@@ -642,12 +736,12 @@ class SnapCatalog:
                 )
             else:
                 rewritten = updates
-            sid = prev.snapshot_id + 1
+            sid = _next_id(tbl._load_meta())
             new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
                 tbl, prev, files, new_files, "merge", committed_at,
-                {"rewritten-data-files": str(len(affected_rel))},
+                {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
             )
 
     def delete_where(
@@ -683,13 +777,118 @@ class SnapCatalog:
             survivors = (
                 cur.where(F.col("__file").isin(list(affected_abs))).where(~cond).drop("__file")
             )
-            sid = prev.snapshot_id + 1
+            sid = _next_id(tbl._load_meta())
             new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
                 tbl, prev, files, new_files, "delete", committed_at,
-                {"rewritten-data-files": str(len(affected_rel))},
+                {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
             )
+
+    # ---- refs & write-audit-publish -------------------------------------
+
+    def tag(
+        self, database: str, name: str, tag_name: str, snapshot_id: int | None = None
+    ) -> int:
+        """Create/update a named tag pointing at a snapshot (current
+        if unspecified) — ≙ Iceberg ``ALTER TABLE … CREATE TAG``.
+        Tagged snapshots are retained by :meth:`expire_snapshots`.
+        Returns the tagged snapshot id."""
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            sid = snapshot_id if snapshot_id is not None else _current_id(meta)
+            if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+                raise LookupError(f"snapshot {sid} not found in {database}.{name}")
+            meta.setdefault("refs", {})[tag_name] = {
+                "snapshot_id": sid,
+                "type": "tag",
+            }
+            tbl._save_meta(meta)
+            return sid
+
+    def drop_ref(self, database: str, name: str, ref_name: str) -> None:
+        """Remove a named ref (≙ ``ALTER TABLE … DROP TAG``). The
+        snapshot itself stays until expiration."""
+        tbl = self.table(database, name)
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            refs = meta.get("refs", {})
+            if ref_name not in refs:
+                raise LookupError(f"ref {ref_name!r} not found in {database}.{name}")
+            del refs[ref_name]
+            tbl._save_meta(meta)
+
+    def publish(
+        self, database: str, name: str, snapshot_id: int, committed_at: str | None = None
+    ) -> Snapshot:
+        """Publish a staged (WAP) snapshot into the main history — ≙
+        Iceberg ``CALL system.cherrypick_snapshot`` / publishing a
+        ``wap.id`` write after its audit passes.
+
+        Fast path: the staged snapshot's parent is still the published
+        head → just move the pointer. If other commits landed since
+        and the staged write was an APPEND, its added files are
+        re-applied on top of the new head as a fresh commit (true
+        cherry-pick). A staged OVERWRITE whose base moved raises
+        CommitConflictError — replaying a full-state replacement over
+        commits it never saw would silently drop them."""
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            if snapshot_id not in by_id:
+                raise LookupError(f"snapshot {snapshot_id} not found in {database}.{name}")
+            staged = by_id[snapshot_id]
+            cur_id = _current_id(meta)
+            if staged["parent_id"] == (cur_id or None):
+                meta["current_id"] = snapshot_id
+                tbl._save_meta(meta)
+                return _snap_from_dict(staged)
+            if staged["operation"] != "append":
+                raise CommitConflictError(
+                    f"cannot publish staged {staged['operation']!r} snapshot "
+                    f"{snapshot_id} of {database}.{name}: base moved from "
+                    f"{staged['parent_id']} to {cur_id}"
+                )
+            cur = by_id[cur_id]
+            parent_files = (
+                {f["path"] for f in by_id[staged["parent_id"]]["files"]}
+                if staged["parent_id"] is not None and staged["parent_id"] in by_id
+                else set()
+            )
+            added = [f for f in staged["files"] if f["path"] not in parent_files]
+            files = list(cur["files"]) + added
+            sid = _next_id(meta)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=cur_id,
+                committed_at=committed_at or _utcnow_iso(),
+                operation="append",
+                summary={
+                    "added-records": str(sum(f["records"] for f in added)),
+                    "added-data-files": str(len(added)),
+                    "total-records": str(sum(f["records"] for f in files)),
+                    "total-data-files": str(len(files)),
+                    "published-from": str(snapshot_id),
+                    **(
+                        {"wap.id": staged["summary"]["wap.id"]}
+                        if "wap.id" in staged.get("summary", {})
+                        else {}
+                    ),
+                },
+                schema_ddl=staged["schema_ddl"],
+                partition_spec=staged.get("partition_spec", []),
+                files=[DataFile(**f) for f in files],
+            )
+            meta["snapshots"].append(asdict(snap))
+            meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
 
     # ---- maintenance (X7) ----------------------------------------------
 
@@ -711,7 +910,23 @@ class SnapCatalog:
             snaps = meta["snapshots"]
             if len(snaps) <= keep_last:
                 return []
-            expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+            # retention = last keep_last of the PUBLISHED chain, plus
+            # every tagged snapshot (≙ Iceberg ref retention), plus the
+            # published head itself. Staged-and-never-published
+            # snapshots age out like Iceberg's orphaned WAP commits.
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            chain: list[int] = []
+            c: int | None = _current_id(meta) or None
+            while c is not None:
+                chain.append(c)
+                c = by_id[c].get("parent_id") if c in by_id else None
+            chain.reverse()
+            protected = set(chain[-keep_last:]) if keep_last else set()
+            protected |= {r["snapshot_id"] for r in meta.get("refs", {}).values()}
+            kept = [s for s in snaps if s["snapshot_id"] in protected]
+            expired = [s for s in snaps if s["snapshot_id"] not in protected]
+            if not expired:
+                return []
             live = {f["path"] for s in kept for f in s["files"]}
             for s in expired:
                 for f in s["files"]:

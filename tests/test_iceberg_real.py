@@ -80,3 +80,27 @@ def test_full_lifecycle_on_hadoop_catalog(iceberg_spark):
     assert cat.read("db", "t").count() == 3
     assert cat.files_df("db", "t").count() >= 1
     assert cat.history_df("db", "t").count() >= 1
+
+
+def test_wap_stage_audit_publish_on_real_iceberg(iceberg_spark):
+    spark = iceberg_spark
+    cat = IcebergCatalog(spark, "it")
+    cat.create_namespace("db")
+    cat.create_table("db", "w", "id BIGINT, v DOUBLE")
+    cat.write("db", "w", spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id BIGINT, v DOUBLE"))
+
+    # staged append: current state unchanged until publish
+    cat.write_staged("db", "w", spark.createDataFrame(
+        [(3, 3.0)], "id BIGINT, v DOUBLE"), wap_id="audit-9")
+    assert cat.read("db", "w").count() == 2
+    staged_id = cat.find_staged_snapshot("db", "w", "audit-9")
+    assert cat.read("db", "w", snapshot_id=staged_id).count() == 3
+
+    cat.publish("db", "w", staged_id)
+    assert cat.read("db", "w").count() == 3
+
+    # tag + read-by-ref + drop
+    cat.tag("db", "w", "v1")
+    assert cat.read_ref("db", "w", "v1").count() == 3
+    cat.drop_ref("db", "w", "v1")

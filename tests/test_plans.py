@@ -28,6 +28,7 @@ _SKIP = {
     "snapshot_history_ops",
     "stateful_user_totals",
     "migration_history_replay",
+    "wap_audit_publish",
     "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
     "rowlevel_merge_delete",
     "dedup_embedding_clusters",  # iterative localCheckpoint

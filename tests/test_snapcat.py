@@ -399,3 +399,96 @@ def test_read_incremental_expired_start_raises(spark, cat):
     cat.expire_snapshots("db", "t", keep_last=1)
     with pytest.raises(LookupError):
         tbl.read_incremental(spark, 1, 3)
+
+
+# ---- write-audit-publish (WAP) & tags ---------------------------------
+
+
+def test_wap_staged_commit_invisible_until_publish(spark, cat):
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    staged = cat.write(
+        "db", "t", spark.range(10, 15), committed_at=T[1],
+        staged=True, wap_id="audit-1",
+    )
+    tbl = cat.table("db", "t")
+    # published head unmoved; normal read sees old state
+    assert tbl.current_snapshot().snapshot_id == 1
+    assert tbl.read(spark).count() == 10
+    # auditor reads the staged snapshot by id
+    assert tbl.read(spark, snapshot_id=staged.snapshot_id).count() == 15
+    assert staged.summary["wap.id"] == "audit-1"
+    # time travel never resolves to the staged snapshot
+    assert tbl.resolve_snapshot(as_of=T[2]).snapshot_id == 1
+    # publish (fast path: parent still current) flips the pointer
+    cat.publish("db", "t", staged.snapshot_id)
+    assert tbl.current_snapshot().snapshot_id == staged.snapshot_id
+    assert tbl.read(spark).count() == 15
+    assert [s.snapshot_id for s in tbl.main_chain()] == [1, 2]
+
+
+def test_wap_publish_cherry_picks_append_onto_moved_base(spark, cat):
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    staged = cat.write(
+        "db", "t", spark.range(100, 105), committed_at=T[1], staged=True
+    )
+    # a concurrent append lands before the audit finishes
+    cat.write("db", "t", spark.range(200, 203), committed_at=T[2])
+    pub = cat.publish("db", "t", staged.snapshot_id, committed_at=T[3])
+    tbl = cat.table("db", "t")
+    # re-applied as a NEW snapshot on top of the moved head
+    assert pub.snapshot_id != staged.snapshot_id
+    assert pub.summary["published-from"] == str(staged.snapshot_id)
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert got == set(range(10)) | set(range(100, 105)) | set(range(200, 203))
+
+
+def test_wap_publish_overwrite_on_moved_base_conflicts(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        CommitConflictError,
+    )
+
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    staged = cat.write(
+        "db", "t", spark.range(5), mode="overwrite", committed_at=T[1], staged=True
+    )
+    cat.write("db", "t", spark.range(50, 53), committed_at=T[2])
+    with pytest.raises(CommitConflictError):
+        cat.publish("db", "t", staged.snapshot_id)
+
+
+def test_wap_staged_first_commit_publishes_cleanly(spark, cat):
+    staged = cat.write("db", "t", spark.range(5), committed_at=T[0], staged=True)
+    tbl = cat.table("db", "t")
+    assert tbl.current_snapshot() is None
+    cat.publish("db", "t", staged.snapshot_id)
+    assert tbl.current_snapshot().snapshot_id == staged.snapshot_id
+    assert tbl.read(spark).count() == 5
+
+
+def test_tag_read_and_expire_retention(spark, cat):
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 10, (i + 1) * 10), committed_at=T[i])
+    cat.tag("db", "t", "v1", snapshot_id=1)
+    tbl = cat.table("db", "t")
+    assert tbl.read(spark, ref="v1").count() == 10
+    # expire keeps the tagged snapshot alive alongside the head
+    expired = cat.expire_snapshots("db", "t", keep_last=1)
+    assert expired == [2]
+    assert {s.snapshot_id for s in tbl.snapshots()} == {1, 3}
+    assert tbl.read(spark, ref="v1").count() == 10
+    assert tbl.read(spark).count() == 30
+    # dropping the tag releases it for the next expiration
+    cat.drop_ref("db", "t", "v1")
+    assert cat.expire_snapshots("db", "t", keep_last=1) == [1]
+    with pytest.raises(LookupError):
+        tbl.read(spark, ref="v1")
+
+
+def test_expire_drops_abandoned_staged_snapshot(spark, cat):
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    staged = cat.write("db", "t", spark.range(99), committed_at=T[1], staged=True)
+    cat.write("db", "t", spark.range(10, 12), committed_at=T[2])
+    expired = cat.expire_snapshots("db", "t", keep_last=2)
+    assert staged.snapshot_id in expired
+    tbl = cat.table("db", "t")
+    assert tbl.read(spark).count() == 12  # published history intact
