@@ -547,3 +547,47 @@ def approx_percentile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact9.alias("p90_exact"),
         (F.abs(approx9 - exact9) <= 0.02 * exact9).alias("sketch_within_2pct"),
     )
+
+
+from apache_iceberg_tables_migration_tool_spark.operators import zorder as Z  # noqa: E402
+
+_Z_COLS = ["za", "zb"]
+_Z_BOUNDS = [(0, 4095), (0, 4095)]
+
+
+@query(
+    "zorder_values",
+    tags=("scale", "layout"),
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderkey % 4096 AS za, o_custkey % 4096 AS zb FROM orders),
+z AS (SELECT {Z.zvalue_sql_duckdb(_Z_COLS, _Z_BOUNDS)} AS zv FROM d)
+SELECT CAST(zv >> 26 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(zv) AS BIGINT) AS zmin,
+       CAST(MAX(zv) AS BIGINT) AS zmax
+FROM z GROUP BY 1 ORDER BY 1
+""",
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value computation (operators/zorder.py — the key
+    behind zorder_by compaction): interleave two 4096-domain dims of
+    orders into one int64, bucket by the top 6 bits. Pure shift/mask
+    integer codegen generated from the SAME builder as the DuckDB
+    oracle, so every z-value matches bit-for-bit — proof the
+    clustering key an engine would persist is portable."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4096).alias("za"),
+        (F.col("o_custkey") % 4096).alias("zb"),
+    )
+    zv = F.expr(Z.zvalue_sql_spark(_Z_COLS, _Z_BOUNDS))
+    return (
+        o.select(zv.alias("zv"))
+        .groupBy(F.shiftright("zv", 26).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("zv").cast("long").alias("zmin"),
+            F.max("zv").cast("long").alias("zmax"),
+        )
+        .orderBy("zbucket")
+    )

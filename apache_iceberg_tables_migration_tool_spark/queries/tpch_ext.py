@@ -378,3 +378,52 @@ def idle_balance_by_nation_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", 2).alias("totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue. Shape: correlated scalar aggregate
+# subquery per part (quantity below 20% of that part's average), decorrelated
+# into a grouped average joined back to the fact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "small_quantity_revenue_q17",
+    tags=("tpch", "subquery"),
+    oracle=f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+li AS (SELECT l_partkey, l_quantity, l_extendedprice
+       FROM lineitem JOIN bp ON l_partkey = p_partkey),
+thr AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS t FROM li GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS small_orders,
+       {portable_sum_sql("l_extendedprice", scale=2)} AS total_price
+FROM li JOIN thr USING (l_partkey)
+WHERE l_quantity < t
+""",
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders whose quantity is below
+    20% of the part's average — the correlated scalar subquery
+    decorrelated Spark-side: the brand's part keys BROADCAST-prune
+    lineitem first (the fact table never carries non-brand rows into
+    the per-part average), then one grouped avg joins back. Portable
+    because l_quantity is integral-valued (double partial sums stay
+    exact, so AVG is order-independent on both engines) and the money
+    sum goes through the exact-decimal portable form."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    bp = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(bp), li.l_partkey == bp.p_partkey, "left_semi"
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("t")
+    )
+    return (
+        li_b.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("small_orders"),
+            dsum(F.col("l_extendedprice"), scale=2).alias("total_price"),
+        )
+    )

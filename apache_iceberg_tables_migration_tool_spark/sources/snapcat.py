@@ -945,6 +945,7 @@ class SnapCatalog:
         spark: SparkSession,
         target_partitions: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite the current snapshot's data into fewer, larger
         files (≙ Iceberg ``rewrite_data_files``): small-file compaction
@@ -972,7 +973,32 @@ class SnapCatalog:
                 raise LookupError(f"table {database}.{name} does not exist")
             df = tbl.read(spark)
             n = target_partitions or (max(1, len(base.files) // 8) or 1)
-            if sort_by:
+            if zorder_by:
+                # Morton-interleaved rewrite (≙ Iceberg zorder
+                # rewrite_data_files): every output file is bounded in
+                # EVERY z dimension, so footer min/max stats prune
+                # files for predicates on any of the columns — a
+                # lexicographic sort only serves the leading one.
+                # Bounds come from one narrow min/max agg (at scale:
+                # catalog column stats instead).
+                from apache_iceberg_tables_migration_tool_spark.operators.zorder import (
+                    zvalue_col,
+                )
+
+                aggs = [
+                    f
+                    for c in zorder_by
+                    for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+                ]
+                b = df.agg(*aggs).collect()[0]
+                bounds = [(int(b[f"lo_{c}"]), int(b[f"hi_{c}"])) for c in zorder_by]
+                df = (
+                    df.withColumn("__z", zvalue_col(zorder_by, bounds))
+                    .repartitionByRange(n, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif sort_by:
                 df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
             elif target_partitions:
                 df = df.repartition(target_partitions)

@@ -492,3 +492,72 @@ def test_expire_drops_abandoned_staged_snapshot(spark, cat):
     assert staged.snapshot_id in expired
     tbl = cat.table("db", "t")
     assert tbl.read(spark).count() == 12  # published history intact
+
+
+def test_partition_evolution_mixed_layouts(spark, cat):
+    """Iceberg-style partition evolution: a later commit switches the
+    partition spec without rewriting old files. Reads union both
+    layouts; a predicate on the NEW spec column partition-prunes the
+    new files while old files fall back to pushed data filters."""
+    df1 = spark.createDataFrame(
+        [(1, "eu", "a"), (2, "us", "b")], "id long, region string, cat string")
+    df2 = spark.createDataFrame(
+        [(3, "eu", "a"), (4, "ap", "c")], "id long, region string, cat string")
+    cat.write("db", "t", df1, partition_by=["region"], committed_at=T[0])
+    cat.write("db", "t", df2, partition_by=["cat"], committed_at=T[1])
+    tbl = cat.table("db", "t")
+    assert [s.partition_spec for s in tbl.snapshots()] == [["region"], ["cat"]]
+    rows = sorted((r["id"], r["region"], r["cat"]) for r in tbl.read(spark).collect())
+    assert rows == [(1, "eu", "a"), (2, "us", "b"), (3, "eu", "a"), (4, "ap", "c")]
+    plan = tbl.read(spark).where(F.col("cat") == "c")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cat" in plan  # new layout pruned
+    # appends without an explicit spec inherit the LATEST spec
+    cat.write("db", "t", spark.createDataFrame(
+        [(5, "eu", "c")], "id long, region string, cat string"), committed_at=T[2])
+    assert tbl.current_snapshot().partition_spec == ["cat"]
+
+
+def _file_col_spans(tbl, cols):
+    """Per-file (min, max) of each column from parquet footer stats —
+    what a stats-based scan planner would prune with."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in tbl.current_snapshot().files:
+        md = pq.ParquetFile(os.path.join(tbl.root, f.path)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per = {}
+        for c in cols:
+            idx = names[c]
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            per[c] = (min(los), max(his))
+        spans.append(per)
+    return spans
+
+
+def test_compact_zorder_bounds_files_in_every_dimension(spark, cat):
+    """Z-order rewrite must bound every output file in BOTH dims so
+    footer stats can prune on either column; a lexicographic (a, b)
+    sort leaves b spanning ~the full domain in every file."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        F.floor(F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    for name, kw in [("tz", {"zorder_by": ["a", "b"]}), ("ts", {"sort_by": ["a", "b"]})]:
+        cat.write("db", name, df, committed_at=T[0])
+        cat.compact("db", name, spark, target_partitions=8, **kw)
+    z_spans = _file_col_spans(cat.table("db", "tz"), ["a", "b"])
+    s_spans = _file_col_spans(cat.table("db", "ts"), ["a", "b"])
+    assert len(z_spans) >= 4
+    z_b = sum(hi - lo for s in z_spans for lo, hi in [s["b"]]) / len(z_spans)
+    s_b = sum(hi - lo for s in s_spans for lo, hi in [s["b"]]) / len(s_spans)
+    # lexicographic: b unbounded (~63 per file); z-order: halved or better
+    assert s_b > 55, f"expected unbounded b under lexicographic sort, got {s_b}"
+    assert z_b <= 0.6 * s_b, f"z-order b-span {z_b} vs lexicographic {s_b}"
+    # the rewrite is still a faithful replace
+    assert cat.table("db", "tz").read(spark).count() == 4096
