@@ -201,7 +201,15 @@ def band_table(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    # Materialize signatures behind an exchange before banding: the
+    # posexplode Generate would otherwise have the H minhash folds
+    # inlined into its input projection (CollapseProject), losing
+    # subexpression elimination — measured ~2× slower. The narrow
+    # repartition also spreads banding across cores when the source
+    # is a single parquet split.
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).repartition(
+        F.col(id_col)
+    )
     band_hashes = F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col(f"m{b * r + j}") for j in range(r)])
@@ -256,6 +264,11 @@ def dedup_batch_against_corpus(
         .join(cb.select(F.col(id_col).alias("doc_b"), "band", "bh"), ["band", "bh"])
         .select("doc_a", "doc_b")
         .distinct()
+        # two consumers (corpus semi-join prune + verify pair filter):
+        # without a materialization point each would recompute BOTH
+        # band tables — i.e. re-signature the corpus. The candidate
+        # set is near-dup-pair sized (tiny), so pin it once.
+        .localCheckpoint(eager=False)
     )
     cand_corpus = corpus_docs.join(
         candidates.select(F.col("doc_b").alias(id_col)).distinct(),
