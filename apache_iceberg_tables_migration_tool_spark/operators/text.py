@@ -148,3 +148,45 @@ def token_count_bpe(col: Column | str) -> Column:
     whitespace count of :func:`token_count`)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document corpus surprisal under a unigram LM — the classic
+    perplexity-style quality filter (docs whose tokens are uniformly
+    corpus-frequent score low; rare-token-dense docs score high),
+    with every value EXACT: instead of float ``-log p`` the per-token
+    surprisal is ``floor(log2(T / C(t)))`` computed as
+    ``length(bin(T intdiv C(t))) - 1`` — pure integer ops any engine
+    reproduces bit-for-bit (no transcendental functions).
+
+    Returns (id, n_tokens, surprisal_scaled, mean_surprisal_x100).
+
+    Scale shape: one explode + two hash shuffles (term-count
+    aggregate ≈ vocabulary size, then per-doc sum); the 1-row corpus
+    total broadcasts. No Python, no floats until the final x100
+    ratio (one exact integer division per doc).
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("t_total"))
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.length(F.bin(F.expr("t_total div c"))) - 1).cast("long").alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("s").cast("long").alias("surprisal_scaled"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "surprisal_scaled",
+        F.expr("(surprisal_scaled * 100) div n_tokens").alias("mean_surprisal_x100"),
+    )

@@ -84,3 +84,33 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     by term and this exact plan scales out."""
     docs = load(spark, sf_dir, "documents")
     return S.posting_lists(docs, _QUERY_TERMS)
+
+
+from apache_iceberg_tables_migration_tool_spark.operators import text as X  # noqa: E402
+
+
+@query(
+    "unigram_surprisal_quality",
+    tags=("text", "curation", "scalar-broadcast"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM counts),
+s AS (SELECT doc_id,
+             CAST(length(bin(t_total // c)) - 1 AS BIGINT) AS s
+      FROM tok JOIN counts USING (term) CROSS JOIN total)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s) AS BIGINT) AS surprisal_scaled,
+       CAST((SUM(s) * 100) // COUNT(*) AS BIGINT) AS mean_surprisal_x100
+FROM s GROUP BY doc_id
+""",
+)
+def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring, exact: per-token surprisal
+    floor(log2(T/C(t))) via integer ops (length(bin(x))-1), summed
+    per document — the unigram-LM filter of a pretraining pipeline
+    with a bit-identical DuckDB twin (no transcendental functions)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.unigram_surprisal(docs)

@@ -141,6 +141,58 @@ def ingest_stream_to_catalog(
     )
 
 
+def ingest_stream_wap(
+    events: DataFrame,
+    catalog,
+    database: str,
+    table: str,
+    checkpoint_dir: str,
+    audit,
+):
+    """Gated streaming ingestion via write-audit-publish: every
+    micro-batch is STAGED (``SnapCatalog.write(staged=True)``),
+    audited by reading the staged snapshot back, and only published
+    into the table history if the audit passes — the production
+    pattern for quality-gated stream landing (bad batches stay in
+    the log as unpublished snapshots for forensics instead of
+    polluting the table, and ``expire_snapshots`` eventually ages
+    them out).
+
+    ``audit(staged_df) -> bool`` sees the FULL staged table state
+    (current + batch) exactly as readers would after publish, so
+    invariant-style audits (row counts, null rates, referential
+    checks) run against the real post-commit picture. Batch-id
+    replay dedup works as in :func:`ingest_stream_to_catalog`, over
+    published AND staged snapshots (a replayed failed batch is not
+    re-staged)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = catalog.table(database, table)
+        if tbl.exists():
+            seen = {s.summary.get("streaming.batch_id") for s in tbl.snapshots()}
+            if str(batch_id) in seen:
+                return  # replayed micro-batch — already staged/committed
+        staged = catalog.write(
+            database,
+            table,
+            batch_df,
+            mode="append",
+            staged=True,
+            wap_id=f"stream-{batch_id}",
+            summary_extra={"streaming.batch_id": str(batch_id)},
+        )
+        spark = batch_df.sparkSession
+        if audit(tbl.read(spark, snapshot_id=staged.snapshot_id)):
+            catalog.publish(database, table, staged.snapshot_id)
+
+    return (
+        events.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     """``run_to_completion`` twin for non-aggregating streams (joins,
     projections): append-mode memory sink, availableNow trigger."""

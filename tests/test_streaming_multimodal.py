@@ -343,3 +343,53 @@ def test_streaming_curation_matches_batch(spark):
         for r in curate_documents(load(spark, SF_DIR, "documents")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_wap_ingest_gates_bad_batches(spark, tmp_path):
+    """WAP-gated streaming ingest: each micro-batch is staged,
+    audited against the full post-commit state, and only published
+    when clean — the poison batch stays an unpublished snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        ingest_stream_wap,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = {
+        "a.parquet": ([1, 2, 3], [1.0, 2.0, 3.0]),
+        "b.parquet": ([4, 5], [4.0, -1.0]),  # poison: negative value
+        "c.parquet": ([6, 7], [6.0, 7.0]),
+    }
+    for fn, (ids, vs) in batches.items():
+        pq.write_table(
+            pa.table({"id": pa.array(ids, "int64"), "v": pa.array(vs, "float64")}),
+            str(src / fn),
+        )
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    q = ingest_stream_wap(
+        stream, cat, "db", "gated", str(tmp_path / "ckpt"),
+        audit=lambda df: df.where("v < 0").limit(1).count() == 0,
+    )
+    q.awaitTermination()
+
+    tbl = cat.table("db", "gated")
+    got = sorted(r["id"] for r in tbl.read(spark).collect())
+    assert got == [1, 2, 3, 6, 7]  # poison batch never published
+    snaps = tbl.snapshots()
+    assert len(snaps) == 3  # all batches staged (audit trail preserved)
+    published = {s.snapshot_id for s in tbl.main_chain()}
+    unpublished = [s for s in snaps if s.snapshot_id not in published]
+    assert len(unpublished) == 1
+    assert unpublished[0].summary["wap.id"].startswith("stream-")
+    # the unpublished snapshot holds the poison rows for forensics
+    bad = tbl.read(spark, snapshot_id=unpublished[0].snapshot_id)
+    assert bad.where("v < 0").count() == 1
