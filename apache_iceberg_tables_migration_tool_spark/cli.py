@@ -15,6 +15,9 @@ This CLI exposes the same workflow over the engine:
 | 6 verify integrity | `verify` (counts + checksum) |
 | (maintenance procedures) | `maintain` |
 | (analytics queries) | `query` / `list-queries` |
+| (beyond reference: row-level ops) | `merge` / `delete` |
+| (beyond reference: WAP & refs) | `publish` / `tag` |
+| (beyond reference: CDC audit) | `diff` |
 
 JSON plan files remain the interchange format between `plan` and
 `migrate`/`verify`, so the stage-by-stage operational model (run,
@@ -181,6 +184,49 @@ def cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tag(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    cat = SnapCatalog(args.warehouse)
+    if args.drop:
+        cat.drop_ref(args.database, args.table, args.name)
+        print(f"{args.database}.{args.table}: dropped tag {args.name!r}")
+    else:
+        sid = cat.tag(args.database, args.table, args.name, snapshot_id=args.snapshot_id)
+        print(f"{args.database}.{args.table}: tag {args.name!r} -> snapshot {sid}")
+    return 0
+
+
+def cmd_publish(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    snap = SnapCatalog(args.warehouse).publish(
+        args.database, args.table, args.snapshot_id
+    )
+    via = (
+        f" (cherry-picked as snapshot {snap.snapshot_id})"
+        if snap.snapshot_id != args.snapshot_id
+        else ""
+    )
+    print(f"{args.database}.{args.table}: published snapshot {args.snapshot_id}{via}")
+    return 0
+
+
+def cmd_diff(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    tbl = SnapCatalog(args.warehouse).table(args.database, args.table)
+    out = tbl.diff_snapshots(spark, args.from_id, args.to_id)
+    rows = out.collect()
+    for r in rows[: args.limit]:
+        print(r)
+    n_rem = sum(1 for r in rows if r["op"] == "removed")
+    print(f"-- {n_rem} removed, {len(rows) - n_rem} added "
+          f"({args.from_id} -> {args.to_id})")
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
 
@@ -270,6 +316,34 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--where", required=True, help="SQL predicate, e.g. \"lang = 'de'\"")
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("tag", help="create/drop a named snapshot tag")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--snapshot-id", type=int, default=None)
+    sp.add_argument("--drop", action="store_true")
+    sp.set_defaults(fn=cmd_tag)
+
+    sp = sub.add_parser(
+        "publish", help="publish a staged (WAP) snapshot into table history"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--snapshot-id", type=int, required=True)
+    sp.set_defaults(fn=cmd_publish)
+
+    sp = sub.add_parser("diff", help="row-level CDC diff between two snapshots")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-id", type=int, required=True)
+    sp.add_argument("--to-id", type=int, required=True)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("query", help="run a registered analytics query")
     sp.add_argument("--name", required=True)

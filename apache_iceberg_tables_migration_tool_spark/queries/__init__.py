@@ -84,17 +84,22 @@ _DRIVER_PRIORITY = [
     "pii_redaction",
     "stratified_sample_langs",
     "pack_training_sequences",
-    # scale-path hardening (sketches, range join, skew)
-    "approx_distinct_users",
-    "range_join_value_buckets",
-    "skew_salted_agg",
+    # round-2 flagship surfaces: WAP lifecycle, incremental corpus
+    # dedup, full-text retrieval
+    "wap_audit_publish",
+    "dedup_incremental_ingest",
+    "bm25_search_topk",
 ]
 # Demoted past the graded window (second/third carriers of operators the
 # window already covers, still judge-graded + pytest-pinned):
 # clean_text_stats, top_bigrams_per_lang (X4 extras), sliding_window_events
 # (X6 has tumbling+session), dedup_embedding_clusters (clustering covered
 # by dedup_clusters, embeddings by dedup_embedding_cosine),
-# approx_percentile_quality (sketch family covered by approx_distinct_users).
+# approx_percentile_quality / approx_distinct_users (sketch family,
+# tolerance pinned in-oracle), range_join_value_buckets / skew_salted_agg
+# (scale hardening, pytest-pinned equivalence), zorder_values,
+# unigram_surprisal_quality, inverted_index_terms, mixture_weighted_sample,
+# small_quantity_revenue_q17 (each a sibling of an in-window carrier).
 
 
 def _apply_driver_priority() -> None:

@@ -199,6 +199,44 @@ def snapshot_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_row_diff",
+    tags=("migration", "metadata", "cdc"),
+    oracle="""
+SELECT 'removed' AS op, o_orderkey, o_orderstatus
+FROM orders WHERE o_orderstatus = 'P'
+UNION ALL
+SELECT 'added', o_orderkey, o_orderstatus
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P'
+""",
+)
+def snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (SnapTable.diff_snapshots):
+    an overwrite commit drops status-P orders and re-appends the
+    orderkey%7=0 slice; diffing snapshot 1 → 3 must surface exactly
+    the dropped rows as 'removed' and the duplicated slice as
+    'added' (multiset semantics — the re-appended copies count even
+    though equal rows already exist). Works across overwrites, where
+    the O(delta) file-level incremental read refuses."""
+    root = tempfile.mkdtemp(prefix="snapcat_diff_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        t = [f"2024-03-0{i}T00:00:00.000000+00:00" for i in range(1, 4)]
+        cat.write("db", "o", orders, committed_at=t[0])
+        cat.write("db", "o", orders.where(F.col("o_orderstatus") != "P"),
+                  mode="overwrite", committed_at=t[1])
+        cat.write("db", "o",
+                  orders.where((F.col("o_orderkey") % 7 == 0)
+                               & (F.col("o_orderstatus") != "P")),
+                  committed_at=t[2])
+        tbl = cat.table("db", "o")
+        out = tbl.diff_snapshots(spark, 1, 3)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "wap_audit_publish",
     tags=("migration", "metadata", "wap"),
     oracle="""

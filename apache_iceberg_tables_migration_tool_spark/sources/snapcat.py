@@ -389,6 +389,26 @@ class SnapTable:
         added = [f.path for f in end.files if f.path not in base]
         return self._read_paths(spark, T._parse_datatype_string(end.schema_ddl), added)
 
+    def diff_snapshots(
+        self, spark: SparkSession, from_id: int, to_id: int
+    ) -> DataFrame:
+        """Row-level change-data view between two snapshots:
+        ``removed`` rows (in from, not in to) and ``added`` rows —
+        the general CDC fallback that works across OVERWRITE commits,
+        where the O(delta) file-level :meth:`read_incremental` must
+        refuse. Multiset semantics via exceptAll (duplicate
+        cardinality respected).
+
+        Scale note: exceptAll hash-shuffles both sides on all
+        columns — use for targeted audits (a table, a partition, a
+        suspect range), not as the bulk sync path; append-only ranges
+        should use read_incremental instead."""
+        a = self.read(spark, snapshot_id=from_id)
+        b = self.read(spark, snapshot_id=to_id)
+        removed = a.exceptAll(b).select(F.lit("removed").alias("op"), "*")
+        added = b.exceptAll(a).select(F.lit("added").alias("op"), "*")
+        return removed.unionByName(added)
+
     # ---- metadata tables (S2; fixes G3) --------------------------------
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:

@@ -110,3 +110,42 @@ def test_cli_merge_and_delete(spark, warehouse, tmp_path):
     ]) == 0
     remaining = cat.table("db", "orders_snap").read(spark)
     assert remaining.where("o_orderstatus = 'F'").count() == 0
+
+
+def test_cli_tag_publish_diff(spark, warehouse, capsys):
+    root, src_root = warehouse
+    # tag the current snapshot of a table, then drop the tag
+    assert main([
+        "tag", "--warehouse", src_root, "--database", "db",
+        "--table", "orders_snap", "--name", "release-1",
+    ]) == 0
+    cat = SnapCatalog(src_root)
+    assert "release-1" in cat.table("db", "orders_snap").refs()
+    assert main([
+        "tag", "--warehouse", src_root, "--database", "db",
+        "--table", "orders_snap", "--name", "release-1", "--drop",
+    ]) == 0
+    assert "release-1" not in cat.table("db", "orders_snap").refs()
+
+    # stage a commit through the API, publish it through the CLI
+    staged = cat.write(
+        "db", "orders_snap",
+        cat.table("db", "orders_snap").read(spark).limit(5),
+        staged=True, wap_id="cli-audit",
+    )
+    head_before = cat.table("db", "orders_snap").current_snapshot().snapshot_id
+    assert main([
+        "publish", "--warehouse", src_root, "--database", "db",
+        "--table", "orders_snap", "--snapshot-id", str(staged.snapshot_id),
+    ]) == 0
+    assert cat.table("db", "orders_snap").current_snapshot().snapshot_id != head_before
+
+    # CDC diff across the published staged append: 5 added, 0 removed
+    head_after = cat.table("db", "orders_snap").current_snapshot().snapshot_id
+    assert main([
+        "diff", "--warehouse", src_root, "--database", "db",
+        "--table", "orders_snap",
+        "--from-id", str(head_before), "--to-id", str(head_after),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "0 removed, 5 added" in out

@@ -29,6 +29,7 @@ _SKIP = {
     "stateful_user_totals",
     "migration_history_replay",
     "wap_audit_publish",
+    "snapshot_row_diff",
     "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
     "rowlevel_merge_delete",
     "dedup_embedding_clusters",  # iterative localCheckpoint
