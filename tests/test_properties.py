@@ -117,3 +117,72 @@ def test_dsum_equals_exact_decimal_sum(spark, vals):
     got = df.agg(dsum("v", scale=6).alias("s")).collect()[0]["s"]
     want = float(sum(vals))  # 2-dp decimals: exact in double, floor(×100) is identity
     assert got == want
+
+
+# ops: 0 = published append, 1 = staged append, 2 = staged append then
+# publish, 3 = overwrite, 4 = expire(keep_last=2)
+_wap_ops = st.lists(st.integers(0, 4), min_size=1, max_size=8)
+
+
+@given(ops=_wap_ops)
+@settings(**_SETTINGS)
+def test_wap_commit_protocol_invariants(spark, tmp_path_factory, ops):
+    """For ANY interleaving of published appends, staged appends,
+    publishes, overwrites, and expirations: the table state equals a
+    simple Python model, snapshot ids never collide, and the
+    published chain only contains published work."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    cat = SnapCatalog(str(tmp_path_factory.mktemp("wap_prop")))
+    model: list[int] = []  # expected ids in the published table
+    next_val = 0
+    tbl = cat.table("db", "t")
+
+    def batch(n=2):
+        nonlocal next_val
+        vals = list(range(next_val, next_val + n))
+        next_val += n
+        return vals
+
+    for op in ops:
+        if op == 0:
+            vals = batch()
+            cat.write("db", "t", spark.createDataFrame([(v,) for v in vals], "id long"))
+            model.extend(vals)
+        elif op == 1:
+            cat.write(
+                "db", "t",
+                spark.createDataFrame([(v,) for v in batch()], "id long"),
+                staged=True,
+            )  # never published: invisible
+        elif op == 2:
+            vals = batch()
+            s = cat.write(
+                "db", "t",
+                spark.createDataFrame([(v,) for v in vals], "id long"),
+                staged=True,
+            )
+            cat.publish("db", "t", s.snapshot_id)
+            model.extend(vals)
+        elif op == 3:
+            vals = batch()
+            cat.write(
+                "db", "t",
+                spark.createDataFrame([(v,) for v in vals], "id long"),
+                mode="overwrite",
+            )
+            model = list(vals)
+        elif op == 4 and tbl.exists():
+            cat.expire_snapshots("db", "t", keep_last=2)
+
+    if not tbl.exists():
+        return
+    cur = tbl.current_snapshot()
+    got = sorted(r["id"] for r in tbl.read(spark).collect()) if cur else []
+    assert got == sorted(model)
+    ids = [s.snapshot_id for s in tbl.snapshots()]
+    assert len(ids) == len(set(ids)), f"snapshot id collision: {ids}"
+    chain = tbl.main_chain()
+    assert [s.snapshot_id for s in chain] == sorted(s.snapshot_id for s in chain)
+    if cur:
+        assert chain[-1].snapshot_id == cur.snapshot_id

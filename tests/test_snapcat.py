@@ -561,3 +561,21 @@ def test_compact_zorder_bounds_files_in_every_dimension(spark, cat):
     assert z_b <= 0.6 * s_b, f"z-order b-span {z_b} vs lexicographic {s_b}"
     # the rewrite is still a faithful replace
     assert cat.table("db", "tz").read(spark).count() == 4096
+
+
+def test_schema_type_widening_across_commits(spark, cat):
+    """Iceberg-style type widening without file rewrite: a later
+    commit widens int->bigint and float->double; the current-schema
+    read upcasts old files in place (Spark 4 parquet type-widening)
+    and time travel still serves the ORIGINAL schema at snapshot 1."""
+    cat.write("db", "t", spark.createDataFrame(
+        [(1, 10, 1.5)], "id long, v int, w float"), committed_at=T[0])
+    cat.write("db", "t", spark.createDataFrame(
+        [(2, 3_000_000_000, 2.5)], "id long, v long, w double"), committed_at=T[1])
+    tbl = cat.table("db", "t")
+    cur = tbl.read(spark)
+    assert dict(cur.dtypes) == {"id": "bigint", "v": "bigint", "w": "double"}
+    assert sorted((r["id"], r["v"], r["w"]) for r in cur.collect()) == [
+        (1, 10, 1.5), (2, 3_000_000_000, 2.5)]
+    old = tbl.read(spark, snapshot_id=1)
+    assert dict(old.dtypes) == {"id": "bigint", "v": "int", "w": "float"}
