@@ -64,6 +64,10 @@ class DataFile:
     path: str  # relative to table root
     records: int
     bytes: int
+    #: per-column [min, max] from parquet footers, captured at commit
+    #: (≙ Iceberg manifest lower_bounds/upper_bounds) — int/float/str
+    #: columns only; absent for pre-stats metadata or other types
+    stats: dict[str, list] | None = None
 
 
 @dataclass
@@ -133,6 +137,39 @@ def _current_id(meta: dict) -> int:
     if "current_id" in meta:
         return meta["current_id"]
     return meta["snapshots"][-1]["snapshot_id"]
+
+
+def _footer_stats(md) -> dict[str, list] | None:
+    """Aggregate parquet row-group min/max into per-file column bounds
+    (≙ Iceberg manifest lower_bounds/upper_bounds). JSON-portable
+    types only (int/float/str); a column with any missing row-group
+    stats is skipped — absence means "can't prune", never wrong
+    pruning."""
+    bounds: dict[str, list] = {}
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    for idx, name in enumerate(names):
+        los, his = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            try:  # nested/unsupported types raise inside pyarrow, some
+                # only when the min/max values are materialized
+                st = md.row_group(rg).column(idx).statistics
+                usable = (
+                    st is not None
+                    and st.has_min_max
+                    and isinstance(st.min, (int, float, str))
+                    and not isinstance(st.min, bool)
+                )
+            except Exception:
+                usable = False
+            if not usable:
+                ok = False
+                break
+            los.append(st.min)
+            his.append(st.max)
+        if ok and los:
+            bounds[name] = [min(los), max(his)]
+    return bounds or None
 
 
 def _next_id(meta: dict) -> int:
@@ -388,6 +425,69 @@ class SnapTable:
         end = self.resolve_snapshot(to_id)
         added = [f.path for f in end.files if f.path not in base]
         return self._read_paths(spark, T._parse_datatype_string(end.schema_ddl), added)
+
+    def plan_files(
+        self,
+        predicates: list[tuple[str, str, object]],
+        snapshot_id: int | None = None,
+    ) -> list[DataFile]:
+        """Manifest-level scan planning (≙ Iceberg's manifest
+        filtering): keep only the data files whose footer-derived
+        [min, max] column bounds can satisfy ALL conjuncts.
+        ``predicates`` is a list of (column, op, literal) with op in
+        =, <, <=, >, >=. Files without stats for a referenced column
+        are conservatively kept.
+
+        This prunes on the DRIVER from manifest metadata alone —
+        before Spark lists or opens a single file. Together with
+        clustered layouts (compact ``sort_by``/``zorder_by``) this is
+        the 100 TB selective-scan path: the executor never sees files
+        the predicate rules out."""
+        snap = self.resolve_snapshot(snapshot_id)
+        out = []
+        for f in snap.files:
+            keep = True
+            for col, op, val in predicates:
+                b = (f.stats or {}).get(col)
+                if b is None:
+                    continue
+                lo, hi = b
+                if (
+                    (op == "=" and not (lo <= val <= hi))
+                    or (op == "<" and not (lo < val))
+                    or (op == "<=" and not (lo <= val))
+                    or (op == ">" and not (hi > val))
+                    or (op == ">=" and not (hi >= val))
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, str, object]],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Selective scan: manifest-prune files via :meth:`plan_files`,
+        then apply the same predicates as DataFrame filters (pruning
+        is a superset guarantee, filtering is exact)."""
+        snap = self.resolve_snapshot(snapshot_id)
+        files = self.plan_files(predicates, snapshot_id=snap.snapshot_id)
+        schema = T._parse_datatype_string(snap.schema_ddl)
+        df = self._read_paths(spark, schema, [f.path for f in files])
+        ops = {
+            "=": lambda c, v: F.col(c) == v,
+            "<": lambda c, v: F.col(c) < v,
+            "<=": lambda c, v: F.col(c) <= v,
+            ">": lambda c, v: F.col(c) > v,
+            ">=": lambda c, v: F.col(c) >= v,
+        }
+        for col, op, val in predicates:
+            df = df.where(ops[op](col, val))
+        return df
 
     def diff_snapshots(
         self, spark: SparkSession, from_id: int, to_id: int
@@ -673,7 +773,12 @@ class SnapCatalog:
                 md = pq.ParquetFile(full).metadata
                 rel = os.path.relpath(full, tbl.root)
                 new_files.append(
-                    DataFile(path=rel, records=md.num_rows, bytes=os.path.getsize(full))
+                    DataFile(
+                        path=rel,
+                        records=md.num_rows,
+                        bytes=os.path.getsize(full),
+                        stats=_footer_stats(md),
+                    )
                 )
         return new_files
 

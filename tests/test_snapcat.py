@@ -579,3 +579,43 @@ def test_schema_type_widening_across_commits(spark, cat):
         (1, 10, 1.5), (2, 3_000_000_000, 2.5)]
     old = tbl.read(spark, snapshot_id=1)
     assert dict(old.dtypes) == {"id": "bigint", "v": "int", "w": "float"}
+
+
+def test_manifest_stats_prune_files(spark, cat):
+    """Commit-time footer stats enable manifest-level file pruning:
+    a point predicate on disjoint-range commits plans exactly one
+    file, and the pruned read returns the same rows as a full scan
+    plus filter."""
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 100, (i + 1) * 100).coalesce(1),
+                  committed_at=T[i])
+    tbl = cat.table("db", "t")
+    snap = tbl.current_snapshot()
+    assert all(f.stats and "id" in f.stats for f in snap.files)
+    assert len(snap.files) == 3
+    planned = tbl.plan_files([("id", "=", 150)])
+    assert len(planned) == 1 and planned[0].stats["id"] == [100, 199]
+    assert tbl.plan_files([("id", "<", 100)]) == snap.files[:1]
+    assert len(tbl.plan_files([("id", ">=", 100)])) == 2
+    got = sorted(r["id"] for r in tbl.read_where(spark, [("id", ">=", 250)]).collect())
+    assert got == list(range(250, 300))
+    # unknown-stats column: conservatively unpruned
+    assert len(tbl.plan_files([("nope", "=", 1)])) == 3
+
+
+def test_manifest_prune_after_zorder_compact(spark, cat):
+    """Z-order + manifest stats: after a zorder_by (a, b) rewrite, a
+    predicate on the SECOND dimension alone prunes files at plan
+    time — the end-to-end selective-scan path."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        F.floor(F.col("id") / 64).cast("long").alias("b"),
+    )
+    cat.write("db", "t", df, committed_at=T[0])
+    cat.compact("db", "t", spark, target_partitions=8, zorder_by=["a", "b"])
+    tbl = cat.table("db", "t")
+    total = len(tbl.current_snapshot().files)
+    planned = tbl.plan_files([("b", "=", 0)])
+    assert len(planned) < total, "z-ordered layout should prune on b alone"
+    got = tbl.read_where(spark, [("b", "=", 0)])
+    assert got.count() == 64
