@@ -286,3 +286,87 @@ def resize_payload(
             F.xxhash64("resized").alias("checksum"),
         ),
     )
+
+
+# ---- audio (real DSP, pure numpy) ------------------------------------
+
+
+def synth_audio_payload(df: DataFrame, id_col: str = "doc_id", n_samples: int = 256) -> DataFrame:
+    """Deterministic PCM synth: an int16 little-endian waveform
+    derived from the row id (two integer-frequency sine partials +
+    id-seeded phase), built JVM-side as a binary column — the stand-in
+    for audio bytes arriving from the lake, with REAL samples the DSP
+    below actually analyzes."""
+    i = F.sequence(F.lit(0), F.lit(n_samples - 1))
+    # quiet fixed partial at 3 cycles (band 0) + loud partial centered
+    # in band (id % 8): with 256 samples the rfft has 129 bins split
+    # 8 ways as [0..16][17..32]…[113..128], so bin 16·b + 8 sits
+    # mid-band — integer cycle counts mean zero spectral leakage and
+    # the loud partial's band provably dominates
+    f1 = F.lit(3.0)
+    f2 = ((F.col(id_col) % 8) * 16 + 8).cast("double")
+    samples = F.transform(
+        i,
+        lambda k: (
+            2000 * F.sin(2 * 3.141592653589793 * f1 * k.cast("double") / n_samples)
+            + 10000 * F.sin(2 * 3.141592653589793 * f2 * k.cast("double") / n_samples)
+        ).cast("int"),
+    )
+    # pack int16 LE via hex: 4-digit big-endian hex per sample, bytes
+    # swapped to little-endian, concatenated, unhex'd to binary
+    def le_hex(s):
+        h = F.lpad(F.hex(F.pmod(s, 65536)), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    packed = F.unhex(F.array_join(F.transform(samples, le_hex), ""))
+    return df.withColumn("audio", packed)
+
+
+def audio_band_energy(
+    df: DataFrame,
+    n_bands: int = 8,
+    content_col: str = "audio",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real audio feature extraction: decode int16-LE PCM, rFFT, and
+    sum |X[k]|^2 into ``n_bands`` equal frequency bands — the
+    spectral-fingerprint step of an audio curation pipeline, Arrow-
+    batched via mapInPandas (same contract as image featurization).
+    Output: (id, n_samples, band_energy array<double>, parseval_ok)
+    where parseval_ok checks sum|x|^2 == (sum|X|^2)/N within 1e-6
+    relative — the self-test that the decode+FFT round trip is
+    faithful."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"id": [], "n": [], "bands": [], "ok": []}
+            for rid, payload in zip(pdf[id_col], pdf[content_col]):
+                x = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64)
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                # double the interior bins so Parseval holds for rfft
+                full = spec.copy()
+                full[1:] *= 2
+                if len(x) % 2 == 0 and len(full) > 1:
+                    full[-1] /= 2
+                bands = np.array_split(full, n_bands)
+                time_e = float(np.sum(x**2))
+                freq_e = float(np.sum(full)) / max(len(x), 1)
+                out["id"].append(rid)
+                out["n"].append(len(x))
+                out["bands"].append([float(b.sum()) for b in bands])
+                out["ok"].append(abs(time_e - freq_e) <= 1e-6 * max(time_e, 1.0))
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "n_samples": out["n"],
+                    "band_energy": out["bands"],
+                    "parseval_ok": out["ok"],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} bigint, n_samples int, band_energy array<double>, parseval_ok boolean",
+    )

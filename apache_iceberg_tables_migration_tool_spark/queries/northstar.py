@@ -446,6 +446,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_spectral_profile",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id, CAST(256 AS INT) AS n_samples,
+       CAST(doc_id % 8 AS BIGINT) AS dominant_band,
+       TRUE AS parseval_ok
+FROM documents
+""",
+)
+def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP over binary payloads (X5, audio modality):
+    synth an int16-LE PCM waveform per doc JVM-side (two integer-
+    frequency sine partials, the loud one centered in band
+    doc_id % 8), then decode + rFFT + 8-band energy via Arrow-batched
+    mapInPandas. The oracle derives what the physics guarantees:
+    integer-cycle partials have zero spectral leakage, so the loud
+    partial's band dominates, and Parseval (time energy == spectral
+    energy / N) must hold to 1e-6 — any bug in byte packing, decode,
+    or the FFT path flips a value."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    audio = M.synth_audio_payload(docs)
+    bands = M.audio_band_energy(audio)
+    return bands.select(
+        "doc_id",
+        "n_samples",
+        (F.expr("array_position(band_energy, array_max(band_energy))") - 1)
+        .cast("long")
+        .alias("dominant_band"),
+        "parseval_ok",
+    )
+
+
+@query(
     "multimodal_metadata",
     tags=("multimodal",),
     oracle="""

@@ -393,3 +393,30 @@ def test_stream_wap_ingest_gates_bad_batches(spark, tmp_path):
     # the unpublished snapshot holds the poison rows for forensics
     bad = tbl.read(spark, snapshot_id=unpublished[0].snapshot_id)
     assert bad.where("v < 0").count() == 1
+
+
+def test_audio_payload_packs_exact_int16_waveform(spark):
+    """The JVM-side hex-packed PCM payload must decode to exactly the
+    waveform numpy would synthesize — byte packing, endianness, and
+    truncation all bit-faithful."""
+    import numpy as np
+
+    from apache_iceberg_tables_migration_tool_spark.operators import multimodal as M
+
+    n = 256
+    rows = M.synth_audio_payload(
+        spark.range(4).withColumnRenamed("id", "doc_id"), n_samples=n
+    ).collect()
+    for r in rows:
+        got = np.frombuffer(bytes(r["audio"]), dtype="<i2").astype(np.int64)
+        assert len(got) == n
+        k = np.arange(n, dtype=np.float64)
+        f2 = (r["doc_id"] % 8) * 16 + 8
+        # Spark cast("int") truncates toward zero
+        want = np.trunc(
+            2000 * np.sin(2 * np.pi * 3.0 * k / n)
+            + 10000 * np.sin(2 * np.pi * f2 * k / n)
+        ).astype(np.int64)
+        # int16 wraparound semantics of the packer
+        want16 = np.frombuffer(want.astype("<i2").tobytes(), dtype="<i2").astype(np.int64)
+        assert (got == want16).all(), f"doc {r['doc_id']}: waveform mismatch"
