@@ -387,3 +387,65 @@ def dequantize_int8(
         out_col,
         F.expr(f"transform({codes_col}, c -> {lo_col} + CAST(c AS DOUBLE) * {scale_col})"),
     )
+
+
+def quantized_outliers(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding outlier detection with EXACT arithmetic: quantize
+    every vector onto a global per-DIMENSION 256-level grid (bounds
+    from one tiny per-dim agg), take the integer centroid
+    (per-dim ``sum div n``), and rank vectors by integer squared L2
+    distance to it. The far tail is the outlier set a curation
+    pipeline drops or audits (mislabeled points, encoder glitches,
+    distribution drift).
+
+    Unlike per-vector SQ8 (:func:`quantize_int8`, which normalizes
+    each vector to its own range), the GLOBAL grid keeps codes
+    comparable across vectors — the prerequisite for any cross-vector
+    distance. Quantization uses the same floor(+0.5) double rounding
+    SQ8 proved bit-portable; everything after is int64, so distances
+    hash-match any engine.
+
+    Scale shape: one explode to (dim, value) rows, a |dims|-row
+    bounds/centroid agg broadcast back, one per-vector sum — two
+    narrow shuffles, no joins between data-sized relations.
+    """
+    dims = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+    )
+    coded = (
+        df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "x"))
+        .join(F.broadcast(dims), "dim")
+        .select(
+            id_col,
+            "dim",
+            F.expr(
+                "CAST(floor((CAST(x AS DOUBLE) - lo)"
+                " / (CASE WHEN hi <> lo THEN (hi - lo) / 255.0D ELSE 1.0D END)"
+                " + 0.5d) AS BIGINT)"
+            ).alias("code"),
+        )
+    )
+    centroid = coded.groupBy("dim").agg(
+        F.expr("sum(code) div count(*)").alias("cent")
+    )
+    return (
+        coded.join(F.broadcast(centroid), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("code") - F.col("cent")) * (F.col("code") - F.col("cent")))
+            .cast("long")
+            .alias("dist_sq")
+        )
+        .orderBy(F.desc("dist_sq"), F.asc(id_col))
+        .limit(k)
+    )

@@ -283,6 +283,39 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_outliers",
+    tags=("vector", "curation"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+b AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM v GROUP BY dim),
+c AS (SELECT vec_id, v.dim,
+             CAST(FLOOR((x - lo)
+                  / (CASE WHEN hi <> lo THEN (hi - lo) / 255.0 ELSE 1.0 END)
+                  + 0.5) AS BIGINT) AS code
+      FROM v JOIN b ON v.dim = b.dim),
+cent AS (SELECT dim, SUM(code) // COUNT(*) AS cent FROM c GROUP BY dim)
+SELECT vec_id,
+       CAST(SUM((code - cent) * (code - cent)) AS BIGINT) AS dist_sq
+FROM c JOIN cent ON c.dim = cent.dim
+GROUP BY vec_id
+ORDER BY dist_sq DESC, vec_id
+LIMIT 20
+""",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier sweep (curation: drop/audit the far tail):
+    global per-dimension 256-level quantization → integer centroid →
+    exact int64 squared-L2 ranking. Top-20 farthest vectors, values
+    hash-identical to the DuckDB twin (floor(+0.5) grid + pure
+    integer distance — no float accumulation anywhere)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.quantized_outliers(emb, k=20)
+
+
+@query(
     "knn_int8_quantized",
     tags=("vector", "approx", "scalar-broadcast"),
     oracle="""
