@@ -29,6 +29,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # runtime (AQE-injected) bloom filters: a selective join's build
+    # side prunes the probe side's scan — the 100 TB join-pruning
+    # lever alongside manifest/partition pruning
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     # local runs: broadcast generously; on a real cluster this stays

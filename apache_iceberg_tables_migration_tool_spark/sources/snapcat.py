@@ -99,6 +99,9 @@ SNAPSHOT_SCHEMA = T.StructType(
         T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
         T.StructField("total_records", T.LongType()),
         T.StructField("total_files", T.LongType()),
+        # on the published lineage (≙ Iceberg history.is_current_ancestor);
+        # false = staged/abandoned WAP commit
+        T.StructField("is_published", T.BooleanType()),
     ]
 )
 
@@ -512,6 +515,7 @@ class SnapTable:
     # ---- metadata tables (S2; fixes G3) --------------------------------
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        chain = {s.snapshot_id for s in self.main_chain()}
         rows = [
             (
                 s.snapshot_id,
@@ -521,10 +525,20 @@ class SnapTable:
                 s.summary,
                 s.total_records,
                 len(s.files),
+                s.snapshot_id in chain,
             )
             for s in self.snapshots()
         ]
         return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Named refs as a metadata table (≙ Iceberg ``.refs``)."""
+        rows = [
+            (name, r["type"], r["snapshot_id"]) for name, r in sorted(self.refs().items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
 
     def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         snap = self.resolve_snapshot(snapshot_id)

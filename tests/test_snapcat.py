@@ -619,3 +619,14 @@ def test_manifest_prune_after_zorder_compact(spark, cat):
     assert len(planned) < total, "z-ordered layout should prune on b alone"
     got = tbl.read_where(spark, [("b", "=", 0)])
     assert got.count() == 64
+
+
+def test_metadata_tables_expose_refs_and_publication(spark, cat):
+    cat.write("db", "t", spark.range(3), committed_at=T[0])
+    staged = cat.write("db", "t", spark.range(5), committed_at=T[1], staged=True)
+    cat.tag("db", "t", "v1")
+    tbl = cat.table("db", "t")
+    sdf = {r["snapshot_id"]: r["is_published"] for r in tbl.snapshots_df(spark).collect()}
+    assert sdf == {1: True, staged.snapshot_id: False}
+    refs = tbl.refs_df(spark).collect()
+    assert [(r["name"], r["type"], r["snapshot_id"]) for r in refs] == [("v1", "tag", 1)]
