@@ -339,7 +339,20 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = hashed_word_shingles(docs, id_col, text_col, n)
+    # Verify shingles ONLY candidate docs: near-dup candidates are a
+    # sliver of the corpus, so tokenizing everything again just to
+    # have the pair join discard it wastes a corpus-sized shuffle —
+    # semi-join prune first (same shape as the incremental-ingest
+    # variant). The candidate set feeds two consumers; pin it once.
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = hashed_word_shingles(
+        docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    )
     return _pair_jaccard(sh, pair_filter=candidates).where(F.col("jaccard") >= threshold)
 
 
