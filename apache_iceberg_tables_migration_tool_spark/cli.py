@@ -148,10 +148,18 @@ def cmd_maintain(args: argparse.Namespace) -> int:
             if args.expire_keep_last:
                 expired = cat.expire_snapshots(db, name, keep_last=args.expire_keep_last)
                 print(f"{db}.{name}: expired {len(expired)} snapshots")
-            if args.compact or args.compact_sort_by:
+            if args.compact or args.compact_sort_by or args.compact_zorder_by:
                 sort_by = args.compact_sort_by.split(",") if args.compact_sort_by else None
-                cat.compact(db, name, spark, sort_by=sort_by)
-                print(f"{db}.{name}: compacted" + (f" (sorted by {sort_by})" if sort_by else ""))
+                zorder_by = (
+                    args.compact_zorder_by.split(",") if args.compact_zorder_by else None
+                )
+                cat.compact(db, name, spark, sort_by=sort_by, zorder_by=zorder_by)
+                how = (
+                    f" (z-ordered by {zorder_by})"
+                    if zorder_by
+                    else (f" (sorted by {sort_by})" if sort_by else "")
+                )
+                print(f"{db}.{name}: compacted{how}")
     return 0
 
 
@@ -299,6 +307,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--compact-sort-by", default=None,
         help="comma-separated sort columns: range-cluster the rewrite so "
         "file min/max stats enable scan skipping",
+    )
+    sp.add_argument(
+        "--compact-zorder-by", default=None,
+        help="comma-separated integral columns: Morton z-order the rewrite "
+        "so files are bounded in EVERY listed dimension (multi-column "
+        "file skipping)",
     )
     sp.set_defaults(fn=cmd_maintain)
 

@@ -149,3 +149,16 @@ def test_cli_tag_publish_diff(spark, warehouse, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "0 removed, 5 added" in out
+
+
+def test_cli_maintain_zorder(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "zwh"))
+    from pyspark.sql import functions as F
+    cat.write("zdb", "t", spark.range(1024).select(
+        (F.col("id") % 32).alias("a"), F.floor(F.col("id") / 32).cast("long").alias("b")))
+    assert main([
+        "maintain", "--warehouse", str(tmp_path / "zwh"),
+        "--compact-zorder-by", "a,b",
+    ]) == 0
+    assert "z-ordered by ['a', 'b']" in capsys.readouterr().out
+    assert cat.table("zdb", "t").read(spark).count() == 1024
