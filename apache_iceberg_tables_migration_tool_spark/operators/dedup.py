@@ -417,6 +417,63 @@ def simhash_pairs(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — substring-level dedup, the
+    sequence-granular counterpart of document-level near-dedup
+    (the "dedup at the 50-token-span level" strategy from
+    'Deduplicating Training Data Makes Language Models Better',
+    Lee et al. 2022): flag every consecutive ``window``-token span
+    whose exact text occurs ``min_occurrences``+ times anywhere in
+    the corpus (cross-doc or repeated in-doc), and report per doc how
+    many of its spans are duplicated.
+
+    Plan shape: tokenize once, md5 every consecutive span (a codegen
+    ``transform`` over ``slice`` — zero Python), explode to
+    (doc, span_hash), ONE hash shuffle counts span occurrences, a
+    span_hash join + doc-keyed aggregation rolls the flags back up.
+    Cost is O(tokens × window) span bytes and two hash shuffles — no
+    pairwise join anywhere, so it scales linearly to a 100 TB corpus
+    (shard by span_hash). md5 keeps the span key engine-portable
+    (DuckDB oracle reproduces it bit-for-bit).
+
+    Returns (id, n_spans, dup_spans, dup_ratio); docs shorter than
+    ``window`` tokens yield no row.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    spans = toks.where(F.size("__t") >= window).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {window} + 1), "
+                f"i -> md5(concat_ws(' ', slice(__t, i, {window}))))"
+            )
+        ).alias("span_hash"),
+    )
+    occ = spans.groupBy("span_hash").agg(F.count(F.lit(1)).alias("__occ"))
+    return (
+        spans.join(occ, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("__occ") >= min_occurrences, 1).otherwise(0)
+            ).alias("dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("dup_spans").cast("bigint").alias("dup_spans"),
+            (F.col("dup_spans").cast("double") / F.col("n_spans")).alias("dup_ratio"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

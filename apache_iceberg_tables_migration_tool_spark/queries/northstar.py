@@ -123,6 +123,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_duplicate_spans",
+    tags=("dedup",),
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS span_hash
+  FROM toks, UNNEST(generate_series(1, len(t) - 8 + 1)) AS u(i)
+),
+occ AS (SELECT span_hash, COUNT(*) AS occ FROM spans GROUP BY span_hash)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS dup_ratio
+FROM spans s JOIN occ o USING (span_hash)
+GROUP BY s.doc_id
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022): every 8-token
+    span hashed (md5, engine-portable), spans occurring 2+ times
+    anywhere in the corpus flagged, per-doc duplicated-span coverage
+    reported. Document-level near-dedup misses long verbatim passages
+    embedded in otherwise-distinct docs; this is the operator that
+    catches them. Linear cost — two hash shuffles, no pairwise join —
+    so it runs at corpus scale where the quadratic exact tier can't."""
+    docs = load(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, window=8, min_occurrences=2)
+
+
+@query(
     "dedup_incremental_ingest",
     tags=("dedup", "approx"),
     oracle="""
