@@ -49,7 +49,11 @@ def keep_latest(
     )
 
 
-def _pair_jaccard(shingles: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    shingles: DataFrame,
+    pair_filter: DataFrame | None = None,
+    pre_materialized: bool = False,
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for doc pairs sharing ≥1 shingle.
 
     ``shingles``: (doc_id, shingle) distinct-per-doc (string or
@@ -69,7 +73,11 @@ def _pair_jaccard(shingles: DataFrame, pair_filter: DataFrame | None = None) -> 
     # without it the tokenize+shingle projection is recomputed per
     # branch (the b-side is typically a BroadcastExchange, which never
     # plan-matches the a-side, so nothing would be shared).
-    shingles = shingles.repartition(F.col("doc_id"))
+    # ``pre_materialized`` callers already sit on such an exchange
+    # (e.g. the df-cap path, which shares it with the freq pass) —
+    # repartitioning again would pay a second full shuffle for nothing.
+    if not pre_materialized:
+        shingles = shingles.repartition(F.col("doc_id"))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -128,11 +136,20 @@ def ngram_jaccard_pairs(
         # (If a corpus ever yields a hot set too big to broadcast, drop
         # the hint and let AQE pick a shuffle anti-join — semantics are
         # identical.)
+        #
+        # Materialize the shingle exchange HERE so the freq pass and
+        # the anti-join left side reuse ONE tokenize+shingle evaluation
+        # (ReuseExchange); r2 computed the projection twice — the freq
+        # pass alone regressed the sf0.1 bench 1.54s → 2.89s.
+        sh = sh.repartition(F.col("doc_id"))
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
             F.broadcast(freq.where(F.col("df") > max_shingle_docs).select("shingle")),
             "shingle",
             "left_anti",
+        )
+        return _pair_jaccard(sh, pre_materialized=True).where(
+            F.col("jaccard") >= threshold
         )
     return _pair_jaccard(sh).where(F.col("jaccard") >= threshold)
 

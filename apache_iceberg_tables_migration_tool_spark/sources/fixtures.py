@@ -34,14 +34,61 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
-#: read natively; an explicit long schema sidesteps it independent of
-#: session config (no reliance on spark.sql.legacy.parquet.nanosAsLong),
-#: and ts is rebuilt as a µs-truncated TimestampType column.
+#: Fallback schema for events.parquet written with TIMESTAMP(NANOS),
+#: which Spark 4 refuses to read natively; an explicit long schema
+#: sidesteps it independent of session config (no reliance on
+#: spark.sql.legacy.parquet.nanosAsLong), and ts is rebuilt as a
+#: µs-truncated TimestampType column.
 _EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
 )
+
+_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+#: Explicit schema for µs/ms-precision events footers (streaming reads
+#: require a user-supplied schema; batch reads infer the same thing).
+_EVENTS_NATIVE_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def events_ts_is_native(spark: SparkSession, path: str) -> bool:
+    """True when Spark can decode the events ``ts`` column natively
+    (µs/ms parquet footer), False for a nanos footer that needs the
+    raw-int64 fallback decode."""
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType.typeName()
+    except Exception:  # nanos footer: Spark 4 refuses schema inference
+        return False
+    return ts_type in ("timestamp", "timestamp_ntz")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Precision-aware events scan.
+
+    The driver has shipped this fixture with both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) footers across rounds. Inspect what Spark infers
+    from the footer and trust it when it is already a timestamp
+    (µs/ms footers — Spark decodes these natively); only fall back to
+    the raw-int64 ÷1000 decode when the footer is nanos (Spark either
+    throws at schema inference or, under the legacy nanosAsLong conf,
+    surfaces a LongType column).
+    """
+    if events_ts_is_native(spark, path):
+        # Session tz is UTC (session.py), so the ntz→tz cast is a
+        # wall-clock no-op; downstream operators uniformly see
+        # TimestampType.
+        return (
+            spark.read.parquet(path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select(*_EVENTS_COLS)
+        )
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select(*_EVENTS_COLS)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,10 +98,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table: {name!r}")
     path = table_path(sf_dir, name)
     if name == "events":
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        return _load_events(spark, path)
     return spark.read.parquet(path)
 
 

@@ -19,18 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_iceberg_tables_migration_tool_spark.sources.fixtures import (
+    _EVENTS_NATIVE_SCHEMA,
     _EVENTS_RAW_SCHEMA,
+    events_ts_is_native,
+    table_path,
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (same ns→µs
-    timestamp handling as the batch loader)."""
+    """File-source stream over the events fixture (same precision-aware
+    timestamp handling as the batch loader: native µs/ms decode when the
+    footer allows, raw-int64 ns fallback otherwise)."""
+    native = events_ts_is_native(spark, table_path(sf_dir, "events"))
+    schema = _EVENTS_NATIVE_SCHEMA if native else _EVENTS_RAW_SCHEMA
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if native:
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
