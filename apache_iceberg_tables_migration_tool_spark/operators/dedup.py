@@ -462,6 +462,10 @@ def duplicate_spans(
     Returns (id, n_spans, dup_spans, dup_ratio); docs shorter than
     ``window`` tokens yield no row.
     """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_occurrences < 1:
+        raise ValueError(f"min_occurrences must be >= 1, got {min_occurrences}")
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
     spans = toks.where(F.size("__t") >= window).select(
         F.col(id_col),

@@ -122,21 +122,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span-dedup tuning shared by the Spark call AND the oracle SQL below —
+# interpolating both sides from the same constants keeps them from
+# drifting if the span length or occurrence bar is ever re-tuned.
+_SPAN_WINDOW = 8
+_SPAN_MIN_OCC = 2
+
+
 @query(
     "dedup_duplicate_spans",
     tags=("dedup",),
-    oracle="""
+    oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 spans AS (
-  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS span_hash
-  FROM toks, UNNEST(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  SELECT doc_id, md5(array_to_string(t[i:i+{_SPAN_WINDOW - 1}], ' ')) AS span_hash
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
 ),
 occ AS (SELECT span_hash, COUNT(*) AS occ FROM spans GROUP BY span_hash)
 SELECT s.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
-       CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
-       CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-           AS dup_ratio
+       CAST(SUM(CASE WHEN o.occ >= {_SPAN_MIN_OCC} THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_spans,
+       CAST(SUM(CASE WHEN o.occ >= {_SPAN_MIN_OCC} THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_ratio
 FROM spans s JOIN occ o USING (span_hash)
 GROUP BY s.doc_id
 """,
@@ -150,7 +158,9 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches them. Linear cost — two hash shuffles, no pairwise join —
     so it runs at corpus scale where the quadratic exact tier can't."""
     docs = load(spark, sf_dir, "documents")
-    return D.duplicate_spans(docs, window=8, min_occurrences=2)
+    return D.duplicate_spans(
+        docs, window=_SPAN_WINDOW, min_occurrences=_SPAN_MIN_OCC
+    )
 
 
 @query(

@@ -340,3 +340,11 @@ def test_int8_quantization_bounds_and_recall(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, f"quantized recall {recall}"
+
+
+def test_duplicate_spans_rejects_degenerate_params(spark):
+    docs = load(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="window"):
+        D.duplicate_spans(docs, window=0)
+    with pytest.raises(ValueError, match="min_occurrences"):
+        D.duplicate_spans(docs, min_occurrences=0)
