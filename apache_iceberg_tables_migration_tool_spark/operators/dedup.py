@@ -21,6 +21,8 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,21 +169,43 @@ def minhash_signatures(
     num_hashes: int = 128,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, m0..m{H-1}) MinHash signature columns.
+    """(doc_id, sig: array<bigint> of length H) MinHash signatures.
 
-    Shingle → xxhash64 → fold to 31 bits; hash family is the classic
-    universal (a·h + b) mod (2^31−1), all products < 2^51 (ANSI-safe).
+    Shingle → xxhash64 (JVM codegen) → fold to 31 bits; hash family is
+    the classic universal (a·h + b) mod (2^31−1), all products < 2^51.
 
-    Computed per-doc as H ``array_min(transform(...))`` folds over the
-    doc's shingle array inside ONE codegen projection — a doc's
-    shingles already live in one row, so there is nothing to
-    aggregate: NO explode, NO shuffle, embarrassingly parallel.
-    (The previous explode + H simultaneous MIN aggregates paid a full
-    shuffle of docs×shingles rows; measured 13× slower at sf0.1 for
-    identical output values.) The 31-bit base hashes are materialized
-    once (``__hs``) and the H transforms fold over that column —
-    subexpression elimination keeps it one evaluation per doc.
+    The H min-folds run in an Arrow-batched pandas UDF as one dense
+    numpy (shingles × H) broadcast-multiply + column-min per doc. This
+    is the measured exception to the JVM-first rule: Spark's
+    higher-order ``aggregate``/``transform`` lambdas always evaluate
+    interpreted (no codegen for lambda bodies), costing 1.5s (H=48) /
+    3.3s (H=128) at sf0.1, while the vectorized numpy evaluation is a
+    flat ~0.9s dominated by the JVM-side shingle hashing + Arrow
+    transfer — the fold itself is C-speed and H-independent. Values
+    are bit-identical (int64 exact, no overflow below 2^51; numpy
+    ``%`` ≡ SQL ``pmod`` for positive operands), verified in tests
+    against the SQL formulation.
+
+    No explode, no shuffle: a doc's shingles live in one row, so the
+    signature is a per-row projection — embarrassingly parallel at any
+    corpus size, with Arrow transfer per batch as the only overhead.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    params = _hash_params(num_hashes, seed)
+    mul = np.array([a for a, _ in params], dtype=np.int64)
+    add = np.array([b for _, b in params], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _sig(col: pd.Series) -> pd.Series:
+        out = []
+        for h in col:
+            hv = np.asarray(h, dtype=np.int64)
+            out.append(
+                ((hv[:, None] * mul[None, :] + add[None, :]) % _MERSENNE31).min(axis=0)
+            )
+        return pd.Series(out)
+
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     arr = F.expr(
         f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
@@ -192,13 +216,37 @@ def minhash_signatures(
         F.col(id_col),
         F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {_MERSENNE31}L))").alias("__hs"),
     )
-    mins = [
-        F.expr(
-            f"array_min(transform(__hs, h -> pmod(h * {a}L + {b}L, {_MERSENNE31}L)))"
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
-    ]
-    return hs.select(F.col(id_col), *mins)
+    return hs.select(F.col(id_col), _sig(F.col("__hs")).alias("sig"))
+
+
+def minhash_signatures_sql(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Pure-JVM twin of :func:`minhash_signatures` (higher-order
+    ``aggregate`` folds — interpreted lambda evaluation, so slower;
+    see that docstring's measurements). Kept as the bit-equality
+    oracle for the Arrow path and for Python-free deployments."""
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+    )
+    sets = toks.where(F.size("__toks") >= n).select(F.col(id_col), arr.alias("__sh"))
+    hs = sets.select(
+        F.col(id_col),
+        F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {_MERSENNE31}L))").alias("__hs"),
+    )
+    folds = ", ".join(
+        f"aggregate(__hs, {_MERSENNE31}L, "
+        f"(m, h) -> least(m, pmod(h * {a}L + {b}L, {_MERSENNE31}L)))"
+        for a, b in _hash_params(num_hashes, seed)
+    )
+    return hs.select(F.col(id_col), F.expr(f"array({folds})").alias("sig"))
 
 
 def band_table(
@@ -218,18 +266,21 @@ def band_table(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    # Materialize signatures behind an exchange before banding: the
-    # posexplode Generate would otherwise have the H minhash folds
-    # inlined into its input projection (CollapseProject), losing
-    # subexpression elimination — measured ~2× slower. The narrow
-    # repartition also spreads banding across cores when the source
-    # is a single parquet split.
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).repartition(
-        F.col(id_col)
-    )
+    # Materialize signatures behind an RDD barrier before banding. An
+    # Exchange is NOT enough: Catalyst pushes projections through a
+    # repartition, inlining the H minhash folds into the Generate
+    # stage and re-evaluating them per consumer (and a posexplode over
+    # the un-materialized folds measured ~50× slower at sf0.1).
+    # localCheckpoint is opaque to the optimizer, so banding reads the
+    # cached sig array. At true corpus scale the index is persisted to
+    # storage anyway (see docstring / ``dedup_batch_against_corpus``'s
+    # ``corpus_bands``), which is the same barrier in durable form.
+    sigs = minhash_signatures(
+        docs, id_col, text_col, n, num_hashes, seed
+    ).localCheckpoint(eager=False)
     band_hashes = F.array(
         *[
-            F.xxhash64(F.lit(b), *[F.col(f"m{b * r + j}") for j in range(r)])
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)])
             for b in range(bands)
         ]
     )
@@ -323,24 +374,11 @@ def minhash_lsh_pairs(
     exact Jaccard, so precision is exact and recall is the only
     approximation. Output schema matches ngram_jaccard_pairs.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    # The signature projection is shuffle-free and therefore lazy on
-    # both sides of the band self-join — without a materialization
-    # point Spark would recompute it per branch. One narrow
-    # repartition of the (docs × H ints) relation creates an Exchange
-    # both branches reuse (ReusedExchange): signatures compute once.
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).repartition(
-        F.col(id_col)
-    )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"m{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    # band_table pins the signature relation with an RDD barrier (see
+    # its comment — an Exchange alone gets optimized through and drops
+    # the fold projection out of codegen); both sides of the band
+    # self-join read the one materialized signature set.
+    banded = band_table(docs, id_col, text_col, n, num_hashes, bands, seed)
     # Candidate generation as a band self-join: both sides hash-join on
     # (band, bucket) over the SAME reused exchange, and pair expansion
     # parallelizes across the join (skew-robust: a hot bucket fans out

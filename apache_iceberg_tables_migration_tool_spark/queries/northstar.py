@@ -165,7 +165,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_ingest",
-    tags=("dedup", "approx"),
+    tags=("dedup", "approx", "arrow"),
     oracle="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -200,7 +200,12 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", headline=True, tags=("dedup", "approx"), oracle=_JACCARD_SQL)
+@query(
+    "dedup_minhash_lsh",
+    headline=True,
+    tags=("dedup", "approx", "arrow"),
+    oracle=_JACCARD_SQL,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(48)+banded LSH(12×4) candidates, exact-Jaccard
     verified at the same τ=0.5 — the scale path (no all-pairs shingle

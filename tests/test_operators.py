@@ -348,3 +348,13 @@ def test_duplicate_spans_rejects_degenerate_params(spark):
         D.duplicate_spans(docs, window=0)
     with pytest.raises(ValueError, match="min_occurrences"):
         D.duplicate_spans(docs, min_occurrences=0)
+
+
+def test_minhash_arrow_matches_sql_formulation(spark):
+    """The Arrow-batched numpy signature fold must stay bit-identical
+    to the pure-JVM SQL formulation it replaced (same universal hash
+    family, int64-exact on both engines)."""
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    arrow = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures(docs, num_hashes=48).collect()}
+    sql = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures_sql(docs, num_hashes=48).collect()}
+    assert arrow == sql

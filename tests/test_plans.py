@@ -13,8 +13,11 @@ from apache_iceberg_tables_migration_tool_spark.sources.bucketed import physical
 from tests.conftest import SF_DIR
 
 #: queries whose operators legitimately run Python (Arrow-batched
-#: mapInPandas / applyInPandasWithState — documented in PERFORMANCE.md)
-_PYTHON_OK = {"vector", "multimodal", "stateful"}
+#: mapInPandas / applyInPandasWithState / vectorized pandas UDFs —
+#: documented in PERFORMANCE.md; "arrow" marks the minhash signature
+#: fold, the measured exception where interpreted higher-order-lambda
+#: evaluation loses to numpy, see dedup.minhash_signatures)
+_PYTHON_OK = {"vector", "multimodal", "stateful", "arrow"}
 
 #: broadcast nested-loop is the *intended* strategy for the tiny-side
 #: non-equi range join and for 1-row scalar-aggregate broadcasts;
