@@ -142,7 +142,11 @@ def ngram_jaccard_pairs(
         # Materialize the shingle exchange HERE so the freq pass and
         # the anti-join left side reuse ONE tokenize+shingle evaluation
         # (ReuseExchange); r2 computed the projection twice — the freq
-        # pass alone regressed the sf0.1 bench 1.54s → 2.89s.
+        # pass alone regressed the sf0.1 bench 1.54s → 2.89s. (A
+        # localCheckpoint barrier was also tried: ~0.7s SLOWER than the
+        # exchange here — the downstream self-join plans better off
+        # AQE's shuffle statistics — while the opposite held for
+        # band_table's Generate stage. Measure, don't guess.)
         sh = sh.repartition(F.col("doc_id"))
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(

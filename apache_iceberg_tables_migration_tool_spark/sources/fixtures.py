@@ -54,15 +54,26 @@ _EVENTS_NATIVE_SCHEMA = (
 )
 
 
+#: footer-probe memo: {path: native?} — the fixture files never change
+#: within a session, and every events-touching query pays the probe
+#: otherwise (one driver-side footer read per load() call)
+_EVENTS_NATIVE_CACHE: dict[str, bool] = {}
+
+
 def events_ts_is_native(spark: SparkSession, path: str) -> bool:
     """True when Spark can decode the events ``ts`` column natively
     (µs/ms parquet footer), False for a nanos footer that needs the
     raw-int64 fallback decode."""
+    cached = _EVENTS_NATIVE_CACHE.get(path)
+    if cached is not None:
+        return cached
     try:
         ts_type = spark.read.parquet(path).schema["ts"].dataType.typeName()
+        native = ts_type in ("timestamp", "timestamp_ntz")
     except Exception:  # nanos footer: Spark 4 refuses schema inference
-        return False
-    return ts_type in ("timestamp", "timestamp_ntz")
+        native = False
+    _EVENTS_NATIVE_CACHE[path] = native
+    return native
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
