@@ -123,6 +123,114 @@ def repetition_metrics(
 
 
 # --------------------------------------------------------------------------
+# Source/domain-level curation (RefinedWeb/C4-style reputation gates)
+# --------------------------------------------------------------------------
+
+
+def source_reputation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_uniq_ratio: float = 0.5,
+    max_dup_rate: float = 0.2,
+) -> DataFrame:
+    """Per-source reputation scoreboard: doc volume, exact-duplicate
+    rate, aggregate lexical diversity, and a keep/drop verdict — the
+    domain-level filtering stage of a web-corpus pipeline (drop mirror
+    farms and template domains wholesale before any per-doc work).
+
+    Returns (source, n_docs, n_distinct_texts, dup_rate,
+    uniq_token_ratio, keep).
+
+    Plan shape at 100 TB: one projection computes per-doc token counts
+    and a 64-bit text hash inside codegen; ONE shuffle on
+    (source, hash) feeds a two-level aggregation (count-distinct
+    expands map-side), and the scoreboard is O(sources) rows. Ratios
+    are single IEEE divisions of exact bigint sums, so values
+    hash-match any ANSI oracle. The verdict joins back to docs with a
+    broadcast (O(sources) rows) when filtering.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.xxhash64(F.col(text_col)).alias("__th"),
+        F.size(toks).alias("__nt"),
+        F.size(F.array_distinct(toks)).alias("__nu"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__th").alias("n_distinct_texts"),
+        F.sum("__nt").alias("__sum_nt"),
+        F.sum("__nu").alias("__sum_nu"),
+    )
+    dup_rate = (F.col("n_docs") - F.col("n_distinct_texts")).cast("double") / F.col(
+        "n_docs"
+    )
+    uniq_ratio = F.col("__sum_nu").cast("double") / F.col("__sum_nt")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        dup_rate.alias("dup_rate"),
+        uniq_ratio.alias("uniq_token_ratio"),
+        (
+            (dup_rate <= F.lit(float(max_dup_rate)))
+            & (uniq_ratio >= F.lit(float(min_uniq_ratio)))
+        ).alias("keep"),
+    )
+
+
+def filter_by_source_reputation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_uniq_ratio: float = 0.5,
+    max_dup_rate: float = 0.2,
+) -> DataFrame:
+    """Docs surviving the source-level gate: broadcast the O(sources)
+    keep-set and semi-join — the corpus never shuffles."""
+    kept = source_reputation(
+        docs, id_col, text_col, source_col, min_uniq_ratio, max_dup_rate
+    ).where(F.col("keep")).select("source")
+    return docs.join(
+        F.broadcast(kept), docs[source_col] == kept["source"], "left_semi"
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cross-source duplication matrix: (source_a, source_b,
+    n_shared_texts) for source pairs sharing ≥ ``min_shared`` exact
+    text hashes — the mirror/syndication detector that tells a crawl
+    pipeline which domains republish each other (then one of each
+    pair can be dropped wholesale).
+
+    Plan shape: the (source, hash) relation is distinct-ed (one
+    shuffle, map-side partial), self-joined on hash — fan-out per
+    hash is O(sources-carrying-it)², bounded by the source count, not
+    the corpus — and the pair counts are O(sources²) rows."""
+    sh = docs.select(
+        F.col(source_col).alias("source"), F.xxhash64(F.col(text_col)).alias("__th")
+    ).distinct()
+    a = sh.select(F.col("source").alias("source_a"), "__th")
+    b = sh.select(F.col("source").alias("source_b"), "__th")
+    return (
+        a.join(b, "__th")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .where(F.col("n_shared_texts") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic stratified sampling
 # --------------------------------------------------------------------------
 

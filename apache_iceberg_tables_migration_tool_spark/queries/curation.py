@@ -320,3 +320,67 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("seq_tokens"),
     )
+
+
+@query(
+    "source_reputation_gate",
+    tags=("curation", "text"),
+    oracle="""
+WITH t AS (
+  SELECT source,
+         text,
+         len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS nu
+  FROM documents
+),
+a AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT text) AS n_distinct_texts,
+         SUM(nt) AS snt,
+         SUM(nu) AS snu
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, n_distinct_texts,
+       CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs AS dup_rate,
+       CAST(snu AS DOUBLE) / snt AS uniq_token_ratio,
+       (CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs <= 0.2
+        AND CAST(snu AS DOUBLE) / snt >= 0.5) AS keep
+FROM a
+""",
+)
+def source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (the RefinedWeb/C4 move): score every
+    source by doc volume, exact-duplicate rate, and aggregate lexical
+    diversity, and emit a keep/drop verdict — mirror farms and
+    template domains get dropped wholesale before any per-doc work.
+    One (source, text-hash) shuffle; the scoreboard is O(sources)
+    rows; ratios are single IEEE divisions of exact bigint sums. The
+    oracle counts DISTINCT raw texts where Spark counts 64-bit text
+    hashes (collision odds ~1e-11 at fixture scale, documented in
+    operators/integrity.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.source_reputation(docs)
+
+
+@query(
+    "source_overlap_matrix",
+    tags=("curation", "dedup"),
+    oracle="""
+WITH sh AS (SELECT DISTINCT source, text FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+FROM sh a JOIN sh b ON a.text = b.text AND a.source < b.source
+GROUP BY 1, 2
+HAVING COUNT(*) >= 1
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication detector: which sources republish the
+    same texts, and how often — the signal a crawl pipeline uses to
+    drop one side of a mirror pair wholesale. The (source, hash)
+    relation is distinct-ed (one shuffle), self-joined on hash
+    (fan-out bounded by sources-per-hash, never corpus-sized), and
+    the matrix is O(sources²) rows."""
+    docs = load(spark, sf_dir, "documents")
+    return C.source_overlap(docs)

@@ -157,3 +157,18 @@ def test_lcg_bucket_spread():
     buckets = ((ids % 1000003) * 1103515245 + 12345) % 2**31 % 100
     counts = np.bincount(buckets, minlength=100)
     assert counts.min() > 50 and counts.max() < 200
+
+
+def test_filter_by_source_reputation_drops_whole_sources(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import (
+        filter_by_source_reputation,
+        source_reputation,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    rep = {r["source"]: r["keep"] for r in source_reputation(docs).collect()}
+    kept_sources = {s for s, k in rep.items() if k}
+    out = filter_by_source_reputation(docs)
+    assert set(r["source"] for r in out.select("source").distinct().collect()) == kept_sources
+    expected = docs.where(F.col("source").isin(list(kept_sources))).count()
+    assert out.count() == expected
