@@ -273,19 +273,25 @@ LIMIT 20
 )
 def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: revenue lost to returns, top-20 customers.
-    Fact-side filter first, dimensions broadcast."""
+    Fact-side filter first; revenue is aggregated down to O(customers)
+    rows on the bare custkey BEFORE the dimension joins (c_custkey is
+    unique, so grouping by it alone is equivalent to grouping with the
+    name columns carried through), then customer/nation broadcast onto
+    the aggregate — at scale the dims join thousands of aggregated
+    rows instead of riding every lineitem through the agg shuffle."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    joined = (
+    per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("o_custkey")
+        .agg(_rev_col().alias("lost_revenue"))
     )
     return (
-        joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(_rev_col().alias("lost_revenue"))
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "lost_revenue")
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
