@@ -381,3 +381,30 @@ def test_asof_prefilter_right_is_output_identical(spark):
         b = asof_join(left, right, "k", "lts", "rts", how, direction, 6.0)
         p = asof_join(left, right, "k", "lts", "rts", how, direction, 6.0, True)
         assert sorted(map(tuple, b.collect())) == sorted(map(tuple, p.collect()))
+
+
+def test_ngram_df_cap_defuses_hot_shingle_skew(spark):
+    """Scale-hazard evidence: a boilerplate shingle shared by EVERY doc
+    would fan the pair join out quadratically (n docs -> n^2 candidate
+    rows). With max_shingle_docs the hot shingle is dropped from sizes
+    and intersections on both engines, so the join stays bounded and
+    genuinely-similar pairs still surface."""
+    import pandas as pd
+
+    n = 300
+    boiler = "copyright footer all rights reserved contact us terms"
+    rows = []
+    for i in range(n):
+        # distinct bodies, one shared boilerplate tail
+        body = f"unique body {i} " + " ".join(f"w{i}_{j}" for j in range(10))
+        rows.append((i, body + " " + boiler))
+    # one true near-dup pair: same body, different id
+    rows.append((n, rows[0][1]))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_docs=20)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, n) in got, "true near-dup must survive the cap"
+    # boilerplate-only overlaps (every doc shares the tail) must NOT
+    # produce pairs: their post-cap intersection is empty
+    assert all(a == 0 and b == n for a, b in got), f"skew pairs leaked: {got}"
