@@ -4,10 +4,13 @@ The reference's data plane is "read table at snapshot → aggregate →
 report" (`5_migrate_tables_data.py:72-83`, `6_verify_data_integrity.py:66-81`);
 its users run their real analytics through the same Spark session.
 This module widens the oracle-checked query surface with the classic
-TPC-H shapes the fixture schema can express (the fixtures omit
-``partsupp`` and several columns — `FIXTURES.md §1` — so Q2/Q11/Q12/
-Q16/Q20/Q21 are out of scope; the rest are adapted to the available
-columns, keeping each query's canonical join/agg/subquery *shape*).
+TPC-H shapes the fixture schema can express, adapted to the available
+columns while keeping each query's canonical join/agg/subquery
+*shape*. The fixtures omit ``partsupp`` and the commit/receipt dates
+(`FIXTURES.md §1`), so Q2/Q16/Q20 source their part-supplier links
+and volumes from lineitem and Q21's "fault" is a returned line;
+Q11/Q12 remain out of scope (nothing stands in for availability cost
+or ship modes).
 
 All monetary aggregates run through ``functions.portable`` so results
 are bit-identical to the DuckDB oracle (order-insensitive exact
@@ -426,4 +429,226 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("small_orders"),
             dsum(F.col("l_extendedprice"), scale=2).alias("total_price"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (adapted: no partsupp, so the offer
+# price is the minimum lineitem extended price per part).
+# Shape: correlated MIN subquery decorrelated into a grouped-min join
+# back against the fact, dims broadcast, deterministic top-100.
+# --------------------------------------------------------------------------
+@query(
+    "min_cost_supplier_q2",
+    tags=("join", "agg", "tpch"),
+    oracle="""
+WITH p AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY' AND p_size < 15),
+mc AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS min_cost
+  FROM lineitem JOIN p ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT l.l_partkey AS p_partkey, s_name, n_name, mc.min_cost
+FROM lineitem l
+JOIN mc ON l.l_partkey = mc.l_partkey AND l.l_extendedprice = mc.min_cost
+JOIN supplier ON s_suppkey = l.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY 1, 2, 3, 4
+ORDER BY min_cost DESC, p_partkey, s_name
+LIMIT 100
+""",
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) achieving the minimum offer
+    price for each qualifying part — the correlated MIN subquery
+    decorrelated into a per-part grouped min (one shuffle on partkey,
+    with the part filter broadcast-pruning lineitem first) joined back
+    against the same pruned fact to recover the achieving rows; ties
+    keep every achieving supplier, exactly like canonical Q2. The
+    min_cost equi-join on a double is engine-safe: both sides carry
+    the identical parquet-decoded value."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    pk = part.where((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)).select(
+        "p_partkey"
+    )
+    li_p = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mc = (
+        li_p.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "mk")
+    )
+    achieving = li_p.join(
+        mc,
+        (li_p.l_partkey == mc.mk) & (li_p.l_extendedprice == mc.min_cost),
+    ).select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "min_cost")
+    return (
+        achieving.join(F.broadcast(supp), achieving.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_partkey", "s_name", "n_name", "min_cost")
+        .agg(F.lit(1).alias("__one"))
+        .select("p_partkey", "s_name", "n_name", "min_cost")
+        .orderBy(F.desc("min_cost"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier variety per part attribute (adapted: supplier links come
+# from lineitem; the exclusion list is the audit-flagged supplier set).
+# Shape: NOT IN anti-join + grouped COUNT(DISTINCT).
+# --------------------------------------------------------------------------
+@query(
+    "supplier_variety_q16",
+    tags=("join", "agg", "tpch"),
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+GROUP BY 1, 2, 3
+""",
+)
+def supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    qualifying (brand, type, size) bucket, excluding an audit-flagged
+    supplier blocklist — the NOT IN realized as a broadcast anti-join
+    (the blocklist is O(suppliers)), the part predicate pruning the
+    fact via broadcast semi-join before the count-distinct expansion."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    pq = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supp.where(F.col("s_suppkey") % 13 == 0).select("s_suppkey")
+    li_ok = li.join(
+        F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti"
+    ).select("l_partkey", "l_suppkey")
+    return (
+        li_ok.join(F.broadcast(pq), li_ok.l_partkey == pq.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers with excess shipped volume (adapted: volume from
+# lineitem instead of partsupp availability).
+# Shape: nested semi-join chain part → fact agg → supplier, dims broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "excess_shipping_q20",
+    tags=("join", "agg", "tpch"),
+    oracle="""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+sq AS (
+  SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, n_name, total_qty
+FROM sq
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE total_qty > 400
+""",
+)
+def excess_shipping_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an outsized volume of the
+    watched part class in the window — the nested-subquery chain
+    decorrelated into part-filter (broadcast semi-join) → per-supplier
+    quantity agg (one shuffle, O(suppliers) out) → threshold →
+    broadcast dim joins. l_quantity is integral-valued, so the double
+    partial sums are exact and the BIGINT cast is engine-stable."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    pk = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    sq = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 400)
+    )
+    return (
+        sq.join(F.broadcast(supp), sq.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name", "total_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — the sole supplier at fault (adapted: fault = returned lines,
+# since the fixtures omit commit/receipt dates).
+# Shape: EXISTS + NOT EXISTS correlated self-joins on the fact table.
+# --------------------------------------------------------------------------
+@query(
+    "sole_return_supplier_q21",
+    tags=("join", "exists", "tpch"),
+    oracle="""
+SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def sole_return_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY one in a
+    multi-supplier order to have lines returned — the canonical
+    EXISTS / NOT EXISTS pair of correlated self-joins, realized as a
+    left-semi then left-anti hash join on orderkey with the supplier
+    inequality as the residual condition (Spark keeps the equi-key
+    hash join and applies the inequality post-probe; no nested
+    loops). Both probes read the same narrow (orderkey, suppkey,
+    flag) projection of the fact."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    supp = load(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    ).join(
+        l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti"
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
