@@ -110,7 +110,11 @@ _DRIVER_PRIORITY = [
 # pivot_status_priority, grouping_sets_flags, running_total_per_customer,
 # window_topk_orders_per_customer, window_rank_metrics,
 # ntile_price_quartiles, sql_api_top_spenders, having_popular_parts,
-# min_price_item_per_order.
+# min_price_item_per_order — plus the round-3 additions
+# (min_cost_supplier_q2, supplier_variety_q16, excess_shipping_q20,
+# sole_return_supplier_q21, source_reputation_gate,
+# source_overlap_matrix), all already green in the sf0.01
+# driver-replica sweep.
 
 
 def _apply_driver_priority() -> None:
