@@ -762,3 +762,43 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = D.connected_components(pairs)
     return cc.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+@query(
+    "lang_confusion_matrix",
+    tags=("text", "agg"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_intersect(string_split(text,' '), ['the','and','of']))  AS s_en,
+         len(list_intersect(string_split(text,' '), ['el','la','de']))    AS s_es,
+         len(list_intersect(string_split(text,' '), ['le','et','un']))    AS s_fr,
+         len(list_intersect(string_split(text,' '), ['der','und','das'])) AS s_de
+  FROM documents),
+p AS (
+  SELECT lang AS actual_lang,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              ELSE 'de' END AS predicted_lang
+  FROM s)
+SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+FROM p GROUP BY 1, 2
+""",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID quality assurance: the (declared, predicted) confusion
+    matrix for the rule-based classifier — the acceptance report run
+    before trusting any heuristic labeler on a new crawl. Pure
+    composition: the per-doc classifier projection (whole-stage
+    codegen) under one tiny grouped count; O(langs²) output rows."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            X.predict_lang("text").alias("predicted_lang"),
+        )
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
