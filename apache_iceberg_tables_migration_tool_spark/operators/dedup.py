@@ -415,30 +415,75 @@ def minhash_lsh_pairs(
     return _pair_jaccard(sh, pair_filter=candidates).where(F.col("jaccard") >= threshold)
 
 
+#: SimHash width: 60 bits = 15 hex digits of md5. Deliberately NOT 64:
+#: (a) bit 63 would make the reassembled bigint sign-wrap, which some
+#: engines reject; (b) 15 digits keep every intermediate < 2^60, safe
+#: under ANSI arithmetic everywhere.
+SIMHASH_BITS = 60
+
+
+def simhash_bit_sql(k: int, hex_col: str, dialect: str) -> str:
+    """Bit ``k`` (0-based) of the md5-derived token hash, as a SQL
+    expression over the hex string column — one shared builder emits
+    BOTH dialects (the zorder pattern), so Spark and the DuckDB oracle
+    compute bit-identical signatures. Bit k lives in hex digit k/4 at
+    nibble position k%4."""
+    j, shift = divmod(k, 4)
+    pos = f"substr({hex_col}, {j + 1}, 1)"
+    if dialect == "spark":
+        digit = f"(instr('0123456789abcdef', {pos}) - 1)"
+        shifted = f"shiftright({digit}, {shift})" if shift else digit
+    elif dialect == "duckdb":
+        digit = f"(strpos('0123456789abcdef', {pos}) - 1)"
+        shifted = f"({digit} >> {shift})" if shift else digit
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect {dialect!r}")
+    return f"(({shifted}) & 1)"
+
+
+def simhash_sig_sql(dialect: str, sum_prefix: str = "s") -> str:
+    """Reassemble the per-bit sign sums ``s0..s{B-1}`` into the
+    signature bigint: Σ 2^k over bits whose sum is positive. Literal
+    powers of two (not shifts) — portable and ANSI-safe at 60 bits."""
+    del dialect  # identical in both dialects; kept for call symmetry
+    terms = " + ".join(
+        f"(CASE WHEN {sum_prefix}{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"({terms})"
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over the token multiset → (doc_id, simhash).
+    """60-bit SimHash over the token multiset → (doc_id, simhash).
 
-    Per bit k: sign of Σ_tokens (bit_k(xxhash64(token)) ? +1 : −1);
-    64 conditional SUM aggregates in one pass, reassembled with
-    shifts. Hamming distance between signatures approximates angular
-    distance between token-frequency vectors.
+    Per bit k: sign of Σ_tokens (bit_k(md5(token)) ? +1 : −1);
+    60 conditional SUM aggregates in one pass, reassembled from
+    literal powers of two. Hamming distance between signatures
+    approximates angular distance between token-frequency vectors.
+
+    Bits come from md5 (not xxhash64) ON PURPOSE: md5 exists in every
+    engine, so the full signature — and therefore per-pair Hamming
+    distances — is recomputable by the DuckDB oracle via the shared
+    ``simhash_bit_sql``/``simhash_sig_sql`` builders. That turns the
+    simhash query's recall contract from a pinned-TRUE assertion
+    (which a tail pair with large Hamming eventually breaks — seen at
+    sf0.1) into an exact cross-engine value check at any scale.
     """
     tok = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("hx", F.md5("w"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.expr(simhash_bit_sql(k, "hx", "spark")) == 1, 1).otherwise(-1)
         ).alias(f"s{k}")
-        for k in range(64)
+        for k in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
-    sig = F.lit(0).cast("bigint")
-    for k in range(64):
-        sig = sig + F.when(F.col(f"s{k}") > 0, F.shiftleft(F.lit(1).cast("bigint"), k)).otherwise(0)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return agg.select(
+        F.col(id_col), F.expr(simhash_sig_sql("spark")).cast("bigint").alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -446,16 +491,28 @@ def simhash_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bands: int = 8,
+    bands: int = 10,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``bands`` blocks; any pair
-    within distance < bands must agree on ≥1 block → equi-join per
-    block, exact popcount verify. Linear-ish candidate generation
+    Pigeonhole banding: split the 60 bits into ``bands`` blocks; any
+    pair within distance < bands must agree on ≥1 block → equi-join
+    per block, exact popcount verify. Linear-ish candidate generation
     instead of the quadratic all-pairs XOR.
+
+    ``max_hamming`` must be < ``bands`` — that is the pigeonhole
+    guarantee. A larger threshold would return only the LUCKY subset
+    of qualifying pairs (whichever happen to share a block), a silent
+    recall hole this guard turns into a loud error (round-2 shipped
+    max_hamming=10 over 8 bands and lost 3 true pairs at sf0.1).
     """
-    width = 64 // bands
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}): pigeonhole only guarantees recall for "
+            "distance < bands"
+        )
+    width = SIMHASH_BITS // bands
     sigs = simhash_signatures(docs, id_col, text_col)
     mask = (1 << width) - 1
     block_arr = F.array(

@@ -220,33 +220,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=48, bands=12, seed=42)
 
 
+#: simhash query threshold — must stay < the banding count (10) so the
+#: pigeonhole guarantee makes the banded operator EXACTLY equal to a
+#: brute-force Hamming filter (dedup.simhash_pairs enforces this).
+_SIMHASH_MAX_HAMMING = 9
+_SIMHASH_BANDS = 10
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of the full simhash query: exact-Jaccard pairs,
+    each with its EXACT cross-engine-recomputed Hamming distance and
+    the ≤-threshold flag. Built from the same expression builders the
+    Spark operator uses (dedup.simhash_bit_sql / simhash_sig_sql), so
+    the signatures are bit-identical by construction — no pinned-TRUE
+    recall assumption anywhere (a tail pair with Hamming above the
+    threshold is deterministically FALSE on both engines)."""
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN {D.simhash_bit_sql(k, 'hx', 'duckdb')} = 1 "
+        f"THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(D.SIMHASH_BITS)
+    )
+    pairs_sql = _jaccard_sql(select="doc_a, doc_b")
+    return f"""
+WITH px AS ({pairs_sql}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hx AS (SELECT doc_id, md5(w) AS hx FROM tok),
+bs AS (SELECT doc_id,
+       {bit_sums}
+       FROM hx GROUP BY doc_id),
+sig AS (SELECT doc_id, {D.simhash_sig_sql('duckdb')} AS sh FROM bs)
+SELECT px.doc_a, px.doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming,
+       (bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAX_HAMMING}) AS found_by_simhash
+FROM px
+JOIN sig a ON px.doc_a = a.doc_id
+JOIN sig b ON px.doc_b = b.doc_id
+"""
+
+
 @query(
     "dedup_simhash",
     tags=("dedup", "approx"),
-    oracle=_jaccard_sql(select="doc_a, doc_b, TRUE AS found_by_simhash"),
+    oracle=_simhash_oracle(),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 recall, self-validated against exact ground truth
-    (the reference's stage-6 verify pattern, 6_verify_data_integrity.py:74-87,
-    applied to our own approximation): every exact word-3-gram Jaccard
-    ≥ 0.5 pair is emitted with a found_by_simhash flag — TRUE iff the
-    SimHash pipeline (Hamming ≤ 10 via 8-band pigeonhole banding)
-    surfaced that pair. The oracle recomputes the exact pairs and pins
-    the flag TRUE, so a recall regression flips booleans and goes red
-    on the scoreboard. SimHash values themselves are xxhash64-derived
-    (not portable SQL); this derived-fact framing is what makes the
-    query engine-independently checkable. Hamming ≤ 10 exceeds the
-    8-band pigeonhole guarantee (≤ 7); recall above it is verified
-    deterministically on the fixtures at sf0.001/sf0.01 (seeded
-    hashes — no sampling luck) and additionally pinned by pytest."""
+    """SimHash-60 recall against exact ground truth (the reference's
+    stage-6 verify pattern, 6_verify_data_integrity.py:74-87, applied
+    to our own approximation): every exact word-3-gram Jaccard ≥ 0.5
+    pair is emitted with its exact signature Hamming distance and a
+    found_by_simhash flag from the BANDED pipeline. Because signatures
+    are md5-derived through the shared Spark/DuckDB expression
+    builders, the oracle recomputes them bit-for-bit and derives the
+    flag as Hamming ≤ 9 — which the pigeonhole guarantee (10 bands >
+    max_hamming 9) makes exactly equal to the banded operator's
+    output. A banding bug therefore flips Spark booleans against the
+    oracle's independent Hamming computation; a tail pair above the
+    threshold is deterministically FALSE on both engines — no pinned-
+    recall assumption, valid at any scale (the round-2 xxhash-based
+    contract pinned TRUE and broke at sf0.1 on a Hamming-12 pair)."""
     docs = load(spark, sf_dir, "documents")
     exact = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    found = D.simhash_pairs(docs, max_hamming=10).select(
-        "doc_a", "doc_b", F.lit(True).alias("__hit")
+    sigs = D.simhash_signatures(docs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__hb"))
+    ham = (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("long")
+            .alias("hamming"),
+        )
     )
-    return exact.join(found, ["doc_a", "doc_b"], "left").select(
+    found = D.simhash_pairs(
+        docs, max_hamming=_SIMHASH_MAX_HAMMING, bands=_SIMHASH_BANDS
+    ).select("doc_a", "doc_b", F.lit(True).alias("__hit"))
+    return ham.join(found, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",
+        "hamming",
         F.coalesce(F.col("__hit"), F.lit(False)).alias("found_by_simhash"),
     )
 

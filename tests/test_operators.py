@@ -118,12 +118,33 @@ def test_simhash_finds_near_dups(spark):
     sim = {(r["doc_a"], r["doc_b"]) for r in D.simhash_pairs(docs, max_hamming=6).collect()}
     recall = len(sim & exact) / len(exact)
     assert recall >= 0.8, f"simhash recall {recall}"
-    # the registered dedup_simhash config (Hamming <= 10) must recall
-    # EVERY exact pair — that is what its oracle pins as TRUE
-    sim10 = {
-        (r["doc_a"], r["doc_b"]) for r in D.simhash_pairs(docs, max_hamming=10).collect()
+    # threshold at/above the band count would silently lose recall —
+    # the guard must refuse it (round-2 shipped exactly this bug)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(docs, max_hamming=10, bands=10)
+
+
+def test_simhash_banding_equals_bruteforce_hamming(spark):
+    """Pigeonhole completeness: with max_hamming < bands the banded
+    operator must EXACTLY equal a brute-force all-pairs Hamming
+    filter — this equality is what lets the dedup_simhash oracle
+    derive the found flag from recomputed signatures alone."""
+    docs = load(spark, SF_DIR, "documents").limit(400)
+    sigs = D.simhash_signatures(docs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in sa.crossJoin(sb)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 9)
+        .collect()
     }
-    assert exact <= sim10, f"registered simhash config missed {exact - sim10}"
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_pairs(docs, max_hamming=9, bands=10).collect()
+    }
+    assert banded == brute
 
 
 def test_knn_lsh_recall_vs_bruteforce(spark):
