@@ -41,6 +41,18 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # flip green — plus the flagship and the two bench watch-list dedups,
 # and fills the other 43 slots with never-graded queries. The rotated-
 # out r1/r2 greens stay pinned by the local oracle suite at sf0.001.
+#
+# ROUND-4 ROTATION (verdict r3 action #2): the 7 round-3 additions that
+# missed the r3 window (lang_confusion_matrix, min_cost_supplier_q2,
+# supplier_variety_q16, excess_shipping_q20, sole_return_supplier_q21,
+# source_reputation_gate, source_overlap_matrix) rotate IN; 7 r3-green
+# secondary carriers of already-multiply-graded relational shapes
+# (intersect_active_users, except_en_not_es_texts, median_value_by_type,
+# churned_buyers_1998, portable_corr_stats, user_event_type_sets,
+# orders_by_weekday) rotate OUT — their r3 green rows stand, and they
+# stay pinned by pytest + the sf0.01 sweep. After this rotation every
+# query registered through round 3 has at least one driver-graded green
+# row.
 _DRIVER_PRIORITY = [
     # continuity: flagship + the four r2-red rows (events-loader fix) +
     # the two bench watch-list dedup queries
@@ -62,21 +74,22 @@ _DRIVER_PRIORITY = [
     "large_volume_customers_q18",
     "bracket_revenue_q19",
     "idle_balance_by_nation_q22",
-    # never-graded: relational/window/set-op second carriers
+    # r4 additions: the 7 queries with no driver row yet
+    "min_cost_supplier_q2",
+    "supplier_variety_q16",
+    "excess_shipping_q20",
+    "sole_return_supplier_q21",
+    "lang_confusion_matrix",
+    "source_reputation_gate",
+    "source_overlap_matrix",
+    # relational/window second carriers (first graded green in r3)
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    "intersect_active_users",
-    "except_en_not_es_texts",
-    "median_value_by_type",
     "promo_revenue_share",
-    "churned_buyers_1998",
     "nation_customer_share",
-    "orders_by_weekday",
-    "portable_corr_stats",
     "rolling_30d_customer_spend",
     "funnel_conversion",
     "weekly_cohort_retention",
-    "user_event_type_sets",
     "approx_distinct_users",
     "approx_percentile_quality",
     "sliding_window_events",
@@ -100,21 +113,12 @@ _DRIVER_PRIORITY = [
     "sample_fixed_per_lang",
     "curation_pipeline_e2e",
 ]
-# Still past the graded window after this rotation (all r1/r2 green or
-# siblings of in-window carriers; pytest-pinned at sf0.001 and swept at
-# sf0.01 by scripts/check_sf001.py): the r1/r2 ever-green rotation-outs
-# (pricing_summary, table_counts, filter_sum_revenue, integrity_
-# fingerprint, the join/predicate carriers, the migration plane, the
-# X1-X5 north stars, curation/WAP/BM25) plus the never-graded leftovers
-# queued for round 4: distinct_counts, cube_lineitem_flags,
-# pivot_status_priority, grouping_sets_flags, running_total_per_customer,
-# window_topk_orders_per_customer, window_rank_metrics,
-# ntile_price_quartiles, sql_api_top_spenders, having_popular_parts,
-# min_price_item_per_order — plus the round-3 additions
-# (min_cost_supplier_q2, supplier_variety_q16, excess_shipping_q20,
-# sole_return_supplier_q21, source_reputation_gate,
-# source_overlap_matrix), all already green in the sf0.01
-# driver-replica sweep.
+# Still past the graded window after the round-4 rotation: every query
+# out of window has at least one driver-graded green row from rounds
+# 1-3 (CORRECTNESS_r01-r03) and stays pinned by pytest at sf0.001 plus
+# the sf0.01 driver-replica sweep (scripts/check_sf001.py). Any NEW
+# queries added in round 4 register past the cap and queue for the
+# round-5 window.
 
 
 def _apply_driver_priority() -> None:

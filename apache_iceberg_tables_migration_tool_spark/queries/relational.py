@@ -57,8 +57,12 @@ def flagship_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(_CUTOFF).cast("timestamp"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer is the small dimension side → broadcast, no shuffle of lineitem on custkey
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-proportional, so no explicit broadcast hint: an
+        # explicit hint is honored regardless of size (AQE never demotes
+        # it) and would OOM at 100×. Below the autoBroadcastJoinThreshold
+        # Spark still picks BroadcastHashJoin from stats; above it, AQE's
+        # runtime stats decide — the plan that survives scale-up.
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -164,9 +168,11 @@ GROUP BY n_name
 """,
 )
 def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5 shape: 6-table join. Dimension chain
-    (region→nation→customer) is broadcast; only the orders⨝lineitem
-    join shuffles on orderkey — the plan that survives 100×."""
+    """TPC-H-Q5 shape: 6-table join. nation⨝region (fixed 25/5 rows)
+    carries an explicit broadcast hint; customer/supplier joins are left
+    to the threshold + AQE so they broadcast while small but degrade to
+    shuffle joins instead of OOMing at 100× — the plan that survives
+    scale-up."""
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -176,15 +182,23 @@ def local_supply_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
-    dims = (
-        cust.join(F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
-                  cust.c_nationkey == nation.n_nationkey)
-    )
+    # Hints only on fixed-cardinality dims (nation=25, region=5 rows).
+    # customer/supplier are SF-proportional: no explicit hint — the
+    # threshold/AQE picks broadcast while they fit and falls back to a
+    # shuffle join when they don't (an explicit hint would be honored
+    # unconditionally and die on the 8 GB broadcast limit at 100×).
+    # Dims join stepwise onto the fact (not as a pre-joined composite:
+    # a join's static size estimate is the product of its children, so
+    # a composite would look too big to broadcast and plan an SMJ even
+    # at small SF); the ASIA-filtered region inner join prunes
+    # nations → customer rows exactly like a pre-filtered dim chain.
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
-        .join(F.broadcast(supp),
-              (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == F.col("c_nationkey")))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(supp,
+              (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
     )
     return joined.groupBy("n_name").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"),

@@ -276,9 +276,11 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fact-side filter first; revenue is aggregated down to O(customers)
     rows on the bare custkey BEFORE the dimension joins (c_custkey is
     unique, so grouping by it alone is equivalent to grouping with the
-    name columns carried through), then customer/nation broadcast onto
-    the aggregate — at scale the dims join thousands of aggregated
-    rows instead of riding every lineitem through the agg shuffle."""
+    name columns carried through), then customer/nation join onto the
+    aggregate — at scale the dims join thousands of aggregated rows
+    instead of riding every lineitem through the agg shuffle. Only the
+    fixed-25-row nation carries an explicit broadcast hint; customer is
+    SF-proportional, so the threshold/AQE decides its join strategy."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -289,7 +291,7 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_rev_col().alias("lost_revenue"))
     )
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "n_name", "lost_revenue")
         .orderBy(F.desc("lost_revenue"), "c_custkey")
@@ -310,14 +312,16 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q14 shape: conditional aggregation over a fact⨝dim join
-    (part is broadcast). Emits exact cent numerators so the share is
-    derivable without a float division in the compared output."""
+    """TPC-H-Q14 shape: conditional aggregation over a fact⨝dim join.
+    part is SF-proportional, so no explicit broadcast hint — stats/AQE
+    pick broadcast while it fits and shuffle when it doesn't. Emits
+    exact cent numerators so the share is derivable without a float
+    division in the compared output."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     small = F.when(F.col("p_type") == "SMALL", rev).otherwise(F.lit(0))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         F.floor(F.sum(small.cast("decimal(28,6)")) * 100).cast("long").alias("small_cents"),
         F.floor(F.sum(rev.cast("decimal(28,6)")) * 100).cast("long").alias("total_cents"),

@@ -17,8 +17,15 @@ are bit-identical to the DuckDB oracle (order-insensitive exact
 decimal sums, FLOOR-cents for scale>2).
 
 Scale notes (100 TB): every query below shuffles only on its join or
-group keys, dimensions (nation/region/supplier) are broadcast, and
-fact-side filters sit below the joins so they reach the parquet scan.
+group keys, and fact-side filters sit below the joins so they reach
+the parquet scan. Explicit ``F.broadcast()`` hints appear ONLY on
+fixed-cardinality relations (nation=25 rows, region=5, 1-row scalar
+aggregates): an explicit hint is honored unconditionally — AQE never
+demotes a user hint — so hinting an SF-proportional side (supplier,
+part, customer, or any subset of them) would OOM/hit the 8 GB
+broadcast limit at 100×. Those joins are left to the
+autoBroadcastJoinThreshold + AQE, which broadcast them while they fit
+and fall back to shuffle joins when they don't.
 """
 
 from __future__ import annotations
@@ -74,9 +81,11 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    # supplier and both nation roles are tiny dims → broadcast; the only
+    # both nation roles are fixed 25-row dims → explicit broadcast;
+    # supplier is SF-proportional so its join strategy is left to the
+    # threshold/AQE (broadcast while small, shuffle at scale). The only
     # shuffles left are lineitem⋈orders (orderkey) and ⋈customer (custkey)
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load(spark, sf_dir, "nation")
     n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
@@ -121,7 +130,7 @@ GROUP BY 1
 def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation")
@@ -136,7 +145,7 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _rev()
     target = F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -173,12 +182,12 @@ def profit_by_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
         "p_partkey", "p_retailprice"
     )
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     amount = _rev() - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
@@ -251,7 +260,7 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = revenue.withColumn("__mx", F.max("total_revenue").over(Window.partitionBy())).where(
         F.col("total_revenue") == F.col("__mx")
     )
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(supp, best.supplier_no == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
@@ -337,7 +346,7 @@ def bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(b)
         .agg(dsum(_rev(), 6).alias("revenue"))
     )
@@ -407,9 +416,10 @@ WHERE l_quantity < t
 def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders whose quantity is below
     20% of the part's average — the correlated scalar subquery
-    decorrelated Spark-side: the brand's part keys BROADCAST-prune
-    lineitem first (the fact table never carries non-brand rows into
-    the per-part average), then one grouped avg joins back. Portable
+    decorrelated Spark-side: the brand's part keys semi-join-prune
+    lineitem first (threshold/AQE broadcasts them while they fit; the
+    fact table never carries non-brand rows into the per-part
+    average), then one grouped avg joins back. Portable
     because l_quantity is integral-valued (double partial sums stay
     exact, so AVG is order-independent on both engines) and the money
     sum goes through the exact-decimal portable form."""
@@ -417,7 +427,7 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     bp = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
     li_b = li.join(
-        F.broadcast(bp), li.l_partkey == bp.p_partkey, "left_semi"
+        bp, li.l_partkey == bp.p_partkey, "left_semi"
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     thr = li_b.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("t")
@@ -474,7 +484,7 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = part.where((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)).select(
         "p_partkey"
     )
-    li_p = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi").select(
+    li_p = li.join(pk, li.l_partkey == pk.p_partkey, "left_semi").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     mc = (
@@ -487,7 +497,7 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li_p.l_partkey == mc.mk) & (li_p.l_extendedprice == mc.min_cost),
     ).select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "min_cost")
     return (
-        achieving.join(F.broadcast(supp), achieving.l_suppkey == supp.s_suppkey)
+        achieving.join(supp, achieving.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("p_partkey", "s_name", "n_name", "min_cost")
         .agg(F.lit(1).alias("__one"))
@@ -520,9 +530,10 @@ GROUP BY 1, 2, 3
 def supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers serve each
     qualifying (brand, type, size) bucket, excluding an audit-flagged
-    supplier blocklist — the NOT IN realized as a broadcast anti-join
-    (the blocklist is O(suppliers)), the part predicate pruning the
-    fact via broadcast semi-join before the count-distinct expansion."""
+    supplier blocklist — the NOT IN realized as an anti-join (the
+    blocklist is O(suppliers), so threshold/AQE decides broadcast vs
+    shuffle), the part predicate pruning the fact via a semi-join
+    before the count-distinct expansion."""
     part = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
@@ -533,10 +544,10 @@ def supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     flagged = supp.where(F.col("s_suppkey") % 13 == 0).select("s_suppkey")
     li_ok = li.join(
-        F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti"
+        flagged, li.l_suppkey == flagged.s_suppkey, "left_anti"
     ).select("l_partkey", "l_suppkey")
     return (
-        li_ok.join(F.broadcast(pq), li_ok.l_partkey == pq.p_partkey)
+        li_ok.join(pq, li_ok.l_partkey == pq.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -569,9 +580,9 @@ WHERE total_qty > 400
 def excess_shipping_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who moved an outsized volume of the
     watched part class in the window — the nested-subquery chain
-    decorrelated into part-filter (broadcast semi-join) → per-supplier
-    quantity agg (one shuffle, O(suppliers) out) → threshold →
-    broadcast dim joins. l_quantity is integral-valued, so the double
+    decorrelated into part-filter (semi-join, broadcast by
+    threshold/AQE while it fits) → per-supplier quantity agg (one
+    shuffle, O(suppliers) out) → threshold → dim joins. l_quantity is integral-valued, so the double
     partial sums are exact and the BIGINT cast is engine-stable."""
     part = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
@@ -583,13 +594,13 @@ def excess_shipping_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+        .join(pk, li.l_partkey == pk.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
         .where(F.col("total_qty") > 400)
     )
     return (
-        sq.join(F.broadcast(supp), sq.l_suppkey == supp.s_suppkey)
+        sq.join(supp, sq.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name", "total_qty")
     )
@@ -646,7 +657,7 @@ def sole_return_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti"
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -8,13 +8,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (count() materializes every
 partition) after a warm-up of the session; per-query wall-clock is
-end-to-end including planning.
+end-to-end including planning. Each query runs REPS times (default 3,
+override with $SPARK_GRAFT_BENCH_REPS) and reports the MEDIAN — a
+single-shot number let one co-tenant blip become the round's number
+of record (round-3 verdict: quiet-run vs driver-run deltas of 50%+ on
+local_supply_revenue / returned_revenue_by_customer).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
@@ -42,12 +47,16 @@ def main() -> None:
         except Exception:
             pass  # warm-up must never fail the bench
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.monotonic()
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = QUERIES[name].fn(spark, sf_dir)
+            df.count()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -58,3 +58,61 @@ def test_plan_hygiene(spark, name, spec):
         assert "PythonUDF" not in plan and "MapInPandas" not in plan, (
             f"{name}: Python on a JVM-only path"
         )
+
+
+# --------------------------------------------------------------------------
+# Broadcast-hint policy: an explicit F.broadcast() hint is honored
+# unconditionally (AQE never demotes a user hint), so a hint over an
+# SF-proportional table is a guaranteed OOM / 8 GB-limit failure at
+# 100×. Hints may sit only over fixed-cardinality relations (nation,
+# region, literal lookup tables, 1-row scalar aggregates). This test
+# walks every registry query's ANALYZED logical plan and rejects any
+# ResolvedHint whose subtree scans an SF-proportional fixture table.
+# --------------------------------------------------------------------------
+
+#: key columns unique to the SF-proportional TPC-H fixtures — the full
+#: file-relation schema always appears on the Relation line even when a
+#: Project above prunes columns, so these reliably identify the scan
+_SF_PROPORTIONAL_KEYS = ("c_custkey", "o_orderkey", "l_linenumber", "p_partkey", "s_suppkey")
+
+#: "scalar-broadcast"-tagged queries broadcast a 1-row global aggregate
+#: that happens to be computed FROM an SF-proportional table — the
+#: broadcast payload is fixed-size, so the hint is legitimate
+_HINT_OK_TAGS = {"scalar-broadcast"}
+
+
+def _node_depth(line: str) -> int:
+    """Start offset of the node name in a treeString line (tree glyphs
+    are drawn with ' ', ':', '+', '-')."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _hint_subtrees(tree: str):
+    """Yield the subtree text of every ResolvedHint node."""
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        depth = _node_depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _node_depth(nxt) <= depth:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+@pytest.mark.parametrize("name,spec", _plans(), ids=[n for n, _ in _plans()])
+def test_no_broadcast_hint_on_sf_proportional_tables(spark, name, spec):
+    if set(spec.tags) & _HINT_OK_TAGS:
+        pytest.skip("1-row scalar-aggregate broadcast — fixed-size payload")
+    analyzed = spec.fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+    for subtree in _hint_subtrees(analyzed):
+        for rel_line in subtree.splitlines():
+            if "Relation" not in rel_line:
+                continue
+            hit = [k for k in _SF_PROPORTIONAL_KEYS if k in rel_line]
+            assert not hit, (
+                f"{name}: explicit broadcast hint over an SF-proportional "
+                f"table scan ({hit}) — honored unconditionally, OOMs at scale"
+            )
