@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 #: full fixture-set (TESTDATA.md); order is FK-dependency order
 TABLES: tuple[str, ...] = (
@@ -53,27 +54,57 @@ _EVENTS_NATIVE_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+#: NTZ twin of the native schema: when the footer is µs with
+#: isAdjustedToUTC=false Spark infers TIMESTAMP_NTZ, and a streaming
+#: read should declare exactly that and cast afterwards — mirroring
+#: the batch loader's infer-then-cast — rather than force an LTZ
+#: schema over NTZ data (works under a UTC session, drifts otherwise).
+_EVENTS_NTZ_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
 
-#: footer-probe memo: {path: native?} — the fixture files never change
-#: within a session, and every events-touching query pays the probe
-#: otherwise (one driver-side footer read per load() call)
-_EVENTS_NATIVE_CACHE: dict[str, bool] = {}
+
+#: footer-probe memo: {path: inferred ts typeName or None for nanos}
+#: — the fixture files never change within a session, and every
+#: events-touching query pays the probe otherwise (one driver-side
+#: footer read per load() call)
+_EVENTS_TS_TYPE_CACHE: dict[str, str | None] = {}
+
+
+def events_ts_inferred_type(spark: SparkSession, path: str) -> str | None:
+    """The ``ts`` type Spark infers from the events parquet footer:
+    ``"timestamp"`` (µs/ms, isAdjustedToUTC=true), ``"timestamp_ntz"``
+    (µs/ms, isAdjustedToUTC=false), or ``None`` for a nanos footer
+    Spark 4 refuses to infer (→ raw-int64 fallback decode)."""
+    if path in _EVENTS_TS_TYPE_CACHE:
+        return _EVENTS_TS_TYPE_CACHE[path]
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType.typeName()
+        if ts_type not in ("timestamp", "timestamp_ntz"):
+            ts_type = None  # e.g. LongType under legacy nanosAsLong conf
+    except AnalysisException as e:
+        # Only the SPECIFIC failure Spark 4 raises for a nanos footer
+        # routes to the raw-int64 ÷1000 fallback (probed empirically:
+        # AnalysisException, condition PARQUET_TYPE_ILLEGAL, message
+        # "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))"). Any
+        # other error — missing file, FS hiccup, corrupt footer —
+        # propagates: a blanket fallback here would silently collapse
+        # µs timestamps 1000×, the exact bug class round 3 fixed
+        # (ADVICE r3).
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond != "PARQUET_TYPE_ILLEGAL" and "TIMESTAMP(NANOS" not in str(e):
+            raise
+        ts_type = None
+    _EVENTS_TS_TYPE_CACHE[path] = ts_type
+    return ts_type
 
 
 def events_ts_is_native(spark: SparkSession, path: str) -> bool:
     """True when Spark can decode the events ``ts`` column natively
     (µs/ms parquet footer), False for a nanos footer that needs the
     raw-int64 fallback decode."""
-    cached = _EVENTS_NATIVE_CACHE.get(path)
-    if cached is not None:
-        return cached
-    try:
-        ts_type = spark.read.parquet(path).schema["ts"].dataType.typeName()
-        native = ts_type in ("timestamp", "timestamp_ntz")
-    except Exception:  # nanos footer: Spark 4 refuses schema inference
-        native = False
-    _EVENTS_NATIVE_CACHE[path] = native
-    return native
+    return events_ts_inferred_type(spark, path) is not None
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

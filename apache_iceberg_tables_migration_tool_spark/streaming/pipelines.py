@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from apache_iceberg_tables_migration_tool_spark.sources.fixtures import (
     _EVENTS_NATIVE_SCHEMA,
+    _EVENTS_NTZ_SCHEMA,
     _EVENTS_RAW_SCHEMA,
-    events_ts_is_native,
+    events_ts_inferred_type,
     table_path,
 )
 
@@ -29,17 +30,32 @@ from apache_iceberg_tables_migration_tool_spark.sources.fixtures import (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (same precision-aware
     timestamp handling as the batch loader: native µs/ms decode when the
-    footer allows, raw-int64 ns fallback otherwise)."""
-    native = events_ts_is_native(spark, table_path(sf_dir, "events"))
-    schema = _EVENTS_NATIVE_SCHEMA if native else _EVENTS_RAW_SCHEMA
+    footer allows, raw-int64 ns fallback otherwise).
+
+    The user schema a stream declares must MATCH the footer's inferred
+    type — the batch loader infers then casts, so the stream mirrors it
+    by branching on the probed type: an NTZ footer is declared
+    ``timestamp_ntz`` and cast to session-tz timestamp afterwards
+    (declaring LTZ directly over NTZ data happens to read identically
+    under the UTC session but would drift under a non-UTC session or a
+    stricter future Spark — ADVICE r3)."""
+    ts_type = events_ts_inferred_type(spark, table_path(sf_dir, "events"))
+    if ts_type is None:
+        schema = _EVENTS_RAW_SCHEMA
+    elif ts_type == "timestamp_ntz":
+        schema = _EVENTS_NTZ_SCHEMA
+    else:
+        schema = _EVENTS_NATIVE_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if native:
-        return raw
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type is None:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts_stream(

@@ -43,6 +43,42 @@ def test_all_fixture_tables_load_nonempty(spark, name):
     assert df.limit(1).count() == 1, f"{name} is empty"
 
 
+def test_nanos_footer_routes_to_fallback(spark, tmp_path):
+    """A TIMESTAMP(NANOS) footer (which Spark 4 refuses to infer) must
+    probe as non-native and decode through the raw-int64 ÷1000 path."""
+    pa = pytest.importorskip("pyarrow")
+    pq = pytest.importorskip("pyarrow.parquet")
+    base = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
+    ns = [int(base.timestamp() * 1e9) + i * 60_000_000_000 for i in range(4)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(4), type=pa.int64()),
+            "ts": pa.array(ns, type=pa.timestamp("ns")),
+            "user_id": pa.array([1, 2, 1, 2], type=pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    assert fixtures.events_ts_inferred_type(spark, path) is None
+    df = fixtures._load_events(spark, path)
+    rows = df.select("ts").orderBy("event_id").collect()
+    assert rows[0]["ts"].year == 2024
+    assert (rows[1]["ts"] - rows[0]["ts"]) == dt.timedelta(minutes=1)
+
+
+def test_probe_propagates_unrelated_errors(spark, tmp_path):
+    """A missing file must RAISE, not silently cache native=False and
+    route a future µs fixture through the ÷1000 fallback (ADVICE r3)."""
+    with pytest.raises(Exception) as exc:
+        fixtures.events_ts_inferred_type(spark, str(tmp_path / "nope.parquet"))
+    assert "TIMESTAMP(NANOS" not in str(exc.value)
+    # and nothing was cached for the bad path
+    assert str(tmp_path / "nope.parquet") not in fixtures._EVENTS_TS_TYPE_CACHE
+
+
 def test_orders_dates_in_tpch_range(spark):
     o = fixtures.load(spark, SF_DIR, "orders")
     row = o.agg(
