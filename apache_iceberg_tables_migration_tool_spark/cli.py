@@ -235,6 +235,36 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_build(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.plans.corpus import build_corpus
+    from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+
+    spark = _spark(args.cpus)
+    docs = load(spark, args.sf_dir, "documents")
+    result = build_corpus(
+        spark, docs, args.warehouse,
+        min_shared=args.min_shared, threshold=args.threshold,
+        mix_budget=args.mix_budget,
+    )
+    tbl = result.catalog.table("corpus", "docs")
+    summary = {
+        "warehouse": args.warehouse,
+        "batches": result.batch_stats,
+        "published_records": tbl.current_snapshot().total_records,
+        "band_index_records": result.catalog.table(
+            "corpus", "band_index"
+        ).current_snapshot().total_records,
+        "mixture_rows": result.mixture.count(),
+    }
+    text = json.dumps(summary, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    else:
+        print(text)
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
 
@@ -358,6 +388,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_diff)
+
+    sp = sub.add_parser(
+        "corpus-build",
+        help="end-to-end training-corpus build: reputation gate + "
+        "decontamination + iterative index-backed near-dup dedup + "
+        "WAP-gated ingest + mixture sample (plans/corpus.py)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--min-shared", type=int, default=3)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--mix-budget", type=int, default=200)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_corpus_build)
 
     sp = sub.add_parser("query", help="run a registered analytics query")
     sp.add_argument("--name", required=True)

@@ -12,6 +12,10 @@ engines), so every query here value-hash matches DuckDB.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -384,3 +388,122 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matrix is O(sources²) rows."""
     docs = load(spark, sf_dir, "documents")
     return C.source_overlap(docs)
+
+
+# --------------------------------------------------------------------------
+# The corpus build composed end to end (plans/corpus.py)
+# --------------------------------------------------------------------------
+
+# Knobs shared between build_corpus() and its oracle — interpolating
+# both from the same constants keeps them from drifting.
+_CB_BENCH_MOD = 97
+_CB_BATCHES = 3  # the oracle SQL below is written for exactly 3
+_CB_MIN_SHARED = 3
+_CB_MIN_UNIQ = 0.42
+_CB_MAX_DUP = 0.2
+_CB_TAU = 0.5
+_CB_MIX_WEIGHTS = {"en": 50, "zh": 20, "es": 15, "de": 10, "fr": 5}
+_CB_MIX_BUDGET = 200
+_CB_QUOTA_CASE = " ".join(
+    f"WHEN '{s}' THEN {(w * _CB_MIX_BUDGET) // sum(_CB_MIX_WEIGHTS.values())}"
+    for s, w in sorted(_CB_MIX_WEIGHTS.items())
+)
+
+
+@query(
+    "corpus_build_e2e",
+    tags=("curation", "pipeline", "dedup", "wap", "arrow"),
+    oracle=f"""
+WITH cand AS (
+  SELECT doc_id, lang, source, text FROM documents
+  WHERE doc_id % {_CB_BENCH_MOD} <> 0),
+rep AS (
+  SELECT source FROM (
+    SELECT source, COUNT(*) AS n, COUNT(DISTINCT text) AS ndt,
+           SUM(len(string_split(text, ' '))) AS snt,
+           SUM(len(list_distinct(string_split(text, ' ')))) AS snu
+    FROM cand GROUP BY source)
+  WHERE CAST(n - ndt AS DOUBLE) / n <= {_CB_MAX_DUP}
+    AND CAST(snu AS DOUBLE) / snt >= {_CB_MIN_UNIQ}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_CB_BENCH_MOD} = 0),
+contam AS (
+  SELECT sh.doc_id FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id % {_CB_BENCH_MOD} <> 0
+  GROUP BY sh.doc_id HAVING COUNT(*) >= {_CB_MIN_SHARED}),
+ok AS (
+  SELECT c.* FROM cand c
+  WHERE c.source IN (SELECT source FROM rep)
+    AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dup AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.s = b.s
+  JOIN sz x ON a.doc_id = x.doc_id JOIN sz y ON b.doc_id = y.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM ok)
+    AND b.doc_id IN (SELECT doc_id FROM ok)
+    AND (a.doc_id % {_CB_BATCHES}) > (b.doc_id % {_CB_BATCHES})
+  GROUP BY a.doc_id, b.doc_id, x.n, y.n
+  HAVING CAST(COUNT(*) AS DOUBLE) / (x.n + y.n - COUNT(*)) >= {_CB_TAU}),
+a1 AS (
+  SELECT doc_id FROM ok WHERE doc_id % {_CB_BATCHES} = 1
+    AND doc_id NOT IN (
+      SELECT da FROM dup WHERE da % {_CB_BATCHES} = 1 AND db % {_CB_BATCHES} = 0)),
+a2 AS (
+  SELECT doc_id FROM ok WHERE doc_id % {_CB_BATCHES} = 2
+    AND doc_id NOT IN (
+      SELECT da FROM dup WHERE da % {_CB_BATCHES} = 2
+        AND (db % {_CB_BATCHES} = 0 OR db IN (SELECT doc_id FROM a1)))),
+final AS (
+  SELECT doc_id, lang, CAST(doc_id % {_CB_BATCHES} AS INTEGER) AS ingest_batch
+  FROM ok
+  WHERE doc_id % {_CB_BATCHES} = 0
+     OR doc_id IN (SELECT doc_id FROM a1)
+     OR doc_id IN (SELECT doc_id FROM a2)),
+r AS (
+  SELECT doc_id, lang, ingest_batch,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM final
+  WHERE lang IN ({", ".join(f"'{s}'" for s in sorted(_CB_MIX_WEIGHTS))}))
+SELECT doc_id, lang, ingest_batch FROM r
+WHERE rk <= CASE lang {_CB_QUOTA_CASE} ELSE 0 END
+""",
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB corpus-build story COMPOSED (plans/corpus.py): source
+    reputation gate → benchmark decontamination → THREE iterative
+    crawl-batch ingests, each near-dup-deduped against the published
+    corpus through the PERSISTED MinHash band index and landed via
+    write-audit-publish into a `SnapCatalog` — then the final
+    fixed-budget mixture sample drawn from the published corpus.
+
+    The WAP/catalog plane is filesystem + metadata (pytest-pinned in
+    tests/test_corpus_build.py); the DATA outcome is a deterministic
+    function of the documents table, so the oracle replays the whole
+    chain relationally — reputation scoreboard, min-shared-shingle
+    contamination set, then the iterative accept sets (a batch doc is
+    dropped iff an exact 3-gram Jaccard ≥ τ match exists in the
+    ALREADY-ACCEPTED corpus — batch 2 dedups against batch 0 ∪ a1, not
+    raw batch 1), and the md5-rank mixture. The Spark side's LSH
+    candidate pass (H=48/b=12) misses a true s ≥ 0.9 pair with
+    p ≈ 2.7e-6 — the same recall bound every minhash oracle in this
+    repo rests on (northstar.dedup_minhash_lsh docstring)."""
+    from apache_iceberg_tables_migration_tool_spark.plans.corpus import build_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="snapcat_corpus_")
+    try:
+        result = build_corpus(
+            spark, docs, os.path.join(root, "wh"),
+            bench_mod=_CB_BENCH_MOD, batches=_CB_BATCHES,
+            min_shared=_CB_MIN_SHARED, min_uniq_ratio=_CB_MIN_UNIQ,
+            max_dup_rate=_CB_MAX_DUP, threshold=_CB_TAU,
+            mix_weights=_CB_MIX_WEIGHTS, mix_budget=_CB_MIX_BUDGET,
+        )
+        out = result.mixture
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

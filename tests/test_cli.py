@@ -162,3 +162,21 @@ def test_cli_maintain_zorder(spark, tmp_path, capsys):
     ]) == 0
     assert "z-ordered by ['a', 'b']" in capsys.readouterr().out
     assert cat.table("zdb", "t").read(spark).count() == 1024
+
+
+def test_cli_corpus_build(spark, tmp_path, capsys):
+    out_path = str(tmp_path / "corpus_summary.json")
+    assert main([
+        "corpus-build", "--sf-dir", SF_DIR,
+        "--warehouse", str(tmp_path / "cwh"), "--out", out_path,
+    ]) == 0
+    with open(out_path) as f:
+        summary = json.load(f)
+    assert len(summary["batches"]) == 3
+    assert summary["published_records"] == sum(
+        b["accepted"] for b in summary["batches"]
+    )
+    assert summary["band_index_records"] == summary["published_records"] * 12
+    assert 0 < summary["mixture_rows"] <= 200
+    cat = SnapCatalog(str(tmp_path / "cwh"))
+    assert sorted(cat.list_tables("corpus")) == ["band_index", "docs"]

@@ -37,13 +37,15 @@ def iceberg_spark(tmp_path_factory):
     if not iceberg_available(spark):
         pytest.skip(
             "iceberg-spark-runtime not on the classpath. Jar resolution "
-            "attempted in this container (round 3): no iceberg jar under "
-            "/opt/spark/jars or anywhere on the filesystem (`find / -name "
-            "'*iceberg*.jar'` empty), no local Maven/Ivy cache, and no "
-            "network (repo1.maven.org does not resolve), so "
-            "--packages/--jars cannot fetch it. On a machine with the jar "
-            "(e.g. pyspark --packages org.apache.iceberg:iceberg-spark-"
-            "runtime-4.1_2.13:<ver>) this module runs the full lifecycle."
+            "re-attempted in rounds 3 AND 4: no iceberg jar anywhere on "
+            "the filesystem (`find / -name '*iceberg*.jar'` empty, "
+            "pyspark/jars has no iceberg artifact), no ~/.ivy2 or ~/.m2 "
+            "cache to resolve offline, and no network (repo1.maven.org "
+            "and pypi.org both fail DNS), so --packages/--jars/pip can't "
+            "fetch org.apache.iceberg:iceberg-spark-runtime-4.1_2.13 "
+            "(reference pins iceberg-spark-runtime-3.5_2.12:1.6.1, "
+            "1_collect_src_snapshots.py:24-29). On a machine with the jar "
+            "this module runs the full lifecycle."
         )
     yield spark
 

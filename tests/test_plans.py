@@ -36,6 +36,7 @@ _SKIP = {
     "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
     "rowlevel_merge_delete",
     "dedup_embedding_clusters",  # iterative localCheckpoint
+    "corpus_build_e2e",  # iterative catalog writes run during planning
 }
 
 
