@@ -103,6 +103,32 @@ def _hint_subtrees(tree: str):
         yield "\n".join(sub)
 
 
+def test_aqe_promotes_dehinted_joins_at_runtime(spark):
+    """The fallback story behind removing the hints: when the static
+    size estimate can't justify a broadcast (emulated by a 1-byte
+    static threshold — the situation of a filtered/aggregated side
+    with no reliable pre-run stats), AQE's RUNTIME shuffle statistics
+    still promote the small side to a BroadcastHashJoin. This is the
+    stats-chosen path that IS demotable at scale, unlike an explicit
+    hint (which is honored unconditionally)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+    try:
+        for name in ("returned_revenue_by_customer", "flagship_topk_revenue"):
+            df = QUERIES[name].fn(spark, SF_DIR)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert plan.count("BroadcastHashJoin") >= 2, (
+                f"{name}: AQE did not promote the customer-side join — "
+                "the de-hinted fallback path is broken"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 @pytest.mark.parametrize("name,spec", _plans(), ids=[n for n, _ in _plans()])
 def test_no_broadcast_hint_on_sf_proportional_tables(spark, name, spec):
     if set(spec.tags) & _HINT_OK_TAGS:
