@@ -267,6 +267,34 @@ def stratified_sample(
     return df.where(bucket < rate)
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    quality: Column,
+    bands: list[tuple[float, int]],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Quality-PROPORTIONAL sampling (the DCLM/FineWeb move): instead
+    of a hard quality cutoff, keep a per-row percentage determined by
+    which quality band the row falls in — high-quality text is
+    oversampled, low-quality text still contributes a trickle instead
+    of being cliff-dropped.
+
+    ``bands`` is [(min_quality, keep_pct), …]; the HIGHEST matching
+    threshold wins (they are sorted descending internally), rows below
+    every threshold keep ``default_pct``. Selection uses the same
+    portable LCG bucket as :func:`stratified_sample`, so it is a pure
+    row-local filter — pushed to the scan, zero shuffle, identical
+    rows chosen on every engine and rerun. ``quality`` is any
+    deterministic per-row expression (unique-token ratio, surprisal
+    band, classifier margin)."""
+    bucket = sample_bucket(id_col)
+    rate = F.lit(default_pct)
+    for thr, pct in sorted(bands):  # ascending: later (higher) whens win
+        rate = F.when(quality >= F.lit(float(thr)), pct).otherwise(rate)
+    return df.where(bucket < rate)
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, int],

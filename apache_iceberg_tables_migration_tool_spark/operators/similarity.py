@@ -226,29 +226,37 @@ def _kmeans_centroids(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndar
     return cent
 
 
-def knn_ivf(
+def ivf_index(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int,
     nlist: int = 64,
-    nprobe: int = 8,
     train_sample: int = 100_000,
     iters: int = 5,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "qid",
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: spherical
-    k-means coarse quantizer, cell-bucketed candidate join, exact
-    re-rank inside the probed cells.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index of a corpus: a seeded spherical
+    k-means coarse quantizer plus the cell assignment of every vector.
 
-    Scale contract: only the training sample (≤ ``train_sample``
-    rows) and the query set touch the driver; assignment and search
-    are distributed. The candidate space per query is
-    O(corpus × nprobe / nlist) instead of O(corpus) — the knob
-    between recall and cost. Recall vs ``cosine_topk`` is pinned in
-    tests.
+    Returns ``(cells, centroids)``:
+
+    - ``cells`` (vec_id, cell) — one row per corpus vector, computed
+      distributed via an Arrow-batched assignment pass;
+    - ``centroids`` (cell, centroid array<double>) — the nlist
+      quantizer rows.
+
+    Both are plain DataFrames, so at 100 TB the index is written ONCE
+    to a catalog table (``cells`` partitioned by cell → probed-cell
+    candidate joins prune at the scan) and every subsequent search
+    reads it back instead of re-clustering the corpus — the vector
+    twin of the MinHash band index (``dedup.band_table``). The
+    centroid round-trip is exact (float64 in, parquet double out), so
+    a search from the persisted index is bit-identical to a search
+    from the in-memory one (pinned in tests and in-query by
+    ``knn_ivf_persisted``).
+
+    Scale contract: only the training sample (≤ ``train_sample`` rows)
+    touches the driver; assignment is distributed.
     """
     train_rows = (
         emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
@@ -269,7 +277,37 @@ def knn_ivf(
             )
 
     cells = emb.select(id_col, vec_col).mapInPandas(assign, schema="vec_id bigint, cell int")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])],
+        schema="cell int, centroid array<double>",
+    )
+    return cells, centroids
 
+
+def knn_ivf_search(
+    cells: DataFrame,
+    centroids: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Search a (possibly catalog-persisted) IVF index: probe the
+    ``nprobe`` nearest cells per query, candidate-join against the
+    cell assignments, exact re-rank inside the probed cells. The
+    candidate space per query is O(corpus × nprobe / nlist) instead of
+    O(corpus) — the knob between recall and cost. Recall vs
+    ``cosine_topk`` is pinned in tests."""
+    cent = np.vstack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in centroids.orderBy("cell").collect()  # nlist rows — tiny
+        ]
+    )
+    spark = emb.sparkSession
     q_rows = queries.select(query_id_col, vec_col).collect()  # small, documented bound
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows]))
@@ -295,6 +333,33 @@ def knn_ivf(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("vec_id"), "sim", "rk")
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 100_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    one-shot composition of :func:`ivf_index` + :func:`knn_ivf_search`
+    (build the quantizer and assignments, then search them in the same
+    job). Persist the index parts with a catalog write and call
+    ``knn_ivf_search`` directly to amortize the build across query
+    batches."""
+    cells, centroids = ivf_index(
+        emb, nlist, train_sample, iters, seed, id_col, vec_col
+    )
+    return knn_ivf_search(
+        cells, centroids, emb, queries, k, nprobe, id_col, vec_col, query_id_col
     )
 
 

@@ -390,6 +390,51 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.source_overlap(docs)
 
 
+#: quality bands for the proportional sample: (min unique-token ratio,
+#: keep %). Highest matching band wins; below all bands keeps 10%.
+_QW_BANDS = [(0.5, 80), (0.38, 40)]
+_QW_DEFAULT = 10
+_QW_CASE = (
+    f"CASE WHEN q >= 0.5 THEN 80 WHEN q >= 0.38 THEN 40 ELSE {_QW_DEFAULT} END"
+)
+
+
+@query(
+    "quality_weighted_sample",
+    tags=("curation", "sampling"),
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS q,
+         CAST(((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 100
+              AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, lang, q AS quality, bucket
+FROM q WHERE bucket < {_QW_CASE}
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PROPORTIONAL sampling (DCLM/FineWeb-style): keep 80% of
+    high-lexical-diversity docs, 40% of the middle band, 10% of the
+    tail — no cliff cutoff, deterministic LCG-bucket selection, pure
+    row-local filter (pushed to the scan, zero shuffle). The quality
+    signal here is the unique-token ratio; any deterministic per-row
+    score (surprisal, classifier margin) plugs into the same
+    operator."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    kept = C.quality_weighted_sample(
+        docs.withColumn("__q", quality), F.col("__q"), _QW_BANDS,
+        default_pct=_QW_DEFAULT,
+    )
+    return kept.select(
+        "doc_id", "lang", F.col("__q").alias("quality"),
+        C.sample_bucket("doc_id").cast("long").alias("bucket"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The corpus build composed end to end (plans/corpus.py)
 # --------------------------------------------------------------------------

@@ -182,6 +182,70 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_persisted",
+    tags=("vector", "approx", "metadata"),
+    oracle="""
+SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok,
+       TRUE AS persisted_matches_direct
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index PERSISTED and searched from the catalog — the
+    vector twin of the corpus-build band index: ``ivf_index`` writes
+    its (cells, centroids) tables into a `SnapCatalog` (cells
+    partitioned by cell so probed-cell joins prune at the scan), a
+    fresh search reads them back, and the query validates IN-QUERY
+    that (a) recall vs the exact twin holds (≥4 of the true top-5 per
+    query, the knn_ivf bar) and (b) the persisted-index search is
+    IDENTICAL to the direct in-memory search — the float64→parquet
+    round-trip is exact, so any drift flips a hash-checked flag. At
+    100 TB this is the shape that amortizes one clustering pass
+    across every query batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="snapcat_ivf_")
+    try:
+        cells, centroids = S.ivf_index(emb, nlist=16)
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        cat.write("vec", "ivf_cells", cells, partition_by=["cell"])
+        cat.write("vec", "ivf_centroids", centroids)
+        cells_p = cat.table("vec", "ivf_cells").read(spark).select("vec_id", "cell")
+        cent_p = cat.table("vec", "ivf_centroids").read(spark)
+
+        persisted = S.knn_ivf_search(
+            cells_p, cent_p, emb, queries, k=5, nprobe=12
+        ).select("qid", "vec_id")
+        direct = S.knn_ivf_search(cells, centroids, emb, queries, k=5, nprobe=12).select(
+            "qid", "vec_id", F.lit(True).alias("__direct")
+        )
+        exact = S.cosine_topk(emb, queries, k=5).select(
+            "qid", "vec_id", F.lit(True).alias("__true_top5")
+        )
+        joined = persisted.join(exact, ["qid", "vec_id"], "left").join(
+            direct, ["qid", "vec_id"], "left"
+        )
+        out = joined.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n_results"),
+            (F.count(F.col("__true_top5")) >= 4).alias("recall_ok"),
+            (F.count(F.col("__direct")) == F.count(F.lit(1))).alias(
+                "persisted_matches_direct"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stateful_user_totals",
     tags=("streaming", "stateful"),
     oracle="""
@@ -208,6 +272,50 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = user_stats_stateful(read_events_stream(spark, sf_dir))
     return run_update_to_completion(stream, "q_stateful_user_totals")
+
+
+@query(
+    "streaming_dedup_counts",
+    tags=("streaming", "dedup", "stateful"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) / 1e6 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under an at-least-once source: every
+    event is delivered TWICE (each row duplicated before the dedup —
+    the Kafka-redelivery simulation), streamed through
+    ``dropDuplicatesWithinWatermark`` keyed on event_id (state bounded
+    by the 1 h watermark), and drained with availableNow. The deduped
+    sink must equal the original stream exactly — per-type counts,
+    distinct users, and exact micro-unit value totals all match the
+    batch aggregate over the UN-duplicated events table, which is
+    precisely what the oracle computes."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        read_events_stream,
+        run_append_to_completion,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.stateful import (
+        dedup_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.withColumn(
+        "__copy", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("__copy")
+    deduped = run_append_to_completion(
+        dedup_events_stream(doubled), "q_streaming_dedup"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")) / F.lit(1e6)
+        ).alias("total_value"),
+    )
 
 
 @query(

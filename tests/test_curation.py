@@ -172,3 +172,35 @@ def test_filter_by_source_reputation_drops_whole_sources(spark):
     assert set(r["source"] for r in out.select("source").distinct().collect()) == kept_sources
     expected = docs.where(F.col("source").isin(list(kept_sources))).count()
     assert out.count() == expected
+
+
+def test_quality_weighted_sample_rates_and_determinism(spark):
+    docs = load(spark, SF_DIR, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    bands = [(0.5, 80), (0.38, 40)]
+    kept = C.quality_weighted_sample(
+        docs.withColumn("__q", q), F.col("__q"), bands, default_pct=10
+    )
+    # per-band keep fractions land near the configured rates
+    banded = docs.withColumn("__q", q).withColumn(
+        "band",
+        F.when(F.col("__q") >= 0.5, "hi").when(F.col("__q") >= 0.38, "mid").otherwise("lo"),
+    )
+    tot = {r["band"]: r["n"] for r in banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["band"]: r["n"] for r in kept.withColumn(
+        "band",
+        F.when(F.col("__q") >= 0.5, "hi").when(F.col("__q") >= 0.38, "mid").otherwise("lo"),
+    ).groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for band, pct in (("hi", 80), ("mid", 40), ("lo", 10)):
+        if tot.get(band, 0) >= 30:  # only assert where the sample is meaningful
+            frac = got.get(band, 0) / tot[band]
+            assert abs(frac - pct / 100) < 0.18, (band, frac)
+    # higher band must keep a strictly higher fraction than lower
+    if tot.get("hi", 0) >= 30 and tot.get("lo", 0) >= 30:
+        assert got.get("hi", 0) / tot["hi"] > got.get("lo", 0) / tot["lo"]
+    # deterministic across reruns
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert a == b

@@ -37,6 +37,8 @@ _SKIP = {
     "rowlevel_merge_delete",
     "dedup_embedding_clusters",  # iterative localCheckpoint
     "corpus_build_e2e",  # iterative catalog writes run during planning
+    "knn_ivf_persisted",  # catalog writes + collect during planning
+    "streaming_dedup_counts",  # streaming drain during planning
 }
 
 
