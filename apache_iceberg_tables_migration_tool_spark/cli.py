@@ -160,6 +160,23 @@ def cmd_maintain(args: argparse.Namespace) -> int:
                     else (f" (sorted by {sort_by})" if sort_by else "")
                 )
                 print(f"{db}.{name}: compacted{how}")
+            if args.remove_orphans:
+                removed = cat.remove_orphan_files(db, name)
+                print(f"{db}.{name}: removed {len(removed)} orphan files")
+    return 0
+
+
+def cmd_rollback(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    snap = SnapCatalog(args.warehouse).rollback(
+        args.database, args.table, args.snapshot_id
+    )
+    print(
+        f"{args.database}.{args.table}: rolled back to snapshot "
+        f"{args.snapshot_id} (logged as snapshot {snap.snapshot_id}, "
+        f"{snap.summary['total-records']} records at head)"
+    )
     return 0
 
 
@@ -344,7 +361,20 @@ def build_parser() -> argparse.ArgumentParser:
         "so files are bounded in EVERY listed dimension (multi-column "
         "file skipping)",
     )
+    sp.add_argument(
+        "--remove-orphans", action="store_true",
+        help="delete data files no snapshot references (crashed-write residue)",
+    )
     sp.set_defaults(fn=cmd_maintain)
+
+    sp = sub.add_parser(
+        "rollback", help="move the published head back to an earlier snapshot"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--snapshot-id", type=int, required=True)
+    sp.set_defaults(fn=cmd_rollback)
 
     sp = sub.add_parser("merge", help="row-level MERGE (upsert) from a parquet dataset")
     sp.add_argument("--warehouse", required=True)

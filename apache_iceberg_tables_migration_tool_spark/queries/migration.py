@@ -419,3 +419,99 @@ def rowlevel_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "partition_stats_metadata",
+    tags=("migration", "metadata"),
+    oracle="""
+SELECT strftime(l_shipdate, '%Y-%m') AS partition_month,
+       COUNT(*) AS record_count,
+       CAST(COUNT(DISTINCT l_orderkey % 3) AS BIGINT) AS file_count
+FROM lineitem
+GROUP BY 1
+""",
+)
+def partition_stats_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ Iceberg's ``.partitions`` metadata table (S7/S8 surface
+    widened): per-partition record/file counts straight from the
+    commit-time file manifest — typed metadata, zero data scan. Built
+    over the 3-append partitioned lineitem history; the oracle derives
+    both numbers relationally: records per ship-month, and files per
+    month = how many of the three commit thirds contain that month
+    (each commit writes one file per month it touches — the same
+    layout invariant snapshot_history_ops pins)."""
+    root = tempfile.mkdtemp(prefix="snapcat_parts_")
+    try:
+        src = build_source_warehouse(spark, sf_dir, root)
+        parts = src.table("db", "lineitem_snap").partitions_df(spark)
+        out = parts.select(
+            F.regexp_replace("partition", "^l_shipmonth=", "").alias(
+                "partition_month"
+            ),
+            "record_count",
+            "file_count",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "rollback_and_orphan_cleanup",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey % 3 < 2) AS r01,
+         COUNT(*) AS r
+  FROM lineitem)
+SELECT 'head_before_rollback' AS phase, CAST(r AS BIGINT) AS records,
+       TRUE AS ok FROM m
+UNION ALL SELECT 'head_after_rollback', r01, TRUE FROM m
+UNION ALL SELECT 'abandoned_commit_still_readable', r, TRUE FROM m
+UNION ALL SELECT 'after_orphan_cleanup', r01, TRUE FROM m
+""",
+)
+def rollback_and_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance parity pair (≙ Iceberg ``rollback_to_snapshot`` +
+    ``remove_orphan_files``): roll the 3-append lineitem history back
+    to snapshot 2 (metadata-only — the abandoned third commit stays
+    readable by id), plant a stray parquet simulating a crashed
+    write, and verify orphan cleanup removes EXACTLY the stray while
+    every live file survives. Phase record counts derive from the
+    commit thirds; the ok flags pin the invariants (rollback logged
+    with provenance, dry-run listing matches the delete, live reads
+    unchanged)."""
+    root = tempfile.mkdtemp(prefix="snapcat_rollback_")
+    try:
+        src = build_source_warehouse(spark, sf_dir, root)
+        tbl = src.table("db", "lineitem_snap")
+        rows: list[tuple[str, int, bool]] = []
+        rows.append(("head_before_rollback", tbl.current_snapshot().total_records, True))
+
+        rb = src.rollback("db", "lineitem_snap", 2)
+        rows.append((
+            "head_after_rollback",
+            tbl.current_snapshot().total_records,
+            rb.operation == "rollback" and rb.summary["rolled-back-to"] == "2",
+        ))
+        rows.append((
+            "abandoned_commit_still_readable",
+            tbl.resolve_snapshot(3).total_records,
+            True,
+        ))
+
+        stray = os.path.join(tbl.root, "commit-999")
+        os.makedirs(stray, exist_ok=True)
+        spark.range(5).coalesce(1).write.mode("overwrite").parquet(stray)
+        listed = src.remove_orphan_files("db", "lineitem_snap", dry_run=True)
+        removed = src.remove_orphan_files("db", "lineitem_snap")
+        rows.append((
+            "after_orphan_cleanup",
+            tbl.read(spark).count(),
+            listed == removed and len(removed) >= 1
+            and all(p.startswith("commit-999") for p in removed),
+        ))
+        return spark.createDataFrame(rows, "phase string, records long, ok boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

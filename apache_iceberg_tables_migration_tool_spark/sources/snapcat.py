@@ -550,6 +550,36 @@ class SnapTable:
             "committed_at", "snapshot_id", "parent_id", "operation"
         )
 
+    def partitions_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """≙ Iceberg's ``.partitions`` metadata table: per-partition
+        record/file/byte counts for a snapshot, derived from the
+        commit-time file manifest (typed metadata, no data scan, no
+        DESCRIBE parsing — the same G3-fixing discipline as
+        ``files_df``). Partition values are decoded from the
+        ``col=value`` path layout each commit wrote. Unpartitioned
+        tables return a single row with an empty partition string."""
+        snap = self.resolve_snapshot(snapshot_id)
+        agg: dict[str, list[int]] = {}
+        for f in snap.files:
+            parts = [
+                seg for seg in f.path.split("/")[:-1] if "=" in seg
+            ]
+            key = "/".join(parts)
+            rec = agg.setdefault(key, [0, 0, 0])
+            rec[0] += f.records
+            rec[1] += 1
+            rec[2] += f.bytes
+        rows = [
+            (snap.snapshot_id, k, v[0], v[1], v[2]) for k, v in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, partition string, record_count long, "
+            "file_count long, total_bytes long",
+        )
+
     # ---- schema --------------------------------------------------------
 
     def schema(self, snapshot_id: int | None = None) -> T.StructType:
@@ -1030,6 +1060,78 @@ class SnapCatalog:
             return snap
 
     # ---- maintenance (X7) ----------------------------------------------
+
+    def rollback(
+        self, database: str, name: str, snapshot_id: int
+    ) -> Snapshot:
+        """≙ Iceberg ``CALL system.rollback_to_snapshot``: move the
+        published head back to an earlier snapshot. Metadata-only —
+        no data is rewritten, the abandoned commits stay in the log
+        (readable by id, aged out by ``expire_snapshots``), and the
+        rollback itself is recorded as a ``rollback`` log entry whose
+        files are the target's, so history shows when and to where
+        the table was rolled back."""
+        tbl = self.table(database, name)
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            if snapshot_id not in by_id:
+                raise LookupError(
+                    f"snapshot {snapshot_id} not found in {database}.{name}"
+                )
+            target = by_id[snapshot_id]
+            cur = _current_id(meta)
+            sid = _next_id(meta)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=cur or None,
+                committed_at=_utcnow_iso(),
+                operation="rollback",
+                summary={
+                    "rolled-back-to": str(snapshot_id),
+                    "total-records": str(
+                        sum(f["records"] for f in target["files"])
+                    ),
+                    "total-data-files": str(len(target["files"])),
+                },
+                schema_ddl=target["schema_ddl"],
+                partition_spec=target.get("partition_spec", []),
+                files=[DataFile(**f) for f in target["files"]],
+            )
+            meta["snapshots"].append(asdict(snap))
+            meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
+
+    def remove_orphan_files(
+        self, database: str, name: str, dry_run: bool = False
+    ) -> list[str]:
+        """≙ Iceberg ``CALL system.remove_orphan_files``: delete data
+        files under the table location that NO snapshot in the log
+        references — the residue of failed/interrupted writes (a Spark
+        write that crashed after materializing parquet but before its
+        metadata commit). Returns the removed (or, with ``dry_run``,
+        the would-be-removed) paths relative to the table root. Runs
+        under the commit lock so a concurrent commit can't land files
+        between the listing and the delete."""
+        tbl = self.table(database, name)
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            live = {
+                f["path"] for s in meta["snapshots"] for f in s["files"]
+            }
+            orphans: list[str] = []
+            for dirpath, _dirs, files in os.walk(tbl.root):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(dirpath, fn), tbl.root)
+                    if rel not in live:
+                        orphans.append(rel)
+            if not dry_run:
+                for rel in orphans:
+                    os.remove(os.path.join(tbl.root, rel))
+            return sorted(orphans)
 
     def expire_snapshots(
         self, database: str, name: str, keep_last: int = 1

@@ -180,3 +180,19 @@ def test_cli_corpus_build(spark, tmp_path, capsys):
     assert 0 < summary["mixture_rows"] <= 200
     cat = SnapCatalog(str(tmp_path / "cwh"))
     assert sorted(cat.list_tables("corpus")) == ["band_index", "docs"]
+
+
+def test_cli_rollback_and_orphans(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "rwh"))
+    cat.write("db", "t", spark.range(10).coalesce(1))
+    cat.write("db", "t", spark.range(10, 30).coalesce(1))
+    assert main([
+        "rollback", "--warehouse", str(tmp_path / "rwh"),
+        "--database", "db", "--table", "t", "--snapshot-id", "1",
+    ]) == 0
+    assert "rolled back to snapshot 1" in capsys.readouterr().out
+    assert cat.table("db", "t").read(spark).count() == 10
+    assert main([
+        "maintain", "--warehouse", str(tmp_path / "rwh"), "--remove-orphans",
+    ]) == 0
+    assert "removed 0 orphan files" in capsys.readouterr().out

@@ -39,6 +39,8 @@ _SKIP = {
     "corpus_build_e2e",  # iterative catalog writes run during planning
     "knn_ivf_persisted",  # catalog writes + collect during planning
     "streaming_dedup_counts",  # streaming drain during planning
+    "partition_stats_metadata",  # filesystem catalog during planning
+    "rollback_and_orphan_cleanup",  # filesystem catalog during planning
 }
 
 

@@ -630,3 +630,53 @@ def test_metadata_tables_expose_refs_and_publication(spark, cat):
     assert sdf == {1: True, staged.snapshot_id: False}
     refs = tbl.refs_df(spark).collect()
     assert [(r["name"], r["type"], r["snapshot_id"]) for r in refs] == [("v1", "tag", 1)]
+
+
+def test_rollback_moves_head_and_keeps_log(spark, cat):
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 10, (i + 1) * 10), committed_at=T[i])
+    tbl = cat.table("db", "t")
+    assert tbl.current_snapshot().total_records == 30
+    snap = cat.rollback("db", "t", 1)
+    assert snap.operation == "rollback"
+    assert snap.summary["rolled-back-to"] == "1"
+    # head shows the first commit's state; nothing was rewritten
+    assert tbl.read(spark).count() == 10
+    # abandoned commits stay readable by id
+    assert tbl.read(spark, snapshot_id=3).count() == 30
+    # history records the rollback as its own entry
+    ops = [s.operation for s in tbl.snapshots()]
+    assert ops == ["append", "append", "append", "rollback"]
+    # writes continue from the rolled-back state
+    cat.write("db", "t", spark.range(100, 105), committed_at=T[4])
+    assert tbl.read(spark).count() == 15
+
+
+def test_remove_orphan_files(spark, cat):
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    tbl = cat.table("db", "t")
+    # simulate a crashed write: stray parquet under the table root
+    stray_dir = os.path.join(tbl.root, "commit-999")
+    os.makedirs(stray_dir)
+    spark.range(5).toPandas().to_parquet(os.path.join(stray_dir, "stray.parquet"))
+    listed = cat.remove_orphan_files("db", "t", dry_run=True)
+    assert listed == ["commit-999/stray.parquet"]
+    assert os.path.exists(os.path.join(stray_dir, "stray.parquet"))  # dry run
+    removed = cat.remove_orphan_files("db", "t")
+    assert removed == listed
+    assert not os.path.exists(os.path.join(stray_dir, "stray.parquet"))
+    # live data untouched
+    assert tbl.read(spark).count() == 10
+    assert cat.remove_orphan_files("db", "t") == []
+
+
+def test_partitions_metadata_table(spark, cat):
+    df = spark.range(20).coalesce(1).withColumn("p", (F.col("id") % 2).cast("string"))
+    cat.write("db", "t", df, partition_by=["p"], committed_at=T[0])
+    cat.write("db", "t", df.where(F.col("p") == "0"), committed_at=T[1])
+    parts = {
+        r["partition"]: (r["record_count"], r["file_count"])
+        for r in cat.table("db", "t").partitions_df(spark).collect()
+    }
+    assert parts["p=0"] == (20, 2)  # both commits contributed one file each
+    assert parts["p=1"] == (10, 1)
