@@ -180,6 +180,23 @@ def cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_branch(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    cat = SnapCatalog(args.warehouse)
+    if args.fast_forward:
+        head = cat.fast_forward(args.database, args.table, args.name)
+        print(f"{args.database}.{args.table}: main fast-forwarded to "
+              f"branch {args.name!r} (snapshot {head})")
+    else:
+        base = cat.create_branch(
+            args.database, args.table, args.name, snapshot_id=args.snapshot_id
+        )
+        print(f"{args.database}.{args.table}: branch {args.name!r} created "
+              f"at snapshot {base}")
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
@@ -375,6 +392,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--snapshot-id", type=int, required=True)
     sp.set_defaults(fn=cmd_rollback)
+
+    sp = sub.add_parser(
+        "branch", help="create a writable branch ref / fast-forward main to it"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--snapshot-id", type=int, default=None)
+    sp.add_argument("--fast-forward", action="store_true")
+    sp.set_defaults(fn=cmd_branch)
 
     sp = sub.add_parser("merge", help="row-level MERGE (upsert) from a parquet dataset")
     sp.add_argument("--warehouse", required=True)

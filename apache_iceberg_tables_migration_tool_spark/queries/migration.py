@@ -422,6 +422,71 @@ def rowlevel_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "branch_write_fast_forward",
+    tags=("migration", "metadata", "wap"),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey % 3 = 0) AS r0,
+         COUNT(*) FILTER (WHERE l_orderkey % 3 < 2) AS r01,
+         COUNT(*) AS r
+  FROM lineitem)
+SELECT 'main_at_branch_cut' AS phase, CAST(r0 AS BIGINT) AS records,
+       TRUE AS ok FROM m
+UNION ALL SELECT 'branch_after_two_commits', r, TRUE FROM m
+UNION ALL SELECT 'main_still_isolated', r0, TRUE FROM m
+UNION ALL SELECT 'main_after_fast_forward', r, TRUE FROM m
+""",
+)
+def branch_write_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch lifecycle (≙ Iceberg ``CREATE BRANCH`` +
+    ``writeTo(...).option("branch", …)`` + ``CALL system.fast_forward``):
+    cut a ``dev`` branch at the first lineitem third, land the other
+    two thirds as branch commits — main must stay untouched the whole
+    time — then fast-forward main to the branch head (a pure pointer
+    move: no new snapshot, no data rewrite). Phase record counts
+    derive from the commit thirds; ok flags pin the invariants (typed
+    branch ref, branch pointer advanced per commit, snapshot count
+    unchanged by the fast-forward)."""
+    root = tempfile.mkdtemp(prefix="snapcat_branch_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        li = load(spark, sf_dir, "lineitem")
+        third = li.withColumn("__b", F.pmod(F.col("l_orderkey"), F.lit(3)))
+        cat.write("db", "li", third.where(F.col("__b") == 0).drop("__b"),
+                  committed_at=_T[0])
+        tbl = cat.table("db", "li")
+        rows: list[tuple[str, int, bool]] = []
+
+        cat.create_branch("db", "li", "dev")
+        rows.append((
+            "main_at_branch_cut", tbl.current_snapshot().total_records,
+            tbl.refs()["dev"] == {"snapshot_id": 1, "type": "branch"},
+        ))
+        cat.write("db", "li", third.where(F.col("__b") == 1).drop("__b"),
+                  committed_at=_T[1], branch="dev")
+        cat.write("db", "li", third.where(F.col("__b") == 2).drop("__b"),
+                  committed_at=_T[2], branch="dev")
+        rows.append((
+            "branch_after_two_commits",
+            tbl.resolve_snapshot(ref="dev").total_records,
+            tbl.refs()["dev"]["snapshot_id"] == 3,
+        ))
+        rows.append((
+            "main_still_isolated", tbl.current_snapshot().total_records,
+            tbl.current_snapshot().snapshot_id == 1,
+        ))
+        n_before = len(tbl.snapshots())
+        head = cat.fast_forward("db", "li", "dev")
+        rows.append((
+            "main_after_fast_forward", tbl.current_snapshot().total_records,
+            head == 3 and len(tbl.snapshots()) == n_before,
+        ))
+        return spark.createDataFrame(rows, "phase string, records long, ok boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "partition_stats_metadata",
     tags=("migration", "metadata"),
     oracle="""

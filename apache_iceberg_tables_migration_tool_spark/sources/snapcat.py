@@ -721,6 +721,7 @@ class SnapCatalog:
         expect_parent_id: "int | None | object" = _UNSET,
         staged: bool = False,
         wap_id: str | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Commit a write. The data plane is a distributed Spark
         parquet write into a fresh commit directory; the metadata
@@ -740,13 +741,35 @@ class SnapCatalog:
         reads still see the old state; auditors read the staged
         snapshot by id; :meth:`publish` flips (or cherry-picks) it
         into the main history. ``wap_id`` stamps ``wap.id`` into the
-        summary (≙ ``spark.wap.id``) so the staged commit is findable."""
+        summary (≙ ``spark.wap.id``) so the staged commit is findable.
+
+        ``branch="dev"`` commits onto a named BRANCH ref
+        (:meth:`create_branch`) instead of main — ≙ Iceberg
+        ``df.writeTo("t").option("branch", "dev")``: the commit's
+        parent is the branch head, only the branch pointer moves, and
+        main reads are untouched until :meth:`fast_forward` publishes
+        the branch. Mutually exclusive with ``staged`` (a branch is
+        already an isolated line)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if branch is not None and staged:
+            raise ValueError("staged (WAP) writes target main; a branch is already isolated")
         self.create_namespace(database)
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
-            prev = tbl.current_snapshot()
+            if branch is not None:
+                bmeta = tbl._load_meta() if tbl.exists() else {}
+                bref = bmeta.get("refs", {}).get(branch)
+                if bref is None or bref.get("type") != "branch":
+                    raise LookupError(f"branch {branch!r} not found in {database}.{name}")
+                prev = _snap_from_dict(
+                    next(
+                        s for s in bmeta["snapshots"]
+                        if s["snapshot_id"] == bref["snapshot_id"]
+                    )
+                )
+            else:
+                prev = tbl.current_snapshot()
             if expect_parent_id is not _UNSET:
                 actual = prev.snapshot_id if prev else None
                 if actual != expect_parent_id:
@@ -784,8 +807,15 @@ class SnapCatalog:
                 partition_spec=spec,
                 files=files,
             )
+            published_head = _current_id(meta) if meta["snapshots"] else 0
             meta["snapshots"].append(asdict(snap))
-            if staged:
+            if branch is not None:
+                # move the BRANCH pointer only; main stays where it is
+                # (pin current_id so the pre-WAP last-snapshot fallback
+                # can't mistake the branch commit for the head)
+                meta["refs"][branch]["snapshot_id"] = sid
+                meta.setdefault("current_id", published_head)
+            elif staged:
                 # pin the published head explicitly so the staged
                 # snapshot (now the LAST log entry) can't be mistaken
                 # for it by the legacy last-snapshot fallback
@@ -978,6 +1008,67 @@ class SnapCatalog:
             tbl._save_meta(meta)
             return sid
 
+    def create_branch(
+        self, database: str, name: str, branch: str, snapshot_id: int | None = None
+    ) -> int:
+        """Create a writable BRANCH ref at a snapshot (current head if
+        unspecified) — ≙ Iceberg ``ALTER TABLE … CREATE BRANCH``.
+        Commits target it via ``write(…, branch=…)``; reads via
+        ``read(ref=…)``; :meth:`fast_forward` publishes it into main.
+        Branch-referenced snapshots are retained by
+        :meth:`expire_snapshots` like tags. Returns the base id."""
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            sid = snapshot_id if snapshot_id is not None else _current_id(meta)
+            if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+                raise LookupError(f"snapshot {sid} not found in {database}.{name}")
+            refs = meta.setdefault("refs", {})
+            if branch in refs:
+                raise ValueError(f"ref {branch!r} already exists in {database}.{name}")
+            refs[branch] = {"snapshot_id": sid, "type": "branch"}
+            tbl._save_meta(meta)
+            return sid
+
+    def fast_forward(
+        self, database: str, name: str, branch: str
+    ) -> int:
+        """Publish a branch into main — ≙ Iceberg ``CALL
+        system.fast_forward('t', 'main', 'branch')``: move the
+        published head to the branch head, REQUIRING the current head
+        to be an ancestor of it (pure pointer move, no new snapshot).
+        If main advanced since the branch was cut, raises
+        CommitConflictError — a diverged branch needs a rebase/merge
+        strategy, and silently replacing main would drop its commits.
+        Returns the new head id."""
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            bref = meta.get("refs", {}).get(branch)
+            if bref is None or bref.get("type") != "branch":
+                raise LookupError(f"branch {branch!r} not found in {database}.{name}")
+            head = bref["snapshot_id"]
+            cur = _current_id(meta) or None
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            ancestors = set()
+            c: int | None = head
+            while c is not None and c in by_id:
+                ancestors.add(c)
+                c = by_id[c].get("parent_id")
+            if cur is not None and cur not in ancestors:
+                raise CommitConflictError(
+                    f"cannot fast-forward {database}.{name} to branch "
+                    f"{branch!r}: head {cur} is not an ancestor of branch "
+                    f"head {head} — main advanced since the branch was cut"
+                )
+            meta["current_id"] = head
+            tbl._save_meta(meta)
+            return head
+
     def drop_ref(self, database: str, name: str, ref_name: str) -> None:
         """Remove a named ref (≙ ``ALTER TABLE … DROP TAG``). The
         snapshot itself stays until expiration."""
@@ -1164,6 +1255,16 @@ class SnapCatalog:
             chain.reverse()
             protected = set(chain[-keep_last:]) if keep_last else set()
             protected |= {r["snapshot_id"] for r in meta.get("refs", {}).values()}
+            # a BRANCH ref protects its whole ancestry (not just its
+            # head): expiring an intermediate branch commit would break
+            # the parent chain fast_forward's ancestry check walks
+            for r in meta.get("refs", {}).values():
+                if r.get("type") != "branch":
+                    continue
+                c = r["snapshot_id"]
+                while c is not None and c in by_id:
+                    protected.add(c)
+                    c = by_id[c].get("parent_id")
             kept = [s for s in snaps if s["snapshot_id"] in protected]
             expired = [s for s in snaps if s["snapshot_id"] not in protected]
             if not expired:

@@ -196,3 +196,22 @@ def test_cli_rollback_and_orphans(spark, tmp_path, capsys):
         "maintain", "--warehouse", str(tmp_path / "rwh"), "--remove-orphans",
     ]) == 0
     assert "removed 0 orphan files" in capsys.readouterr().out
+
+
+def test_cli_branch_lifecycle(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "bwh"))
+    cat.write("db", "t", spark.range(10).coalesce(1))
+    wh = str(tmp_path / "bwh")
+    assert main([
+        "branch", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--name", "dev",
+    ]) == 0
+    assert "branch 'dev' created at snapshot 1" in capsys.readouterr().out
+    cat.write("db", "t", spark.range(10, 30).coalesce(1), branch="dev")
+    assert cat.table("db", "t").read(spark).count() == 10
+    assert main([
+        "branch", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--name", "dev", "--fast-forward",
+    ]) == 0
+    assert "fast-forwarded" in capsys.readouterr().out
+    assert cat.table("db", "t").read(spark).count() == 30

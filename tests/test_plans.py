@@ -41,6 +41,7 @@ _SKIP = {
     "streaming_dedup_counts",  # streaming drain during planning
     "partition_stats_metadata",  # filesystem catalog during planning
     "rollback_and_orphan_cleanup",  # filesystem catalog during planning
+    "branch_write_fast_forward",  # filesystem catalog during planning
 }
 
 

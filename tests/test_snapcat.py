@@ -680,3 +680,62 @@ def test_partitions_metadata_table(spark, cat):
     }
     assert parts["p=0"] == (20, 2)  # both commits contributed one file each
     assert parts["p=1"] == (10, 1)
+
+
+def test_branch_write_isolation_and_fast_forward(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        CommitConflictError,
+    )
+
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    tbl = cat.table("db", "t")
+    base = cat.create_branch("db", "t", "dev")
+    assert base == 1
+    assert tbl.refs()["dev"] == {"snapshot_id": 1, "type": "branch"}
+
+    # branch commits move only the branch pointer
+    cat.write("db", "t", spark.range(10, 25), committed_at=T[1], branch="dev")
+    cat.write("db", "t", spark.range(25, 30), committed_at=T[2], branch="dev")
+    assert tbl.read(spark).count() == 10          # main untouched
+    assert tbl.read(spark, ref="dev").count() == 30
+    assert tbl.refs()["dev"]["snapshot_id"] == 3
+    assert tbl.current_snapshot().snapshot_id == 1
+
+    # fast-forward publishes the branch (pointer move, no new snapshot)
+    head = cat.fast_forward("db", "t", "dev")
+    assert head == 3
+    assert tbl.read(spark).count() == 30
+    assert len(tbl.snapshots()) == 3
+
+    # diverged main → fast-forward refused
+    cat.create_branch("db", "t", "exp")
+    cat.write("db", "t", spark.range(100, 105), committed_at=T[3], branch="exp")
+    cat.write("db", "t", spark.range(200, 210), committed_at=T[4])  # main advances
+    with pytest.raises(CommitConflictError):
+        cat.fast_forward("db", "t", "exp")
+
+
+def test_branch_refused_for_staged_and_unknown(spark, cat):
+    cat.write("db", "t", spark.range(5))
+    with pytest.raises(LookupError):
+        cat.write("db", "t", spark.range(5), branch="nope")
+    cat.create_branch("db", "t", "dev")
+    with pytest.raises(ValueError):
+        cat.write("db", "t", spark.range(5), branch="dev", staged=True)
+    with pytest.raises(ValueError):
+        cat.create_branch("db", "t", "dev")  # duplicate ref name
+
+
+def test_expire_protects_branch_lineage(spark, cat):
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 10, (i + 1) * 10), committed_at=T[i])
+    cat.create_branch("db", "t", "dev", snapshot_id=2)
+    cat.write("db", "t", spark.range(100, 110), committed_at=T[3], branch="dev")
+    cat.write("db", "t", spark.range(110, 120), committed_at=T[4], branch="dev")
+    cat.expire_snapshots("db", "t", keep_last=1)
+    tbl = cat.table("db", "t")
+    # branch head AND its ancestry survive; fast_forward from a fresh
+    # rollback state still walks the chain
+    assert tbl.read(spark, ref="dev").count() == 40
+    kept = {s.snapshot_id for s in tbl.snapshots()}
+    assert {2, 4, 5}.issubset(kept)  # branch base + both branch commits
