@@ -180,6 +180,30 @@ def cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_alter(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    def _pairs(spec: str | None) -> dict[str, str]:
+        # "a=b,c=d" → {"a": "b", "c": "d"}
+        if not spec:
+            return {}
+        return dict(item.split("=", 1) for item in spec.split(","))
+
+    snap = SnapCatalog(args.warehouse).alter_table(
+        args.database,
+        args.table,
+        add_columns=_pairs(args.add) or None,
+        rename_columns=_pairs(args.rename) or None,
+        drop_columns=args.drop.split(",") if args.drop else None,
+        widen_columns=_pairs(args.widen) or None,
+    )
+    print(
+        f"{args.database}.{args.table}: schema evolved in snapshot "
+        f"{snap.snapshot_id} (metadata-only) → {snap.schema_ddl}"
+    )
+    return 0
+
+
 def cmd_branch(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
@@ -266,6 +290,28 @@ def cmd_diff(args: argparse.Namespace) -> int:
     n_rem = sum(1 for r in rows if r["op"] == "removed")
     print(f"-- {n_rem} removed, {len(rows) - n_rem} added "
           f"({args.from_id} -> {args.to_id})")
+    return 0
+
+
+def cmd_changelog(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    tbl = SnapCatalog(args.warehouse).table(args.database, args.table)
+    to_id = (
+        args.to_id
+        if args.to_id is not None
+        else tbl.current_snapshot().snapshot_id
+    )
+    out = tbl.changelog(spark, args.from_id, to_id)
+    rows = out.orderBy("_commit_order", "_change_type").collect()
+    for r in rows[: args.limit]:
+        print(r)
+    n_del = sum(1 for r in rows if r["_change_type"] == "delete")
+    print(
+        f"-- changelog ({args.from_id} -> {to_id}]: "
+        f"{len(rows) - n_del} inserts, {n_del} deletes"
+    )
     return 0
 
 
@@ -394,6 +440,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_rollback)
 
     sp = sub.add_parser(
+        "alter",
+        help="metadata-only schema evolution (add/rename/drop/widen columns)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--add", help="name=type[,name=type…] columns to add")
+    sp.add_argument("--rename", help="old=new[,old=new…] columns to rename")
+    sp.add_argument("--drop", help="comma-separated columns to drop")
+    sp.add_argument("--widen", help="name=type[,…] lossless type widenings")
+    sp.set_defaults(fn=cmd_alter)
+
+    sp = sub.add_parser(
         "branch", help="create a writable branch ref / fast-forward main to it"
     )
     sp.add_argument("--warehouse", required=True)
@@ -446,6 +505,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_diff)
+
+    sp = sub.add_parser(
+        "changelog",
+        help="ordered multi-commit CDC stream (insert/delete rows per commit)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-id", type=int, default=None,
+                    help="exclusive start snapshot (default: table creation)")
+    sp.add_argument("--to-id", type=int, default=None,
+                    help="inclusive end snapshot (default: current head)")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_changelog)
 
     sp = sub.add_parser(
         "corpus-build",

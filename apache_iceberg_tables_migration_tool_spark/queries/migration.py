@@ -580,3 +580,197 @@ def rollback_and_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "phase string, records long, ok boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "changelog_cdc_stream",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust,
+         o_orderkey % 3 AS b
+  FROM orders)
+SELECT 1 AS change_order, 'insert' AS change_type,
+       COUNT(*) AS records, CAST(SUM(cust) AS BIGINT) AS cust_sum
+FROM o WHERE b = 0
+UNION ALL
+SELECT 2, 'insert', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE b = 1
+UNION ALL
+SELECT 3, 'delete', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE b IN (0, 1) AND cust % 7 = 0
+UNION ALL
+SELECT 4, 'delete', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE b = 0 AND ok % 11 = 0 AND cust % 7 <> 0
+UNION ALL
+SELECT 4, 'insert',
+       COUNT(*) FILTER (WHERE b = 0 AND ok % 11 = 0 AND cust % 7 <> 0)
+         + COUNT(*) FILTER (WHERE b = 2 AND ok % 5 = 0),
+       CAST(SUM(cust + 1000000) FILTER (WHERE b = 0 AND ok % 11 = 0 AND cust % 7 <> 0) AS BIGINT)
+         + CAST(SUM(cust) FILTER (WHERE b = 2 AND ok % 5 = 0) AS BIGINT)
+FROM o
+""",
+)
+def changelog_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-commit CDC (≙ Iceberg ``CALL
+    system.create_changelog_view`` — the reference's verify stage
+    diffs whole tables, `6_verify_data_integrity.py:74-87`; the
+    changelog is the O(changed-data) generalization). History: append
+    orderkey-third 0 → append third 1 → DELETE ``cust % 7 = 0`` →
+    MERGE (update third-0 keys with ``ok % 11 = 0``, insert third-2
+    keys with ``ok % 5 = 0``) → rename ``cust``→``customer_id``
+    (alter) → compact (replace). The changelog over the whole range
+    must emit: each append's rows as inserts, the delete's rows as
+    deletes, the merge as delete(old)+insert(new) for updated keys
+    plus pure inserts for new keys — and NOTHING for the alter and
+    the compaction (metadata-only / data-identical rewrite), under
+    the END schema. The oracle rebuilds each commit's delta
+    relationally from the same predicates."""
+    root = tempfile.mkdtemp(prefix="snapcat_cdc_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+        ).withColumn("__b", F.pmod(F.col("ok"), F.lit(3)))
+
+        cat.write("db", "orders_cdc", o.where("__b = 0").drop("__b"),
+                  committed_at=_T[0])
+        cat.write("db", "orders_cdc", o.where("__b = 1").drop("__b"),
+                  committed_at=_T[1])
+        cat.delete_where("db", "orders_cdc", F.col("cust") % 7 == 0,
+                         committed_at=_T[2])
+        updates = (
+            o.where("__b = 0 AND ok % 11 = 0 AND cust % 7 <> 0").drop("__b")
+            .withColumn("cust", F.col("cust") + F.lit(1000000))
+            .unionByName(o.where("__b = 2 AND ok % 5 = 0").drop("__b"))
+        )
+        cat.upsert("db", "orders_cdc", updates, key_cols=["ok"],
+                   committed_at=_T[3])
+        cat.alter_table("db", "orders_cdc",
+                        rename_columns={"cust": "customer_id"})
+        cat.compact("db", "orders_cdc", spark, target_partitions=2)
+
+        tbl = cat.table("db", "orders_cdc")
+        cl = tbl.changelog(spark, None, tbl.current_snapshot().snapshot_id)
+        out = (
+            cl.groupBy(
+                F.col("_commit_order").cast("int").alias("change_order"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("records"),
+                F.sum("customer_id").alias("cust_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "schema_evolution_lifecycle",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS cust,
+         o_orderkey % 3 AS b
+  FROM orders)
+SELECT 'head' AS phase,
+       COUNT(*) AS records,
+       CAST(SUM(cust) AS BIGINT) AS customer_sum,
+       COUNT(*) FILTER (WHERE b = 0) AS null_channels
+FROM o
+UNION ALL
+SELECT 'head_web_only', COUNT(*) FILTER (WHERE b = 1),
+       CAST(SUM(cust) FILTER (WHERE b = 1) AS BIGINT),
+       0
+FROM o
+UNION ALL
+SELECT 'pre_alter_snapshot', COUNT(*) FILTER (WHERE b = 0),
+       CAST(SUM(cust) FILTER (WHERE b = 0) AS BIGINT),
+       0
+FROM o
+""",
+)
+def schema_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end to end (≙ Iceberg ``ALTER TABLE … ADD /
+    RENAME / DROP COLUMN, ALTER COLUMN TYPE`` — metadata-only commits
+    over stable field ids; the reference's G1/G2 schema plumbing never
+    evolves a live table, this is the Iceberg-parity surface beyond
+    it). Orders lands in three orderkey-thirds around two alter
+    commits: write third 0 → rename ``cust``→``customer_id`` + widen
+    int→bigint + add ``channel`` → append third 1 (channel='web') →
+    drop ``status`` → append third 2 (channel='app'). No data file is
+    ever rewritten; every read below maps old files by field id.
+
+    The oracle rebuilds each phase relationally: the head must
+    aggregate ALL thirds with third 0's channel NULL (pre-add files
+    null-fill), the widened bigint sum must be exact, and the
+    pre-alter time-travel read must still see the ORIGINAL schema
+    (old column name, count of third 0 only)."""
+    root = tempfile.mkdtemp(prefix="snapcat_evolve_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+        ).withColumn("__b", F.pmod(F.col("o_orderkey"), F.lit(3)))
+
+        cat.write("db", "orders_evo", o.where("__b = 0").drop("__b"),
+                  committed_at=_T[0])
+        pre_alter_id = cat.table("db", "orders_evo").current_snapshot().snapshot_id
+        cat.alter_table(
+            "db", "orders_evo",
+            rename_columns={"cust": "customer_id"},
+            widen_columns={"cust": "bigint"},
+            add_columns={"channel": "string"},
+        )
+        cat.write(
+            "db", "orders_evo",
+            o.where("__b = 1").drop("__b")
+            .withColumnRenamed("cust", "customer_id")
+            .withColumn("customer_id", F.col("customer_id").cast("bigint"))
+            .withColumn("channel", F.lit("web")),
+            committed_at=_T[1],
+        )
+        cat.alter_table("db", "orders_evo", drop_columns=["status"])
+        cat.write(
+            "db", "orders_evo",
+            o.where("__b = 2").drop("__b").drop("status")
+            .withColumnRenamed("cust", "customer_id")
+            .withColumn("customer_id", F.col("customer_id").cast("bigint"))
+            .withColumn("channel", F.lit("app")),
+            committed_at=_T[2],
+        )
+
+        tbl = cat.table("db", "orders_evo")
+        head = tbl.read(spark)
+        assert dict(head.dtypes)["customer_id"] == "bigint"
+        assert "status" not in head.columns
+        phases = [
+            head.agg(
+                F.lit("head").alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("customer_id").alias("customer_sum"),
+                F.count_if(F.col("channel").isNull()).alias("null_channels"),
+            ),
+            head.where(F.col("channel") == "web").agg(
+                F.lit("head_web_only").alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("customer_id").alias("customer_sum"),
+                F.lit(0).cast("long").alias("null_channels"),
+            ),
+            # time travel: the pre-alter snapshot keeps its own schema
+            tbl.read(spark, snapshot_id=pre_alter_id).agg(
+                F.lit("pre_alter_snapshot").alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("cust").cast("long").alias("customer_sum"),
+                F.lit(0).cast("long").alias("null_channels"),
+            ),
+        ]
+        out = phases[0].unionByName(phases[1]).unionByName(phases[2])
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -80,6 +80,12 @@ class Snapshot:
     schema_ddl: str  # Spark DDL ("col type, ..."), G1-correct
     partition_spec: list[str]
     files: list[DataFile] = field(default_factory=list)
+    #: stable column ids (≙ Iceberg field IDs) — the identity that
+    #: survives renames. None until :meth:`SnapCatalog.alter_table`
+    #: first activates schema-evolution tracking on the table; while
+    #: None, columns are identified by name (pre-evolution semantics,
+    #: unchanged).
+    field_ids: dict[str, int] | None = None
 
     @property
     def total_records(self) -> int:
@@ -129,7 +135,56 @@ def _snap_from_dict(s: dict) -> Snapshot:
         schema_ddl=s["schema_ddl"],
         partition_spec=s.get("partition_spec", []),
         files=[DataFile(**f) for f in s.get("files", [])],
+        field_ids=s.get("field_ids"),
     )
+
+
+def _origin_sid(rel_path: str) -> int:
+    """Snapshot id of the commit that WROTE a data file — encoded in
+    its path (``data/s{N:06d}/…``). The key that lets a post-rename
+    read recover the column names a file was written under."""
+    return int(rel_path.split("/")[1][1:])
+
+
+def _resolve_field_mapping(
+    target: T.StructType,
+    target_ids: dict[str, int],
+    entry: dict,
+    part_cols: set[str],
+) -> "dict[str, tuple[str | None, T.DataType | None]] | None":
+    """Resolve how an origin commit's columns map onto a target schema
+    by field id. Returns None when plain by-name reading is already
+    correct (every target column exists in the origin under the same
+    name, same type, same id — or is genuinely absent, so by-name
+    null-fill is right); else a dict target_name → (origin_name | None,
+    origin_type | None). The non-identity cases: a rename (same id,
+    different name), a type widening (same id, narrower origin type),
+    and a REUSED name (origin column with the target's name but a
+    different id — by-name would silently read stale, unrelated data)."""
+    origin_ids: dict[str, int] = entry.get("field_ids") or {}
+    origin_types = {
+        f.name: f.dataType
+        for f in T._parse_datatype_string(entry["schema_ddl"]).fields
+    }
+    by_id = {v: k for k, v in origin_ids.items()}
+    mapping: dict[str, tuple[str | None, T.DataType | None]] = {}
+    identity = True
+    for tf in target.fields:
+        if tf.name in part_cols:
+            continue
+        tid = target_ids.get(tf.name)
+        origin_name = by_id.get(tid) if tid is not None else None
+        if origin_name is None and tid is None and tf.name in origin_types:
+            origin_name = tf.name  # untracked column: by-name fallback
+        if origin_name is None:
+            if tf.name in origin_ids:  # reused name, different field id
+                identity = False
+            mapping[tf.name] = (None, None)
+            continue
+        mapping[tf.name] = (origin_name, origin_types[origin_name])
+        if origin_name != tf.name or origin_types[origin_name] != tf.dataType:
+            identity = False
+    return None if identity else mapping
 
 
 def _current_id(meta: dict) -> int:
@@ -349,8 +404,84 @@ class SnapTable:
         explicitly (schema-at-snapshot semantics). ``ref`` reads a
         named tag (≙ ``VERSION AS OF 'tag'``)."""
         snap = self.resolve_snapshot(snapshot_id, as_of, ref)
-        schema = T._parse_datatype_string(snap.schema_ddl)
-        return self._read_paths(spark, schema, [f.path for f in snap.files])
+        return self._read_files(spark, snap, [f.path for f in snap.files])
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        rel_paths,
+        with_file_path: bool = False,
+    ) -> DataFrame:
+        """Scan ``rel_paths`` normalized to ``snap``'s schema. With
+        schema-evolution tracking active (``snap.field_ids``), files
+        written before a rename/type-widening are read under their
+        ORIGINAL column names/types (recovered from the commit-time
+        schema log via the file path's origin snapshot id) and mapped
+        to the target schema by field id — Iceberg's name-independent
+        column resolution. Files whose origin schema already matches
+        by name+type take the plain fast path (zero overhead when no
+        rename/widen ever happened)."""
+        target = T._parse_datatype_string(snap.schema_ddl)
+        if snap.field_ids is None:
+            return self._read_paths(spark, target, rel_paths, with_file_path)
+        commit_schemas = self._load_meta().get("commit_schemas", {})
+        part_cols = set(snap.partition_spec)
+        groups: dict[int, list[str]] = {}
+        for rel in rel_paths:
+            groups.setdefault(_origin_sid(rel), []).append(rel)
+        plain: list[str] = []
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(groups.items()):
+            entry = commit_schemas.get(str(sid))
+            mapping = (
+                _resolve_field_mapping(target, snap.field_ids, entry, part_cols)
+                if entry is not None
+                else None  # pre-tracking file: by-name semantics were in force
+            )
+            if mapping is None:
+                plain.extend(paths)
+                continue
+            reader_fields = []
+            for tf in target.fields:
+                if tf.name in part_cols:
+                    reader_fields.append(tf)
+                    continue
+                origin_name, origin_type = mapping[tf.name]
+                if origin_name is not None:
+                    reader_fields.append(T.StructField(origin_name, origin_type, True))
+            src = self._read_paths(
+                spark, T.StructType(reader_fields), paths, with_file_path
+            )
+            cols = []
+            for tf in target.fields:
+                if tf.name in part_cols:
+                    cols.append(F.col(tf.name))
+                    continue
+                origin_name, origin_type = mapping[tf.name]
+                if origin_name is None:  # added after this file was written
+                    cols.append(F.lit(None).cast(tf.dataType).alias(tf.name))
+                else:
+                    c = F.col(origin_name)
+                    if origin_type != tf.dataType:
+                        c = c.cast(tf.dataType)  # widened since
+                    cols.append(c.alias(tf.name))
+            if with_file_path:
+                cols.append(F.col("__file"))
+            parts.append(src.select(*cols))
+        if plain:
+            parts.insert(0, self._read_paths(spark, target, plain, with_file_path))
+        if not parts:
+            df = spark.createDataFrame([], target)
+            return (
+                df.withColumn("__file", F.lit(None).cast("string"))
+                if with_file_path
+                else df
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _read_paths(
         self,
@@ -427,7 +558,7 @@ class SnapTable:
         base = {f.path for s in snaps if s.snapshot_id == lo for f in s.files}
         end = self.resolve_snapshot(to_id)
         added = [f.path for f in end.files if f.path not in base]
-        return self._read_paths(spark, T._parse_datatype_string(end.schema_ddl), added)
+        return self._read_files(spark, end, added)
 
     def plan_files(
         self,
@@ -447,11 +578,27 @@ class SnapTable:
         the 100 TB selective-scan path: the executor never sees files
         the predicate rules out."""
         snap = self.resolve_snapshot(snapshot_id)
+        commit_schemas = (
+            self._load_meta().get("commit_schemas", {})
+            if snap.field_ids is not None
+            else {}
+        )
         out = []
         for f in snap.files:
+            # footer stats are keyed by the column names the file was
+            # WRITTEN under — translate each predicate column through
+            # the field-id mapping when evolution tracking is active
+            stats_key = {c: c for c, _, _ in predicates}
+            entry = commit_schemas.get(str(_origin_sid(f.path)))
+            if entry is not None and snap.field_ids is not None:
+                by_id = {v: k for k, v in (entry.get("field_ids") or {}).items()}
+                for c, _, _ in predicates:
+                    tid = snap.field_ids.get(c)
+                    origin = by_id.get(tid) if tid is not None else c
+                    stats_key[c] = origin if origin is not None else "\x00absent"
             keep = True
             for col, op, val in predicates:
-                b = (f.stats or {}).get(col)
+                b = (f.stats or {}).get(stats_key[col])
                 if b is None:
                     continue
                 lo, hi = b
@@ -479,8 +626,7 @@ class SnapTable:
         is a superset guarantee, filtering is exact)."""
         snap = self.resolve_snapshot(snapshot_id)
         files = self.plan_files(predicates, snapshot_id=snap.snapshot_id)
-        schema = T._parse_datatype_string(snap.schema_ddl)
-        df = self._read_paths(spark, schema, [f.path for f in files])
+        df = self._read_files(spark, snap, [f.path for f in files])
         ops = {
             "=": lambda c, v: F.col(c) == v,
             "<": lambda c, v: F.col(c) < v,
@@ -491,6 +637,98 @@ class SnapTable:
         for col, op, val in predicates:
             df = df.where(ops[op](col, val))
         return df
+
+    def changelog(
+        self,
+        spark: SparkSession,
+        from_id: int | None,
+        to_id: int,
+        net_changes: bool = True,
+    ) -> DataFrame:
+        """Ordered row-level change stream across a snapshot range —
+        ≙ Iceberg ``CALL system.create_changelog_view``: one row per
+        logical insert/delete, stamped with ``_change_type``
+        (insert|delete), ``_commit_snapshot_id``, ``_commit_order``
+        (ordinal within the range) and ``_commit_timestamp``, commits
+        ordered oldest→newest along the published lineage.
+
+        Scale shape: each commit contributes only its FILE DELTA —
+        appends read just their added files (O(delta), no diff at
+        all); copy-on-write commits (merge/delete/overwrite) diff the
+        removed files against the added files, so a 10-row merge into
+        a million-file table diffs a handful of files, never the
+        table. ``replace`` (compaction/clustering) commits are
+        data-identical rewrites and contribute nothing, exactly like
+        Iceberg's changelog. ``net_changes=True`` (default and
+        Iceberg's default) filters carry-over rows: a row rewritten
+        unchanged during COW appears as neither delete nor insert;
+        ``False`` keeps the raw file-level picture (every rewritten
+        row as delete+insert).
+
+        Emits each commit under the END snapshot's schema so the
+        union is well-typed across schema evolution inside the range."""
+        snaps = {s.snapshot_id: s for s in self.snapshots()}
+        if from_id is not None and from_id not in snaps:
+            raise LookupError(
+                f"changelog start snapshot {from_id} of "
+                f"{self.database}.{self.name} does not exist (expired?)"
+            )
+        end = self.resolve_snapshot(to_id)
+        lo = 0 if from_id is None else from_id
+        chain = [s for s in self.main_chain() if lo < s.snapshot_id <= to_id]
+        meta_cols = [
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_snapshot_id"),
+            F.lit(0).cast("int").alias("_commit_order"),
+            F.lit(None).cast("timestamp").alias("_commit_timestamp"),
+        ]
+
+        def _stamp(df: DataFrame, change: str, s: Snapshot, order: int) -> DataFrame:
+            ts = _parse_iso(s.committed_at).replace(tzinfo=None)
+            return df.select(
+                "*",
+                F.lit(change).alias("_change_type"),
+                F.lit(s.snapshot_id).cast("long").alias("_commit_snapshot_id"),
+                F.lit(order).cast("int").alias("_commit_order"),
+                F.lit(ts).cast("timestamp").alias("_commit_timestamp"),
+            )
+
+        parts: list[DataFrame] = []
+        for order, s in enumerate(chain, start=1):
+            if s.operation == "replace":
+                # compaction/clustering: every file changes but the
+                # data is identical — contributes nothing, like
+                # Iceberg's changelog. (Metadata-only commits — alter,
+                # create — fall through and yield an empty file delta;
+                # a rollback diffs against the abandoned head, i.e.
+                # the rolled-back rows surface as deletes.)
+                continue
+            parent = snaps.get(s.parent_id) if s.parent_id is not None else None
+            parent_paths = {f.path for f in parent.files} if parent else set()
+            child_paths = {f.path for f in s.files}
+            added = [p for p in child_paths if p not in parent_paths]
+            removed = [p for p in parent_paths if p not in child_paths]
+            # read both sides under the END schema: changes across an
+            # in-range schema evolution union cleanly (field-id mapped)
+            after = self._read_files(spark, end, sorted(added)) if added else None
+            before = (
+                self._read_files(spark, end, sorted(removed)) if removed else None
+            )
+            if before is not None and after is not None and net_changes:
+                ins_df, del_df = after.exceptAll(before), before.exceptAll(after)
+            else:
+                ins_df, del_df = after, before
+            if del_df is not None:
+                parts.append(_stamp(del_df, "delete", s, order))
+            if ins_df is not None:
+                parts.append(_stamp(ins_df, "insert", s, order))
+        if not parts:
+            empty = spark.createDataFrame([], T._parse_datatype_string(end.schema_ddl))
+            return empty.select("*", *meta_cols).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def diff_snapshots(
         self, spark: SparkSession, from_id: int, to_id: int
@@ -706,6 +944,199 @@ class SnapCatalog:
             tbl._save_meta(meta)
             return props
 
+    # ---- schema evolution (≙ Iceberg ALTER TABLE … ADD/RENAME/DROP
+    # COLUMN, ALTER COLUMN TYPE) ------------------------------------------
+
+    #: safe read-time promotions (Iceberg's type-evolution matrix):
+    #: the origin value is cast losslessly to the wider target type
+    _WIDEN_OK = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def alter_table(
+        self,
+        database: str,
+        name: str,
+        *,
+        add_columns: dict[str, str] | None = None,
+        rename_columns: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
+        widen_columns: dict[str, str] | None = None,
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """Metadata-only schema evolution (≙ Iceberg ``ALTER TABLE …
+        ADD COLUMN / RENAME COLUMN / DROP COLUMN / ALTER COLUMN TYPE``):
+        commits a new snapshot with the evolved schema and the SAME
+        data files — no rewrite, O(metadata) regardless of table size.
+
+        Column identity is a stable field id (assigned here on first
+        use, then maintained by every commit), so renames are pure
+        metadata: existing files keep their old column names on disk
+        and reads map them by id. Dropped columns vanish from reads
+        (old files' bytes are simply never projected); added columns
+        read as NULL from pre-add files; ``widen_columns`` allows the
+        lossless promotions in ``_WIDEN_OK`` plus same-scale decimal
+        precision growth (old files are read at their written type and
+        cast). Time travel still returns each snapshot under ITS
+        schema — schema-at-snapshot is per-commit, like Iceberg's
+        schema log.
+
+        Partition columns cannot be renamed, dropped, or widened
+        (their names/values live in the directory layout).
+
+        ``add_columns``: name → Spark DDL type (``{"channel":
+        "string"}``). ``rename_columns``: old → new.
+        ``widen_columns``: name → new DDL type."""
+        add_columns = dict(add_columns or {})
+        rename_columns = dict(rename_columns or {})
+        drop_columns = list(drop_columns or [])
+        widen_columns = dict(widen_columns or {})
+        if not (add_columns or rename_columns or drop_columns or widen_columns):
+            raise ValueError("alter_table: no changes requested")
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            if "next_field_id" not in meta:
+                # first evolution on this table: backfill field ids for
+                # every snapshot in the log. Pre-tracking history can't
+                # contain renames, so a column NAME identifies a field
+                # globally — assign ids by first appearance.
+                nxt = 1
+                assigned: dict[str, int] = {}
+                for s in meta["snapshots"]:
+                    ids = {}
+                    for fobj in T._parse_datatype_string(s["schema_ddl"]).fields:
+                        if fobj.name not in assigned:
+                            assigned[fobj.name] = nxt
+                            nxt += 1
+                        ids[fobj.name] = assigned[fobj.name]
+                    s["field_ids"] = ids
+                    meta.setdefault("commit_schemas", {})[str(s["snapshot_id"])] = {
+                        "schema_ddl": s["schema_ddl"],
+                        "field_ids": ids,
+                    }
+                meta["next_field_id"] = nxt
+            cid = _current_id(meta)
+            prev_dict = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == cid), None
+            )
+            if prev_dict is None:
+                raise LookupError(
+                    f"table {database}.{name} has no published snapshot to alter"
+                )
+            prev = _snap_from_dict(prev_dict)
+            fields = T._parse_datatype_string(prev.schema_ddl).fields
+            names = {f.name for f in fields}
+            part = set(prev.partition_spec)
+
+            for old in list(rename_columns) + drop_columns + list(widen_columns):
+                if old not in names:
+                    raise ValueError(f"column {old!r} not found in {database}.{name}")
+                if old in part:
+                    raise ValueError(
+                        f"column {old!r} is a partition column of "
+                        f"{database}.{name}; partition columns cannot be "
+                        "renamed, dropped, or widened"
+                    )
+            if set(drop_columns) & set(rename_columns):
+                raise ValueError("cannot rename and drop the same column")
+            if set(drop_columns) & set(widen_columns):
+                raise ValueError("cannot widen and drop the same column")
+            if len(drop_columns) == len(fields):
+                raise ValueError("cannot drop every column")
+            result_names = {
+                rename_columns.get(f.name, f.name)
+                for f in fields
+                if f.name not in drop_columns
+            } | set(add_columns)
+            targets = list(rename_columns.values()) + list(add_columns)
+            if len(targets) != len(set(targets)) or len(result_names) != (
+                len(fields) - len(drop_columns) + len(add_columns)
+            ):
+                raise ValueError(
+                    f"resulting schema of {database}.{name} has colliding "
+                    f"column names (renames {rename_columns}, adds "
+                    f"{sorted(add_columns)})"
+                )
+
+            def _widened(old_type: T.DataType, new_ddl: str) -> T.DataType:
+                new_type = T._parse_datatype_string(f"c {new_ddl}").fields[0].dataType
+                pair = (old_type.simpleString(), new_type.simpleString())
+                dec_ok = (
+                    isinstance(old_type, T.DecimalType)
+                    and isinstance(new_type, T.DecimalType)
+                    and new_type.scale == old_type.scale
+                    and new_type.precision > old_type.precision
+                )
+                if pair not in self._WIDEN_OK and not dec_ok:
+                    raise ValueError(
+                        f"unsafe type change {pair[0]} → {pair[1]}: only "
+                        "lossless widenings are allowed"
+                    )
+                return new_type
+
+            prev_ids = dict(prev.field_ids or {})
+            nxt = meta["next_field_id"]
+            new_fields: list[T.StructField] = []
+            new_ids: dict[str, int] = {}
+            for f in fields:
+                if f.name in drop_columns:
+                    continue
+                dtype = (
+                    _widened(f.dataType, widen_columns[f.name])
+                    if f.name in widen_columns
+                    else f.dataType
+                )
+                out_name = rename_columns.get(f.name, f.name)
+                new_fields.append(T.StructField(out_name, dtype, f.nullable))
+                new_ids[out_name] = prev_ids[f.name]
+            for add_name, add_ddl in add_columns.items():
+                dtype = T._parse_datatype_string(f"c {add_ddl}").fields[0].dataType
+                new_fields.append(T.StructField(add_name, dtype, True))
+                new_ids[add_name] = nxt
+                nxt += 1
+            meta["next_field_id"] = nxt
+
+            sid = _next_id(meta)
+            changes = {
+                **({"added-columns": ",".join(add_columns)} if add_columns else {}),
+                **(
+                    {"renamed-columns": ",".join(f"{o}->{n}" for o, n in rename_columns.items())}
+                    if rename_columns
+                    else {}
+                ),
+                **({"dropped-columns": ",".join(drop_columns)} if drop_columns else {}),
+                **(
+                    {"widened-columns": ",".join(f"{c}:{t}" for c, t in widen_columns.items())}
+                    if widen_columns
+                    else {}
+                ),
+            }
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=prev.snapshot_id,
+                committed_at=committed_at or _utcnow_iso(),
+                operation="alter",
+                summary={
+                    "total-records": str(prev.total_records),
+                    "total-data-files": str(len(prev.files)),
+                    **changes,
+                },
+                schema_ddl=schema_to_ddl(T.StructType(new_fields)),
+                partition_spec=prev.partition_spec,
+                files=list(prev.files),
+                field_ids=new_ids,
+            )
+            meta["snapshots"].append(asdict(snap))
+            meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
+
     # ---- writes (W3) ---------------------------------------------------
 
     def write(
@@ -784,6 +1215,22 @@ class SnapCatalog:
             )
             meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
             sid = _next_id(meta)
+            fid_map = None
+            if "next_field_id" in meta:  # evolution tracking active
+                prev_ids = dict(prev.field_ids or {}) if prev else {}
+                nxt = meta["next_field_id"]
+                fid_map = {}
+                for fname in df.schema.names:
+                    if fname in prev_ids:
+                        fid_map[fname] = prev_ids[fname]
+                    else:
+                        fid_map[fname] = nxt
+                        nxt += 1
+                meta["next_field_id"] = nxt
+                meta.setdefault("commit_schemas", {})[str(sid)] = {
+                    "schema_ddl": schema_to_ddl(df.schema),
+                    "field_ids": fid_map,
+                }
             new_files = self._write_data_files(tbl, sid, df, spec)
 
             files = new_files if (mode == "overwrite" or prev is None) else (
@@ -806,6 +1253,7 @@ class SnapCatalog:
                 schema_ddl=schema_to_ddl(df.schema),
                 partition_spec=spec,
                 files=files,
+                field_ids=fid_map,
             )
             published_head = _current_id(meta) if meta["snapshots"] else 0
             meta["snapshots"].append(asdict(snap))
@@ -868,8 +1316,15 @@ class SnapCatalog:
         sid: int | None = None,
     ) -> Snapshot:
         meta = tbl._load_meta()
+        final_sid = sid if sid is not None else _next_id(meta)
+        if "next_field_id" in meta and new_files:
+            # rewrites land at the current schema under the current names
+            meta.setdefault("commit_schemas", {})[str(final_sid)] = {
+                "schema_ddl": prev.schema_ddl,
+                "field_ids": dict(prev.field_ids or {}),
+            }
         snap = Snapshot(
-            snapshot_id=sid if sid is not None else _next_id(meta),
+            snapshot_id=final_sid,
             parent_id=prev.snapshot_id,
             committed_at=committed_at or _utcnow_iso(),
             operation=operation,
@@ -883,6 +1338,7 @@ class SnapCatalog:
             schema_ddl=prev.schema_ddl,
             partition_spec=prev.partition_spec,
             files=files,
+            field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
         )
         meta["snapshots"].append(asdict(snap))
         meta["current_id"] = snap.snapshot_id
@@ -918,8 +1374,9 @@ class SnapCatalog:
             )
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
-            schema = T._parse_datatype_string(prev.schema_ddl)
-            cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
+            cur = tbl._read_files(
+                spark, prev, [f.path for f in prev.files], with_file_path=True
+            )
             keys = updates.select(*key_cols).distinct()
             affected_abs = [
                 r["__file"]
@@ -962,8 +1419,9 @@ class SnapCatalog:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
-            schema = T._parse_datatype_string(prev.schema_ddl)
-            cur = tbl._read_paths(spark, schema, [f.path for f in prev.files], with_file_path=True)
+            cur = tbl._read_files(
+                spark, prev, [f.path for f in prev.files], with_file_path=True
+            )
             affected_abs = [
                 r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
             ]
@@ -1144,6 +1602,7 @@ class SnapCatalog:
                 schema_ddl=staged["schema_ddl"],
                 partition_spec=staged.get("partition_spec", []),
                 files=[DataFile(**f) for f in files],
+                field_ids=staged.get("field_ids"),
             )
             meta["snapshots"].append(asdict(snap))
             meta["current_id"] = sid
@@ -1188,6 +1647,7 @@ class SnapCatalog:
                 schema_ddl=target["schema_ddl"],
                 partition_spec=target.get("partition_spec", []),
                 files=[DataFile(**f) for f in target["files"]],
+                field_ids=target.get("field_ids"),
             )
             meta["snapshots"].append(asdict(snap))
             meta["current_id"] = sid

@@ -198,6 +198,44 @@ def test_cli_rollback_and_orphans(spark, tmp_path, capsys):
     assert "removed 0 orphan files" in capsys.readouterr().out
 
 
+def test_cli_alter_schema_evolution(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "awh")
+    cat = SnapCatalog(wh)
+    cat.write(
+        "db", "t",
+        spark.range(10).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).alias("v"),
+        ).coalesce(1),
+    )
+    assert main([
+        "alter", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--rename", "v=value", "--widen", "id=bigint", "--add", "lang=string",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "schema evolved in snapshot 2" in out
+    assert "id bigint, value bigint, lang string" in out
+    df = cat.table("db", "t").read(spark)
+    assert df.columns == ["id", "value", "lang"]
+    assert df.agg(F.sum("value")).collect()[0][0] == 90
+
+
+def test_cli_changelog(spark, tmp_path, capsys):
+    wh = str(tmp_path / "clwh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "t", spark.range(10).coalesce(1))
+    cat.write("db", "t", spark.range(10, 15).coalesce(1))
+    cat.delete_where("db", "t", "id < 2")
+    assert main([
+        "changelog", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--cpus", "4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "15 inserts, 2 deletes" in out
+
+
 def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     cat = SnapCatalog(str(tmp_path / "bwh"))
     cat.write("db", "t", spark.range(10).coalesce(1))

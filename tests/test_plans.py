@@ -42,6 +42,8 @@ _SKIP = {
     "partition_stats_metadata",  # filesystem catalog during planning
     "rollback_and_orphan_cleanup",  # filesystem catalog during planning
     "branch_write_fast_forward",  # filesystem catalog during planning
+    "schema_evolution_lifecycle",  # filesystem catalog during planning
+    "changelog_cdc_stream",  # filesystem catalog during planning
 }
 
 

@@ -739,3 +739,220 @@ def test_expire_protects_branch_lineage(spark, cat):
     assert tbl.read(spark, ref="dev").count() == 40
     kept = {s.snapshot_id for s in tbl.snapshots()}
     assert {2, 4, 5}.issubset(kept)  # branch base + both branch commits
+
+
+# ---- schema evolution (ALTER TABLE parity) ------------------------------
+
+
+def _evo_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("float").alias("val"),
+        F.concat(F.lit("u"), F.col("id")).alias("user"),
+    )
+
+
+def test_alter_rename_is_metadata_only(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    before = [f.path for f in cat.table("db", "t").current_snapshot().files]
+    snap = cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    assert snap.operation == "alter"
+    assert [f.path for f in snap.files] == before  # zero data rewrite
+    out = cat.table("db", "t").read(spark)
+    assert out.columns == ["id", "value_usd", "user"]
+    assert out.agg(F.sum("value_usd")).collect()[0][0] == sum(i * 2 for i in range(10))
+
+
+def test_alter_add_drop_and_append(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", add_columns={"channel": "string"}, drop_columns=["user"])
+    tbl = cat.table("db", "t")
+    assert tbl.read(spark).columns == ["id", "val", "channel"]
+    # pre-add files read NULL for the added column
+    assert tbl.read(spark).where(F.col("channel").isNull()).count() == 10
+    df2 = spark.range(10, 15).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("float").alias("val"),
+        F.lit("web").alias("channel"),
+    )
+    cat.write("db", "t", df2, committed_at=T[1])
+    out = tbl.read(spark)
+    assert out.count() == 15
+    assert out.where(F.col("channel") == "web").count() == 5
+
+
+def test_alter_widen_reads_old_files_at_new_type(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table(
+        "db", "t", widen_columns={"id": "bigint", "val": "double"}
+    )
+    out = cat.table("db", "t").read(spark)
+    assert dict(out.dtypes)["id"] == "bigint"
+    assert dict(out.dtypes)["val"] == "double"
+    assert out.agg(F.sum("id")).collect()[0][0] == 45
+
+
+def test_alter_schema_at_snapshot_time_travel(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    tbl = cat.table("db", "t")
+    old = tbl.read(spark, snapshot_id=1)
+    assert old.columns == ["id", "val", "user"]  # schema-at-snapshot
+    assert old.agg(F.sum("val")).collect()[0][0] == sum(i * 2 for i in range(10))
+
+
+def test_alter_reused_name_reads_null_for_old_files(spark, cat):
+    # drop a column, later add a NEW column with the same name: old
+    # files' bytes for the dropped field must NOT resurface (different
+    # field id) — the case pure by-name resolution gets silently wrong
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", drop_columns=["user"])
+    cat.alter_table("db", "t", add_columns={"user": "string"})
+    vals = [r[0] for r in cat.table("db", "t").read(spark).select("user").distinct().collect()]
+    assert vals == [None]
+
+
+def test_alter_refuses_unsafe_changes(spark, cat):
+    cat.write(
+        "db", "t",
+        _evo_df(spark, 0, 10).withColumn("p", F.col("id") % 2),
+        partition_by=["p"], committed_at=T[0],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        cat.alter_table("db", "t", rename_columns={"p": "bucket"})
+    with pytest.raises(ValueError, match="partition column"):
+        cat.alter_table("db", "t", drop_columns=["p"])
+    with pytest.raises(ValueError, match="unsafe type change"):
+        cat.alter_table("db", "t", widen_columns={"id": "smallint"})
+    with pytest.raises(ValueError, match="not found"):
+        cat.alter_table("db", "t", drop_columns=["nope"])
+    with pytest.raises(ValueError, match="colliding"):
+        cat.alter_table("db", "t", rename_columns={"val": "user"})
+    with pytest.raises(ValueError, match="no changes"):
+        cat.alter_table("db", "t")
+
+
+def test_rowlevel_ops_after_rename(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    upd = spark.createDataFrame(
+        [(3, 999.0, "u3")], "id int, value_usd float, user string"
+    )
+    cat.upsert("db", "t", upd, key_cols=["id"])
+    cat.delete_where("db", "t", F.col("value_usd") < 4.0)  # drops ids 0,1
+    out = cat.table("db", "t").read(spark)
+    assert out.count() == 8
+    assert out.where("id = 3").collect()[0]["value_usd"] == 999.0
+
+
+def test_plan_files_prunes_on_renamed_column(spark, cat):
+    # three appends clustered on val ranges, then rename val; manifest
+    # pruning on the NEW name must translate to the files' stats keys
+    for i in range(3):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").cast("int").alias("id"),
+            F.col("id").cast("float").alias("val"),
+        ).coalesce(1)
+        cat.write("db", "t", df, committed_at=T[i])
+    cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    tbl = cat.table("db", "t")
+    planned = tbl.plan_files([("value_usd", ">=", 250.0)])
+    assert len(planned) == 1  # only the third commit's file can match
+    assert tbl.read_where(spark, [("value_usd", ">=", 250.0)]).count() == 50
+
+
+def test_alter_mapping_survives_origin_snapshot_expiry(spark, cat):
+    # the commit-time schema log (not snapshot metadata) carries the
+    # origin column names, so expiring the snapshot that WROTE a file
+    # must not break post-rename reads of that file
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    cat.write(
+        "db", "t",
+        _evo_df(spark, 10, 20).withColumnRenamed("val", "value_usd"),
+        committed_at=T[1],
+    )
+    cat.expire_snapshots("db", "t", keep_last=1)
+    out = cat.table("db", "t").read(spark)
+    assert out.count() == 20
+    assert out.agg(F.sum("value_usd")).collect()[0][0] == sum(i * 2 for i in range(20))
+
+
+def test_changelog_across_commit_types(spark, cat):
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    cat.write("db", "t", df, committed_at=T[0])
+    cat.write(
+        "db", "t",
+        spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")),
+        committed_at=T[1],
+    )
+    upd = spark.createDataFrame([(3, 999), (20, 40)], "id long, v long")
+    cat.upsert("db", "t", upd, key_cols=["id"], committed_at=T[2])
+    cat.delete_where("db", "t", F.col("id") < 2, committed_at=T[3])
+    cat.compact("db", "t", spark, target_partitions=1)
+    tbl = cat.table("db", "t")
+    cl = tbl.changelog(spark, None, tbl.current_snapshot().snapshot_id)
+    counts = {
+        (r["_commit_snapshot_id"], r["_change_type"]): r["n"]
+        for r in cl.groupBy("_commit_snapshot_id", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        (1, "insert"): 10,
+        (2, "insert"): 5,
+        (3, "delete"): 1,   # old version of id=3
+        (3, "insert"): 2,   # new id=3 + brand-new id=20
+        (4, "delete"): 2,   # ids 0,1
+        # snapshot 5 (replace/compaction) contributes NOTHING
+    }
+    # carry-over rows visible only with net_changes=False
+    raw = tbl.changelog(spark, 2, 3, net_changes=False)
+    assert raw.count() > 3  # whole rewritten file on both sides
+    # bounded range + ordering metadata
+    cl24 = tbl.changelog(spark, 2, 4)
+    assert cl24.count() == 5
+    assert set(r["_commit_order"] for r in cl24.select("_commit_order").collect()) == {1, 2}
+    with pytest.raises(LookupError):
+        tbl.changelog(spark, 99, 4)
+
+
+def test_changelog_rollback_emits_deletes(spark, cat):
+    cat.write("db", "t", spark.range(10), committed_at=T[0])
+    cat.write("db", "t", spark.range(10, 30), committed_at=T[1])
+    cat.rollback("db", "t", 1)
+    tbl = cat.table("db", "t")
+    cl = tbl.changelog(spark, 1, tbl.current_snapshot().snapshot_id)
+    rows = cl.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    by_type = {r["_change_type"]: r["n"] for r in rows}
+    # the rolled-back append surfaces as: its insert (commit 2) and
+    # the rollback's delete of the same 20 rows — net zero overall
+    assert by_type == {"insert": 20, "delete": 20}
+
+
+def test_changelog_under_schema_evolution(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    cat.write(
+        "db", "t",
+        _evo_df(spark, 10, 15).withColumnRenamed("val", "value_usd"),
+        committed_at=T[1],
+    )
+    tbl = cat.table("db", "t")
+    cl = tbl.changelog(spark, None, tbl.current_snapshot().snapshot_id)
+    # all commits emit under the END schema (field-id mapped)
+    assert "value_usd" in cl.columns and "val" not in cl.columns
+    assert cl.count() == 15
+    assert cl.agg(F.sum("value_usd")).collect()[0][0] == sum(i * 2 for i in range(15))
+
+
+def test_compact_after_rename_normalizes_layout(spark, cat):
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
+    cat.compact("db", "t", spark, target_partitions=1)
+    tbl = cat.table("db", "t")
+    out = tbl.read(spark)
+    assert out.columns == ["id", "value_usd", "user"]
+    assert out.count() == 10
+    # rewritten files now physically carry the new name: plan_files
+    # stats are keyed directly by it
+    assert tbl.plan_files([("value_usd", ">=", 0.0)])
