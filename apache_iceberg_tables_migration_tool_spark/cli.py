@@ -226,7 +226,18 @@ def cmd_merge(args: argparse.Namespace) -> int:
 
     spark = _spark(args.cpus)
     updates = spark.read.parquet(args.updates)
-    snap = SnapCatalog(args.warehouse).upsert(
+    cat = SnapCatalog(args.warehouse)
+    if args.mor:
+        snap = cat.upsert_mor(
+            args.database, args.table, updates, key_cols=args.keys.split(",")
+        )
+        print(
+            f"{args.database}.{args.table}: merge-on-read committed snapshot "
+            f"{snap.snapshot_id} (added {snap.summary['added-records']} records, "
+            f"{snap.summary['added-delete-files']} delete files, 0 rewrites)"
+        )
+        return 0
+    snap = cat.upsert(
         args.database, args.table, updates, key_cols=args.keys.split(",")
     )
     print(
@@ -240,11 +251,43 @@ def cmd_merge(args: argparse.Namespace) -> int:
 def cmd_delete(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
+    if not args.mor_keys and args.where is None:
+        print("delete: one of --where or --mor-keys is required")
+        return 2
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    snap = SnapCatalog(args.warehouse).delete_where(args.database, args.table, args.where)
+    cat = SnapCatalog(args.warehouse)
+    if args.mor_keys:
+        keys = spark.read.parquet(args.mor_keys)
+        snap = cat.delete_keys(
+            args.database, args.table, keys,
+            key_cols=args.key_cols.split(",") if args.key_cols else None,
+        )
+        print(
+            f"{args.database}.{args.table}: merge-on-read delete committed "
+            f"snapshot {snap.snapshot_id} "
+            f"({snap.summary['equality-delete-keys']} keys, 0 rewrites)"
+        )
+        return 0
+    snap = cat.delete_where(args.database, args.table, args.where)
     print(
         f"{args.database}.{args.table}: delete committed snapshot {snap.snapshot_id} "
+        f"(rewrote {snap.summary['rewritten-data-files']} files)"
+    )
+    return 0
+
+
+def cmd_update(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    assignments = dict(item.split("=", 1) for item in args.set.split(","))
+    snap = SnapCatalog(args.warehouse).update_where(
+        args.database, args.table, args.where, assignments
+    )
+    print(
+        f"{args.database}.{args.table}: update committed snapshot {snap.snapshot_id} "
         f"(rewrote {snap.summary['rewritten-data-files']} files)"
     )
     return 0
@@ -469,14 +512,34 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--updates", required=True, help="parquet path with update rows")
     sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.add_argument("--mor", action="store_true",
+                    help="merge-on-read: append rows + equality-delete file, "
+                    "zero rewrites")
+    sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_merge)
 
     sp = sub.add_parser("delete", help="row-level DELETE by SQL predicate")
     sp.add_argument("--warehouse", required=True)
     sp.add_argument("--database", required=True)
     sp.add_argument("--table", required=True)
-    sp.add_argument("--where", required=True, help="SQL predicate, e.g. \"lang = 'de'\"")
+    sp.add_argument("--where", default=None, help="SQL predicate, e.g. \"lang = 'de'\"")
+    sp.add_argument("--mor-keys", default=None,
+                    help="parquet path of key rows: merge-on-read equality "
+                    "delete (no data rewrite) instead of --where COW")
+    sp.add_argument("--key-cols", default=None,
+                    help="comma-separated key columns (default: all --mor-keys columns)")
+    sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("update", help="row-level UPDATE (copy-on-write)")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True, help="SQL predicate")
+    sp.add_argument("--set", required=True,
+                    help="col=expr[,col=expr…] assignments, e.g. \"v=v+1\"")
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_update)
 
     sp = sub.add_parser("tag", help="create/drop a named snapshot tag")
     sp.add_argument("--warehouse", required=True)

@@ -583,6 +583,106 @@ def rollback_and_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_on_read_lifecycle",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust,
+         o_orderkey % 3 AS b
+  FROM orders),
+final AS (
+  SELECT cust FROM o WHERE b = 0 AND cust % 5 <> 0
+  UNION ALL SELECT cust + 500000 FROM o WHERE b = 0 AND cust % 5 = 0 AND ok % 2 = 0
+  UNION ALL SELECT cust + 1000007 FROM o WHERE b = 1 AND ok % 7 = 0
+  UNION ALL SELECT cust FROM o WHERE b = 1 AND ok % 7 <> 0
+  UNION ALL SELECT cust FROM o WHERE b = 2 AND ok % 7 = 0)
+SELECT 'head' AS phase, COUNT(*) AS records,
+       CAST(SUM(cust) AS BIGINT) AS cust_sum
+FROM final
+UNION ALL
+SELECT 'survivor_reappends', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM final WHERE cust > 500000 AND cust < 900000
+UNION ALL
+SELECT 'post_delete_snapshot',
+       COUNT(*) FILTER (WHERE b = 0 AND cust % 5 <> 0),
+       CAST(SUM(cust) FILTER (WHERE b = 0 AND cust % 5 <> 0) AS BIGINT)
+FROM o
+""",
+)
+def merge_on_read_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read end to end (≙ Iceberg v2 equality-delete files,
+    ``write.delete/merge.mode=merge-on-read`` — the write-optimized
+    twin of the COW row-level ops; the reference only ever rewrites
+    whole tables). History: append orderkey-third 0 → MOR DELETE keys
+    ``cust % 5 = 0`` (no data file touched) → re-append half the
+    deleted keys with ``cust + 500000`` (they must SURVIVE the older
+    delete: sequence-number rule) → append third 1 → MOR MERGE (update
+    third-1 keys with ``ok % 7 = 0`` to ``cust + 1000000``, insert
+    third-2 keys with ``ok % 7 = 0``; one commit, zero rewrite) → COW
+    UPDATE ``cust + 7`` on the updated band → compact (materializes
+    every delete file away). The oracle rebuilds the final state
+    relationally; the time-travel phase pins that reads at the MOR
+    delete snapshot hide exactly the keyed rows."""
+    root = tempfile.mkdtemp(prefix="snapcat_mor_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+        ).withColumn("__b", F.pmod(F.col("ok"), F.lit(3)))
+
+        cat.write("db", "orders_mor", o.where("__b = 0").drop("__b"),
+                  committed_at=_T[0])
+        mor_del = cat.delete_keys(
+            "db", "orders_mor",
+            o.where("__b = 0 AND cust % 5 = 0").select("ok"),
+            committed_at=_T[1],
+        )
+        cat.write(
+            "db", "orders_mor",
+            o.where("__b = 0 AND cust % 5 = 0 AND ok % 2 = 0").drop("__b")
+            .withColumn("cust", F.col("cust") + F.lit(500000)),
+            committed_at=_T[2],
+        )
+        cat.write("db", "orders_mor", o.where("__b = 1").drop("__b"),
+                  committed_at=_T[3])
+        upd = (
+            o.where("__b = 1 AND ok % 7 = 0").drop("__b")
+            .withColumn("cust", F.col("cust") + F.lit(1000000))
+            .unionByName(o.where("__b = 2 AND ok % 7 = 0").drop("__b"))
+        )
+        cat.upsert_mor("db", "orders_mor", upd, ["ok"], committed_at=_T[4])
+        cat.update_where("db", "orders_mor", "cust > 900000",
+                         {"cust": "cust + 7"}, committed_at=_T[5])
+        cat.compact("db", "orders_mor", spark, target_partitions=2)
+
+        tbl = cat.table("db", "orders_mor")
+        assert tbl.current_snapshot().delete_files == []  # materialized
+        head = tbl.read(spark)
+        phases = [
+            head.agg(
+                F.lit("head").alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("cust").alias("cust_sum"),
+            ),
+            head.where("cust > 500000 AND cust < 900000").agg(
+                F.lit("survivor_reappends").alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("cust").alias("cust_sum"),
+            ),
+            tbl.read(spark, snapshot_id=mor_del.snapshot_id).agg(
+                F.lit("post_delete_snapshot").alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("cust").alias("cust_sum"),
+            ),
+        ]
+        out = phases[0].unionByName(phases[1]).unionByName(phases[2])
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "changelog_cdc_stream",
     tags=("migration", "metadata"),
     oracle="""

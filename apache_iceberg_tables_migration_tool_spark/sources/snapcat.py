@@ -35,7 +35,7 @@ import json
 import os
 import shutil
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 from datetime import datetime, timezone
 
 import pyarrow.parquet as pq
@@ -71,6 +71,22 @@ class DataFile:
 
 
 @dataclass
+class DeleteFile:
+    """Equality-delete file (≙ Iceberg v2 merge-on-read equality
+    deletes): a parquet file of key tuples. At read time it removes
+    every matching row from data files written STRICTLY BEFORE its
+    commit (the commit/snapshot id doubles as Iceberg's sequence
+    number), so rows appended after the delete with the same keys
+    survive — Iceberg's sequence-number semantics."""
+
+    path: str  # relative to table root
+    records: int
+    bytes: int
+    key_cols: list[str]
+    sequence: int  # the commit (snapshot) id this delete landed in
+
+
+@dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
@@ -80,6 +96,8 @@ class Snapshot:
     schema_ddl: str  # Spark DDL ("col type, ..."), G1-correct
     partition_spec: list[str]
     files: list[DataFile] = field(default_factory=list)
+    #: live merge-on-read delete files (empty for pure-COW tables)
+    delete_files: list[DeleteFile] = field(default_factory=list)
     #: stable column ids (≙ Iceberg field IDs) — the identity that
     #: survives renames. None until :meth:`SnapCatalog.alter_table`
     #: first activates schema-evolution tracking on the table; while
@@ -135,6 +153,7 @@ def _snap_from_dict(s: dict) -> Snapshot:
         schema_ddl=s["schema_ddl"],
         partition_spec=s.get("partition_spec", []),
         files=[DataFile(**f) for f in s.get("files", [])],
+        delete_files=[DeleteFile(**f) for f in s.get("delete_files", [])],
         field_ids=s.get("field_ids"),
     )
 
@@ -404,7 +423,9 @@ class SnapTable:
         explicitly (schema-at-snapshot semantics). ``ref`` reads a
         named tag (≙ ``VERSION AS OF 'tag'``)."""
         snap = self.resolve_snapshot(snapshot_id, as_of, ref)
-        return self._read_files(spark, snap, [f.path for f in snap.files])
+        return self._read_files(
+            spark, snap, [f.path for f in snap.files], apply_deletes=True
+        )
 
     def _read_files(
         self,
@@ -412,6 +433,7 @@ class SnapTable:
         snap: Snapshot,
         rel_paths,
         with_file_path: bool = False,
+        apply_deletes: bool = False,
     ) -> DataFrame:
         """Scan ``rel_paths`` normalized to ``snap``'s schema. With
         schema-evolution tracking active (``snap.field_ids``), files
@@ -421,11 +443,39 @@ class SnapTable:
         to the target schema by field id — Iceberg's name-independent
         column resolution. Files whose origin schema already matches
         by name+type take the plain fast path (zero overhead when no
-        rename/widen ever happened)."""
+        rename/widen ever happened).
+
+        ``apply_deletes`` applies the snapshot's merge-on-read
+        equality-delete files: each data file's rows are anti-joined
+        against every delete file with a HIGHER sequence (commit) id
+        than the file's own commit — Iceberg's sequence-number rule,
+        so re-appends after a delete survive. Delete key sets are
+        typically tiny next to the data (broadcast anti-joins)."""
         target = T._parse_datatype_string(snap.schema_ddl)
-        if snap.field_ids is None:
+        dels = (
+            sorted(snap.delete_files, key=lambda d: d.sequence)
+            if apply_deletes and snap.delete_files
+            else []
+        )
+
+        def _minus_deletes(df: DataFrame, data_sid: int) -> DataFrame:
+            for d in dels:
+                if d.sequence > data_sid:
+                    keys = (
+                        spark.read.parquet(os.path.join(self.root, d.path))
+                        .select(*d.key_cols)
+                        .distinct()
+                    )
+                    df = df.join(F.broadcast(keys), list(d.key_cols), "left_anti")
+            return df
+
+        if snap.field_ids is None and not dels:
             return self._read_paths(spark, target, rel_paths, with_file_path)
-        commit_schemas = self._load_meta().get("commit_schemas", {})
+        commit_schemas = (
+            self._load_meta().get("commit_schemas", {})
+            if snap.field_ids is not None
+            else {}
+        )
         part_cols = set(snap.partition_spec)
         groups: dict[int, list[str]] = {}
         for rel in rel_paths:
@@ -436,11 +486,19 @@ class SnapTable:
             entry = commit_schemas.get(str(sid))
             mapping = (
                 _resolve_field_mapping(target, snap.field_ids, entry, part_cols)
-                if entry is not None
+                if entry is not None and snap.field_ids is not None
                 else None  # pre-tracking file: by-name semantics were in force
             )
             if mapping is None:
-                plain.extend(paths)
+                if dels:
+                    parts.append(
+                        _minus_deletes(
+                            self._read_paths(spark, target, paths, with_file_path),
+                            sid,
+                        )
+                    )
+                else:
+                    plain.extend(paths)
                 continue
             reader_fields = []
             for tf in target.fields:
@@ -468,7 +526,8 @@ class SnapTable:
                     cols.append(c.alias(tf.name))
             if with_file_path:
                 cols.append(F.col("__file"))
-            parts.append(src.select(*cols))
+            mapped = src.select(*cols)
+            parts.append(_minus_deletes(mapped, sid) if dels else mapped)
         if plain:
             parts.insert(0, self._read_paths(spark, target, plain, with_file_path))
         if not parts:
@@ -626,7 +685,9 @@ class SnapTable:
         is a superset guarantee, filtering is exact)."""
         snap = self.resolve_snapshot(snapshot_id)
         files = self.plan_files(predicates, snapshot_id=snap.snapshot_id)
-        df = self._read_files(spark, snap, [f.path for f in files])
+        df = self._read_files(
+            spark, snap, [f.path for f in files], apply_deletes=True
+        )
         ops = {
             "=": lambda c, v: F.col(c) == v,
             "<": lambda c, v: F.col(c) < v,
@@ -709,15 +770,54 @@ class SnapTable:
             added = [p for p in child_paths if p not in parent_paths]
             removed = [p for p in parent_paths if p not in child_paths]
             # read both sides under the END schema: changes across an
-            # in-range schema evolution union cleanly (field-id mapped)
+            # in-range schema evolution union cleanly (field-id mapped).
+            # The before side applies the PARENT's merge-on-read deletes
+            # so rows a COW rewrite physically drops are not re-reported
+            # when an older equality-delete already hid (and reported)
+            # them; the after side needs none (new files outsequence
+            # every existing delete).
             after = self._read_files(spark, end, sorted(added)) if added else None
             before = (
-                self._read_files(spark, end, sorted(removed)) if removed else None
+                self._read_files(
+                    spark,
+                    replace(
+                        end,
+                        delete_files=parent.delete_files if parent else [],
+                    ),
+                    sorted(removed),
+                    apply_deletes=True,
+                )
+                if removed
+                else None
             )
             if before is not None and after is not None and net_changes:
                 ins_df, del_df = after.exceptAll(before), before.exceptAll(after)
             else:
                 ins_df, del_df = after, before
+            # merge-on-read commits delete logically without touching
+            # data files: surface the parent-state rows hiding behind
+            # each NEW equality-delete file as deletes (every parent
+            # file predates the delete's sequence, so the semi-join is
+            # the exact hidden set)
+            parent_del_paths = {d.path for d in parent.delete_files} if parent else set()
+            new_dels = [d for d in s.delete_files if d.path not in parent_del_paths]
+            if new_dels and parent is not None:
+                parent_state = self._read_files(
+                    spark,
+                    replace(end, files=parent.files, delete_files=parent.delete_files),
+                    [f.path for f in parent.files],
+                    apply_deletes=True,
+                )
+                for d in new_dels:
+                    keys = (
+                        spark.read.parquet(os.path.join(self.root, d.path))
+                        .select(*d.key_cols)
+                        .distinct()
+                    )
+                    hidden = parent_state.join(
+                        F.broadcast(keys), list(d.key_cols), "left_semi"
+                    )
+                    del_df = hidden if del_df is None else del_df.unionByName(hidden)
             if del_df is not None:
                 parts.append(_stamp(del_df, "delete", s, order))
             if ins_df is not None:
@@ -782,6 +882,29 @@ class SnapTable:
         snap = self.resolve_snapshot(snapshot_id)
         rows = [(snap.snapshot_id, f.path, f.records, f.bytes) for f in snap.files]
         return spark.createDataFrame(rows, FILES_SCHEMA)
+
+    def delete_files_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """≙ Iceberg's ``.delete_files`` metadata table: the live
+        merge-on-read equality-delete files of a snapshot."""
+        snap = self.resolve_snapshot(snapshot_id)
+        rows = [
+            (
+                snap.snapshot_id,
+                d.path,
+                d.records,
+                d.bytes,
+                ",".join(d.key_cols),
+                d.sequence,
+            )
+            for d in snap.delete_files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, file_path string, record_count long, "
+            "file_size_in_bytes long, equality_columns string, sequence long",
+        )
 
     def history_df(self, spark: SparkSession) -> DataFrame:
         return self.snapshots_df(spark).select(
@@ -1034,6 +1157,7 @@ class SnapCatalog:
             names = {f.name for f in fields}
             part = set(prev.partition_spec)
 
+            del_keys = {c for d in prev.delete_files for c in d.key_cols}
             for old in list(rename_columns) + drop_columns + list(widen_columns):
                 if old not in names:
                     raise ValueError(f"column {old!r} not found in {database}.{name}")
@@ -1042,6 +1166,12 @@ class SnapCatalog:
                         f"column {old!r} is a partition column of "
                         f"{database}.{name}; partition columns cannot be "
                         "renamed, dropped, or widened"
+                    )
+                if old in del_keys:
+                    raise ValueError(
+                        f"column {old!r} keys live merge-on-read delete "
+                        f"files of {database}.{name}; compact the table to "
+                        "materialize the deletes before evolving it"
                     )
             if set(drop_columns) & set(rename_columns):
                 raise ValueError("cannot rename and drop the same column")
@@ -1236,6 +1366,13 @@ class SnapCatalog:
             files = new_files if (mode == "overwrite" or prev is None) else (
                 list(prev.files) + new_files
             )
+            # appends keep the old files' merge-on-read delete
+            # obligations; an overwrite replaces the whole state
+            carried_dels = (
+                list(prev.delete_files)
+                if prev is not None and mode != "overwrite"
+                else []
+            )
             added = sum(f.records for f in new_files)
             snap = Snapshot(
                 snapshot_id=sid,
@@ -1253,6 +1390,7 @@ class SnapCatalog:
                 schema_ddl=schema_to_ddl(df.schema),
                 partition_spec=spec,
                 files=files,
+                delete_files=carried_dels,
                 field_ids=fid_map,
             )
             published_head = _current_id(meta) if meta["snapshots"] else 0
@@ -1338,6 +1476,7 @@ class SnapCatalog:
             schema_ddl=prev.schema_ddl,
             partition_spec=prev.partition_spec,
             files=files,
+            delete_files=list(prev.delete_files),
             field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
         )
         meta["snapshots"].append(asdict(snap))
@@ -1375,7 +1514,8 @@ class SnapCatalog:
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(
-                spark, prev, [f.path for f in prev.files], with_file_path=True
+                spark, prev, [f.path for f in prev.files],
+                with_file_path=True, apply_deletes=True,
             )
             keys = updates.select(*key_cols).distinct()
             affected_abs = [
@@ -1420,7 +1560,8 @@ class SnapCatalog:
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(
-                spark, prev, [f.path for f in prev.files], with_file_path=True
+                spark, prev, [f.path for f in prev.files],
+                with_file_path=True, apply_deletes=True,
             )
             affected_abs = [
                 r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
@@ -1439,6 +1580,203 @@ class SnapCatalog:
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
                 tbl, prev, files, new_files, "delete", committed_at,
+                {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
+            )
+
+    def _write_delete_files(
+        self, tbl: SnapTable, sid: int, keys: DataFrame, key_cols: list[str]
+    ) -> list[DeleteFile]:
+        """Write an equality-delete key set for commit ``sid`` under
+        ``deletes/s{sid}`` (outside the data directories, so data
+        scans never list it)."""
+        del_dir = os.path.join(tbl.root, f"deletes/s{sid:06d}")
+        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(del_dir)
+        out: list[DeleteFile] = []
+        for dirpath, _dirs, fnames in os.walk(del_dir):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                out.append(
+                    DeleteFile(
+                        path=os.path.relpath(full, tbl.root),
+                        records=md.num_rows,
+                        bytes=os.path.getsize(full),
+                        key_cols=list(key_cols),
+                        sequence=sid,
+                    )
+                )
+        return out
+
+    def delete_keys(
+        self,
+        database: str,
+        name: str,
+        keys: DataFrame,
+        key_cols: list[str] | None = None,
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """Row-level DELETE by key, MERGE-ON-READ (≙ Iceberg v2
+        equality-delete files with ``write.delete.mode=merge-on-read``):
+        the commit writes ONLY the key set — no data file is read or
+        rewritten, so a 10-key delete into a 100 TB table costs O(keys)
+        regardless of how many files contain them. Readers anti-join
+        the keys against data files with an older sequence (commit) id;
+        rows re-appended after the delete survive. ``compact`` (or any
+        overwrite) materializes the deletes away — Iceberg's
+        ``rewrite_data_files`` + ``rewrite_position_delete_files`` role.
+
+        COW (:meth:`delete_where`) optimizes for readers, MOR for
+        writers — the classic Iceberg trade."""
+        tbl = self.table(database, name)
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()
+            if prev is None:
+                raise LookupError(f"table {database}.{name} does not exist")
+            kc = list(key_cols or keys.columns)
+            schema_cols = {f.name for f in T._parse_datatype_string(prev.schema_ddl).fields}
+            missing = [c for c in kc if c not in schema_cols]
+            if missing:
+                raise ValueError(
+                    f"delete key columns {missing} not in {database}.{name} schema"
+                )
+            meta = tbl._load_meta()
+            sid = _next_id(meta)
+            new_dels = self._write_delete_files(tbl, sid, keys, kc)
+            n_keys = sum(d.records for d in new_dels)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=prev.snapshot_id,
+                committed_at=committed_at or _utcnow_iso(),
+                operation="delete",
+                summary={
+                    "delete-mode": "merge-on-read",
+                    "added-delete-files": str(len(new_dels)),
+                    "equality-delete-keys": str(n_keys),
+                    "total-data-files": str(len(prev.files)),
+                },
+                schema_ddl=prev.schema_ddl,
+                partition_spec=prev.partition_spec,
+                files=list(prev.files),
+                delete_files=list(prev.delete_files) + new_dels,
+                field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
+            )
+            meta["snapshots"].append(asdict(snap))
+            meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
+
+    def upsert_mor(
+        self,
+        database: str,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """MERGE, merge-on-read flavor (≙ Iceberg
+        ``write.merge.mode=merge-on-read``): ONE commit appends the new
+        row versions as data files and the update keys as an
+        equality-delete file. No existing file is read or rewritten —
+        the write costs O(updates); the delete (sequence = this commit)
+        hides only OLDER versions, the rows written here survive their
+        own delete by the sequence rule."""
+        tbl = self.table(database, name)
+        prev = tbl.current_snapshot()
+        if prev is None or not prev.files:
+            return self.write(
+                database, name, updates, mode="append",
+                committed_at=committed_at, operation="merge",
+            )
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()  # re-read under the lock
+            meta = tbl._load_meta()
+            sid = _next_id(meta)
+            new_files = self._write_data_files(tbl, sid, updates, prev.partition_spec)
+            new_dels = self._write_delete_files(tbl, sid, updates, key_cols)
+            files = list(prev.files) + new_files
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=prev.snapshot_id,
+                committed_at=committed_at or _utcnow_iso(),
+                operation="merge",
+                summary={
+                    "merge-mode": "merge-on-read",
+                    "added-records": str(sum(f.records for f in new_files)),
+                    "added-data-files": str(len(new_files)),
+                    "added-delete-files": str(len(new_dels)),
+                    "total-data-files": str(len(files)),
+                },
+                schema_ddl=prev.schema_ddl,
+                partition_spec=prev.partition_spec,
+                files=files,
+                delete_files=list(prev.delete_files) + new_dels,
+                field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
+            )
+            meta["snapshots"].append(asdict(snap))
+            meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
+
+    def update_where(
+        self,
+        database: str,
+        name: str,
+        condition,
+        assignments: dict[str, "str | object"],
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """Row-level UPDATE with file-level copy-on-write (≙ Iceberg
+        COW ``UPDATE t SET … WHERE …``): only files containing at least
+        one matching row are rewritten, with ``assignments`` (column →
+        Column/SQL expression) applied to the matching rows and every
+        other row copied unchanged; untouched files carry over by
+        reference."""
+        spark = SparkSession.getActiveSession()
+        tbl = self.table(database, name)
+        prev = tbl.current_snapshot()
+        if prev is None:
+            raise LookupError(f"table {database}.{name} does not exist")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        schema_cols = [f.name for f in T._parse_datatype_string(prev.schema_ddl).fields]
+        unknown = [c for c in exprs if c not in schema_cols]
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns {unknown} in {database}.{name}")
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()  # re-read under the lock
+            cur = tbl._read_files(
+                spark, prev, [f.path for f in prev.files],
+                with_file_path=True, apply_deletes=True,
+            )
+            affected_abs = [
+                r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
+            ]
+            affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+            if not affected_rel:  # no-op update still commits (audit trail)
+                return self._commit(
+                    tbl, prev, list(prev.files), [], "update", committed_at,
+                    {"rewritten-data-files": "0"},
+                )
+            rewritten = cur.where(F.col("__file").isin(list(affected_abs))).select(
+                *[
+                    (
+                        F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for c in schema_cols
+                ]
+            )
+            sid = _next_id(tbl._load_meta())
+            new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
+            files = [f for f in prev.files if f.path not in affected_rel] + new_files
+            return self._commit(
+                tbl, prev, files, new_files, "update", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
             )
 
@@ -1574,6 +1912,20 @@ class SnapCatalog:
                     f"{staged['parent_id']} to {cur_id}"
                 )
             cur = by_id[cur_id]
+            if any(
+                d.get("sequence", 0) > snapshot_id
+                for d in cur.get("delete_files", [])
+            ):
+                # Iceberg gives cherry-picked data a FRESH sequence
+                # number so later deletes don't apply to it; our
+                # sequence is baked into the file path, so replaying
+                # under newer equality-deletes would silently delete
+                # the cherry-picked rows — refuse instead
+                raise CommitConflictError(
+                    f"cannot cherry-pick staged snapshot {snapshot_id} of "
+                    f"{database}.{name}: merge-on-read deletes landed after "
+                    "it was staged"
+                )
             parent_files = (
                 {f["path"] for f in by_id[staged["parent_id"]]["files"]}
                 if staged["parent_id"] is not None and staged["parent_id"] in by_id
@@ -1602,6 +1954,9 @@ class SnapCatalog:
                 schema_ddl=staged["schema_ddl"],
                 partition_spec=staged.get("partition_spec", []),
                 files=[DataFile(**f) for f in files],
+                delete_files=[
+                    DeleteFile(**f) for f in cur.get("delete_files", [])
+                ],
                 field_ids=staged.get("field_ids"),
             )
             meta["snapshots"].append(asdict(snap))
@@ -1647,6 +2002,9 @@ class SnapCatalog:
                 schema_ddl=target["schema_ddl"],
                 partition_spec=target.get("partition_spec", []),
                 files=[DataFile(**f) for f in target["files"]],
+                delete_files=[
+                    DeleteFile(**f) for f in target.get("delete_files", [])
+                ],
                 field_ids=target.get("field_ids"),
             )
             meta["snapshots"].append(asdict(snap))
@@ -1670,6 +2028,10 @@ class SnapCatalog:
             meta = tbl._load_meta()
             live = {
                 f["path"] for s in meta["snapshots"] for f in s["files"]
+            } | {
+                d["path"]
+                for s in meta["snapshots"]
+                for d in s.get("delete_files", [])
             }
             orphans: list[str] = []
             for dirpath, _dirs, files in os.walk(tbl.root):
@@ -1685,11 +2047,18 @@ class SnapCatalog:
             return sorted(orphans)
 
     def expire_snapshots(
-        self, database: str, name: str, keep_last: int = 1
+        self,
+        database: str,
+        name: str,
+        keep_last: int = 1,
+        older_than: str | None = None,
     ) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots and delete
         data files no surviving snapshot references (≙ Iceberg
-        ``expire_snapshots``). Returns expired snapshot ids.
+        ``expire_snapshots``). ``older_than`` (ISO timestamp ≙ the
+        procedure's ``older_than``) additionally retains EVERY
+        snapshot committed at or after it — only snapshots older than
+        the horizon are expiry candidates. Returns expired ids.
 
         Runs entirely under the per-table commit lock: expiration is a
         read-modify-write of the metadata log, so racing an unlocked
@@ -1714,6 +2083,13 @@ class SnapCatalog:
                 c = by_id[c].get("parent_id") if c in by_id else None
             chain.reverse()
             protected = set(chain[-keep_last:]) if keep_last else set()
+            if older_than is not None:
+                horizon = _parse_iso(older_than)
+                protected |= {
+                    s["snapshot_id"]
+                    for s in snaps
+                    if _parse_iso(s["committed_at"]) >= horizon
+                }
             protected |= {r["snapshot_id"] for r in meta.get("refs", {}).values()}
             # a BRANCH ref protects its whole ancestry (not just its
             # head): expiring an intermediate branch commit would break
@@ -1729,9 +2105,11 @@ class SnapCatalog:
             expired = [s for s in snaps if s["snapshot_id"] not in protected]
             if not expired:
                 return []
-            live = {f["path"] for s in kept for f in s["files"]}
+            live = {f["path"] for s in kept for f in s["files"]} | {
+                d["path"] for s in kept for d in s.get("delete_files", [])
+            }
             for s in expired:
-                for f in s["files"]:
+                for f in s["files"] + s.get("delete_files", []):
                     if f["path"] not in live:
                         p = os.path.join(tbl.root, f["path"])
                         if os.path.exists(p):

@@ -222,6 +222,47 @@ def test_cli_alter_schema_evolution(spark, tmp_path, capsys):
     assert df.agg(F.sum("value")).collect()[0][0] == 90
 
 
+def test_cli_mor_delete_merge_update(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "morwh")
+    cat = SnapCatalog(wh)
+    cat.write(
+        "db", "t",
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+    )
+    keys_path = str(tmp_path / "morkeys")
+    spark.createDataFrame([(3,), (4,)], "id long").coalesce(1).write.parquet(keys_path)
+    assert main([
+        "delete", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--mor-keys", keys_path, "--cpus", "4",
+    ]) == 0
+    assert "merge-on-read delete" in capsys.readouterr().out
+    assert cat.table("db", "t").read(spark).count() == 8
+
+    upd_path = str(tmp_path / "morupd")
+    spark.createDataFrame([(5, 555), (20, 40)], "id long, v long").coalesce(1)\
+        .write.parquet(upd_path)
+    assert main([
+        "merge", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--updates", upd_path, "--keys", "id", "--mor", "--cpus", "4",
+    ]) == 0
+    assert "merge-on-read committed" in capsys.readouterr().out
+    got = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+    assert got[5] == 555 and got[20] == 40 and len(got) == 9
+
+    assert main([
+        "update", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--where", "id = 6", "--set", "v=v+1000", "--cpus", "4",
+    ]) == 0
+    assert "update committed" in capsys.readouterr().out
+    assert cat.table("db", "t").read(spark).where("id = 6").collect()[0]["v"] == 1012
+
+    assert main([
+        "delete", "--warehouse", wh, "--database", "db", "--table", "t",
+    ]) == 2  # neither --where nor --mor-keys
+
+
 def test_cli_changelog(spark, tmp_path, capsys):
     wh = str(tmp_path / "clwh")
     cat = SnapCatalog(wh)

@@ -44,6 +44,7 @@ _SKIP = {
     "branch_write_fast_forward",  # filesystem catalog during planning
     "schema_evolution_lifecycle",  # filesystem catalog during planning
     "changelog_cdc_stream",  # filesystem catalog during planning
+    "merge_on_read_lifecycle",  # filesystem catalog during planning
 }
 
 

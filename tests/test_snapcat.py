@@ -945,6 +945,136 @@ def test_changelog_under_schema_evolution(spark, cat):
     assert cl.agg(F.sum("value_usd")).collect()[0][0] == sum(i * 2 for i in range(15))
 
 
+# ---- merge-on-read (equality-delete files) ------------------------------
+
+
+def test_mor_delete_hides_without_rewrite(spark, cat):
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    before = [f.path for f in cat.table("db", "t").current_snapshot().files]
+    keys = spark.createDataFrame([(3,), (4,), (99,)], "id long")
+    snap = cat.delete_keys("db", "t", keys, committed_at=T[1])
+    tbl = cat.table("db", "t")
+    assert [f.path for f in snap.files] == before  # zero data rewrite
+    assert snap.summary["delete-mode"] == "merge-on-read"
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == [0, 1, 2, 5, 6, 7, 8, 9]
+    # time travel before the delete still sees everything
+    assert tbl.read(spark, snapshot_id=1).count() == 10
+    # read_where composes with manifest pruning AND the delete
+    assert sorted(
+        r["id"] for r in tbl.read_where(spark, [("id", "<=", 4)]).collect()
+    ) == [0, 1, 2]
+    # metadata table
+    df = tbl.delete_files_df(spark)
+    assert df.count() == 1 and df.collect()[0]["equality_columns"] == "id"
+
+
+def test_mor_sequence_rule_reappend_survives(spark, cat):
+    cat.write("db", "t", spark.range(5), committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(3,)], "id long"),
+                    committed_at=T[1])
+    cat.write("db", "t", spark.createDataFrame([(3,)], "id long"),
+              committed_at=T[2])
+    out = sorted(r["id"] for r in cat.table("db", "t").read(spark).collect())
+    assert out == [0, 1, 2, 3, 4]  # the re-appended 3 outsequences the delete
+
+
+def test_mor_upsert_single_commit_no_rewrite(spark, cat):
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    n_files = len(cat.table("db", "t").current_snapshot().files)
+    upd = spark.createDataFrame([(5, 555), (20, 40)], "id long, v long")
+    snap = cat.upsert_mor("db", "t", upd, ["id"], committed_at=T[1])
+    assert snap.operation == "merge" and snap.summary["merge-mode"] == "merge-on-read"
+    # old data files all carried by reference
+    assert len([f for f in snap.files if f.path.startswith("data/s000001")]) == n_files
+    got = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+    assert got[5] == 555 and got[20] == 40 and got[6] == 12 and len(got) == 11
+
+
+def test_mor_cow_interplay_no_resurrection(spark, cat):
+    # a COW rewrite touching files with MOR-hidden rows must not bring
+    # them back, and carried delete files keep applying to untouched files
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(3,)], "id long"),
+                    committed_at=T[1])
+    cat.delete_where("db", "t", F.col("id") == 7, committed_at=T[2])  # COW
+    out = sorted(r["id"] for r in cat.table("db", "t").read(spark).collect())
+    assert out == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_update_where_cow(spark, cat):
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    snap = cat.update_where("db", "t", "id >= 8", {"v": "v + 1000"},
+                            committed_at=T[1])
+    assert snap.operation == "update"
+    got = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+    assert got[8] == 1016 and got[9] == 1018 and got[0] == 0 and len(got) == 10
+    with pytest.raises(ValueError, match="unknown columns"):
+        cat.update_where("db", "t", "id = 1", {"nope": "1"})
+    noop = cat.update_where("db", "t", "id = 999", {"v": "0"})
+    assert noop.summary["rewritten-data-files"] == "0"
+
+
+def test_mor_compact_materializes_and_changelog(spark, cat):
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(3,), (4,)], "id long"),
+                    committed_at=T[1])
+    cat.upsert_mor(
+        "db", "t", spark.createDataFrame([(5, 555), (20, 40)], "id long, v long"),
+        ["id"], committed_at=T[2],
+    )
+    tbl = cat.table("db", "t")
+    cl = tbl.changelog(spark, None, tbl.current_snapshot().snapshot_id)
+    counts = {
+        (r["_commit_snapshot_id"], r["_change_type"]): r["n"]
+        for r in cl.groupBy("_commit_snapshot_id", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        (1, "insert"): 10,
+        (2, "delete"): 2,   # MOR delete surfaces the hidden rows
+        (3, "delete"): 1,   # old version of id=5
+        (3, "insert"): 2,   # new id=5 + id=20
+    }
+    snap = cat.compact("db", "t", spark, target_partitions=1)
+    assert snap.delete_files == []
+    assert tbl.read(spark).count() == 9
+    # expire the MOR history: expiry itself removes the now-dead data
+    # AND delete files (nothing left orphaned), head stays correct
+    cat.expire_snapshots("db", "t", keep_last=1)
+    assert tbl.read(spark).count() == 9
+    assert cat.remove_orphan_files("db", "t", dry_run=True) == []
+    dead_dels = [
+        fn
+        for _, _, fns in os.walk(os.path.join(tbl.root, "deletes"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    assert dead_dels == []  # expiry removed the dead delete files too
+
+
+def test_mor_alter_guard_and_expire_older_than(spark, cat):
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(3,)], "id long"),
+                    committed_at=T[1])
+    with pytest.raises(ValueError, match="merge-on-read delete"):
+        cat.alter_table("db", "t", rename_columns={"id": "doc_id"})
+    cat.write("db", "t", spark.range(10, 12).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[4])
+    # horizon between T[1] and T[4]: snapshots 1-2 are candidates but
+    # snapshot 2 is the parent chain... only snapshot 1 and 2 older;
+    # keep_last=1 protects the head; T[2] horizon expires 1 and 2
+    expired = cat.expire_snapshots("db", "t", keep_last=1, older_than=T[2])
+    assert expired == [1, 2]
+    cat2 = cat  # everything newer than the horizon survives
+    assert [s.snapshot_id for s in cat2.table("db", "t").snapshots()] == [3]
+
+
 def test_compact_after_rename_normalizes_layout(spark, cat):
     cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
     cat.alter_table("db", "t", rename_columns={"val": "value_usd"})
