@@ -189,6 +189,22 @@ def cmd_alter(args: argparse.Namespace) -> int:
             return {}
         return dict(item.split("=", 1) for item in spec.split(","))
 
+    if args.partition_by is not None:
+        if args.add or args.rename or args.drop or args.widen:
+            print("alter: --partition-by is a separate commit; do not "
+                  "combine it with schema changes")
+            return 2
+        snap = SnapCatalog(args.warehouse).alter_partition_spec(
+            args.database, args.table,
+            [c for c in args.partition_by.split(",") if c],
+        )
+        print(
+            f"{args.database}.{args.table}: partition spec evolved in "
+            f"snapshot {snap.snapshot_id} (metadata-only, "
+            f"{snap.summary['partition-spec']}); future writes use the "
+            "new layout, existing files keep theirs"
+        )
+        return 0
     snap = SnapCatalog(args.warehouse).alter_table(
         args.database,
         args.table,
@@ -493,6 +509,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rename", help="old=new[,old=new…] columns to rename")
     sp.add_argument("--drop", help="comma-separated columns to drop")
     sp.add_argument("--widen", help="name=type[,…] lossless type widenings")
+    sp.add_argument("--partition-by", default=None,
+                    help="evolve the partition spec (comma-separated "
+                    "columns; '' = unpartitioned) — metadata-only, "
+                    "future writes only")
     sp.set_defaults(fn=cmd_alter)
 
     sp = sub.add_parser(

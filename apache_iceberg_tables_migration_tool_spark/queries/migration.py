@@ -874,3 +874,77 @@ def schema_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "partition_evolution_scan",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust,
+         CAST(o_custkey % 3 AS INTEGER) AS rb,
+         CAST(o_orderkey % 4 AS INTEGER) AS mb,
+         o_orderkey % 2 AS half
+  FROM orders)
+SELECT 'head' AS phase, COUNT(*) AS records,
+       CAST(SUM(cust) AS BIGINT) AS cust_sum
+FROM o
+UNION ALL
+SELECT 'rb_eq_1', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE rb = 1
+UNION ALL
+SELECT 'mb_eq_2', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE mb = 2
+UNION ALL
+SELECT 'old_layout_only', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE half = 0 AND rb = 2
+""",
+)
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end to end (≙ Iceberg ``ALTER TABLE …
+    REPLACE PARTITION FIELD`` — the reference recreates tables with a
+    fixed spec instead, `3_create_dst_tables.py:79-92`): write half
+    the orders partitioned by ``rb = custkey % 3``, evolve the spec to
+    ``mb = orderkey % 4`` in a metadata-only commit (zero rewrite),
+    append the other half under the NEW layout, then run selective
+    scans that must prune each commit's files against its OWN spec —
+    old files by path-derived ``rb`` bounds, new files by ``mb``
+    bounds — while predicates on the other column fall back to data
+    filters. At 100 TB this is the operation that lets a table change
+    its bucketing as it grows without rewriting history."""
+    root = tempfile.mkdtemp(prefix="snapcat_pevo_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.pmod(F.col("o_custkey"), F.lit(3)).cast("int").alias("rb"),
+            F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("mb"),
+        )
+        cat.write("db", "orders_pevo", o.where("ok % 2 = 0"),
+                  partition_by=["rb"], committed_at=_T[0])
+        cat.alter_partition_spec("db", "orders_pevo", ["mb"],
+                                 committed_at=_T[1])
+        cat.write("db", "orders_pevo", o.where("ok % 2 = 1"),
+                  committed_at=_T[2])  # inherits the evolved spec
+        tbl = cat.table("db", "orders_pevo")
+
+        def _phase(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.lit(name).alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("cust").cast("long").alias("cust_sum"),
+            )
+
+        out = (
+            _phase("head", tbl.read(spark))
+            .unionByName(_phase("rb_eq_1", tbl.read_where(spark, [("rb", "=", 1)])))
+            .unionByName(_phase("mb_eq_2", tbl.read_where(spark, [("mb", "=", 2)])))
+            .unionByName(_phase(
+                "old_layout_only",
+                tbl.read_where(spark, [("rb", "=", 2)]).where("ok % 2 = 0"),
+            ))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

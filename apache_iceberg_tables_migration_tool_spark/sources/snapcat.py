@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 from dataclasses import asdict, dataclass, field, replace
 from datetime import datetime, timezone
 
@@ -247,6 +248,46 @@ def _footer_stats(md) -> dict[str, list] | None:
         if ok and los:
             bounds[name] = [min(los), max(his)]
     return bounds or None
+
+
+_PATH_STAT_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType,
+)
+
+
+def _path_partition_stats(
+    rel_dir_segs: list[str], schema: T.StructType
+) -> dict[str, list]:
+    """Recover per-file partition-column bounds from the hive
+    ``col=value`` directory layout (partition values never appear in
+    parquet footers — the directory IS their storage). Emitted as
+    degenerate ``[v, v]`` ranges so :meth:`SnapTable.plan_files` can
+    manifest-prune partitioned files on partition predicates exactly
+    like data columns — the driver rules files out before Spark lists
+    a single one. JSON-portable types only; ``__HIVE_DEFAULT_
+    PARTITION__`` (null) yields no stats (conservatively kept)."""
+    types = {f.name: f.dataType for f in schema.fields}
+    out: dict[str, list] = {}
+    for seg in rel_dir_segs:
+        if "=" not in seg:
+            continue
+        k, raw = seg.split("=", 1)
+        if raw == "__HIVE_DEFAULT_PARTITION__" or k not in types:
+            continue
+        dt = types[k]
+        if not isinstance(dt, _PATH_STAT_TYPES):
+            continue
+        v: object = urllib.parse.unquote(raw)
+        try:
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                v = int(v)
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                v = float(v)
+        except ValueError:
+            continue
+        out[k] = [v, v]
+    return out
 
 
 def _next_id(meta: dict) -> int:
@@ -1260,8 +1301,89 @@ class SnapCatalog:
                 schema_ddl=schema_to_ddl(T.StructType(new_fields)),
                 partition_spec=prev.partition_spec,
                 files=list(prev.files),
+                # carry merge-on-read delete obligations: an alter is
+                # metadata-only and must not resurrect MOR-deleted rows
+                delete_files=list(prev.delete_files),
                 field_ids=new_ids,
             )
+            meta["snapshots"].append(asdict(snap))
+            meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
+
+    def alter_partition_spec(
+        self,
+        database: str,
+        name: str,
+        partition_by: list[str],
+        committed_at: str | None = None,
+    ) -> Snapshot:
+        """Explicit partition-spec evolution (≙ Iceberg ``ALTER TABLE …
+        ADD/DROP/REPLACE PARTITION FIELD``): a metadata-only commit that
+        changes the spec FUTURE writes lay files out under. Existing
+        files are untouched — they keep their own commit's ``col=value``
+        layout and their manifest partition bounds, so scans over mixed
+        layouts still prune every file against its OWN spec (per-file
+        stats, :meth:`SnapTable.plan_files`). ``compact`` rewrites the
+        whole table under the current spec, materializing the evolution
+        away. The reference never evolves a spec — it recreates tables
+        with the collected spec verbatim (`3_create_dst_tables.py:79-92`).
+
+        Spec columns must exist in the current schema; dropping a
+        column from the spec does not drop the column (its values move
+        from the path into the data files on the next write)."""
+        tbl = self.table(database, name)
+        if not tbl.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            cid = _current_id(meta)
+            prev_dict = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == cid), None
+            )
+            if prev_dict is None:
+                raise LookupError(
+                    f"table {database}.{name} has no published snapshot"
+                )
+            prev = _snap_from_dict(prev_dict)
+            names = {f.name for f in T._parse_datatype_string(prev.schema_ddl).fields}
+            unknown = [c for c in partition_by if c not in names]
+            if unknown:
+                raise ValueError(
+                    f"partition columns {unknown} not in the schema of "
+                    f"{database}.{name}"
+                )
+            if len(set(partition_by)) != len(partition_by):
+                raise ValueError("duplicate columns in partition spec")
+            if list(partition_by) == prev.partition_spec:
+                raise ValueError(
+                    f"{database}.{name} already partitioned by {partition_by}"
+                )
+            sid = _next_id(meta)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=prev.snapshot_id,
+                committed_at=committed_at or _utcnow_iso(),
+                operation="alter",
+                summary={
+                    "total-records": str(prev.total_records),
+                    "total-data-files": str(len(prev.files)),
+                    "partition-spec": (
+                        f"{','.join(prev.partition_spec) or '()'}"
+                        f"->{','.join(partition_by) or '()'}"
+                    ),
+                },
+                schema_ddl=prev.schema_ddl,
+                partition_spec=list(partition_by),
+                files=list(prev.files),
+                delete_files=list(prev.delete_files),
+                field_ids=prev.field_ids,
+            )
+            if prev.field_ids is not None:
+                meta.setdefault("commit_schemas", {})[str(sid)] = {
+                    "schema_ddl": prev.schema_ddl,
+                    "field_ids": prev.field_ids,
+                }
             meta["snapshots"].append(asdict(snap))
             meta["current_id"] = sid
             tbl._save_meta(meta)
@@ -1432,12 +1554,20 @@ class SnapCatalog:
                 full = os.path.join(dirpath, fn)
                 md = pq.ParquetFile(full).metadata
                 rel = os.path.relpath(full, tbl.root)
+                stats = dict(_footer_stats(md) or {})
+                if spec:  # partition values live in the path, not the footer
+                    stats.update(
+                        _path_partition_stats(
+                            os.path.relpath(dirpath, commit_dir).split(os.sep),
+                            df.schema,
+                        )
+                    )
                 new_files.append(
                     DataFile(
                         path=rel,
                         records=md.num_rows,
                         bytes=os.path.getsize(full),
-                        stats=_footer_stats(md),
+                        stats=stats or None,
                     )
                 )
         return new_files

@@ -294,3 +294,33 @@ def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     assert "fast-forwarded" in capsys.readouterr().out
     assert cat.table("db", "t").read(spark).count() == 30
+
+
+def test_cli_alter_partition_spec(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "pswh")
+    cat = SnapCatalog(wh)
+    cat.write(
+        "db", "t",
+        spark.range(8).select(
+            "id",
+            (F.col("id") % 2).cast("string").alias("bucket"),
+        ).coalesce(1),
+    )
+    assert main([
+        "alter", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--partition-by", "bucket",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "partition spec evolved in snapshot 2" in out and "()->bucket" in out
+    # refuses to combine with schema changes
+    assert main([
+        "alter", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--partition-by", "bucket", "--add", "x=string",
+    ]) == 2
+    cat.write("db", "t", spark.range(8, 12).select(
+        "id", (F.col("id") % 2).cast("string").alias("bucket")).coalesce(1))
+    tbl = cat.table("db", "t")
+    assert tbl.current_snapshot().partition_spec == ["bucket"]
+    assert tbl.read(spark).count() == 12

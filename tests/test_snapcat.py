@@ -1086,3 +1086,89 @@ def test_compact_after_rename_normalizes_layout(spark, cat):
     # rewritten files now physically carry the new name: plan_files
     # stats are keyed directly by it
     assert tbl.plan_files([("value_usd", ">=", 0.0)])
+
+
+def test_alter_preserves_mor_deletes(spark, cat):
+    """A metadata-only alter must carry the MOR delete files — losing
+    them would silently resurrect deleted rows."""
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(3,), (7,)], "id long"),
+                    committed_at=T[1])
+    snap = cat.alter_table("db", "t", add_columns={"note": "string"})
+    assert [d.path for d in snap.delete_files]  # carried, not dropped
+    tbl = cat.table("db", "t")
+    got = sorted(r["id"] for r in tbl.read(spark).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert tbl.delete_files_df(spark).count() == 1
+    # spec evolution is metadata-only too: same carry rule
+    snap2 = cat.alter_partition_spec("db", "t", ["note"])
+    assert [d.path for d in snap2.delete_files]
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == got
+
+
+def test_plan_files_prunes_on_partition_column(spark, cat):
+    """Partition values live in the directory layout, not parquet
+    footers — the manifest must still carry their bounds so the driver
+    prunes partitioned files before Spark lists any."""
+    df = spark.createDataFrame(
+        [(i, ["eu", "us", "ap"][i % 3], i * 1.5) for i in range(30)],
+        "id long, region string, amount double",
+    )
+    cat.write("db", "t", df.repartition("region"), partition_by=["region"],
+              committed_at=T[0])
+    tbl = cat.table("db", "t")
+    all_files = tbl.current_snapshot().files
+    eu = tbl.plan_files([("region", "=", "eu")])
+    assert eu and len(eu) < len(all_files)
+    assert all(f.stats["region"] == ["eu", "eu"] for f in eu)
+    # data-column stats still present alongside the path-derived ones
+    assert all("id" in (f.stats or {}) for f in all_files)
+    got = sorted(r["id"] for r in tbl.read_where(spark, [("region", "=", "eu")]).collect())
+    assert got == [i for i in range(30) if i % 3 == 0]
+
+
+def test_alter_partition_spec_lifecycle(spark, cat):
+    """Explicit spec evolution: metadata-only commit; future writes lay
+    out under the new spec; mixed layouts read correctly and each file
+    prunes against its OWN spec; compact normalizes to the current one."""
+    df1 = spark.createDataFrame(
+        [(i, ["eu", "us"][i % 2], ["a", "b"][(i // 2) % 2]) for i in range(8)],
+        "id long, region string, cat string",
+    )
+    cat.write("db", "t", df1, partition_by=["region"], committed_at=T[0])
+    snap = cat.alter_partition_spec("db", "t", ["cat"], committed_at=T[1])
+    assert snap.operation == "alter"
+    assert snap.summary["partition-spec"] == "region->cat"
+    assert [f.path for f in snap.files]  # zero rewrite
+    df2 = spark.createDataFrame(
+        [(i, ["eu", "us"][i % 2], ["a", "b"][(i // 2) % 2]) for i in range(8, 16)],
+        "id long, region string, cat string",
+    )
+    cat.write("db", "t", df2, committed_at=T[2])  # inherits the new spec
+    tbl = cat.table("db", "t")
+    cur = tbl.current_snapshot()
+    assert cur.partition_spec == ["cat"]
+    new_files = [f for f in cur.files if f.path.startswith("data/s000003")]
+    assert new_files and all("cat=" in f.path for f in new_files)
+    assert tbl.read(spark).count() == 16
+    # old files prune on region=..., new files prune on cat=...
+    pruned_old = tbl.plan_files([("region", "=", "eu")])
+    assert any(f.path.startswith("data/s000001") for f in pruned_old)
+    assert not any(
+        f.stats.get("region", [None])[0] == "us" for f in pruned_old
+    )
+    pruned_new = tbl.plan_files([("cat", "=", "a")])
+    assert all(
+        f.stats.get("cat", ["a"])[0] == "a" for f in pruned_new
+    )
+    # guard rails
+    with pytest.raises(ValueError, match="not in the schema"):
+        cat.alter_partition_spec("db", "t", ["nope"])
+    with pytest.raises(ValueError, match="already partitioned"):
+        cat.alter_partition_spec("db", "t", ["cat"])
+    # compact rewrites everything under the current spec
+    cat.compact("db", "t", spark, target_partitions=1)
+    cur = cat.table("db", "t").current_snapshot()
+    assert all("cat=" in f.path for f in cur.files)
+    assert cat.table("db", "t").read(spark).count() == 16
