@@ -285,6 +285,16 @@ def cmd_delete(args: argparse.Namespace) -> int:
             f"({snap.summary['equality-delete-keys']} keys, 0 rewrites)"
         )
         return 0
+    if args.mor:
+        snap = cat.delete_where(
+            args.database, args.table, args.where, mode="merge-on-read"
+        )
+        print(
+            f"{args.database}.{args.table}: merge-on-read delete committed "
+            f"snapshot {snap.snapshot_id} "
+            f"({snap.summary['position-delete-rows']} positions, 0 rewrites)"
+        )
+        return 0
     snap = cat.delete_where(args.database, args.table, args.where)
     print(
         f"{args.database}.{args.table}: delete committed snapshot {snap.snapshot_id} "
@@ -548,6 +558,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "delete (no data rewrite) instead of --where COW")
     sp.add_argument("--key-cols", default=None,
                     help="comma-separated key columns (default: all --mor-keys columns)")
+    sp.add_argument("--mor", action="store_true",
+                    help="with --where: merge-on-read position delete "
+                    "(records matched (file,pos) pairs, no data rewrite)")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_delete)
 

@@ -948,3 +948,64 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "position_delete_scan",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust
+  FROM orders),
+head AS (
+  SELECT cust FROM o WHERE ok % 2 = 0 AND cust % 7 <> 0
+  UNION ALL SELECT cust FROM o WHERE ok % 2 = 1)
+SELECT 'head' AS phase, COUNT(*) AS records,
+       CAST(SUM(cust) AS BIGINT) AS cust_sum
+FROM head
+UNION ALL
+SELECT 'at_delete', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE ok % 2 = 0 AND cust % 7 <> 0
+UNION ALL
+SELECT 'survivors', COUNT(*), CAST(SUM(cust) AS BIGINT)
+FROM o WHERE ok % 2 = 1 AND cust % 7 = 0
+""",
+)
+def position_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete merge-on-read (≙ Iceberg v2 position deletes,
+    ``write.delete.mode=merge-on-read`` — the predicate-shaped twin of
+    the equality-delete lifecycle): append the even-orderkey half →
+    MOR DELETE ``cust % 7 = 0`` (the commit records only the matched
+    rows' (file, position) pairs; zero data files rewritten) → append
+    the odd half, whose ``cust % 7 = 0`` rows must SURVIVE (position
+    deletes name exact files; new files are untouched by
+    construction). Phases: final head, time travel at the delete
+    snapshot, and the surviving re-adds."""
+    root = tempfile.mkdtemp(prefix="snapcat_posdel_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+        )
+        cat.write("db", "orders_pos", o.where("ok % 2 = 0"), committed_at=_T[0])
+        cat.delete_where("db", "orders_pos", "cust % 7 = 0",
+                         committed_at=_T[1], mode="merge-on-read")
+        cat.write("db", "orders_pos", o.where("ok % 2 = 1"), committed_at=_T[2])
+        tbl = cat.table("db", "orders_pos")
+
+        def _phase(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.lit(name).alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("cust").cast("long").alias("cust_sum"),
+            )
+
+        out = (
+            _phase("head", tbl.read(spark))
+            .unionByName(_phase("at_delete", tbl.read(spark, snapshot_id=2)))
+            .unionByName(_phase("survivors", tbl.read(spark).where("cust % 7 = 0")))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

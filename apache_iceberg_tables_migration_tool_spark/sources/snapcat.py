@@ -73,18 +73,26 @@ class DataFile:
 
 @dataclass
 class DeleteFile:
-    """Equality-delete file (≙ Iceberg v2 merge-on-read equality
-    deletes): a parquet file of key tuples. At read time it removes
-    every matching row from data files written STRICTLY BEFORE its
-    commit (the commit/snapshot id doubles as Iceberg's sequence
+    """Merge-on-read delete file (≙ Iceberg v2 delete files).
+
+    ``kind="equality"``: a parquet file of key tuples. At read time it
+    removes every matching row from data files written STRICTLY BEFORE
+    its commit (the commit/snapshot id doubles as Iceberg's sequence
     number), so rows appended after the delete with the same keys
-    survive — Iceberg's sequence-number semantics."""
+    survive — Iceberg's sequence-number semantics.
+
+    ``kind="position"``: a parquet file of ``(file_path, pos)`` rows
+    (≙ Iceberg position deletes) naming exact rows of exact data
+    files. Because commit directories are never reused, a path match
+    can only hit files that existed at delete time — re-appends are
+    untouched by construction, no sequence check needed."""
 
     path: str  # relative to table root
     records: int
     bytes: int
-    key_cols: list[str]
+    key_cols: list[str]  # empty for position deletes
     sequence: int  # the commit (snapshot) id this delete landed in
+    kind: str = "equality"
 
 
 @dataclass
@@ -475,6 +483,7 @@ class SnapTable:
         rel_paths,
         with_file_path: bool = False,
         apply_deletes: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Scan ``rel_paths`` normalized to ``snap``'s schema. With
         schema-evolution tracking active (``snap.field_ids``), files
@@ -486,18 +495,26 @@ class SnapTable:
         by name+type take the plain fast path (zero overhead when no
         rename/widen ever happened).
 
-        ``apply_deletes`` applies the snapshot's merge-on-read
-        equality-delete files: each data file's rows are anti-joined
+        ``apply_deletes`` applies the snapshot's merge-on-read delete
+        files. Equality deletes: each data file's rows are anti-joined
         against every delete file with a HIGHER sequence (commit) id
         than the file's own commit — Iceberg's sequence-number rule,
-        so re-appends after a delete survive. Delete key sets are
-        typically tiny next to the data (broadcast anti-joins)."""
+        so re-appends after a delete survive. Position deletes:
+        one global anti-join on exact ``(file_path, row position)``
+        pairs — commit directories are never reused, so a path match
+        only ever hits rows that existed at delete time. Delete sets
+        are typically tiny next to the data (broadcast anti-joins)."""
         target = T._parse_datatype_string(snap.schema_ddl)
-        dels = (
+        all_dels = (
             sorted(snap.delete_files, key=lambda d: d.sequence)
             if apply_deletes and snap.delete_files
             else []
         )
+        dels = [d for d in all_dels if d.kind == "equality"]
+        pos_dels = [d for d in all_dels if d.kind == "position"]
+        # position deletes need every row stamped with its file + pos
+        need_file = with_file_path or bool(pos_dels)
+        need_pos = with_pos or bool(pos_dels)
 
         def _minus_deletes(df: DataFrame, data_sid: int) -> DataFrame:
             for d in dels:
@@ -510,8 +527,38 @@ class SnapTable:
                     df = df.join(F.broadcast(keys), list(d.key_cols), "left_anti")
             return df
 
-        if snap.field_ids is None and not dels:
-            return self._read_paths(spark, target, rel_paths, with_file_path)
+        def _finish(df: DataFrame) -> DataFrame:
+            """Apply position deletes, then drop the helper columns the
+            caller didn't ask for."""
+            if pos_dels:
+                pdel = (
+                    spark.read.parquet(
+                        *[os.path.join(self.root, d.path) for d in pos_dels]
+                    )
+                    .select(
+                        F.col("file_path").alias("__rel"),
+                        F.col("pos").alias("__pos"),
+                    )
+                    .distinct()
+                )
+                rootu = self.root.rstrip("/") + "/"
+                rel = F.col("__file").substr(
+                    F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
+                    F.lit(1 << 30),
+                )
+                df = (
+                    df.withColumn("__rel", rel)
+                    .join(F.broadcast(pdel), ["__rel", "__pos"], "left_anti")
+                    .drop("__rel")
+                )
+            if need_file and not with_file_path:
+                df = df.drop("__file")
+            if need_pos and not with_pos:
+                df = df.drop("__pos")
+            return df
+
+        if snap.field_ids is None and not all_dels:
+            return self._read_paths(spark, target, rel_paths, with_file_path, with_pos)
         commit_schemas = (
             self._load_meta().get("commit_schemas", {})
             if snap.field_ids is not None
@@ -534,7 +581,9 @@ class SnapTable:
                 if dels:
                     parts.append(
                         _minus_deletes(
-                            self._read_paths(spark, target, paths, with_file_path),
+                            self._read_paths(
+                                spark, target, paths, need_file, need_pos
+                            ),
                             sid,
                         )
                     )
@@ -550,7 +599,7 @@ class SnapTable:
                 if origin_name is not None:
                     reader_fields.append(T.StructField(origin_name, origin_type, True))
             src = self._read_paths(
-                spark, T.StructType(reader_fields), paths, with_file_path
+                spark, T.StructType(reader_fields), paths, need_file, need_pos
             )
             cols = []
             for tf in target.fields:
@@ -565,23 +614,27 @@ class SnapTable:
                     if origin_type != tf.dataType:
                         c = c.cast(tf.dataType)  # widened since
                     cols.append(c.alias(tf.name))
-            if with_file_path:
+            if need_file:
                 cols.append(F.col("__file"))
+            if need_pos:
+                cols.append(F.col("__pos"))
             mapped = src.select(*cols)
             parts.append(_minus_deletes(mapped, sid) if dels else mapped)
         if plain:
-            parts.insert(0, self._read_paths(spark, target, plain, with_file_path))
+            parts.insert(
+                0, self._read_paths(spark, target, plain, need_file, need_pos)
+            )
         if not parts:
             df = spark.createDataFrame([], target)
-            return (
-                df.withColumn("__file", F.lit(None).cast("string"))
-                if with_file_path
-                else df
-            )
+            if with_file_path:
+                df = df.withColumn("__file", F.lit(None).cast("string"))
+            if with_pos:
+                df = df.withColumn("__pos", F.lit(None).cast("long"))
+            return df
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return _finish(out)
 
     def _read_paths(
         self,
@@ -589,15 +642,23 @@ class SnapTable:
         schema: T.StructType,
         rel_paths,
         with_file_path: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Scan a set of this table's data files, grouped by commit
         directory so ``col=value`` layouts keep partition pruning.
         ``with_file_path`` appends the source file as ``__file`` (the
         ``_metadata.file_path`` hidden column) — the hook row-level
-        operations use to find which files a predicate/key touches."""
+        operations use to find which files a predicate/key touches;
+        ``with_pos`` appends the row's position within its file as
+        ``__pos`` (``_metadata.row_index``) — the substrate of
+        position deletes."""
         if not rel_paths:
             df = spark.createDataFrame([], schema)
-            return df.withColumn("__file", F.lit(None).cast("string")) if with_file_path else df
+            if with_file_path:
+                df = df.withColumn("__file", F.lit(None).cast("string"))
+            if with_pos:
+                df = df.withColumn("__pos", F.lit(None).cast("long"))
+            return df
         by_commit: dict[str, list[str]] = {}
         for rel in rel_paths:
             commit_dir = os.path.join(self.root, *rel.split("/")[:2])  # data/s{N}
@@ -606,8 +667,13 @@ class SnapTable:
         for commit_dir, paths in sorted(by_commit.items()):
             reader = spark.read.schema(schema).option("basePath", commit_dir)
             part = reader.parquet(*sorted(paths))
-            if with_file_path:
-                part = part.select("*", F.col("_metadata.file_path").alias("__file"))
+            if with_file_path or with_pos:
+                extra = []
+                if with_file_path:
+                    extra.append(F.col("_metadata.file_path").alias("__file"))
+                if with_pos:
+                    extra.append(F.col("_metadata.row_index").alias("__pos"))
+                part = part.select("*", *extra)
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
@@ -843,21 +909,46 @@ class SnapTable:
             parent_del_paths = {d.path for d in parent.delete_files} if parent else set()
             new_dels = [d for d in s.delete_files if d.path not in parent_del_paths]
             if new_dels and parent is not None:
+                need_pos = any(d.kind == "position" for d in new_dels)
                 parent_state = self._read_files(
                     spark,
                     replace(end, files=parent.files, delete_files=parent.delete_files),
                     [f.path for f in parent.files],
                     apply_deletes=True,
+                    with_file_path=need_pos,
+                    with_pos=need_pos,
                 )
+                data_cols = [
+                    c for c in parent_state.columns if c not in ("__file", "__pos")
+                ]
                 for d in new_dels:
-                    keys = (
-                        spark.read.parquet(os.path.join(self.root, d.path))
-                        .select(*d.key_cols)
-                        .distinct()
-                    )
-                    hidden = parent_state.join(
-                        F.broadcast(keys), list(d.key_cols), "left_semi"
-                    )
+                    if d.kind == "position":
+                        pdel = (
+                            spark.read.parquet(os.path.join(self.root, d.path))
+                            .select(
+                                F.col("file_path").alias("__rel"),
+                                F.col("pos").alias("__pos"),
+                            )
+                        )
+                        rootu = self.root.rstrip("/") + "/"
+                        relc = F.col("__file").substr(
+                            F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
+                            F.lit(1 << 30),
+                        )
+                        hidden = (
+                            parent_state.withColumn("__rel", relc)
+                            .join(F.broadcast(pdel), ["__rel", "__pos"], "left_semi")
+                            .select(*data_cols)
+                        )
+                    else:
+                        keys = (
+                            spark.read.parquet(os.path.join(self.root, d.path))
+                            .select(*d.key_cols)
+                            .distinct()
+                        )
+                        hidden = parent_state.join(
+                            F.broadcast(keys), list(d.key_cols), "left_semi"
+                        ).select(*data_cols)
                     del_df = hidden if del_df is None else del_df.unionByName(hidden)
             if del_df is not None:
                 parts.append(_stamp(del_df, "delete", s, order))
@@ -928,12 +1019,14 @@ class SnapTable:
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:
         """≙ Iceberg's ``.delete_files`` metadata table: the live
-        merge-on-read equality-delete files of a snapshot."""
+        merge-on-read delete files (equality and position) of a
+        snapshot."""
         snap = self.resolve_snapshot(snapshot_id)
         rows = [
             (
                 snap.snapshot_id,
                 d.path,
+                d.kind,
                 d.records,
                 d.bytes,
                 ",".join(d.key_cols),
@@ -943,8 +1036,9 @@ class SnapTable:
         ]
         return spark.createDataFrame(
             rows,
-            "snapshot_id long, file_path string, record_count long, "
-            "file_size_in_bytes long, equality_columns string, sequence long",
+            "snapshot_id long, file_path string, kind string, "
+            "record_count long, file_size_in_bytes long, "
+            "equality_columns string, sequence long",
         )
 
     def history_df(self, spark: SparkSession) -> DataFrame:
@@ -1676,17 +1770,82 @@ class SnapCatalog:
         name: str,
         condition,
         committed_at: str | None = None,
+        mode: str = "copy-on-write",
     ) -> Snapshot:
-        """Row-level DELETE with file-level copy-on-write: only files
-        containing at least one matching row are rewritten (without
-        the matching rows); every other file carries over by
-        reference. ``condition`` is a Column or SQL string."""
+        """Row-level DELETE by predicate. ``condition`` is a Column or
+        SQL string.
+
+        ``mode="copy-on-write"`` (default): only files containing at
+        least one matching row are rewritten (without the matching
+        rows); every other file carries over by reference.
+
+        ``mode="merge-on-read"``: no data file is rewritten — the
+        commit records the matched rows' exact ``(file, position)``
+        pairs as a POSITION-delete file (≙ Iceberg v2
+        ``write.delete.mode=merge-on-read`` position deletes, the
+        predicate-shaped twin of :meth:`delete_keys`). The scan to
+        find matches still runs (with pushdown), but the write is
+        O(matched rows) — deleting a sliver from a 100 TB table costs
+        the selective scan plus kilobytes of delete metadata, and
+        readers drop the positions with one broadcast anti-join.
+        ``compact`` materializes position deletes away like any other
+        delete file."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         spark = SparkSession.getActiveSession()
         tbl = self.table(database, name)
         prev = tbl.current_snapshot()
         if prev is None:
             raise LookupError(f"table {database}.{name} does not exist")
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "merge-on-read":
+            with _commit_lock(tbl.root):
+                prev = tbl.current_snapshot()  # re-read under the lock
+                cur = tbl._read_files(
+                    spark, prev, [f.path for f in prev.files],
+                    with_file_path=True, with_pos=True, apply_deletes=True,
+                )
+                rootu = tbl.root.rstrip("/") + "/"
+                rel = F.col("__file").substr(
+                    F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
+                    F.lit(1 << 30),
+                )
+                matched = cur.where(cond).select(
+                    rel.alias("file_path"), F.col("__pos").alias("pos")
+                )
+                meta = tbl._load_meta()
+                sid = _next_id(meta)
+                new_dels = self._write_position_delete_files(tbl, sid, matched)
+                n_rows = sum(d.records for d in new_dels)
+                if n_rows == 0:  # no-op delete still commits (audit trail)
+                    shutil.rmtree(
+                        os.path.join(tbl.root, f"deletes/s{sid:06d}"),
+                        ignore_errors=True,
+                    )
+                    new_dels = []
+                snap = Snapshot(
+                    snapshot_id=sid,
+                    parent_id=prev.snapshot_id,
+                    committed_at=committed_at or _utcnow_iso(),
+                    operation="delete",
+                    summary={
+                        "delete-mode": "merge-on-read",
+                        "added-delete-files": str(len(new_dels)),
+                        "position-delete-rows": str(n_rows),
+                        "total-data-files": str(len(prev.files)),
+                    },
+                    schema_ddl=prev.schema_ddl,
+                    partition_spec=prev.partition_spec,
+                    files=list(prev.files),
+                    delete_files=list(prev.delete_files) + new_dels,
+                    field_ids=dict(prev.field_ids)
+                    if prev.field_ids is not None
+                    else None,
+                )
+                meta["snapshots"].append(asdict(snap))
+                meta["current_id"] = sid
+                tbl._save_meta(meta)
+                return snap
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(
@@ -1735,6 +1894,35 @@ class SnapCatalog:
                         bytes=os.path.getsize(full),
                         key_cols=list(key_cols),
                         sequence=sid,
+                    )
+                )
+        return out
+
+    def _write_position_delete_files(
+        self, tbl: SnapTable, sid: int, matched: DataFrame
+    ) -> list[DeleteFile]:
+        """Write a ``(file_path, pos)`` position-delete set for commit
+        ``sid`` under ``deletes/s{sid}`` (outside the data directories,
+        so data scans never list it)."""
+        del_dir = os.path.join(tbl.root, f"deletes/s{sid:06d}")
+        matched.select("file_path", "pos").write.mode("overwrite").parquet(del_dir)
+        out: list[DeleteFile] = []
+        for dirpath, _dirs, fnames in os.walk(del_dir):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                if md.num_rows == 0:
+                    continue
+                out.append(
+                    DeleteFile(
+                        path=os.path.relpath(full, tbl.root),
+                        records=md.num_rows,
+                        bytes=os.path.getsize(full),
+                        key_cols=[],
+                        sequence=sid,
+                        kind="position",
                     )
                 )
         return out

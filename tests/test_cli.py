@@ -324,3 +324,22 @@ def test_cli_alter_partition_spec(spark, tmp_path, capsys):
     tbl = cat.table("db", "t")
     assert tbl.current_snapshot().partition_spec == ["bucket"]
     assert tbl.read(spark).count() == 12
+
+
+def test_cli_mor_position_delete(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "poswh")
+    cat = SnapCatalog(wh)
+    cat.write(
+        "db", "t",
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+    )
+    assert main([
+        "delete", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--where", "v >= 10", "--mor", "--cpus", "4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "merge-on-read delete" in out and "5 positions, 0 rewrites" in out
+    assert sorted(r["id"] for r in cat.table("db", "t").read(spark).collect()) == [
+        0, 1, 2, 3, 4]

@@ -1172,3 +1172,68 @@ def test_alter_partition_spec_lifecycle(spark, cat):
     cur = cat.table("db", "t").current_snapshot()
     assert all("cat=" in f.path for f in cur.files)
     assert cat.table("db", "t").read(spark).count() == 16
+
+
+def test_posdelete_hides_without_rewrite(spark, cat):
+    """Position-delete MOR: a predicate delete records (file, pos)
+    pairs only — zero data files rewritten — and readers drop exactly
+    those rows."""
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 3).alias("v")),
+              committed_at=T[0])
+    before = [f.path for f in cat.table("db", "t").current_snapshot().files]
+    snap = cat.delete_where("db", "t", "v >= 12 AND v < 21",
+                            committed_at=T[1], mode="merge-on-read")
+    tbl = cat.table("db", "t")
+    assert [f.path for f in snap.files] == before  # zero rewrite
+    assert snap.summary["delete-mode"] == "merge-on-read"
+    assert snap.summary["position-delete-rows"] == "3"
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == [0, 1, 2, 3, 7, 8, 9]
+    # time travel before the delete still sees everything
+    assert tbl.read(spark, snapshot_id=1).count() == 10
+    # metadata table shows the kind
+    df = tbl.delete_files_df(spark)
+    assert df.collect()[0]["kind"] == "position"
+    # re-append of identical values is untouched (fresh file paths)
+    cat.write("db", "t", spark.createDataFrame([(4, 12)], "id long, v long"),
+              committed_at=T[2])
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == [0, 1, 2, 3, 4, 7, 8, 9]
+
+
+def test_posdelete_mixed_with_equality_and_compact(spark, cat):
+    """Position and equality deletes compose; compact materializes
+    both kinds away."""
+    cat.write("db", "t", spark.range(12).select("id", (F.col("id") % 4).alias("g")),
+              committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(0,)], "g long"), ["g"],
+                    committed_at=T[1])  # drops 0,4,8
+    cat.delete_where("db", "t", "id = 5", committed_at=T[2], mode="merge-on-read")
+    tbl = cat.table("db", "t")
+    want = [1, 2, 3, 6, 7, 9, 10, 11]
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == want
+    kinds = {r["kind"] for r in tbl.delete_files_df(spark).collect()}
+    assert kinds == {"equality", "position"}
+    # read_where composes manifest pruning with both delete kinds
+    assert sorted(
+        r["id"] for r in tbl.read_where(spark, [("id", "<=", 6)]).collect()
+    ) == [1, 2, 3, 6]
+    # changelog surfaces the position delete as row-level deletes
+    cl = tbl.changelog(spark, 2, 3)
+    dels = [r["id"] for r in cl.where("_change_type = 'delete'").collect()]
+    assert dels == [5]
+    cat.compact("db", "t", spark, target_partitions=1)
+    tbl = cat.table("db", "t")
+    assert not tbl.current_snapshot().delete_files
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == want
+
+
+def test_posdelete_noop_and_cow_interplay(spark, cat):
+    cat.write("db", "t", spark.range(6), committed_at=T[0])
+    snap = cat.delete_where("db", "t", "id > 99", committed_at=T[1],
+                            mode="merge-on-read")
+    assert snap.summary["position-delete-rows"] == "0"
+    assert not snap.delete_files
+    cat.delete_where("db", "t", "id = 2", committed_at=T[2], mode="merge-on-read")
+    # a later COW update must not resurrect the position-deleted row
+    cat.update_where("db", "t", "id >= 0", {"id": "id"}, committed_at=T[3])
+    assert sorted(r["id"] for r in cat.table("db", "t").read(spark).collect()) == [
+        0, 1, 3, 4, 5]
