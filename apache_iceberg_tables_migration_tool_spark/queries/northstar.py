@@ -856,3 +856,39 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query("bpe_train_merges", tags=("llm", "text"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (X4 extension): learn the
+    first 24 merges from the documents corpus and encode every doc's
+    token count under them. Iterative (per-round argmax over a
+    distributed pair count), so no single SQL oracle exists — the
+    driver records rows-only; exactness is pinned in pytest against a
+    sequential pure-Python BPE (`tests/test_tokenizer.py`,
+    bit-for-bit merge-table equality at every round, fixture corpus
+    included). Scale shape: the corpus is scanned once into the
+    distinct-word frequency table; each round is one narrow shuffle
+    over that table and a one-row collect; encoding ships the merge
+    table as plan literals (pure codegen map)."""
+    from apache_iceberg_tables_migration_tool_spark.operators import tokenizer as BPE
+
+    docs = load(spark, sf_dir, "documents")
+    merges = BPE.train_bpe(docs, 24)
+    counts = BPE.encode_token_counts(docs.select("doc_id", "text"), merges)
+    total = counts.agg(
+        F.sum("bpe_token_count").alias("corpus_tokens"),
+        F.count("*").alias("n_docs"),
+    ).collect()[0]
+    rows = [
+        (
+            m["rank"], m["left"], m["right"], m["merged"], m["pair_count"],
+            int(total["corpus_tokens"]), int(total["n_docs"]),
+        )
+        for m in merges
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, "
+        "pair_count long, corpus_tokens long, n_docs long",
+    )

@@ -1499,6 +1499,7 @@ class SnapCatalog:
         staged: bool = False,
         wap_id: str | None = None,
         branch: str | None = None,
+        distribution: str | None = None,
     ) -> Snapshot:
         """Commit a write. The data plane is a distributed Spark
         parquet write into a fresh commit directory; the metadata
@@ -1526,9 +1527,26 @@ class SnapCatalog:
         parent is the branch head, only the branch pointer moves, and
         main reads are untouched until :meth:`fast_forward` publishes
         the branch. Mutually exclusive with ``staged`` (a branch is
-        already an isolated line)."""
+        already an isolated line).
+
+        ``distribution`` (≙ Iceberg ``write.distribution-mode``)
+        clusters rows onto write tasks before a PARTITIONED write:
+        ``"hash"`` repartitions on the spec columns so each partition
+        value is written by one task, ``"range"`` range-partitions
+        (keeps a global ordering across partitions). Without it, every
+        task holding rows of a partition opens its own file there —
+        with T tasks × P partitions that is the classic T×P
+        small-file explosion; at 1000 executors over 100 TB the
+        default layout produces millions of KB-sized files and
+        distribution is what keeps file count ≈ P. ``None`` (default)
+        preserves the incoming layout (tests depend on exact file
+        counts; at scale prefer ``"hash"``)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if distribution not in (None, "hash", "range"):
+            raise ValueError(
+                f"distribution must be hash|range|None, got {distribution!r}"
+            )
         if branch is not None and staged:
             raise ValueError("staged (WAP) writes target main; a branch is already isolated")
         self.create_namespace(database)
@@ -1577,6 +1595,12 @@ class SnapCatalog:
                     "schema_ddl": schema_to_ddl(df.schema),
                     "field_ids": fid_map,
                 }
+            if distribution and spec:
+                df = (
+                    df.repartition(*[F.col(c) for c in spec])
+                    if distribution == "hash"
+                    else df.repartitionByRange(*[F.col(c) for c in spec])
+                )
             new_files = self._write_data_files(tbl, sid, df, spec)
 
             files = new_files if (mode == "overwrite" or prev is None) else (

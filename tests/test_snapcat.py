@@ -1237,3 +1237,23 @@ def test_posdelete_noop_and_cow_interplay(spark, cat):
     cat.update_where("db", "t", "id >= 0", {"id": "id"}, committed_at=T[3])
     assert sorted(r["id"] for r in cat.table("db", "t").read(spark).collect()) == [
         0, 1, 3, 4, 5]
+
+
+def test_write_distribution_modes(spark, cat):
+    """write.distribution-mode ≙: hash-clustering a partitioned write
+    caps files at one per partition value instead of tasks×partitions."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)], "id long, p string"
+    ).repartition(8)  # many tasks, every one holding all 3 partitions
+    cat.write("db", "spread", df, partition_by=["p"], committed_at=T[0])
+    spread_files = len(cat.table("db", "spread").current_snapshot().files)
+    cat.write("db", "hashed", df, partition_by=["p"], committed_at=T[0],
+              distribution="hash")
+    hashed = cat.table("db", "hashed").current_snapshot().files
+    assert len(hashed) == 3 < spread_files  # one file per partition value
+    assert sorted(r["id"] for r in cat.table("db", "hashed").read(spark).collect()) == list(range(30))
+    cat.write("db", "ranged", df, partition_by=["p"], committed_at=T[0],
+              distribution="range")
+    assert len(cat.table("db", "ranged").current_snapshot().files) <= 4
+    with pytest.raises(ValueError, match="distribution"):
+        cat.write("db", "bad", df, distribution="zorder")
