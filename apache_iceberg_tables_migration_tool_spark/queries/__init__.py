@@ -53,6 +53,18 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # stay pinned by pytest + the sf0.01 sweep. After this rotation every
 # query registered through round 3 has at least one driver-graded green
 # row.
+#
+# ROUND-4 SECOND STAGE: the 13 queries BUILT this round (the snapshot-
+# catalog feature tier — branches, schema/partition evolution, MOR
+# equality+position deletes, CDC changelog, rollback/orphan/partitions
+# metadata — plus knn_ivf_persisted, streaming_dedup_counts,
+# quality_weighted_sample, corpus_build_e2e, bpe_train_merges) rotate in
+# so they earn driver rows THIS round instead of queueing for r5. Out:
+# 13 r3-green rows that stand — order_count_distribution_q13,
+# promo_revenue_share, nation_customer_share, rolling_30d_customer_spend,
+# funnel_conversion, weekly_cohort_retention, approx_distinct_users,
+# approx_percentile_quality, sliding_window_events, snapshot_row_diff,
+# zorder_values, range_join_value_buckets, skew_salted_agg.
 _DRIVER_PRIORITY = [
     # continuity: flagship + the four r2-red rows (events-loader fix) +
     # the two bench watch-list dedup queries
@@ -68,7 +80,6 @@ _DRIVER_PRIORITY = [
     "volume_shipping_q7",
     "market_share_q8",
     "profit_by_nation_year_q9",
-    "order_count_distribution_q13",
     "top_supplier_q15",
     "small_quantity_revenue_q17",
     "large_volume_customers_q18",
@@ -82,23 +93,28 @@ _DRIVER_PRIORITY = [
     "lang_confusion_matrix",
     "source_reputation_gate",
     "source_overlap_matrix",
-    # relational/window second carriers (first graded green in r3)
+    # bench watch-list second carriers (r3 regression tracking)
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    "promo_revenue_share",
-    "nation_customer_share",
-    "rolling_30d_customer_spend",
-    "funnel_conversion",
-    "weekly_cohort_retention",
-    "approx_distinct_users",
-    "approx_percentile_quality",
-    "sliding_window_events",
-    # never-graded: snapshot-catalog / layout / scale-hardening ops
-    "snapshot_row_diff",
-    "zorder_values",
-    "range_join_value_buckets",
-    "skew_salted_agg",
-    # never-graded: LLM-pipeline ops
+    # round-4 additions: the snapshot-catalog feature tier built this
+    # round (branches, schema/partition evolution, MOR equality+position
+    # deletes, CDC changelog, rollback/orphan/partitions metadata) plus
+    # the new LLM-pipeline carriers — none has a driver row yet
+    "branch_write_fast_forward",
+    "schema_evolution_lifecycle",
+    "merge_on_read_lifecycle",
+    "position_delete_scan",
+    "partition_evolution_scan",
+    "changelog_cdc_stream",
+    "rollback_and_orphan_cleanup",
+    "partition_stats_metadata",
+    "knn_ivf_persisted",
+    "streaming_dedup_counts",
+    "quality_weighted_sample",
+    "corpus_build_e2e",
+    "bpe_train_merges",  # rows-only: iterative trainer, pytest-pinned
+    # LLM-pipeline carriers first graded green in r3 (kept: sole
+    # drivers of their operator families in the current window)
     "dedup_duplicate_spans",
     "dedup_embedding_clusters",
     "embedding_outliers",
