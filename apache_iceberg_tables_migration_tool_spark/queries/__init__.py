@@ -64,7 +64,8 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # promo_revenue_share, nation_customer_share, rolling_30d_customer_spend,
 # funnel_conversion, weekly_cohort_retention, approx_distinct_users,
 # approx_percentile_quality, sliding_window_events, snapshot_row_diff,
-# zorder_values, range_join_value_buckets, skew_salted_agg.
+# zorder_values, range_join_value_buckets, skew_salted_agg,
+# idle_balance_by_nation_q22 (swapped for row_lineage_audit).
 _DRIVER_PRIORITY = [
     # continuity: flagship + the four r2-red rows (events-loader fix) +
     # the two bench watch-list dedup queries
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY = [
     "small_quantity_revenue_q17",
     "large_volume_customers_q18",
     "bracket_revenue_q19",
-    "idle_balance_by_nation_q22",
     # r4 additions: the 7 queries with no driver row yet
     "min_cost_supplier_q2",
     "supplier_variety_q16",
@@ -105,6 +105,7 @@ _DRIVER_PRIORITY = [
     "merge_on_read_lifecycle",
     "position_delete_scan",
     "partition_evolution_scan",
+    "row_lineage_audit",
     "changelog_cdc_stream",
     "rollback_and_orphan_cleanup",
     "partition_stats_metadata",

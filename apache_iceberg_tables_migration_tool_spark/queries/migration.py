@@ -1009,3 +1009,68 @@ def position_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "row_lineage_audit",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust
+  FROM orders WHERE o_orderkey % 2 = 0),
+aug AS (
+  SELECT ok, cust,
+         CASE WHEN cust % 11 = 0 THEN 2 ELSE 1 END AS expect_seq
+  FROM o WHERE cust % 13 <> 0)
+SELECT 'survivors' AS phase, COUNT(*) AS records,
+       COUNT(DISTINCT ok) AS distinct_ids
+FROM aug
+UNION ALL
+SELECT 'updated_rows', COUNT(*), COUNT(DISTINCT ok)
+FROM aug WHERE expect_seq = 2
+UNION ALL
+SELECT 'carried_rows', COUNT(*), COUNT(DISTINCT ok)
+FROM aug WHERE expect_seq = 1
+""",
+)
+def row_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage end to end (≙ Iceberg v3 ``_row_id`` /
+    ``_last_updated_sequence_number``): append half of orders → COW
+    UPDATE ``cust % 11 = 0`` (ids must survive, their last-updated
+    commit must bump) → COW DELETE ``cust % 13 = 0`` → compact (a full
+    rewrite that must carry lineage through untouched). The audit
+    groups the lineage columns into phase counts the oracle rebuilds
+    relationally: id uniqueness (COUNT DISTINCT _row_id == COUNT(*)),
+    and the updated/carried split by _last_updated_seq. Id VALUES are
+    physical (position-dependent) and never enter the result — only
+    their invariants do."""
+    root = tempfile.mkdtemp(prefix="snapcat_lineage_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+        ).where("ok % 2 = 0")
+        cat.write("db", "orders_rl", o, committed_at=_T[0])
+        cat.update_where("db", "orders_rl", "cust % 11 = 0",
+                         {"cust": "cust"}, committed_at=_T[1])
+        cat.delete_where("db", "orders_rl", "cust % 13 = 0", committed_at=_T[2])
+        cat.compact("db", "orders_rl", spark, target_partitions=2)
+        tbl = cat.table("db", "orders_rl")
+        rl = tbl.read(spark, with_row_ids=True)
+
+        def _phase(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.lit(name).alias("phase"),
+                F.count("*").alias("records"),
+                F.countDistinct("_row_id").alias("distinct_ids"),
+            )
+
+        out = (
+            _phase("survivors", rl)
+            .unionByName(_phase("updated_rows", rl.where("_last_updated_seq = 2")))
+            .unionByName(_phase("carried_rows", rl.where("_last_updated_seq = 1")))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -40,7 +40,7 @@ from dataclasses import asdict, dataclass, field, replace
 from datetime import datetime, timezone
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -69,6 +69,14 @@ class DataFile:
     #: (≙ Iceberg manifest lower_bounds/upper_bounds) — int/float/str
     #: columns only; absent for pre-stats metadata or other types
     stats: dict[str, list] | None = None
+    #: row-lineage base (≙ Iceberg v3 manifest ``first_row_id``): row i
+    #: of this file has ``_row_id = first_row_id + i`` unless the file
+    #: materializes lineage columns. None = pre-lineage file (null ids)
+    first_row_id: int | None = None
+    #: "virtual" (ids inherited from first_row_id + position) or
+    #: "materialized" (a COW rewrite carried ``_row_id`` /
+    #: ``_last_updated_seq`` as physical columns, Iceberg-v3 style)
+    lineage: str | None = None
 
 
 @dataclass
@@ -256,6 +264,26 @@ def _footer_stats(md) -> dict[str, list] | None:
         if ok and los:
             bounds[name] = [min(los), max(his)]
     return bounds or None
+
+
+#: reserved physical column names a COW rewrite uses to materialize row
+#: lineage (≙ Iceberg v3 ``_row_id`` / ``_last_updated_sequence_number``).
+#: They never appear in a table's logical schema; explicit-schema reads
+#: skip them unless lineage is requested.
+LINEAGE_COLS = ("_row_id", "_last_updated_seq")
+
+
+def _assign_row_ids(meta: dict, new_files: list[DataFile], materialized: bool) -> None:
+    """Allocate each new file's ``first_row_id`` from the table's
+    monotonic row-id counter (≙ Iceberg v3 ``next-row-id`` inheritance:
+    a row with no materialized id gets ``first_row_id + position``).
+    Pure metadata — O(files), no data pass."""
+    nxt = meta.get("next_row_id", 0)
+    for f in new_files:
+        f.first_row_id = nxt
+        f.lineage = "materialized" if materialized else "virtual"
+        nxt += f.records
+    meta["next_row_id"] = nxt
 
 
 _PATH_STAT_TYPES = (
@@ -465,15 +493,19 @@ class SnapTable:
         snapshot_id: int | None = None,
         as_of: str | datetime | None = None,
         ref: str | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Time-travel scan (S3/S4). Files are grouped by their commit
         directory so partitioned commits keep their ``col=value``
         layout (→ partition pruning); the snapshot's schema is applied
         explicitly (schema-at-snapshot semantics). ``ref`` reads a
-        named tag (≙ ``VERSION AS OF 'tag'``)."""
+        named tag (≙ ``VERSION AS OF 'tag'``). ``with_row_ids``
+        appends the row-lineage columns ``_row_id`` /
+        ``_last_updated_seq`` (≙ Iceberg v3 row lineage)."""
         snap = self.resolve_snapshot(snapshot_id, as_of, ref)
         return self._read_files(
-            spark, snap, [f.path for f in snap.files], apply_deletes=True
+            spark, snap, [f.path for f in snap.files], apply_deletes=True,
+            with_lineage=with_row_ids,
         )
 
     def _read_files(
@@ -484,6 +516,7 @@ class SnapTable:
         with_file_path: bool = False,
         apply_deletes: bool = False,
         with_pos: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Scan ``rel_paths`` normalized to ``snap``'s schema. With
         schema-evolution tracking active (``snap.field_ids``), files
@@ -503,7 +536,14 @@ class SnapTable:
         one global anti-join on exact ``(file_path, row position)``
         pairs — commit directories are never reused, so a path match
         only ever hits rows that existed at delete time. Delete sets
-        are typically tiny next to the data (broadcast anti-joins)."""
+        are typically tiny next to the data (broadcast anti-joins).
+
+        ``with_lineage`` appends ``_row_id`` / ``_last_updated_seq``
+        (≙ Iceberg v3 row lineage): physical lineage columns where a
+        COW rewrite materialized them, else inherited as
+        ``first_row_id + row position`` / the file's origin commit id
+        — Iceberg's null-means-inherit rule. Pre-lineage files yield
+        null ids."""
         target = T._parse_datatype_string(snap.schema_ddl)
         all_dels = (
             sorted(snap.delete_files, key=lambda d: d.sequence)
@@ -512,9 +552,25 @@ class SnapTable:
         )
         dels = [d for d in all_dels if d.kind == "equality"]
         pos_dels = [d for d in all_dels if d.kind == "position"]
-        # position deletes need every row stamped with its file + pos
-        need_file = with_file_path or bool(pos_dels)
-        need_pos = with_pos or bool(pos_dels)
+        # position deletes and lineage need rows stamped with file + pos
+        need_file = with_file_path or bool(pos_dels) or with_lineage
+        need_pos = with_pos or bool(pos_dels) or with_lineage
+        lineage_fields = [T.StructField(c, T.LongType(), True) for c in LINEAGE_COLS]
+        # reads request the physical lineage columns everywhere when
+        # asked: files that never materialized them read as null and
+        # fall back to inheritance below
+        read_target = (
+            T.StructType(list(target.fields) + lineage_fields)
+            if with_lineage
+            else target
+        )
+
+        def _rel_expr() -> Column:
+            rootu = self.root.rstrip("/") + "/"
+            return F.col("__file").substr(
+                F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
+                F.lit(1 << 30),
+            )
 
         def _minus_deletes(df: DataFrame, data_sid: int) -> DataFrame:
             for d in dels:
@@ -528,8 +584,8 @@ class SnapTable:
             return df
 
         def _finish(df: DataFrame) -> DataFrame:
-            """Apply position deletes, then drop the helper columns the
-            caller didn't ask for."""
+            """Apply position deletes, resolve lineage inheritance,
+            then drop the helper columns the caller didn't ask for."""
             if pos_dels:
                 pdel = (
                     spark.read.parquet(
@@ -541,15 +597,37 @@ class SnapTable:
                     )
                     .distinct()
                 )
-                rootu = self.root.rstrip("/") + "/"
-                rel = F.col("__file").substr(
-                    F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
-                    F.lit(1 << 30),
-                )
                 df = (
-                    df.withColumn("__rel", rel)
+                    df.withColumn("__rel", _rel_expr())
                     .join(F.broadcast(pdel), ["__rel", "__pos"], "left_anti")
                     .drop("__rel")
+                )
+            if with_lineage:
+                # manifest-scale map (one row per data file): inherit
+                # _row_id = first_row_id + pos and _last_updated_seq =
+                # origin commit where no physical value was materialized
+                by_path = {f.path: f for f in snap.files}
+                vrows = [
+                    (p, by_path[p].first_row_id, _origin_sid(p))
+                    for p in rel_paths
+                    if p in by_path
+                ]
+                vmap = spark.createDataFrame(
+                    vrows or [(None, None, None)],
+                    "__rel string, __first long, __osid long",
+                ).where(F.col("__rel").isNotNull())
+                df = (
+                    df.withColumn("__rel", _rel_expr())
+                    .join(F.broadcast(vmap), "__rel", "left")
+                    .withColumn(
+                        "_row_id",
+                        F.coalesce(F.col("_row_id"), F.col("__first") + F.col("__pos")),
+                    )
+                    .withColumn(
+                        "_last_updated_seq",
+                        F.coalesce(F.col("_last_updated_seq"), F.col("__osid")),
+                    )
+                    .drop("__rel", "__first", "__osid")
                 )
             if need_file and not with_file_path:
                 df = df.drop("__file")
@@ -557,7 +635,7 @@ class SnapTable:
                 df = df.drop("__pos")
             return df
 
-        if snap.field_ids is None and not all_dels:
+        if snap.field_ids is None and not all_dels and not with_lineage:
             return self._read_paths(spark, target, rel_paths, with_file_path, with_pos)
         commit_schemas = (
             self._load_meta().get("commit_schemas", {})
@@ -582,7 +660,7 @@ class SnapTable:
                     parts.append(
                         _minus_deletes(
                             self._read_paths(
-                                spark, target, paths, need_file, need_pos
+                                spark, read_target, paths, need_file, need_pos
                             ),
                             sid,
                         )
@@ -598,6 +676,8 @@ class SnapTable:
                 origin_name, origin_type = mapping[tf.name]
                 if origin_name is not None:
                     reader_fields.append(T.StructField(origin_name, origin_type, True))
+            if with_lineage:
+                reader_fields.extend(lineage_fields)
             src = self._read_paths(
                 spark, T.StructType(reader_fields), paths, need_file, need_pos
             )
@@ -614,6 +694,8 @@ class SnapTable:
                     if origin_type != tf.dataType:
                         c = c.cast(tf.dataType)  # widened since
                     cols.append(c.alias(tf.name))
+            if with_lineage:
+                cols.extend(F.col(c) for c in LINEAGE_COLS)
             if need_file:
                 cols.append(F.col("__file"))
             if need_pos:
@@ -622,10 +704,10 @@ class SnapTable:
             parts.append(_minus_deletes(mapped, sid) if dels else mapped)
         if plain:
             parts.insert(
-                0, self._read_paths(spark, target, plain, need_file, need_pos)
+                0, self._read_paths(spark, read_target, plain, need_file, need_pos)
             )
         if not parts:
-            df = spark.createDataFrame([], target)
+            df = spark.createDataFrame([], read_target)
             if with_file_path:
                 df = df.withColumn("__file", F.lit(None).cast("string"))
             if with_pos:
@@ -1579,12 +1661,22 @@ class SnapCatalog:
             )
             meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
             sid = _next_id(meta)
+            # a rewrite carrying materialized lineage columns keeps them
+            # physical-only: excluded from the logical schema / field ids
+            materialized = all(c in df.columns for c in LINEAGE_COLS)
+            logical = (
+                T.StructType(
+                    [f for f in df.schema.fields if f.name not in LINEAGE_COLS]
+                )
+                if materialized
+                else df.schema
+            )
             fid_map = None
             if "next_field_id" in meta:  # evolution tracking active
                 prev_ids = dict(prev.field_ids or {}) if prev else {}
                 nxt = meta["next_field_id"]
                 fid_map = {}
-                for fname in df.schema.names:
+                for fname in logical.names:
                     if fname in prev_ids:
                         fid_map[fname] = prev_ids[fname]
                     else:
@@ -1592,7 +1684,7 @@ class SnapCatalog:
                         nxt += 1
                 meta["next_field_id"] = nxt
                 meta.setdefault("commit_schemas", {})[str(sid)] = {
-                    "schema_ddl": schema_to_ddl(df.schema),
+                    "schema_ddl": schema_to_ddl(logical),
                     "field_ids": fid_map,
                 }
             if distribution and spec:
@@ -1602,6 +1694,7 @@ class SnapCatalog:
                     else df.repartitionByRange(*[F.col(c) for c in spec])
                 )
             new_files = self._write_data_files(tbl, sid, df, spec)
+            _assign_row_ids(meta, new_files, materialized)
 
             files = new_files if (mode == "overwrite" or prev is None) else (
                 list(prev.files) + new_files
@@ -1627,7 +1720,7 @@ class SnapCatalog:
                     **({"wap.id": wap_id} if wap_id is not None else {}),
                     **(summary_extra or {}),
                 },
-                schema_ddl=schema_to_ddl(df.schema),
+                schema_ddl=schema_to_ddl(logical),
                 partition_spec=spec,
                 files=files,
                 delete_files=carried_dels,
@@ -1700,9 +1793,11 @@ class SnapCatalog:
         committed_at: str | None,
         summary_extra: dict[str, str] | None = None,
         sid: int | None = None,
+        materialized_lineage: bool = False,
     ) -> Snapshot:
         meta = tbl._load_meta()
         final_sid = sid if sid is not None else _next_id(meta)
+        _assign_row_ids(meta, new_files, materialized_lineage)
         if "next_field_id" in meta and new_files:
             # rewrites land at the current schema under the current names
             meta.setdefault("commit_schemas", {})[str(final_sid)] = {
@@ -1763,7 +1858,7 @@ class SnapCatalog:
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(
                 spark, prev, [f.path for f in prev.files],
-                with_file_path=True, apply_deletes=True,
+                with_file_path=True, apply_deletes=True, with_lineage=True,
             )
             keys = updates.select(*key_cols).distinct()
             affected_abs = [
@@ -1771,21 +1866,40 @@ class SnapCatalog:
                 for r in cur.join(keys, key_cols, "left_semi").select("__file").distinct().collect()
             ]  # O(matched files) driver rows — manifest-scale, not data-scale
             affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+            sid = _next_id(tbl._load_meta())
             if affected_rel:
+                touched = cur.where(F.col("__file").isin(list(affected_abs)))
+                # matched update rows INHERIT the replaced row's _row_id
+                # (UPDATE keeps identity, v3 rule); inserts carry null →
+                # fresh ids by first_row_id+pos inheritance at read
+                matched_ids = (
+                    touched.join(keys, key_cols, "left_semi")
+                    .groupBy(*key_cols)
+                    .agg(F.min("_row_id").alias("_row_id"))
+                )
+                updates_l = updates.join(
+                    F.broadcast(matched_ids), key_cols, "left"
+                ).withColumn(
+                    "_last_updated_seq",
+                    F.when(
+                        F.col("_row_id").isNotNull(), F.lit(sid).cast("long")
+                    ),
+                )
                 rewritten = (
-                    cur.where(F.col("__file").isin(list(affected_abs)))
-                    .drop("__file")
+                    touched.drop("__file")
                     .join(keys, key_cols, "left_anti")  # drop matched rows
-                    .unionByName(updates)
+                    .unionByName(updates_l)
                 )
             else:
-                rewritten = updates
-            sid = _next_id(tbl._load_meta())
+                rewritten = updates.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                ).withColumn("_last_updated_seq", F.lit(None).cast("long"))
             new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
                 tbl, prev, files, new_files, "merge", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
+                materialized_lineage=True,
             )
 
     def delete_where(
@@ -1874,7 +1988,7 @@ class SnapCatalog:
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(
                 spark, prev, [f.path for f in prev.files],
-                with_file_path=True, apply_deletes=True,
+                with_file_path=True, apply_deletes=True, with_lineage=True,
             )
             affected_abs = [
                 r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
@@ -1885,6 +1999,8 @@ class SnapCatalog:
                     tbl, prev, list(prev.files), [], "delete", committed_at,
                     {"rewritten-data-files": "0"},
                 )
+            # survivors carry their lineage into the rewrite (carry-over
+            # rows keep id AND last-updated commit, Iceberg v3 rule)
             survivors = (
                 cur.where(F.col("__file").isin(list(affected_abs))).where(~cond).drop("__file")
             )
@@ -1894,6 +2010,7 @@ class SnapCatalog:
             return self._commit(
                 tbl, prev, files, new_files, "delete", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
+                materialized_lineage=True,
             )
 
     def _write_delete_files(
@@ -2093,7 +2210,7 @@ class SnapCatalog:
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(
                 spark, prev, [f.path for f in prev.files],
-                with_file_path=True, apply_deletes=True,
+                with_file_path=True, apply_deletes=True, with_lineage=True,
             )
             affected_abs = [
                 r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
@@ -2104,6 +2221,9 @@ class SnapCatalog:
                     tbl, prev, list(prev.files), [], "update", committed_at,
                     {"rewritten-data-files": "0"},
                 )
+            sid = _next_id(tbl._load_meta())
+            # updated rows keep their _row_id but bump _last_updated_seq
+            # to this commit; carried rows keep both (Iceberg v3)
             rewritten = cur.where(F.col("__file").isin(list(affected_abs))).select(
                 *[
                     (
@@ -2112,14 +2232,18 @@ class SnapCatalog:
                         else F.col(c)
                     )
                     for c in schema_cols
-                ]
+                ],
+                F.col("_row_id"),
+                F.when(cond, F.lit(sid).cast("long"))
+                .otherwise(F.col("_last_updated_seq"))
+                .alias("_last_updated_seq"),
             )
-            sid = _next_id(tbl._load_meta())
             new_files = self._write_data_files(tbl, sid, rewritten, prev.partition_spec)
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
                 tbl, prev, files, new_files, "update", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
+                materialized_lineage=True,
             )
 
     # ---- refs & write-audit-publish -------------------------------------
@@ -2493,7 +2617,9 @@ class SnapCatalog:
             base = tbl.current_snapshot()
             if base is None:
                 raise LookupError(f"table {database}.{name} does not exist")
-            df = tbl.read(spark)
+            # carry row lineage through the rewrite (≙ Iceberg v3:
+            # compaction preserves _row_id / _last_updated_seq)
+            df = tbl.read(spark, with_row_ids=True)
             n = target_partitions or (max(1, len(base.files) // 8) or 1)
             if zorder_by:
                 # Morton-interleaved rewrite (≙ Iceberg zorder

@@ -1257,3 +1257,62 @@ def test_write_distribution_modes(spark, cat):
     assert len(cat.table("db", "ranged").current_snapshot().files) <= 4
     with pytest.raises(ValueError, match="distribution"):
         cat.write("db", "bad", df, distribution="zorder")
+
+
+def test_row_lineage_appends_assign_stable_unique_ids(spark, cat):
+    """≙ Iceberg v3 row lineage: appended rows inherit
+    _row_id = first_row_id + position; two appends get disjoint id
+    ranges; _last_updated_seq is the origin commit."""
+    cat.write("db", "t", spark.range(10).select("id"), committed_at=T[0])
+    cat.write("db", "t", spark.range(10, 16).select("id"), committed_at=T[1])
+    tbl = cat.table("db", "t")
+    rows = tbl.read(spark, with_row_ids=True).collect()
+    ids = sorted(r["_row_id"] for r in rows)
+    assert ids == list(range(16))  # dense, unique, stable
+    seqs = {r["id"]: r["_last_updated_seq"] for r in rows}
+    assert all(seqs[i] == 1 for i in range(10))
+    assert all(seqs[i] == 2 for i in range(10, 16))
+    # plain reads stay lineage-free (no schema pollution)
+    assert tbl.read(spark).columns == ["id"]
+
+
+def test_row_lineage_survives_update_delete_compact(spark, cat):
+    """COW update keeps _row_id and bumps _last_updated_seq on matched
+    rows only; COW delete and compact carry lineage unchanged."""
+    cat.write("db", "t", spark.range(8).select("id", (F.col("id") * 10).alias("v")),
+              committed_at=T[0])
+    tbl = cat.table("db", "t")
+    before = {r["id"]: r["_row_id"] for r in tbl.read(spark, with_row_ids=True).collect()}
+    cat.update_where("db", "t", "id >= 6", {"v": "v + 1"}, committed_at=T[1])
+    after = {r["id"]: (r["_row_id"], r["_last_updated_seq"])
+             for r in tbl.read(spark, with_row_ids=True).collect()}
+    for i in range(8):
+        assert after[i][0] == before[i], f"id changed for row {i}"
+    assert after[6][1] == 2 and after[7][1] == 2  # bumped to the update commit
+    assert all(after[i][1] == 1 for i in range(6))  # carried rows untouched
+    cat.delete_where("db", "t", "id = 3", committed_at=T[2])
+    cat.compact("db", "t", spark, target_partitions=1)
+    final = {r["id"]: (r["_row_id"], r["_last_updated_seq"])
+             for r in cat.table("db", "t").read(spark, with_row_ids=True).collect()}
+    assert set(final) == {0, 1, 2, 4, 5, 6, 7}
+    for i in final:
+        assert final[i] == after[i], f"lineage lost through delete/compact for {i}"
+
+
+def test_row_lineage_merge_inherits_matched_ids(spark, cat):
+    """MERGE: updated rows keep the replaced row's _row_id; inserted
+    rows get fresh ids; both stamp this commit as last-updated."""
+    cat.write("db", "t", spark.range(6).select("id", (F.col("id") * 10).alias("v")),
+              committed_at=T[0])
+    tbl = cat.table("db", "t")
+    before = {r["id"]: r["_row_id"] for r in tbl.read(spark, with_row_ids=True).collect()}
+    upd = spark.createDataFrame([(2, 222), (9, 999)], "id long, v long")
+    cat.upsert("db", "t", upd, ["id"], committed_at=T[1])
+    after = {r["id"]: (r["_row_id"], r["_last_updated_seq"], r["v"])
+             for r in tbl.read(spark, with_row_ids=True).collect()}
+    assert after[2][0] == before[2] and after[2][1] == 2 and after[2][2] == 222
+    assert after[9][0] not in set(before.values())  # fresh id for the insert
+    for i in (0, 1, 3, 4, 5):
+        assert after[i][0] == before[i] and after[i][1] == 1
+    # ids remain globally unique
+    assert len({v[0] for v in after.values()}) == len(after)
