@@ -65,7 +65,11 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # funnel_conversion, weekly_cohort_retention, approx_distinct_users,
 # approx_percentile_quality, sliding_window_events, snapshot_row_diff,
 # zorder_values, range_join_value_buckets, skew_salted_agg,
-# idle_balance_by_nation_q22 (swapped for row_lineage_audit).
+# idle_balance_by_nation_q22 (swapped for row_lineage_audit),
+# bpe_train_merges stays OUT of the window deliberately: it is the
+# one rows-only query (iterative trainer, non-SQL-expressible) and the
+# graded window keeps its 100%-hash-checked discipline; its exactness
+# is pytest-pinned against a sequential reference instead.
 _DRIVER_PRIORITY = [
     # continuity: flagship + the four r2-red rows (events-loader fix) +
     # the two bench watch-list dedup queries
@@ -111,9 +115,9 @@ _DRIVER_PRIORITY = [
     "partition_stats_metadata",
     "knn_ivf_persisted",
     "streaming_dedup_counts",
+    "streaming_catalog_tail",
     "quality_weighted_sample",
     "corpus_build_e2e",
-    "bpe_train_merges",  # rows-only: iterative trainer, pytest-pinned
     # LLM-pipeline carriers first graded green in r3 (kept: sole
     # drivers of their operator families in the current window)
     "dedup_duplicate_spans",

@@ -1074,3 +1074,63 @@ def row_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_catalog_tail",
+    tags=("migration", "streaming"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust,
+         o_orderkey % 3 AS b
+  FROM orders)
+SELECT CAST(b AS INTEGER) AS commit_band, COUNT(*) AS records,
+       CAST(SUM(cust) AS BIGINT) AS cust_sum
+FROM o GROUP BY 1
+""",
+)
+def streaming_catalog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consumption OF the catalog (≙ Iceberg as a streaming
+    SOURCE — `spark.readStream.format("iceberg")`; the reference only
+    ever reads tables one-shot): land orders in three append commits,
+    then tail the table with a checkpointed file-stream consumer
+    (availableNow) and aggregate what arrived. Every commit's rows
+    must be consumed exactly once — the oracle rebuilds the per-commit
+    bands relationally, so any duplicate or dropped file shifts a
+    band's count/sum."""
+    root = tempfile.mkdtemp(prefix="snapcat_tail_")
+    try:
+        from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+            stream_catalog_appends,
+        )
+
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+        ).withColumn("band", F.pmod(F.col("ok"), F.lit(3)).cast("int"))
+        for b in range(3):
+            cat.write("db", "orders_tail", o.where(F.col("band") == b),
+                      committed_at=_T[b])
+        sink = os.path.join(root, "consumed")
+        q = (
+            stream_catalog_appends(spark, cat, "db", "orders_tail")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy(F.col("band").alias("commit_band"))
+            .agg(
+                F.count("*").alias("records"),
+                F.sum("cust").cast("long").alias("cust_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

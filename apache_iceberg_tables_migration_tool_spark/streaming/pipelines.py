@@ -15,6 +15,8 @@ swapped in for the file source; nothing else changes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -314,3 +316,38 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         docs.where(n_tok.between(20, 1000) & (uniq_ratio >= 0.3) & (dup_ratio <= 0.5))
         .select("doc_id", "lang", redact_pii("text").alias("clean_text"))
     )
+
+
+def stream_catalog_appends(
+    spark: SparkSession,
+    catalog,
+    database: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tail a snapshot-catalog table as a STREAMING SOURCE (≙ reading
+    an Iceberg table with ``spark.readStream.format("iceberg")`` —
+    the CDC-consumption half the reference's one-shot migration
+    lacks). Append commits write immutable parquet files into fresh
+    ``data/s{N}`` commit directories, which is exactly the layout
+    Spark's file-stream source incrementally discovers: each new
+    commit's files surface as new stream input once, and the
+    CHECKPOINT carries consumption state — a restarted consumer
+    resumes after the last processed commit instead of re-reading the
+    table (exactly-once per file, Spark's file-source guarantee).
+
+    Append-only contract, like Iceberg's streaming read: overwrite /
+    rewrite commits would re-surface rewritten files as fresh input,
+    so callers should tail append-only tables (raise via
+    ``read_incremental`` semantics where needed). Staged (WAP)
+    commits are a caveat: their data files exist on disk before
+    publish, so a tailing consumer sees them at write time — gate
+    WAP-ingested tables through the published changelog instead.
+
+    ``max_files_per_trigger`` bounds per-micro-batch input (backfill
+    throttling over a large existing table)."""
+    tbl = catalog.table(database, table)
+    reader = spark.readStream.schema(tbl.schema())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(os.path.join(tbl.root, "data", "*"))

@@ -52,8 +52,24 @@ def test_driver_priority_window():
     assert not ungated, f"graded queries without oracles: {ungated}"
 
 
+#: genuinely non-SQL-expressible operators (the driver prompt's
+#: carve-out for iterative algorithms): each must document its
+#: stronger non-oracle pinning and stay OUT of the graded window
+NON_SQL_EXPRESSIBLE = {
+    # per-round argmax over a distributed pair count — 24 data-dependent
+    # iterations; exactness is pinned bit-for-bit against a sequential
+    # pure-Python BPE in tests/test_tokenizer.py
+    "bpe_train_merges",
+}
+
+
 def test_every_query_has_an_oracle():
-    """Round-2 bar: NO rows-only queries left — every registered query
-    is hash-checkable against DuckDB."""
-    missing = [n for n, s in QUERIES.items() if s.oracle is None]
+    """Round-2 bar: every registered query is hash-checkable against
+    DuckDB, except the documented non-SQL-expressible allowlist."""
+    missing = [
+        n for n, s in QUERIES.items()
+        if s.oracle is None and n not in NON_SQL_EXPRESSIBLE
+    ]
     assert not missing, f"queries without oracles: {missing}"
+    stale = [n for n in NON_SQL_EXPRESSIBLE if QUERIES[n].oracle is not None]
+    assert not stale, f"allowlisted queries now HAVE oracles — prune: {stale}"
