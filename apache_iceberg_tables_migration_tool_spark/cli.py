@@ -319,6 +319,27 @@ def cmd_update(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = SnapCatalog(args.warehouse)
+    stats = cat.analyze(
+        args.database, args.table, spark,
+        columns=args.columns.split(",") if args.columns else None,
+    )
+    cs = cat.table(args.database, args.table).column_stats()
+    print(
+        f"{args.database}.{args.table}: analyzed {len(stats)} columns at "
+        f"snapshot {cs['snapshot_id']} ({cs['row_count']} rows)"
+    )
+    for c, v in sorted(stats.items()):
+        print(f"  {c}: ndv~{v['ndv']} nulls={v['null_count']} "
+              f"min={v['min']} max={v['max']}")
+    return 0
+
+
 def cmd_tag(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
@@ -573,6 +594,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="col=expr[,col=expr…] assignments, e.g. \"v=v+1\"")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_update)
+
+    sp = sub.add_parser("analyze", help="compute+persist column statistics (NDV/nulls/min-max)")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--columns", default=None, help="comma-separated (default: all stat-able)")
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("tag", help="create/drop a named snapshot tag")
     sp.add_argument("--warehouse", required=True)

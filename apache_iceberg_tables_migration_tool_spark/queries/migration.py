@@ -1134,3 +1134,56 @@ def streaming_catalog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "table_column_stats",
+    tags=("migration", "metadata"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price
+  FROM orders)
+SELECT 'o_custkey' AS column, COUNT(*) AS row_count,
+       CAST(0 AS BIGINT) AS null_count,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM o
+UNION ALL
+SELECT 'price', COUNT(*),
+       CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(price) AS VARCHAR), CAST(MAX(price) AS VARCHAR)
+FROM o
+""",
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-for-columns persisted as table-level metadata (≙
+    Iceberg puffin NDV/stats blobs + ``ANALYZE TABLE … FOR COLUMNS``;
+    the reference carries no statistics at all): land orders (with an
+    injected null band) in the catalog, run ``analyze``, and read the
+    persisted stats back through the ``stats_df`` metadata table —
+    zero data scan at read time. The oracle rebuilds null counts and
+    min/max relationally; NDV is an HLL estimate (the puffin
+    approach) and is range-pinned in pytest rather than hash-compared
+    across engines."""
+    root = tempfile.mkdtemp(prefix="snapcat_stats_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_totalprice")).alias("price"),
+        )
+        cat.write("db", "orders_st", o, committed_at=_T[0])
+        cat.analyze("db", "orders_st", spark, columns=["o_custkey", "price"])
+        out = (
+            cat.table("db", "orders_st").stats_df(spark)
+            .select(
+                "column", "row_count", "null_count",
+                F.col("min").alias("min_value"),
+                F.col("max").alias("max_value"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1128,6 +1128,81 @@ class SnapTable:
             "committed_at", "snapshot_id", "parent_id", "operation"
         )
 
+    def column_stats(self) -> dict | None:
+        """Table-level column statistics persisted by
+        :meth:`SnapCatalog.analyze` (≙ Iceberg puffin NDV blobs) —
+        metadata-only fetch, plus the snapshot they describe so
+        callers can detect staleness."""
+        return self._load_meta().get("column_stats")
+
+    def stats_df(self, spark: SparkSession) -> DataFrame:
+        """:meth:`column_stats` as a metadata table: one row per
+        analyzed column."""
+        cs = self.column_stats() or {"snapshot_id": None, "row_count": None, "columns": {}}
+        rows = [
+            (
+                cs["snapshot_id"], cs["row_count"], c,
+                v["ndv"], v["null_count"], v["min"], v["max"],
+            )
+            for c, v in sorted(cs["columns"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "analyzed_snapshot_id long, row_count long, column string, "
+            "ndv long, null_count long, min string, max string",
+        )
+
+    def all_files_df(self, spark: SparkSession) -> DataFrame:
+        """≙ Iceberg's ``.all_files``: every data file referenced by
+        ANY snapshot in the log (published, staged, branched,
+        abandoned) with the set of snapshots referencing it — the
+        input to orphan/reachability audits."""
+        ref: dict[str, list[int]] = {}
+        sizes: dict[str, tuple[int, int]] = {}
+        for s in self.snapshots():
+            for f in s.files:
+                ref.setdefault(f.path, []).append(s.snapshot_id)
+                sizes[f.path] = (f.records, f.bytes)
+        rows = [
+            (p, sizes[p][0], sizes[p][1], len(sids), min(sids), max(sids))
+            for p, sids in sorted(ref.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, record_count long, file_size_in_bytes long, "
+            "referencing_snapshots long, first_snapshot_id long, "
+            "last_snapshot_id long",
+        )
+
+    def manifests_df(self, spark: SparkSession) -> DataFrame:
+        """≙ Iceberg's ``.manifests``: per-commit manifest summary —
+        file/record/byte counts of the files each snapshot ADDED
+        (this catalog's manifests are inline per-snapshot file lists;
+        a commit's "manifest" is its added-file set)."""
+        snaps = self.snapshots()
+        by_id = {s.snapshot_id: s for s in snaps}
+        rows = []
+        for s in snaps:
+            parent_paths = (
+                {f.path for f in by_id[s.parent_id].files}
+                if s.parent_id in by_id
+                else set()
+            )
+            added = [f for f in s.files if f.path not in parent_paths]
+            rows.append(
+                (
+                    s.snapshot_id, s.operation, len(added),
+                    sum(f.records for f in added), sum(f.bytes for f in added),
+                    len(s.files), len(s.delete_files),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, operation string, added_files long, "
+            "added_records long, added_bytes long, total_files long, "
+            "delete_files long",
+        )
+
     def partitions_df(
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:
@@ -1283,6 +1358,67 @@ class SnapCatalog:
             meta["properties"] = props
             tbl._save_meta(meta)
             return props
+
+    def analyze(
+        self,
+        database: str,
+        name: str,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+    ) -> dict[str, dict]:
+        """≙ ``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` backed
+        by Iceberg-puffin-style table-level stats: ONE distributed
+        aggregation pass computes per-column NDV
+        (``approx_count_distinct``, the same HLL sketch family puffin
+        stores), null count, and min/max, persisted in table metadata
+        keyed by the snapshot they describe. Readers fetch them via
+        :meth:`SnapTable.column_stats` / ``stats_df`` without touching
+        data — the input a cost-based planner needs for join ordering
+        and broadcast decisions at 100 TB, where a full NDV scan per
+        query is unaffordable. Re-running refreshes the stats for the
+        current snapshot."""
+        tbl = self.table(database, name)
+        snap = tbl.current_snapshot()
+        if snap is None:
+            raise LookupError(f"table {database}.{name} does not exist")
+        schema = T._parse_datatype_string(snap.schema_ddl)
+        cols = columns or [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, _PATH_STAT_TYPES + (T.TimestampType, T.DateType, T.DecimalType))
+        ]
+        unknown = [c for c in cols if c not in {f.name for f in schema.fields}]
+        if unknown:
+            raise ValueError(f"analyze: unknown columns {unknown}")
+        df = tbl.read(spark, snapshot_id=snap.snapshot_id)
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.approx_count_distinct(c).alias(f"ndv__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"),
+                F.min(c).cast("string").alias(f"min__{c}"),
+                F.max(c).cast("string").alias(f"max__{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        n = df.count()
+        stats = {
+            c: {
+                "ndv": int(row[f"ndv__{c}"] or 0),
+                "null_count": int(row[f"nulls__{c}"] or 0),
+                "min": row[f"min__{c}"],
+                "max": row[f"max__{c}"],
+            }
+            for c in cols
+        }
+        with _commit_lock(tbl.root):
+            meta = tbl._load_meta()
+            meta["column_stats"] = {
+                "snapshot_id": snap.snapshot_id,
+                "row_count": n,
+                "columns": stats,
+            }
+            tbl._save_meta(meta)
+        return stats
 
     # ---- schema evolution (≙ Iceberg ALTER TABLE … ADD/RENAME/DROP
     # COLUMN, ALTER COLUMN TYPE) ------------------------------------------

@@ -343,3 +343,19 @@ def test_cli_mor_position_delete(spark, tmp_path, capsys):
     assert "merge-on-read delete" in out and "5 positions, 0 rewrites" in out
     assert sorted(r["id"] for r in cat.table("db", "t").read(spark).collect()) == [
         0, 1, 2, 3, 4]
+
+
+def test_cli_analyze(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "anwh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "t", spark.range(20).select(
+        "id", (F.col("id") % 4).alias("g")).coalesce(1))
+    assert main([
+        "analyze", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--columns", "g", "--cpus", "4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "analyzed 1 columns at snapshot 1 (20 rows)" in out
+    assert cat.table("db", "t").column_stats()["columns"]["g"]["null_count"] == 0

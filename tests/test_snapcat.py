@@ -1316,3 +1316,34 @@ def test_row_lineage_merge_inherits_matched_ids(spark, cat):
         assert after[i][0] == before[i] and after[i][1] == 1
     # ids remain globally unique
     assert len({v[0] for v in after.values()}) == len(after)
+
+
+def test_analyze_column_stats_and_metadata_tables(spark, cat):
+    """ANALYZE persists NDV/null/min-max per column (≙ puffin stats);
+    .all_files and .manifests metadata tables summarize the log."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b", None][i % 3], float(i)) for i in range(30)],
+        "id long, tag string, v double",
+    )
+    cat.write("db", "t", df.coalesce(2), committed_at=T[0])
+    cat.write("db", "t", df.coalesce(1), committed_at=T[1])
+    stats = cat.analyze("db", "t", spark)
+    tbl = cat.table("db", "t")
+    assert stats["id"]["null_count"] == 0 and stats["tag"]["null_count"] == 20
+    assert stats["id"]["min"] == "0" and stats["id"]["max"] == "29"
+    assert 25 <= stats["id"]["ndv"] <= 35  # HLL approx of 30 distinct
+    assert stats["tag"]["ndv"] == 2
+    sdf = tbl.stats_df(spark)
+    assert sdf.count() == 3
+    srow = {r["column"]: r for r in sdf.collect()}
+    assert srow["v"]["row_count"] == 60 and srow["v"]["analyzed_snapshot_id"] == 2
+    # metadata tables
+    af = tbl.all_files_df(spark)
+    assert af.count() == 3  # 2 files from commit 1 + 1 from commit 2
+    two_ref = af.where("referencing_snapshots = 2").count()
+    assert two_ref == 2  # commit-1 files referenced by both snapshots
+    mf = {r["snapshot_id"]: r for r in tbl.manifests_df(spark).collect()}
+    assert mf[1]["added_files"] == 2 and mf[1]["added_records"] == 30
+    assert mf[2]["added_files"] == 1 and mf[2]["total_files"] == 3
+    with pytest.raises(ValueError, match="unknown columns"):
+        cat.analyze("db", "t", spark, columns=["nope"])
