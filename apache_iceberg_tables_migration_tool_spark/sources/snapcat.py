@@ -1044,6 +1044,65 @@ class SnapTable:
             out = out.unionByName(p)
         return out
 
+    def row_history(
+        self,
+        spark: SparkSession,
+        condition,
+        max_ids: int = 10_000,
+    ) -> DataFrame:
+        """Every VERSION a set of rows has had across the published
+        lineage — the audit row lineage exists for ("what happened to
+        row X"): select the target rows by ``condition`` on the
+        current snapshot, then walk each published snapshot and emit
+        its version of those ``_row_id``s, stamped with the snapshot
+        id/time. An id absent from a snapshot means the row didn't
+        exist (or predates lineage tracking) there; a changed payload
+        between stamps is an update (``_last_updated_seq`` names the
+        commit that made it).
+
+        Targeted-audit tool like :meth:`diff_snapshots` — O(snapshots)
+        scans semi-joined down to the tracked ids (broadcast, bounded
+        by ``max_ids``), not a bulk-sync path."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cur = self.read(spark, with_row_ids=True).where(cond)
+        ids = [
+            r["_row_id"]
+            for r in cur.select("_row_id").distinct().limit(max_ids + 1).collect()
+            if r["_row_id"] is not None
+        ]
+        if len(ids) > max_ids:
+            raise ValueError(
+                f"row_history: condition selects more than {max_ids} rows — "
+                "narrow it (this is a targeted audit, not a bulk export)"
+            )
+        id_df = spark.createDataFrame([(i,) for i in ids] or [(None,)], "_row_id long")
+        end = self.resolve_snapshot(None)
+        parts = []
+        for s in self.main_chain():
+            # read each snapshot's state under the END schema (field-id
+            # mapped) so versions union cleanly across schema evolution
+            ver = (
+                self._read_files(
+                    spark,
+                    replace(end, files=s.files, delete_files=s.delete_files),
+                    [f.path for f in s.files],
+                    apply_deletes=True, with_lineage=True,
+                )
+                .join(F.broadcast(id_df), "_row_id", "left_semi")
+                .select(
+                    "*",
+                    F.lit(s.snapshot_id).cast("long").alias("_snapshot_id"),
+                    F.lit(_parse_iso(s.committed_at).replace(tzinfo=None))
+                    .cast("timestamp")
+                    .alias("_committed_at"),
+                )
+            )
+            parts.append(ver)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def diff_snapshots(
         self, spark: SparkSession, from_id: int, to_id: int
     ) -> DataFrame:

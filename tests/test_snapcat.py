@@ -1347,3 +1347,26 @@ def test_analyze_column_stats_and_metadata_tables(spark, cat):
     assert mf[2]["added_files"] == 1 and mf[2]["total_files"] == 3
     with pytest.raises(ValueError, match="unknown columns"):
         cat.analyze("db", "t", spark, columns=["nope"])
+
+
+def test_row_history_tracks_versions(spark, cat):
+    """row_history: every version of a row across commits, found by
+    its stable _row_id — updates appear as new versions stamped with
+    the updating commit, deletes as absence."""
+    cat.write("db", "t", spark.range(5).select("id", (F.col("id") * 10).alias("v")),
+              committed_at=T[0])
+    cat.update_where("db", "t", "id = 3", {"v": "v + 1"}, committed_at=T[1])
+    cat.update_where("db", "t", "id = 3", {"v": "v + 1"}, committed_at=T[2])
+    cat.delete_where("db", "t", "id = 4", committed_at=T[3])
+    tbl = cat.table("db", "t")
+    hist = tbl.row_history(spark, "id = 3").orderBy("_snapshot_id").collect()
+    assert [(r["_snapshot_id"], r["v"]) for r in hist] == [
+        (1, 30), (2, 31), (3, 32), (4, 32)]
+    # the id is the SAME row throughout
+    assert len({r["_row_id"] for r in hist}) == 1
+    # deleted row: present in snapshots 1-3, absent at the delete commit
+    gone = tbl.row_history(spark, "id = 4")
+    assert gone.count() == 0  # id=4 no longer exists at head → no ids tracked
+    # a guard against unbounded audits
+    with pytest.raises(ValueError, match="narrow it"):
+        tbl.row_history(spark, "id >= 0", max_ids=2)
