@@ -552,3 +552,68 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)  # materialize pre-cleanup
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "data_quality_report",
+    tags=("curation", "quality"),
+    oracle="""
+SELECT 'not_null' AS rule, 'o_custkey' AS column,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       COUNT(*) AS total
+FROM orders
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'in_range', 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 900
+                 OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(COALESCE((SELECT SUM(n) FROM (
+           SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+       )), 0) AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'foreign_key', 'o_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL)
+UNION ALL
+SELECT 'custom', 'priority_vs_status',
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                 AND o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (Deequ/dbt-tests pattern) as
+    the table-acceptance gate the reference's count+checksum
+    verification (`6_verify_data_integrity.py:45-115`) lacks: all
+    scalar rules fuse into ONE scan of orders; uniqueness adds one
+    hash shuffle; the FK check is a broadcast-able anti-join against
+    the customer keys. Returns the violations report (pass/fail per
+    rule) — the oracle recomputes every count relationally."""
+    from apache_iceberg_tables_migration_tool_spark.operators import quality as Q
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rep = Q.validate(o, [
+        Q.not_null("o_custkey"),
+        Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        Q.in_range("o_totalprice", 900, 600000),
+        Q.unique(["o_orderkey"]),
+        Q.foreign_key(["o_custkey"], c, ["c_custkey"]),
+        Q.custom("priority_vs_status",
+                 "o_orderstatus = 'P' AND o_orderpriority LIKE '1-%'"),
+    ])
+    return rep.select("rule", "column", "violations", "total")
