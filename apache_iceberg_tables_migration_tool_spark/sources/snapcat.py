@@ -2575,17 +2575,22 @@ class SnapCatalog:
             cur = by_id[cur_id]
             if any(
                 d.get("sequence", 0) > snapshot_id
+                and d.get("kind", "equality") == "equality"
                 for d in cur.get("delete_files", [])
             ):
                 # Iceberg gives cherry-picked data a FRESH sequence
                 # number so later deletes don't apply to it; our
                 # sequence is baked into the file path, so replaying
                 # under newer equality-deletes would silently delete
-                # the cherry-picked rows — refuse instead
+                # the cherry-picked rows — refuse instead. POSITION
+                # deletes are safe to cherry-pick under: they name
+                # exact (file, pos) pairs of files that were already
+                # published, which the staged files by definition are
+                # not — they cannot touch the cherry-picked rows.
                 raise CommitConflictError(
                     f"cannot cherry-pick staged snapshot {snapshot_id} of "
-                    f"{database}.{name}: merge-on-read deletes landed after "
-                    "it was staged"
+                    f"{database}.{name}: merge-on-read equality deletes "
+                    "landed after it was staged"
                 )
             parent_files = (
                 {f["path"] for f in by_id[staged["parent_id"]]["files"]}

@@ -1370,3 +1370,29 @@ def test_row_history_tracks_versions(spark, cat):
     # a guard against unbounded audits
     with pytest.raises(ValueError, match="narrow it"):
         tbl.row_history(spark, "id >= 0", max_ids=2)
+
+
+def test_cherry_pick_under_position_delete_is_safe(spark, cat):
+    """A staged append can cherry-pick over a LATER position delete
+    (it names exact published (file,pos) pairs — staged files can't be
+    hit), while a later equality delete still refuses."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        CommitConflictError,
+    )
+
+    cat.write("db", "t", spark.range(6), committed_at=T[0])
+    staged = cat.write("db", "t", spark.createDataFrame([(3,), (50,)], "id long"),
+                       staged=True, wap_id="w1", committed_at=T[1])
+    # base moves: a position delete of id=3 lands on main
+    cat.delete_where("db", "t", "id = 3", committed_at=T[2], mode="merge-on-read")
+    cat.publish("db", "t", staged.snapshot_id)
+    got = sorted(r["id"] for r in cat.table("db", "t").read(spark).collect())
+    # published id=3 deleted; CHERRY-PICKED id=3 survives (fresh file)
+    assert got == [0, 1, 2, 3, 4, 5, 50]
+    # equality deletes still refuse
+    staged2 = cat.write("db", "t", spark.createDataFrame([(60,)], "id long"),
+                        staged=True, wap_id="w2", committed_at=T[3])
+    cat.delete_keys("db", "t", spark.createDataFrame([(60,)], "id long"),
+                    committed_at=T[4])
+    with pytest.raises(CommitConflictError, match="equality deletes"):
+        cat.publish("db", "t", staged2.snapshot_id)
