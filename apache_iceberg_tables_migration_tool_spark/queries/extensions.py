@@ -699,3 +699,54 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "stream_stream_join_events",
+    tags=("streaming", "windows"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts AS purchase_ts, value FROM events
+  WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.click_ts, p.purchase_ts, p.value
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1800 SECONDS)
+SELECT COUNT(*) AS pairs,
+       COUNT(DISTINCT user_id) AS users,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+FROM j
+""",
+)
+def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (X6/streaming tier — the watermark-
+    bounded buffered join, Spark's canonical bounded-state form of
+    joining two unbounded streams; the reference has no streaming at
+    all): purchases within 30 min after a click by the same user,
+    drained with availableNow and aggregated. The oracle replays the
+    identical interval join in batch SQL — any row the streaming
+    buffer dropped or duplicated shifts the counts/micro-unit total."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        click_purchase_stream_join,
+        read_events_stream,
+        run_append_to_completion,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = run_append_to_completion(
+        click_purchase_stream_join(
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"),
+            max_gap_sec=1800,
+        ),
+        "q_stream_stream_join",
+    )
+    out = joined.agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum(F.floor(F.col("purchase_value") * 1e6).cast("long")).alias("value_micros"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
