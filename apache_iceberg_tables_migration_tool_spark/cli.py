@@ -184,10 +184,27 @@ def cmd_alter(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
     def _pairs(spec: str | None) -> dict[str, str]:
-        # "a=b,c=d" → {"a": "b", "c": "d"}
+        # "a=b,c=d" → {"a": "b", "c": "d"}; commas inside parentheses
+        # belong to the value ("amt=decimal(12,2)" is ONE item)
         if not spec:
             return {}
-        return dict(item.split("=", 1) for item in spec.split(","))
+        items, depth, cur = [], 0, []
+        for ch in spec:
+            if ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+        items.append("".join(cur))
+        out = {}
+        for item in items:
+            if "=" not in item:
+                raise SystemExit(f"alter: expected name=value, got {item!r}")
+            k, v = item.split("=", 1)
+            out[k] = v
+        return out
 
     if args.partition_by is not None:
         if args.add or args.rename or args.drop or args.widen:
@@ -247,10 +264,13 @@ def cmd_merge(args: argparse.Namespace) -> int:
         snap = cat.upsert_mor(
             args.database, args.table, updates, key_cols=args.keys.split(",")
         )
+        # upsert_mor on a missing/empty table falls back to a plain
+        # append commit whose summary has no delete-file entry
         print(
             f"{args.database}.{args.table}: merge-on-read committed snapshot "
-            f"{snap.snapshot_id} (added {snap.summary['added-records']} records, "
-            f"{snap.summary['added-delete-files']} delete files, 0 rewrites)"
+            f"{snap.snapshot_id} (added {snap.summary.get('added-records', '0')} "
+            f"records, {snap.summary.get('added-delete-files', '0')} delete "
+            "files, 0 rewrites)"
         )
         return 0
     snap = cat.upsert(
@@ -308,7 +328,17 @@ def cmd_update(args: argparse.Namespace) -> int:
 
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    assignments = dict(item.split("=", 1) for item in args.set.split(","))
+    items, depth, cur = [], 0, []
+    for ch in args.set:  # commas inside parens belong to the expression
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        cur.append(ch)
+    items.append("".join(cur))
+    assignments = dict(item.split("=", 1) for item in items)
     snap = SnapCatalog(args.warehouse).update_where(
         args.database, args.table, args.where, assignments
     )

@@ -50,7 +50,9 @@ from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
 from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
 #: deterministic commit timeline for reproducible snapshot histories
-_T = [f"2024-07-0{i}T00:00:00.000000+00:00" for i in range(1, 10)]
+#: deterministic commit timeline — 28 entries supports up to 13 ingest
+#: batches (each consumes two commit stamps)
+_T = [f"2024-07-{i:02d}T00:00:00.000000+00:00" for i in range(1, 29)]
 
 
 @dataclass
@@ -93,6 +95,11 @@ def build_corpus(
     """
     if mix_weights is None:
         mix_weights = {"en": 50, "zh": 20, "es": 15, "de": 10, "fr": 5}
+    if not 1 <= batches <= len(_T) // 2:
+        raise ValueError(
+            f"batches must be 1..{len(_T) // 2} (each ingest consumes two "
+            f"commit stamps of the deterministic timeline), got {batches}"
+        )
     cat = SnapCatalog(warehouse)
 
     bench = docs.where(F.col("doc_id") % bench_mod == 0)

@@ -273,6 +273,45 @@ def _footer_stats(md) -> dict[str, list] | None:
 LINEAGE_COLS = ("_row_id", "_last_updated_seq")
 
 
+def _root_rel_col(root: str) -> Column:
+    """Map a ``_metadata.file_path`` URI column (``__file``) to a
+    table-root-relative path — the manifest's path convention."""
+    rootu = root.rstrip("/") + "/"
+    return F.col("__file").substr(
+        F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
+        F.lit(1 << 30),
+    )
+
+
+def _translate_delete_key_cols(
+    d: "DeleteFile", field_ids: dict[str, int] | None, commit_schemas: dict
+) -> list[str]:
+    """An equality-delete file's key columns under a TARGET schema's
+    names: the keys were written under the names in force at the
+    delete's commit, which a later rename may have changed — map
+    origin name → field id (the delete commit's schema-log entry) →
+    target name. Raises if a keyed column no longer exists in the
+    target schema (the deleted rows could not be resolved)."""
+    if field_ids is None:
+        return list(d.key_cols)
+    entry = commit_schemas.get(str(d.sequence))
+    if entry is None:
+        return list(d.key_cols)
+    ids = entry.get("field_ids") or {}
+    inv = {v: k for k, v in field_ids.items()}
+    tcols = []
+    for c in d.key_cols:
+        fid = ids.get(c)
+        if fid is not None and fid not in inv:
+            raise ValueError(
+                f"equality-delete file {d.path} keys column {c!r}, which no "
+                "longer exists in the target schema — the deleted rows "
+                "cannot be resolved"
+            )
+        tcols.append(inv.get(fid, c) if fid is not None else c)
+    return tcols
+
+
 def _assign_row_ids(meta: dict, new_files: list[DataFile], materialized: bool) -> None:
     """Allocate each new file's ``first_row_id`` from the table's
     monotonic row-id counter (≙ Iceberg v3 ``next-row-id`` inheritance:
@@ -566,21 +605,36 @@ class SnapTable:
         )
 
         def _rel_expr() -> Column:
-            rootu = self.root.rstrip("/") + "/"
-            return F.col("__file").substr(
-                F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
-                F.lit(1 << 30),
+            return _root_rel_col(self.root)
+
+        key_df_cache: dict[str, tuple[DataFrame, list[str]]] = {}
+
+        def _delete_keys_df(d: DeleteFile) -> tuple[DataFrame, list[str]]:
+            """The delete file's key set, renamed to THIS snapshot's
+            column names (field-id translation: the keys were written
+            under the names in force at the delete's commit, which a
+            later rename may have changed). Cached per scan — one read
+            + one broadcast per delete file, however many commit
+            groups it applies to."""
+            hit = key_df_cache.get(d.path)
+            if hit is not None:
+                return hit
+            tcols = _translate_delete_key_cols(d, snap.field_ids, commit_schemas)
+            keys = (
+                spark.read.parquet(os.path.join(self.root, d.path))
+                .select(*d.key_cols)
+                .distinct()
             )
+            if tcols != list(d.key_cols):
+                keys = keys.toDF(*tcols)
+            key_df_cache[d.path] = (keys, tcols)
+            return keys, tcols
 
         def _minus_deletes(df: DataFrame, data_sid: int) -> DataFrame:
             for d in dels:
                 if d.sequence > data_sid:
-                    keys = (
-                        spark.read.parquet(os.path.join(self.root, d.path))
-                        .select(*d.key_cols)
-                        .distinct()
-                    )
-                    df = df.join(F.broadcast(keys), list(d.key_cols), "left_anti")
+                    keys, tcols = _delete_keys_df(d)
+                    df = df.join(F.broadcast(keys), tcols, "left_anti")
             return df
 
         def _finish(df: DataFrame) -> DataFrame:
@@ -1003,6 +1057,11 @@ class SnapTable:
                 data_cols = [
                     c for c in parent_state.columns if c not in ("__file", "__pos")
                 ]
+                cl_schemas = (
+                    self._load_meta().get("commit_schemas", {})
+                    if end.field_ids is not None
+                    else {}
+                )
                 for d in new_dels:
                     if d.kind == "position":
                         pdel = (
@@ -1012,24 +1071,25 @@ class SnapTable:
                                 F.col("pos").alias("__pos"),
                             )
                         )
-                        rootu = self.root.rstrip("/") + "/"
-                        relc = F.col("__file").substr(
-                            F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
-                            F.lit(1 << 30),
-                        )
                         hidden = (
-                            parent_state.withColumn("__rel", relc)
+                            parent_state.withColumn("__rel", _root_rel_col(self.root))
                             .join(F.broadcast(pdel), ["__rel", "__pos"], "left_semi")
                             .select(*data_cols)
                         )
                     else:
+                        # parent_state is read under the END schema:
+                        # rename the keys through the field-id log if a
+                        # later alter renamed the keyed column
+                        tcols = _translate_delete_key_cols(d, end.field_ids, cl_schemas)
                         keys = (
                             spark.read.parquet(os.path.join(self.root, d.path))
                             .select(*d.key_cols)
                             .distinct()
                         )
+                        if tcols != list(d.key_cols):
+                            keys = keys.toDF(*tcols)
                         hidden = parent_state.join(
-                            F.broadcast(keys), list(d.key_cols), "left_semi"
+                            F.broadcast(keys), tcols, "left_semi"
                         ).select(*data_cols)
                     del_df = hidden if del_df is None else del_df.unionByName(hidden)
             if del_df is not None:
@@ -1450,7 +1510,7 @@ class SnapCatalog:
         if unknown:
             raise ValueError(f"analyze: unknown columns {unknown}")
         df = tbl.read(spark, snapshot_id=snap.snapshot_id)
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs += [
                 F.approx_count_distinct(c).alias(f"ndv__{c}"),
@@ -1459,7 +1519,7 @@ class SnapCatalog:
                 F.max(c).cast("string").alias(f"max__{c}"),
             ]
         row = df.agg(*aggs).collect()[0]
-        n = df.count()
+        n = int(row["__rows"])
         stats = {
             c: {
                 "ndv": int(row[f"ndv__{c}"] or 0),
@@ -2138,13 +2198,9 @@ class SnapCatalog:
                     spark, prev, [f.path for f in prev.files],
                     with_file_path=True, with_pos=True, apply_deletes=True,
                 )
-                rootu = tbl.root.rstrip("/") + "/"
-                rel = F.col("__file").substr(
-                    F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
-                    F.lit(1 << 30),
-                )
                 matched = cur.where(cond).select(
-                    rel.alias("file_path"), F.col("__pos").alias("pos")
+                    _root_rel_col(tbl.root).alias("file_path"),
+                    F.col("__pos").alias("pos"),
                 )
                 meta = tbl._load_meta()
                 sid = _next_id(meta)
@@ -2195,9 +2251,15 @@ class SnapCatalog:
                     {"rewritten-data-files": "0"},
                 )
             # survivors carry their lineage into the rewrite (carry-over
-            # rows keep id AND last-updated commit, Iceberg v3 rule)
+            # rows keep id AND last-updated commit, Iceberg v3 rule).
+            # SQL DELETE removes rows where the predicate is TRUE —
+            # NULL-evaluating rows SURVIVE (~NULL is NULL, so a bare
+            # ~cond would silently drop them from rewritten files while
+            # identical rows in untouched files lived on)
             survivors = (
-                cur.where(F.col("__file").isin(list(affected_abs))).where(~cond).drop("__file")
+                cur.where(F.col("__file").isin(list(affected_abs)))
+                .where(~F.coalesce(cond, F.lit(False)))
+                .drop("__file")
             )
             sid = _next_id(tbl._load_meta())
             new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
@@ -2211,37 +2273,26 @@ class SnapCatalog:
     def _write_delete_files(
         self, tbl: SnapTable, sid: int, keys: DataFrame, key_cols: list[str]
     ) -> list[DeleteFile]:
-        """Write an equality-delete key set for commit ``sid`` under
-        ``deletes/s{sid}`` (outside the data directories, so data
-        scans never list it)."""
-        del_dir = os.path.join(tbl.root, f"deletes/s{sid:06d}")
-        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(del_dir)
-        out: list[DeleteFile] = []
-        for dirpath, _dirs, fnames in os.walk(del_dir):
-            for fn in sorted(fnames):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                md = pq.ParquetFile(full).metadata
-                out.append(
-                    DeleteFile(
-                        path=os.path.relpath(full, tbl.root),
-                        records=md.num_rows,
-                        bytes=os.path.getsize(full),
-                        key_cols=list(key_cols),
-                        sequence=sid,
-                    )
-                )
-        return out
+        """Write an equality-delete key set for commit ``sid``."""
+        return self._write_delete_set(
+            tbl, sid, keys.select(*key_cols).distinct(),
+            key_cols=list(key_cols), kind="equality",
+        )
 
-    def _write_position_delete_files(
-        self, tbl: SnapTable, sid: int, matched: DataFrame
+    def _write_delete_set(
+        self,
+        tbl: SnapTable,
+        sid: int,
+        rows: DataFrame,
+        key_cols: list[str],
+        kind: str,
     ) -> list[DeleteFile]:
-        """Write a ``(file_path, pos)`` position-delete set for commit
-        ``sid`` under ``deletes/s{sid}`` (outside the data directories,
-        so data scans never list it)."""
+        """Write a delete set (equality keys or position pairs) for
+        commit ``sid`` under ``deletes/s{sid}`` (outside the data
+        directories, so data scans never list it). Zero-row output
+        files are dropped — they would be dead manifest weight."""
         del_dir = os.path.join(tbl.root, f"deletes/s{sid:06d}")
-        matched.select("file_path", "pos").write.mode("overwrite").parquet(del_dir)
+        rows.write.mode("overwrite").parquet(del_dir)
         out: list[DeleteFile] = []
         for dirpath, _dirs, fnames in os.walk(del_dir):
             for fn in sorted(fnames):
@@ -2256,12 +2307,22 @@ class SnapCatalog:
                         path=os.path.relpath(full, tbl.root),
                         records=md.num_rows,
                         bytes=os.path.getsize(full),
-                        key_cols=[],
+                        key_cols=list(key_cols),
                         sequence=sid,
-                        kind="position",
+                        kind=kind,
                     )
                 )
         return out
+
+    def _write_position_delete_files(
+        self, tbl: SnapTable, sid: int, matched: DataFrame
+    ) -> list[DeleteFile]:
+        """Write a ``(file_path, pos)`` position-delete set for commit
+        ``sid``."""
+        return self._write_delete_set(
+            tbl, sid, matched.select("file_path", "pos"),
+            key_cols=[], kind="position",
+        )
 
     def delete_keys(
         self,
@@ -2298,6 +2359,11 @@ class SnapCatalog:
             meta = tbl._load_meta()
             sid = _next_id(meta)
             new_dels = self._write_delete_files(tbl, sid, keys, kc)
+            if not new_dels:  # empty key set: audit commit, no dead files
+                shutil.rmtree(
+                    os.path.join(tbl.root, f"deletes/s{sid:06d}"),
+                    ignore_errors=True,
+                )
             n_keys = sum(d.records for d in new_dels)
             snap = Snapshot(
                 snapshot_id=sid,
@@ -2348,6 +2414,9 @@ class SnapCatalog:
             meta = tbl._load_meta()
             sid = _next_id(meta)
             new_files = self._write_data_files(tbl, sid, updates, prev.partition_spec)
+            # new row versions get fresh virtual row ids (v3: MOR merge
+            # writes new rows; their _last_updated_seq is this commit)
+            _assign_row_ids(meta, new_files, materialized=False)
             new_dels = self._write_delete_files(tbl, sid, updates, key_cols)
             files = list(prev.files) + new_files
             snap = Snapshot(

@@ -359,3 +359,32 @@ def test_cli_analyze(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "analyzed 1 columns at snapshot 1 (20 rows)" in out
     assert cat.table("db", "t").column_stats()["columns"]["g"]["null_count"] == 0
+
+
+def test_cli_alter_add_parenthesized_type(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "decwh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "t", spark.range(4).select("id", (F.col("id") * 2).alias("v")).coalesce(1))
+    assert main([
+        "alter", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--add", "amt=decimal(12,2),note=string",
+    ]) == 0
+    assert "amt decimal(12,2)" in capsys.readouterr().out
+    assert cat.table("db", "t").read(spark).columns == ["id", "v", "amt", "note"]
+
+
+def test_cli_merge_mor_into_missing_table(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "mmwh")
+    upd = str(tmp_path / "u")
+    spark.range(3).select("id", (F.col("id") + 100).alias("v")).coalesce(1).write.parquet(upd)
+    # falls back to a plain append commit — must not crash on summary keys
+    assert main([
+        "merge", "--warehouse", wh, "--database", "db", "--table", "fresh",
+        "--updates", upd, "--keys", "id", "--mor", "--cpus", "4",
+    ]) == 0
+    assert "0 delete files" in capsys.readouterr().out
+    assert SnapCatalog(wh).table("db", "fresh").read(spark).count() == 3

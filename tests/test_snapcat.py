@@ -1396,3 +1396,50 @@ def test_cherry_pick_under_position_delete_is_safe(spark, cat):
                     committed_at=T[4])
     with pytest.raises(CommitConflictError, match="equality deletes"):
         cat.publish("db", "t", staged2.snapshot_id)
+
+
+def test_cow_delete_null_predicate_rows_survive(spark, cat):
+    """SQL DELETE semantics: rows where the predicate evaluates to
+    NULL survive — including in files the COW rewrite touches."""
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 8.0), (3, None)], "id long, v double"
+    ).coalesce(1)  # one file: the NULL row shares a file with a match
+    cat.write("db", "t", df, committed_at=T[0])
+    cat.delete_where("db", "t", "v > 5", committed_at=T[1])
+    got = sorted(r["id"] for r in cat.table("db", "t").read(spark).collect())
+    assert got == [1, 3]  # v=NULL survives; only v=8 deleted
+
+
+def test_changelog_after_delete_key_renamed(spark, cat):
+    """A historical equality delete whose key column was later renamed
+    (after compaction materialized it away) must still replay in
+    changelog and row_history via field-id translation."""
+    cat.write("db", "t", spark.range(6).select("id", (F.col("id") % 3).alias("v")),
+              committed_at=T[0])
+    cat.delete_keys("db", "t", spark.createDataFrame([(0,)], "v long"), ["v"],
+                    committed_at=T[1])  # hides ids 0 and 3
+    cat.compact("db", "t", spark, target_partitions=1)  # deletes materialized
+    cat.alter_table("db", "t", rename_columns={"v": "w"})
+    tbl = cat.table("db", "t")
+    cl = tbl.changelog(spark, None, tbl.current_snapshot().snapshot_id)
+    dels = sorted(r["id"] for r in cl.where("_change_type = 'delete'").collect())
+    assert dels == [0, 3]  # the MOR-delete commit's hidden rows, renamed schema
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == [1, 2, 4, 5]
+    # row_history replays historical snapshots under the end schema too
+    hist = tbl.row_history(spark, "id = 1")
+    assert hist.count() >= 3 and "w" in hist.columns
+
+
+def test_upsert_mor_assigns_row_ids(spark, cat):
+    """MOR merge rows must join the row-lineage id space — fresh
+    unique ids, last-updated stamped with the merge commit."""
+    cat.write("db", "t", spark.range(5).select("id", (F.col("id") * 10).alias("v")),
+              committed_at=T[0])
+    cat.upsert_mor("db", "t", spark.createDataFrame([(2, 222), (9, 999)],
+                   "id long, v long"), ["id"], committed_at=T[1])
+    rows = cat.table("db", "t").read(spark, with_row_ids=True).collect()
+    ids = [r["_row_id"] for r in rows]
+    assert None not in ids and len(set(ids)) == len(ids)
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[2]["v"] == 222 and by_id[2]["_last_updated_seq"] == 2
+    assert by_id[9]["_last_updated_seq"] == 2
