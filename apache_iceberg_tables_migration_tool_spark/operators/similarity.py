@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TOPK_SCHEMA = "qid bigint, vec_id bigint, sim double"
@@ -513,4 +513,177 @@ def quantized_outliers(
         )
         .orderBy(F.desc("dist_sq"), F.asc(id_col))
         .limit(k)
+    )
+
+
+# ---- product quantization (PQ) ANN -----------------------------------
+
+
+def _pq_codebooks(
+    mat: np.ndarray, m: int, ksub: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks (IVFPQ's fine quantizer,
+    Jégou et al. 2011, public method) on the driver-side training
+    sample. Deterministic under the fixed seed. Returns
+    ``(m, ksub, d/m)``."""
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        sub = np.ascontiguousarray(mat[:, s * ds:(s + 1) * ds])
+        cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for j in range(len(cent)):
+                members = sub[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def pq_index(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 100_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Product-quantize the corpus: every vector compresses to ``m``
+    sub-codes (here m×log2(ksub) bits ≈ 4 bytes for 8×16 — a 64× cut
+    from 64 float32 dims), computed in one distributed Arrow pass.
+    Returns (codes DataFrame (vec_id, codes array<int>), codebooks
+    ndarray). Like :func:`ivf_index`, only the training sample touches
+    the driver; the codes table persists to a catalog like any
+    DataFrame, so at 100 TB the scan side of a search reads ~4 bytes
+    per vector instead of 256."""
+    train_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    mat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in train_rows]))
+    books = _pq_codebooks(mat, m, ksub, iters, seed)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = bc.value
+        m_, _ksub, ds = b.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = _normalize(_as_matrix(pdf[vec_col]))
+            codes = np.empty((len(vecs), m_), dtype=np.int64)
+            for s in range(m_):
+                sub = vecs[:, s * ds:(s + 1) * ds]
+                d2 = ((sub[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                 "codes": list(codes)}
+            )
+
+    codes = emb.select(id_col, vec_col).mapInPandas(
+        encode, schema="vec_id bigint, codes array<bigint>"
+    )
+    return codes, books
+
+
+def knn_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int | None = None,
+    train_sample: int = 100_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance (ADC): per query,
+    an ``(m, ksub)`` dot-product lookup table against the codebooks
+    scores every corpus vector with m table lookups over its 4-byte
+    code — no full-precision read — then only the top ``rerank``
+    (default 8k) candidates are exactly re-ranked against their real
+    embeddings. Scale shape: the scoring scan reads the compressed
+    codes table; full vectors are touched for candidates only —
+    queries broadcast, corpus streamed, one candidate-sized join."""
+    rerank = rerank or max(8 * k, 64)
+    codes, books = pq_index(
+        emb, m=m, ksub=ksub, train_sample=train_sample, iters=iters,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    spark = emb.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = _normalize(np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows]))
+    m_, ksub_, ds = books.shape
+    # per-query LUT: lut[q, s, c] = dot(q_sub_s, codebook[s][c])
+    lut = np.einsum("qsd,scd->qsc", qmat.reshape(len(qmat), m_, ds), books)
+    bc = spark.sparkContext.broadcast((qids, lut, rerank))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lut_, topc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # adc[q, n] = sum_s lut[q, s, codes[n, s]]
+            adc = lut_[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
+            keep = min(topc, adc.shape[1])
+            idx = np.argpartition(-adc, keep - 1, axis=1)[:, :keep]
+            out_q = np.repeat(qids_, keep)
+            out_v = vid[idx].ravel()
+            out_s = np.take_along_axis(adc, idx, axis=1).ravel()
+            yield pd.DataFrame({"qid": out_q, "vec_id": out_v, "adc": out_s})
+
+    cand = (
+        codes.mapInPandas(score, schema="qid bigint, vec_id bigint, adc double")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("__rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank of the candidate sliver only: join the real
+    # vectors for candidates + broadcast the (tiny) query vectors
+    pool = cand.join(emb.select(id_col, vec_col), "vec_id")
+    qdf = spark.createDataFrame(
+        [(int(qids[i]), [float(x) for x in qmat[i]]) for i in range(len(qids))],
+        schema="qid bigint, __qvec array<double>",
+    )
+    scored = pool.join(F.broadcast(qdf), "qid")
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _normalize(_as_matrix(pdf[vec_col]))
+            q = _normalize(_as_matrix(pdf["__qvec"]))
+            yield pd.DataFrame({
+                "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "score": (v * q).sum(axis=1),
+            })
+
+    exact_scores = scored.mapInPandas(
+        exact, schema="qid bigint, vec_id bigint, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        exact_scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -750,3 +750,34 @@ def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("purchase_value") * 1e6).cast("long")).alias("value_micros"),
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "knn_pq_adc",
+    tags=("vector", "approx"),
+    oracle="""
+SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. IVFPQ's fine quantizer):
+    every corpus vector compresses to 16 sub-codes (~8 bytes vs 256 —
+    the memory-bound regime where 100 TB of embeddings scan as ~3 TB
+    of codes), queries score the codes with per-query dot-product
+    lookup tables (asymmetric distance), and only a 200-candidate
+    sliver is exactly re-ranked. Self-validated like ``knn_ivf``: the
+    oracle pins (5 results, ≥4-of-true-top-5) per query — a recall
+    regression flips hash-checked booleans. Completes the ANN family:
+    exact / LSH / IVF / SQ8 / PQ."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    approx = S.knn_pq(emb, queries, k=5, m=16, ksub=32, rerank=200).select("qid", "vec_id")
+    exact = S.cosine_topk(emb, queries, k=5).select(
+        "qid", "vec_id", F.lit(True).alias("__true_top5")
+    )
+    joined = approx.join(exact, ["qid", "vec_id"], "left")
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.count(F.col("__true_top5")) >= 4).alias("recall_ok"),
+    )

@@ -429,3 +429,40 @@ def test_ngram_df_cap_defuses_hot_shingle_skew(spark):
     # boilerplate-only overlaps (every doc shares the tail) must NOT
     # produce pairs: their post-cap intersection is empty
     assert all(a == 0 and b == n for a, b in got), f"skew pairs leaked: {got}"
+
+
+def test_knn_pq_recall_vs_exact(spark):
+    """PQ/ADC approximate search: compressed-code scoring + exact
+    re-rank must recover >= 4 of the true top-5 per query."""
+    from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+    from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.where("vec_id < 6").selectExpr("vec_id AS qid", "embedding")
+    approx = S.knn_pq(emb, queries, k=5, m=16, ksub=32, rerank=200).select("qid", "vec_id")
+    exact = S.cosine_topk(emb, queries, k=5).select("qid", "vec_id")
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").count().collect()
+    assert len(hits) == 6
+    for r in hits:
+        assert r["count"] >= 4, f"recall too low for qid={r['qid']}"
+    # every query returns exactly k results
+    n = approx.groupBy("qid").count().collect()
+    assert all(r["count"] == 5 for r in n)
+
+
+def test_pq_codes_compress_and_deterministic(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+    from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").limit(200)
+    codes1, books1 = S.pq_index(emb, m=8, ksub=16)
+    codes2, books2 = S.pq_index(emb, m=8, ksub=16)
+    import numpy as np
+
+    assert np.array_equal(books1, books2)  # seeded: deterministic
+    c1 = {r["vec_id"]: tuple(r["codes"]) for r in codes1.collect()}
+    c2 = {r["vec_id"]: tuple(r["codes"]) for r in codes2.collect()}
+    assert c1 == c2 and len(c1) == 200
+    assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
