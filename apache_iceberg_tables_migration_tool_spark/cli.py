@@ -163,6 +163,9 @@ def cmd_maintain(args: argparse.Namespace) -> int:
             if args.remove_orphans:
                 removed = cat.remove_orphan_files(db, name)
                 print(f"{db}.{name}: removed {len(removed)} orphan files")
+            if args.analyze:
+                stats = cat.analyze(db, name, spark)
+                print(f"{db}.{name}: analyzed {len(stats)} columns")
     return 0
 
 
@@ -548,6 +551,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--remove-orphans", action="store_true",
         help="delete data files no snapshot references (crashed-write residue)",
     )
+    sp.add_argument("--analyze", action="store_true",
+                    help="compute+persist column statistics per table")
     sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser(

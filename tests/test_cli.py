@@ -388,3 +388,14 @@ def test_cli_merge_mor_into_missing_table(spark, tmp_path, capsys):
     ]) == 0
     assert "0 delete files" in capsys.readouterr().out
     assert SnapCatalog(wh).table("db", "fresh").read(spark).count() == 3
+
+
+def test_cli_maintain_analyze(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "mawh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "t", spark.range(12).select("id", (F.col("id") % 3).alias("g")).coalesce(1))
+    assert main(["--cpus", "4", "maintain", "--warehouse", wh, "--analyze"]) == 0
+    assert "db.t: analyzed" in capsys.readouterr().out
+    assert cat.table("db", "t").column_stats()["row_count"] == 12
