@@ -190,3 +190,72 @@ def unigram_surprisal(
         "surprisal_scaled",
         F.expr("(surprisal_scaled * 100) div n_tokens").alias("mean_surprisal_x100"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document surprisal under a corpus-trained BIGRAM LM — the
+    stronger perplexity-style filter (a doc of corpus-frequent words
+    in corpus-IMPROBABLE order now scores high, which the unigram
+    filter cannot see). Token i scores
+    ``floor(log2(C1(prev) / C2(prev, cur)))`` — the exact integer
+    form of ``-log2 p(cur | prev)`` — and the document's first token
+    falls back to its unigram surprisal ``floor(log2(T / C1))``.
+    Self-scoring a corpus means every document bigram exists in the
+    counts (C2 >= 1), so no smoothing/backoff branch is needed and
+    every value is exact integer arithmetic (``length(bin(x)) - 1``),
+    bit-identical across engines.
+
+    Returns (id, n_tokens, surprisal_scaled, mean_surprisal_x100).
+
+    Scale shape: one explode for unigram counts, one for bigram
+    counts (vocabulary² upper bound, corpus-bigram actual), then the
+    scoring joins — all hash-partitioned, no Python, the 1-row total
+    broadcast. The bigram-count join keys on (prev, cur), so hot
+    pairs skew-split under AQE like any aggregation."""
+    d = df.select(F.col(id_col), words(text_col).alias("__w")).where(
+        F.size("__w") >= 1
+    )
+    tok = d.select(F.col(id_col), F.explode("__w").alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("long").alias("t_total"))
+    firsts = (
+        d.select(F.col(id_col), F.col("__w")[0].alias("term"))
+        .join(uni, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.length(F.bin(F.expr("t_total div c1"))) - 1).cast("long").alias("s"),
+        )
+    )
+    bg = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(__w[i - 1] AS prev, __w[i] AS cur))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    bgc = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    rest = (
+        bg.join(bgc, ["prev", "cur"])
+        .join(uni.select(F.col("term").alias("prev"), "c1"), "prev")
+        .select(
+            F.col(id_col),
+            (F.length(F.bin(F.expr("c1 div c2"))) - 1).cast("long").alias("s"),
+        )
+    )
+    scored = firsts.unionByName(rest).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("s").cast("long").alias("surprisal_scaled"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "surprisal_scaled",
+        F.expr("(surprisal_scaled * 100) div n_tokens").alias("mean_surprisal_x100"),
+    )

@@ -114,3 +114,42 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a bit-identical DuckDB twin (no transcendental functions)."""
     docs = load(spark, sf_dir, "documents")
     return X.unigram_surprisal(docs)
+
+
+@query(
+    "bigram_surprisal_quality",
+    tags=("text", "curation", "scalar-broadcast"),
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+total AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_total FROM uni),
+firsts AS (
+  SELECT doc_id, CAST(length(bin(t_total // c1)) - 1 AS BIGINT) AS s
+  FROM (SELECT doc_id, w[1] AS term FROM d WHERE len(w) >= 1)
+  JOIN uni USING (term) CROSS JOIN total),
+bg AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM d, unnest(range(1, len(w))) AS r(i)),
+bgc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+rest AS (
+  SELECT bg.doc_id, CAST(length(bin(u.c1 // bgc.c2)) - 1 AS BIGINT) AS s
+  FROM bg JOIN bgc USING (prev, cur)
+  JOIN uni u ON u.term = bg.prev),
+s AS (SELECT * FROM firsts UNION ALL SELECT * FROM rest)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s) AS BIGINT) AS surprisal_scaled,
+       CAST((SUM(s) * 100) // COUNT(*) AS BIGINT) AS mean_surprisal_x100
+FROM s GROUP BY doc_id
+""",
+)
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-style quality scoring, exact: token i
+    scores floor(log2(C1(prev)/C2(prev,cur))) — word-ORDER
+    improbability the unigram filter can't see — with the first token
+    at its unigram surprisal. Self-scoring the corpus means every
+    bigram has C2 >= 1 (no smoothing branch), so both engines compute
+    identical integers (length(bin(x))-1, no transcendentals)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.bigram_surprisal(docs)

@@ -466,3 +466,34 @@ def test_pq_codes_compress_and_deterministic(spark):
     c2 = {r["vec_id"]: tuple(r["codes"]) for r in codes2.collect()}
     assert c1 == c2 and len(c1) == 200
     assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
+
+
+def test_bigram_surprisal_hand_corpus(spark):
+    """Tiny corpus scored against a pure-Python bigram-LM reference:
+    first token at unigram surprisal, the rest at
+    floor(log2(C1(prev)/C2(prev,cur))) — all exact bit_length math."""
+    from collections import Counter
+
+    texts = {1: "a b a b", 2: "a b a b", 3: "b a", 4: "a a b"}
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    c1 = Counter(w for ws in toks.values() for w in ws)
+    total = sum(c1.values())
+    c2 = Counter(
+        (ws[i - 1], ws[i]) for ws in toks.values() for i in range(1, len(ws))
+    )
+
+    def ref(ws):
+        s = (total // c1[ws[0]]).bit_length() - 1
+        for i in range(1, len(ws)):
+            s += (c1[ws[i - 1]] // c2[(ws[i - 1], ws[i])]).bit_length() - 1
+        return s
+
+    from apache_iceberg_tables_migration_tool_spark.operators.text import bigram_surprisal
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_scaled"])
+           for r in bigram_surprisal(df).collect()}
+    for i, ws in toks.items():
+        assert got[i] == (len(ws), ref(ws)), f"doc {i}"
+    # word order matters: 'b a' repeated never follows corpus order a->b
+    # as often, so docs of equal unigram composition can differ here
