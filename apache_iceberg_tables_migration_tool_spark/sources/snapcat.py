@@ -373,7 +373,9 @@ def _next_id(meta: dict) -> int:
 
 
 @contextlib.contextmanager
-def _commit_lock(table_root: str, timeout_sec: float = 300.0):
+def _commit_lock(
+    table_root: str, timeout_sec: float = 300.0, stale_after_sec: float = 300.0
+):
     """Per-table commit mutex (≙ Iceberg's catalog-side atomic swap +
     optimistic retry): concurrent committers to the SAME table would
     otherwise race on snapshot-id assignment (→ colliding commit
@@ -390,6 +392,16 @@ def _commit_lock(table_root: str, timeout_sec: float = 300.0):
             os.mkdir(lock_dir)
             break
         except FileExistsError:
+            # a writer killed between mkdir and rmdir would deadlock the
+            # table forever: break locks older than ``stale_after_sec``
+            # (metadata commits are sub-second; a 300 s-old lock has no
+            # living owner). The breaker races are benign — os.mkdir
+            # re-arbitrates after the rmdir, and the metadata swap
+            # itself is an atomic os.replace.
+            with contextlib.suppress(FileNotFoundError, OSError):
+                if time.time() - os.stat(lock_dir).st_mtime > stale_after_sec:
+                    os.rmdir(lock_dir)
+                    continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"commit lock timeout on {table_root}") from None
             time.sleep(0.05)

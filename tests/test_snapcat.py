@@ -1443,3 +1443,30 @@ def test_upsert_mor_assigns_row_ids(spark, cat):
     by_id = {r["id"]: r for r in rows}
     assert by_id[2]["v"] == 222 and by_id[2]["_last_updated_seq"] == 2
     assert by_id[9]["_last_updated_seq"] == 2
+
+
+def test_stale_commit_lock_is_broken(spark, cat, tmp_path):
+    """A lock dir left by a crashed writer must not deadlock the
+    table: locks older than the timeout are broken and the commit
+    proceeds."""
+    import os
+    import time as _time
+
+    cat.write("db", "t", spark.range(3), committed_at=T[0])
+    lock = os.path.join(cat.table("db", "t").root, "metadata", ".commit_lock")
+    os.mkdir(lock)  # simulate a crashed writer
+    old = _time.time() - 400
+    os.utime(lock, (old, old))
+    cat.write("db", "t", spark.range(3, 6), committed_at=T[1])  # must not hang
+    assert cat.table("db", "t").read(spark).count() == 6
+    assert not os.path.exists(lock)
+    # a FRESH foreign lock still blocks (no premature breaking)
+    os.mkdir(lock)
+    import pytest as _pytest
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    with _pytest.raises(TimeoutError):
+        with SC._commit_lock(cat.table("db", "t").root, timeout_sec=0.3):
+            pass
+    os.rmdir(lock)
