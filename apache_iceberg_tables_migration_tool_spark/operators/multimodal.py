@@ -370,3 +370,114 @@ def audio_band_energy(
         kernel,
         schema=f"{id_col} bigint, n_samples int, band_energy array<double>, parseval_ok boolean",
     )
+
+
+# ---- video containers --------------------------------------------------
+
+#: magic of the synthetic uncompressed video container: b"VID0" +
+#: uint32 frame count + per frame (uint32 length + BMP bytes). A real
+#: pipeline swaps the BMP decode for a codec library behind the same
+#: mapInPandas kernel — the container walk, Arrow batching, and frame
+#: sampling below are the production plumbing.
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: "list[np.ndarray]") -> bytes:
+    """Pack RGB frames into the uncompressed container."""
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        bmp = encode_bmp(fr)
+        parts.append(struct.pack("<I", len(bmp)))
+        parts.append(bmp)
+    return b"".join(parts)
+
+
+def _iter_video_frames(raw: bytes):
+    if raw[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 payload")
+    (n,) = struct.unpack_from("<I", raw, 4)
+    pos = 8
+    for j in range(n):
+        (ln,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        yield j, raw[pos : pos + ln]
+        pos += ln
+
+
+def synth_video_payload(
+    df: DataFrame, id_col: str = "doc_id", size: int = 8
+) -> DataFrame:
+    """Deterministic per-doc synthetic video: ``4 + doc_id % 5``
+    frames, frame ``j`` a ``size×size`` RGB image whose EVERY pixel is
+    ``(doc_id * 7 + j * 13) % 256`` — so any decoded frame statistic
+    is a pure integer function of (doc_id, j) that an independent
+    engine recomputes relationally (the video twin of the audio
+    synth's physics-derived oracle, but fully independent: no
+    self-validating flags needed)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for did in ids:
+                frames = [
+                    np.full((size, size, 3), (did * 7 + j * 13) % 256, dtype=np.uint8)
+                    for j in range(4 + did % 5)
+                ]
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame({id_col: ids, "video": payloads})
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, video binary"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "doc_id",
+    video_col: str = "video",
+) -> DataFrame:
+    """Decode every ``every``-th frame of each video payload and emit
+    per-frame stats (index, dimensions, mean brightness ×100 exact) —
+    the frame-sampling step of a multimodal training pipeline.
+    Arrow-batched mapInPandas: payloads stream through executors, no
+    driver materialization; only sampled frames are decoded (the
+    container walk skips the rest by length field — at 100 TB the
+    decode cost scales with SAMPLED frames, not stored ones)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_j, out_w, out_h, out_b = [], [], [], [], []
+            for did, raw in zip(
+                pdf[id_col].to_numpy(dtype=np.int64), pdf[video_col]
+            ):
+                for j, frame_bytes in _iter_video_frames(bytes(raw)):
+                    if j % every:
+                        continue
+                    px = decode_image_bytes(frame_bytes)
+                    out_id.append(did)
+                    out_j.append(j)
+                    out_h.append(px.shape[0])
+                    out_w.append(px.shape[1])
+                    # exact: pixels are uint8; ×100 integer mean
+                    out_b.append(int(px.astype(np.int64).sum()) * 100 // px.size)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_j, dtype="int64"),
+                    "width": pd.Series(out_w, dtype="int64"),
+                    "height": pd.Series(out_h, dtype="int64"),
+                    "brightness_x100": pd.Series(out_b, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, video_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} bigint, frame_idx bigint, width bigint, "
+        "height bigint, brightness_x100 bigint",
+    )

@@ -892,3 +892,34 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left string, right string, merged string, "
         "pair_count long, corpus_tokens long, n_docs long",
     )
+
+
+@query(
+    "video_frame_sample",
+    tags=("multimodal", "python-ok"),
+    oracle="""
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n_frames
+           FROM documents WHERE doc_id < 40),
+f AS (SELECT doc_id, CAST(j AS BIGINT) AS frame_idx
+      FROM d, unnest(range(0, n_frames)) AS r(j)
+      WHERE j % 2 = 0)
+SELECT doc_id, frame_idx,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(((doc_id * 7 + frame_idx * 13) % 256) * 100 AS BIGINT)
+         AS brightness_x100
+FROM f
+""",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column pipeline (multimodal X5, the frame-sampling step):
+    synthesize a deterministic uncompressed video container per doc
+    (≙ the binary video column of a crawl table), then decode every
+    2nd frame via the Arrow-batched container walk — only SAMPLED
+    frames are decoded (the length-field skip is what makes 100 TB of
+    stored video cost O(sampled frames)). Every frame's pixels are a
+    pure integer function of (doc_id, frame_idx), so the oracle
+    recomputes the full decoded output INDEPENDENTLY — no
+    self-validating flags, the decode path itself is hash-checked."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    videos = M.synth_video_payload(docs)
+    return M.sample_frames(videos, every=2)

@@ -454,3 +454,23 @@ def test_stream_catalog_appends_incremental_consumption(spark, tmp_path):
     _drain()
     got2 = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got2 == list(range(16))  # no re-reads, no gaps
+
+
+def test_video_container_roundtrip_and_sampling(spark):
+    """encode_video/_iter walk + frame decode: exact roundtrip, and
+    sampling decodes only every k-th frame."""
+    import numpy as np
+
+    frames = [np.full((4, 6, 3), v, dtype=np.uint8) for v in (0, 17, 255)]
+    raw = M.encode_video(frames)
+    got = list(M._iter_video_frames(raw))
+    assert [j for j, _ in got] == [0, 1, 2]
+    for (j, fb), orig in zip(got, frames):
+        assert np.array_equal(M.decode_image_bytes(fb), orig)
+    df = spark.createDataFrame([(7,)], "doc_id long")
+    out = M.sample_frames(M.synth_video_payload(df), every=3).collect()
+    n_frames = 4 + 7 % 5  # 6 frames; sampled: 0, 3
+    assert sorted(r["frame_idx"] for r in out) == [0, 3]
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+    for r in out:
+        assert r["brightness_x100"] == ((7 * 7 + r["frame_idx"] * 13) % 256) * 100
