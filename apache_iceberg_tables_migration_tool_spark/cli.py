@@ -373,6 +373,28 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_inspect(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tbl = SnapCatalog(args.warehouse).table(args.database, args.table)
+    dfs = {
+        "snapshots": tbl.snapshots_df,
+        "history": tbl.history_df,
+        "refs": tbl.refs_df,
+        "files": tbl.files_df,
+        "delete-files": tbl.delete_files_df,
+        "partitions": tbl.partitions_df,
+        "manifests": tbl.manifests_df,
+        "all-files": tbl.all_files_df,
+        "stats": tbl.stats_df,
+    }
+    df = dfs[args.table_kind](spark)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_tag(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
@@ -637,6 +659,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--columns", default=None, help="comma-separated (default: all stat-able)")
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser(
+        "inspect", help="print a metadata table (≙ SELECT * FROM t.<kind>)"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--table-kind", default="snapshots",
+                    choices=["snapshots", "history", "refs", "files",
+                             "delete-files", "partitions", "manifests",
+                             "all-files", "stats"])
+    sp.add_argument("--limit", type=int, default=50)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_inspect)
 
     sp = sub.add_parser("tag", help="create/drop a named snapshot tag")
     sp.add_argument("--warehouse", required=True)

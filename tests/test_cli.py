@@ -399,3 +399,17 @@ def test_cli_maintain_analyze(spark, tmp_path, capsys):
     assert main(["--cpus", "4", "maintain", "--warehouse", wh, "--analyze"]) == 0
     assert "db.t: analyzed" in capsys.readouterr().out
     assert cat.table("db", "t").column_stats()["row_count"] == 12
+
+
+def test_cli_inspect_metadata_tables(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "inswh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "t", spark.range(6).select("id", (F.col("id") % 2).alias("p")).coalesce(1))
+    cat.write("db", "t", spark.range(6, 9).select("id", (F.col("id") % 2).alias("p")).coalesce(1))
+    for kind, token in [("snapshots", "append"), ("manifests", "added_files"),
+                        ("all-files", "referencing_snapshots"), ("stats", "ndv")]:
+        assert main(["inspect", "--warehouse", wh, "--database", "db",
+                     "--table", "t", "--table-kind", kind, "--cpus", "4"]) == 0
+        assert token in capsys.readouterr().out, kind
