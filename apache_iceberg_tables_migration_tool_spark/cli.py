@@ -498,6 +498,12 @@ def cmd_query(args: argparse.Namespace) -> int:
         return 2
     spark = _spark(args.cpus)
     df = QUERIES[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        # the plan-review loop: PushedFilters reaching the scan,
+        # WholeStageCodegen spans, join strategies — read before
+        # trusting any query at scale
+        df.explain("formatted")
+        return 0
     df.show(args.limit, truncate=False)
     return 0
 
@@ -735,6 +741,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--name", required=True)
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows")
     sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("list-queries", help="list the registered query surface")

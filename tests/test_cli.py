@@ -413,3 +413,12 @@ def test_cli_inspect_metadata_tables(spark, tmp_path, capsys):
         assert main(["inspect", "--warehouse", wh, "--database", "db",
                      "--table", "t", "--table-kind", kind, "--cpus", "4"]) == 0
         assert token in capsys.readouterr().out, kind
+
+
+def test_cli_query_explain(spark, capsys):
+    assert main([
+        "--cpus", "4", "query", "--name", "pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001", "--explain",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
