@@ -809,9 +809,16 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas, same margin analysis as dedup_embedding_cosine)
     clustered into components by min-label propagation — the
     embedding-space twin of dedup_clusters, closing the
-    pairs→groups→canonical pipeline for both text and vectors."""
+    pairs→groups→canonical pipeline for both text and vectors.
+
+    This carrier forces the BLOCKED exact path (max_broadcast_rows=0,
+    ≥4 blocks at sf0.01) — the distributed grid self-join that is the
+    100 TB plan, so the driver grades the plan that scales, not the
+    driver-collect shortcut (round-4 verdict action #2)."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs(emb, threshold=0.45).select(
+    pairs = S.cosine_pairs(
+        emb, threshold=0.45, max_broadcast_rows=0, target_block_rows=128
+    ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     cc = D.connected_components(pairs)

@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
@@ -166,6 +167,37 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
         for r in S.knn_lsh(emb, queries, k=5, bands=32, planes_per_band=3).collect()
     }
     assert reg == exact, f"registered knn-lsh config missed {exact - reg}"
+
+
+def test_cosine_pairs_blocked_matches_broadcast(spark):
+    """The distributed grid self-join must emit EXACTLY the broadcast
+    path's pairs (incl. cross-block pairs where the lower id hashes to
+    the higher block), and the size-guarded dispatcher must route big
+    corpora to it without any driver-side corpus collect."""
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert exact
+    for n_blocks in (1, 3, 7):
+        blocked = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.cosine_pairs_blocked(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"n_blocks={n_blocks}"
+    # dispatcher: corpus over the bound must not reach DataFrame.collect
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("driver collect")
+    ):
+        guarded = S.cosine_pairs(
+            emb, threshold=0.4, max_broadcast_rows=10, target_block_rows=100
+        )
+    assert {(r["vec_a"], r["vec_b"]) for r in guarded.collect()} == exact
 
 
 def test_cosine_pairs_lsh_recall(spark):
