@@ -34,8 +34,10 @@ import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import urllib.parse
+import uuid
 from dataclasses import asdict, dataclass, field, replace
 from datetime import datetime, timezone
 
@@ -365,6 +367,22 @@ def _path_partition_stats(
     return out
 
 
+def _record_commit_schema(meta: dict, sid: int, prev: "Snapshot") -> None:
+    """Log the schema in force at commit ``sid`` when field-id
+    evolution tracking is active. Every commit that writes EQUALITY
+    delete keys must call this: a later column rename translates those
+    keys origin-name → field-id → target-name via this entry
+    (``_translate_delete_key_cols``), and without it changelog/
+    row-history replay would resolve the keys under stale names
+    (ADVICE r4: the alter-time backfill only covered deletes committed
+    BEFORE tracking activated)."""
+    if "next_field_id" in meta and prev.field_ids is not None:
+        meta.setdefault("commit_schemas", {})[str(sid)] = {
+            "schema_ddl": prev.schema_ddl,
+            "field_ids": dict(prev.field_ids),
+        }
+
+
 def _next_id(meta: dict) -> int:
     """Next snapshot id: max over ALL snapshots + 1 — staged commits
     can sit beyond the published head, so ``current + 1`` would
@@ -374,7 +392,10 @@ def _next_id(meta: dict) -> int:
 
 @contextlib.contextmanager
 def _commit_lock(
-    table_root: str, timeout_sec: float = 300.0, stale_after_sec: float = 300.0
+    table_root: str,
+    timeout_sec: float = 300.0,
+    stale_after_sec: float = 300.0,
+    heartbeat_sec: float = 20.0,
 ):
     """Per-table commit mutex (≙ Iceberg's catalog-side atomic swap +
     optimistic retry): concurrent committers to the SAME table would
@@ -383,7 +404,20 @@ def _commit_lock(
     commits). ``os.mkdir`` is atomic on every POSIX filesystem and
     works across processes; contending writers spin-wait, so commits
     serialize per table while different tables commit fully in
-    parallel (the table-parallel migrator's model)."""
+    parallel (the table-parallel migrator's model).
+
+    Liveness vs safety: some holders run full distributed data writes
+    under the lock, which at scale takes far longer than any fixed
+    staleness bound — so a HEARTBEAT thread touches the lock dir's
+    mtime every ``heartbeat_sec`` while held. A live lock is therefore
+    never more than ~2×heartbeat stale, and ``stale_after_sec`` only
+    needs to exceed that (not the longest possible hold) for the
+    breaker to be safe. Breaking is single-winner: the stale dir is
+    atomically renamed to a unique name first (concurrent breakers
+    lose the rename and retry), then double-checked — if the renamed
+    dir turns out heartbeat-fresh (owner re-acquired inside the
+    stat→rename window), it is renamed back instead of removed.
+    """
     lock_dir = os.path.join(table_root, "metadata", ".commit_lock")
     os.makedirs(os.path.dirname(lock_dir), exist_ok=True)
     deadline = time.monotonic() + timeout_sec
@@ -393,22 +427,37 @@ def _commit_lock(
             break
         except FileExistsError:
             # a writer killed between mkdir and rmdir would deadlock the
-            # table forever: break locks older than ``stale_after_sec``
-            # (metadata commits are sub-second; a 300 s-old lock has no
-            # living owner). The breaker races are benign — os.mkdir
-            # re-arbitrates after the rmdir, and the metadata swap
-            # itself is an atomic os.replace.
+            # table forever: break locks whose mtime heartbeat has been
+            # silent for ``stale_after_sec`` — only a dead owner goes
+            # that long without touching the dir.
             with contextlib.suppress(FileNotFoundError, OSError):
                 if time.time() - os.stat(lock_dir).st_mtime > stale_after_sec:
-                    os.rmdir(lock_dir)
+                    trash = f"{lock_dir}.stale.{uuid.uuid4().hex}"
+                    os.rename(lock_dir, trash)  # single breaker wins
+                    if time.time() - os.stat(trash).st_mtime > stale_after_sec:
+                        shutil.rmtree(trash, ignore_errors=True)
+                    else:  # stole a live lock re-acquired mid-window
+                        with contextlib.suppress(OSError):
+                            os.rename(trash, lock_dir)
                     continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"commit lock timeout on {table_root}") from None
             time.sleep(0.05)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(heartbeat_sec):
+            with contextlib.suppress(OSError):
+                os.utime(lock_dir, None)
+
+    beat = threading.Thread(target=_beat, name="commit-lock-heartbeat", daemon=True)
+    beat.start()
     try:
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
+        stop.set()
+        beat.join(timeout=2.0)
+        with contextlib.suppress(FileNotFoundError, OSError):
             os.rmdir(lock_dir)
 
 
@@ -646,7 +695,16 @@ class SnapTable:
             for d in dels:
                 if d.sequence > data_sid:
                     keys, tcols = _delete_keys_df(d)
-                    df = df.join(F.broadcast(keys), tcols, "left_anti")
+                    # Iceberg equality-delete semantics: NULL matches
+                    # NULL (a USING join's plain equality would silently
+                    # make NULL-keyed rows undeletable — ADVICE r4).
+                    # eqNullSafe is still a hashable equi-key, so this
+                    # stays a broadcast hash anti-join.
+                    cond = None
+                    for c in tcols:
+                        e = df[c].eqNullSafe(keys[c])
+                        cond = e if cond is None else cond & e
+                    df = df.join(F.broadcast(keys), cond, "left_anti")
             return df
 
         def _finish(df: DataFrame) -> DataFrame:
@@ -954,6 +1012,98 @@ class SnapTable:
             df = df.where(ops[op](col, val))
         return df
 
+    def _mor_parent_candidates(
+        self, parent: "Snapshot", new_dels: list["DeleteFile"], end: "Snapshot"
+    ) -> list["DataFile"]:
+        """Parent data files a set of NEW merge-on-read delete files
+        could possibly hit — the manifest-level pruning that makes
+        changelog replay of a MOR commit O(affected files) instead of
+        O(table) (ADVICE r4):
+
+        - POSITION deletes name their target files outright; the
+          delete file's ``file_path`` column (tiny, driver-read via
+          the parquet footer's own pages) is the exact file list.
+        - EQUALITY deletes prune by key-range overlap: a parent file
+          whose manifest [min, max] for some key column cannot contain
+          ANY deleted key value cannot hide a row. Numeric columns
+          only (string footer stats may be truncated), and a key set
+          containing NULLs disables pruning on that column (stats say
+          nothing about null placement).
+        Files without stats are conservatively kept."""
+        keep: set[str] = set()
+        commit_schemas = (
+            self._load_meta().get("commit_schemas", {})
+            if end.field_ids is not None
+            else {}
+        )
+        for d in new_dels:
+            if len(keep) == len(parent.files):
+                break
+            full = os.path.join(self.root, d.path)
+            if d.kind == "position":
+                import pyarrow.parquet as _pq
+
+                named = set(
+                    _pq.ParquetFile(full).read(columns=["file_path"])
+                    .column("file_path").to_pylist()
+                )
+                keep |= {f.path for f in parent.files if f.path in named}
+                continue
+            # per-key-column [min, max] over the delete file, from its
+            # own footer row-group stats; None = unknown → no pruning
+            md = pq.ParquetFile(full).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            kb: dict[str, tuple | None] = {c: None for c in d.key_cols}
+            for c in d.key_cols:
+                if c not in names:
+                    continue
+                ci = names.index(c)
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or st.null_count is None
+                        or st.null_count > 0
+                        or not isinstance(st.min, (int, float))
+                        or isinstance(st.min, bool)
+                    ):
+                        ok = False
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if ok and mn is not None:
+                    kb[c] = (mn, mx)
+            # translate delete-commit key names -> field id -> each
+            # file's origin names (same mapping plan_files walks)
+            del_entry = commit_schemas.get(str(d.sequence)) or {}
+            del_ids = del_entry.get("field_ids") or {}
+            for f in parent.files:
+                if f.path in keep:
+                    continue
+                f_entry = commit_schemas.get(str(_origin_sid(f.path))) or {}
+                by_id = {v: k for k, v in (f_entry.get("field_ids") or {}).items()}
+                hit = True
+                for c in d.key_cols:
+                    bounds = kb.get(c)
+                    if bounds is None:
+                        continue
+                    origin = by_id.get(del_ids[c], c) if c in del_ids else c
+                    fst = (f.stats or {}).get(origin)
+                    if (
+                        fst is not None
+                        and isinstance(fst[0], (int, float))
+                        and not isinstance(fst[0], bool)
+                        and (fst[1] < bounds[0] or fst[0] > bounds[1])
+                    ):
+                        hit = False
+                        break
+                if hit:
+                    keep.add(f.path)
+        return [f for f in parent.files if f.path in keep]
+
     def changelog(
         self,
         spark: SparkSession,
@@ -973,7 +1123,13 @@ class SnapTable:
         all); copy-on-write commits (merge/delete/overwrite) diff the
         removed files against the added files, so a 10-row merge into
         a million-file table diffs a handful of files, never the
-        table. ``replace`` (compaction/clustering) commits are
+        table. Merge-on-read commits surface their hidden rows from a
+        parent scan PRUNED to candidate files
+        (``_mor_parent_candidates``): position deletes read exactly
+        the files they name; equality deletes read only files whose
+        manifest key ranges overlap the deleted keys — O(affected
+        files), degrading to the full parent only when stats can't
+        exclude anything. ``replace`` (compaction/clustering) commits are
         data-identical rewrites and contribute nothing, exactly like
         Iceberg's changelog. ``net_changes=True`` (default and
         Iceberg's default) filters carry-over rows: a row rewritten
@@ -1058,10 +1214,19 @@ class SnapTable:
             new_dels = [d for d in s.delete_files if d.path not in parent_del_paths]
             if new_dels and parent is not None:
                 need_pos = any(d.kind == "position" for d in new_dels)
+                # prune the parent scan to files the NEW delete files
+                # could possibly hit (ADVICE r4: this replay used to
+                # read the ENTIRE parent snapshot per MOR commit):
+                # position deletes name their files outright; equality
+                # deletes overlap key ranges against manifest stats
+                cand = self._mor_parent_candidates(parent, new_dels, end)
+                if not cand:
+                    new_dels = []  # nothing the deletes could hide
+            if new_dels and parent is not None:
                 parent_state = self._read_files(
                     spark,
                     replace(end, files=parent.files, delete_files=parent.delete_files),
-                    [f.path for f in parent.files],
+                    [f.path for f in cand],
                     apply_deletes=True,
                     with_file_path=need_pos,
                     with_pos=need_pos,
@@ -1100,8 +1265,13 @@ class SnapTable:
                         )
                         if tcols != list(d.key_cols):
                             keys = keys.toDF(*tcols)
+                        # NULL matches NULL, mirroring the read path
+                        kcond = None
+                        for c in tcols:
+                            e = parent_state[c].eqNullSafe(keys[c])
+                            kcond = e if kcond is None else kcond & e
                         hidden = parent_state.join(
-                            F.broadcast(keys), tcols, "left_semi"
+                            F.broadcast(keys), kcond, "left_semi"
                         ).select(*data_cols)
                     del_df = hidden if del_df is None else del_df.unionByName(hidden)
             if del_df is not None:
@@ -2243,6 +2413,7 @@ class SnapCatalog:
                     if prev.field_ids is not None
                     else None,
                 )
+                _record_commit_schema(meta, sid, prev)
                 meta["snapshots"].append(asdict(snap))
                 meta["current_id"] = sid
                 tbl._save_meta(meta)
@@ -2394,6 +2565,7 @@ class SnapCatalog:
                 delete_files=list(prev.delete_files) + new_dels,
                 field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
             )
+            _record_commit_schema(meta, sid, prev)
             meta["snapshots"].append(asdict(snap))
             meta["current_id"] = sid
             tbl._save_meta(meta)
@@ -2449,6 +2621,7 @@ class SnapCatalog:
                 delete_files=list(prev.delete_files) + new_dels,
                 field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
             )
+            _record_commit_schema(meta, sid, prev)
             meta["snapshots"].append(asdict(snap))
             meta["current_id"] = sid
             tbl._save_meta(meta)
@@ -2862,6 +3035,31 @@ class SnapCatalog:
                         if os.path.exists(p):
                             os.remove(p)
             meta["snapshots"] = kept
+            # metadata GC (ADVICE r4): commit_schemas entries are only
+            # ever looked up by (a) a surviving snapshot id (changelog
+            # replay), (b) a surviving data file's origin sid, or (c) a
+            # surviving delete file's sequence — everything else is
+            # dead weight that would grow without bound under churn.
+            if "commit_schemas" in meta:
+                referenced = {s["snapshot_id"] for s in kept}
+                for s in kept:
+                    referenced |= {_origin_sid(f["path"]) for f in s["files"]}
+                    referenced |= {
+                        d["sequence"] for d in s.get("delete_files", [])
+                    }
+                meta["commit_schemas"] = {
+                    k: v
+                    for k, v in meta["commit_schemas"].items()
+                    if int(k) in referenced
+                }
+            # column stats describing an expired snapshot are stale by
+            # definition — drop them so ANALYZE-driven planning never
+            # trusts numbers from a vanished snapshot
+            cs = meta.get("column_stats")
+            if cs is not None and cs.get("snapshot_id") not in {
+                s["snapshot_id"] for s in kept
+            }:
+                del meta["column_stats"]
             tbl._save_meta(meta)
             return [s["snapshot_id"] for s in expired]
 

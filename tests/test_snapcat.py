@@ -845,6 +845,117 @@ def test_rowlevel_ops_after_rename(spark, cat):
     assert out.where("id = 3").collect()[0]["value_usd"] == 999.0
 
 
+def test_mor_delete_then_rename_with_tracking_active(spark, cat):
+    """ADVICE r4 (medium): an equality delete committed WHILE field-id
+    tracking is already active, followed by a rename of the key
+    column, must still resolve — the delete commit itself has to log
+    its schema (the alter-time backfill only covers pre-tracking
+    commits)."""
+    cat.write("db", "t", _evo_df(spark, 0, 10), committed_at=T[0])
+    cat.alter_table("db", "t", add_columns={"channel": "string"})  # activate tracking
+    cat.delete_keys("db", "t", spark.createDataFrame([(3,), (4,)], "id int"))
+    # compaction materializes the deletes away, which is what lets the
+    # rename past the live-delete-key guard — but HISTORICAL commits
+    # still carry the delete files under the old name
+    cat.compact("db", "t", spark, target_partitions=1)
+    cat.alter_table("db", "t", rename_columns={"id": "ident"})
+    tbl = cat.table("db", "t")
+    out = tbl.read(spark)
+    assert out.count() == 8
+    ids = {r["ident"] for r in out.select("ident").collect()}
+    assert 3 not in ids and 4 not in ids
+    # CDC replay over the delete commit resolves keys under the end schema
+    head = tbl.current_snapshot().snapshot_id
+    ch = tbl.changelog(spark, 1, head)
+    dels = {r["ident"] for r in ch.where("_change_type = 'delete'").collect()}
+    assert {3, 4} <= dels
+
+
+def test_expire_prunes_commit_schemas_and_stale_column_stats(spark, cat):
+    """ADVICE r4: table metadata must not grow without bound — expire
+    drops commit_schemas entries no surviving snapshot/file/delete
+    references, and column_stats describing an expired snapshot."""
+    tbl_name = "gc"
+    for i in range(4):
+        # overwrite each round: old files become unreferenced
+        cat.write("db", tbl_name, _evo_df(spark, i * 10, i * 10 + 5),
+                  mode="overwrite", committed_at=T[min(i, len(T) - 1)])
+    cat.alter_table("db", tbl_name, add_columns={"extra": "string"})  # tracking on
+    cat.write("db", tbl_name, _evo_df(spark, 100, 105)
+              .withColumn("extra", F.lit("x")), mode="overwrite")
+    tbl = cat.table("db", tbl_name)
+    cat.analyze("db", tbl_name, spark)
+    pre = set(tbl._load_meta().get("commit_schemas", {}))
+    assert len(pre) >= 5  # backfill wrote one per historical snapshot
+    cat.expire_snapshots("db", tbl_name, keep_last=1)
+    meta = tbl._load_meta()
+    survivors = {s["snapshot_id"] for s in meta["snapshots"]}
+    referenced = set(survivors)
+    for s in meta["snapshots"]:
+        from apache_iceberg_tables_migration_tool_spark.sources.snapcat import _origin_sid
+        referenced |= {_origin_sid(f["path"]) for f in s["files"]}
+        referenced |= {d["sequence"] for d in s.get("delete_files", [])}
+    assert set(int(k) for k in meta.get("commit_schemas", {})) <= referenced
+    assert len(meta.get("commit_schemas", {})) < len(pre)
+    # stats were computed at the (still-current) head — they survive
+    assert meta.get("column_stats") is not None
+    # now advance the head and expire the stats' snapshot away
+    cat.write("db", tbl_name, _evo_df(spark, 200, 203)
+              .withColumn("extra", F.lit("y")), mode="overwrite")
+    cat.expire_snapshots("db", tbl_name, keep_last=1)
+    assert tbl._load_meta().get("column_stats") is None
+
+
+def test_mor_parent_candidates_prune(spark, cat):
+    """Changelog MOR replay reads only candidate parent files:
+    position deletes name theirs; equality deletes prune by numeric
+    key-range overlap; NULL keys disable pruning."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog  # noqa: F401
+
+    # three files with disjoint id ranges (coalesce(1) each append)
+    for i in range(3):
+        cat.write("db", "pr", _evo_df(spark, i * 100, i * 100 + 10).coalesce(1),
+                  committed_at=T[i])
+    tbl = cat.table("db", "pr")
+    parent = tbl.current_snapshot()
+    assert len(parent.files) == 3
+    # equality delete hitting only the middle file's range
+    cat.delete_keys("db", "pr", spark.createDataFrame([(105,)], "id int"))
+    snap = tbl.current_snapshot()
+    new_dels = [d for d in snap.delete_files]
+    cand = tbl._mor_parent_candidates(parent, new_dels, snap)
+    assert len(cand) == 1
+    assert all(f.stats["id"][0] <= 105 <= f.stats["id"][1] for f in cand)
+    # the changelog built on this pruning still reports the right row
+    ch = tbl.changelog(spark, parent.snapshot_id, snap.snapshot_id)
+    dels = ch.where("_change_type = 'delete'").collect()
+    assert [r["id"] for r in dels] == [105]
+    # NULL in the key set → stats can't prune → all files candidates
+    cat.write("db", "prn", spark.createDataFrame(
+        [(1, "a"), (2, None)], "id int, tag string"), committed_at=T[0])
+    tbln = cat.table("db", "prn")
+    p0 = tbln.current_snapshot()
+    cat.delete_keys("db", "prn", spark.createDataFrame([(None,)], "tag string"))
+    s1 = tbln.current_snapshot()
+    assert len(tbln._mor_parent_candidates(p0, list(s1.delete_files), s1)) == len(p0.files)
+
+
+def test_equality_delete_null_key_matches_null(spark, cat):
+    """Iceberg equality-delete semantics: a NULL key value matches
+    rows whose key is NULL (ADVICE r4 — plain equality silently made
+    NULL-keyed rows undeletable)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id int, tag string"
+    )
+    cat.write("db", "nk", df, committed_at=T[0])
+    cat.delete_keys("db", "nk", spark.createDataFrame([(None,)], "tag string"))
+    out = cat.table("db", "nk").read(spark)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+    # non-null keys unaffected by the null-safe join
+    cat.delete_keys("db", "nk", spark.createDataFrame([("a",)], "tag string"))
+    assert [r["id"] for r in cat.table("db", "nk").read(spark).collect()] == [3]
+
+
 def test_plan_files_prunes_on_renamed_column(spark, cat):
     # three appends clustered on val ranges, then rename val; manifest
     # pruning on the NEW name must translate to the files' stats keys
@@ -1470,3 +1581,44 @@ def test_stale_commit_lock_is_broken(spark, cat, tmp_path):
         with SC._commit_lock(cat.table("db", "t").root, timeout_sec=0.3):
             pass
     os.rmdir(lock)
+
+
+def test_live_lock_heartbeat_survives_long_hold(cat):
+    """A LIVE lock held longer than stale_after must NOT be broken by a
+    waiter: the heartbeat refreshes the dir mtime, so the staleness
+    test reflects owner liveness, not hold duration (ADVICE r4 high —
+    previously a >stale_after commit lost its lock mid-write)."""
+    import os
+    import threading as _threading
+    import time as _time
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    root = cat.table("db", "t").root if cat.table("db", "t").exists() else None
+    if root is None:
+        os.makedirs(os.path.join(cat.warehouse, "db", "t"), exist_ok=True)
+        root = os.path.join(cat.warehouse, "db", "t")
+    lock = os.path.join(root, "metadata", ".commit_lock")
+    release = _threading.Event()
+    held = _threading.Event()
+
+    def owner() -> None:
+        # heartbeat every 0.05s; hold for ~1s >> stale_after=0.2s
+        with SC._commit_lock(root, heartbeat_sec=0.05):
+            held.set()
+            release.wait(5.0)
+
+    t = _threading.Thread(target=owner, daemon=True)
+    t.start()
+    assert held.wait(5.0)
+    _time.sleep(0.5)  # long past stale_after used by the waiter below
+    # waiter sees a heartbeat-fresh lock → must time out, not break it
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        with SC._commit_lock(root, timeout_sec=0.4, stale_after_sec=0.2):
+            pass
+    assert os.path.exists(lock), "waiter broke a live heartbeating lock"
+    release.set()
+    t.join(5.0)
+    assert not os.path.exists(lock)
