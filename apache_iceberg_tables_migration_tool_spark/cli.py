@@ -32,6 +32,7 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _spark(cpus: str | None) -> SparkSession:
@@ -429,11 +430,15 @@ def cmd_diff(args: argparse.Namespace) -> int:
     spark = _spark(args.cpus)
     tbl = SnapCatalog(args.warehouse).table(args.database, args.table)
     out = tbl.diff_snapshots(spark, args.from_id, args.to_id)
-    rows = out.collect()
-    for r in rows[: args.limit]:
+    # print a bounded sample; counts come from a distributed agg, so
+    # the driver never collects the (table-sized) diff
+    for r in out.take(args.limit):
         print(r)
-    n_rem = sum(1 for r in rows if r["op"] == "removed")
-    print(f"-- {n_rem} removed, {len(rows) - n_rem} added "
+    counts = {r["op"]: r["n"] for r in out.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_rem = counts.get("removed", 0)
+    n_add = sum(counts.values()) - n_rem
+    print(f"-- {n_rem} removed, {n_add} added "
           f"({args.from_id} -> {args.to_id})")
     return 0
 
@@ -449,13 +454,17 @@ def cmd_changelog(args: argparse.Namespace) -> int:
         else tbl.current_snapshot().snapshot_id
     )
     out = tbl.changelog(spark, args.from_id, to_id)
-    rows = out.orderBy("_commit_order", "_change_type").collect()
-    for r in rows[: args.limit]:
+    # bounded sample + distributed counts — a CDC range over a big
+    # table must never be collected whole to the driver
+    for r in out.orderBy("_commit_order", "_change_type").limit(args.limit).collect():
         print(r)
-    n_del = sum(1 for r in rows if r["_change_type"] == "delete")
+    counts = {r["_change_type"]: r["n"] for r in out.groupBy("_change_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_del = counts.get("delete", 0)
+    n_ins = sum(counts.values()) - n_del
     print(
         f"-- changelog ({args.from_id} -> {to_id}]: "
-        f"{len(rows) - n_del} inserts, {n_del} deletes"
+        f"{n_ins} inserts, {n_del} deletes"
     )
     return 0
 

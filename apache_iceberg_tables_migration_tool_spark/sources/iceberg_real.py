@@ -42,14 +42,128 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+#: Iceberg SQL extensions class — required for MERGE INTO, branch DDL
+#: and the CALL maintenance procedures on real Iceberg catalogs.
+ICEBERG_EXTENSIONS = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+
+#: public catalog-impl / io-impl classes the reference deploys with
+GLUE_CATALOG_IMPL = "org.apache.iceberg.aws.glue.GlueCatalog"
+S3TABLES_CATALOG_IMPL = "software.amazon.s3tables.iceberg.S3TablesCatalog"
+REST_CATALOG_TYPE = "rest"
+S3_FILE_IO_IMPL = "org.apache.iceberg.aws.s3.S3FileIO"
+
+
+def _apply(builder, conf: dict[str, str]):
+    """Apply a config dict to either a SparkSession.Builder or return
+    it merged into a plain dict (pure assembly — unit-testable with no
+    JVM, no AWS)."""
+    if isinstance(builder, dict):
+        builder.update(conf)
+        return builder
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def catalog_conf(
+    name: str,
+    *,
+    type: str | None = None,
+    catalog_impl: str | None = None,
+    warehouse: str | None = None,
+    io_impl: str | None = None,
+    extra: dict[str, str] | None = None,
+    with_extensions: bool = True,
+) -> dict[str, str]:
+    """Assemble the ``spark.sql.catalog.<name>.*`` property map for an
+    Iceberg session catalog. Pure string building — the piece of the
+    reference's deployment story (`1_collect_src_snapshots.py:31-34`,
+    `5_migrate_tables_data.py:27-37`) that IS verifiable offline."""
+    prefix = f"spark.sql.catalog.{name}"
+    conf: dict[str, str] = {prefix: ICEBERG_CATALOG_CLASS}
+    if type is not None:
+        conf[f"{prefix}.type"] = type
+    if catalog_impl is not None:
+        conf[f"{prefix}.catalog-impl"] = catalog_impl
+    if warehouse is not None:
+        conf[f"{prefix}.warehouse"] = warehouse
+    if io_impl is not None:
+        conf[f"{prefix}.io-impl"] = io_impl
+    for k, v in (extra or {}).items():
+        conf[f"{prefix}.{k}"] = v
+    if with_extensions:
+        conf["spark.sql.extensions"] = ICEBERG_EXTENSIONS
+    return conf
+
+
 def configure_hadoop_catalog(builder, name: str, warehouse: str):
     """Attach a local/HDFS/S3 Hadoop-style Iceberg catalog to a
     SparkSession builder (test/prod parity with the reference's Glue
     and S3Tables catalog configs)."""
-    return (
-        builder.config(f"spark.sql.catalog.{name}", ICEBERG_CATALOG_CLASS)
-        .config(f"spark.sql.catalog.{name}.type", "hadoop")
-        .config(f"spark.sql.catalog.{name}.warehouse", warehouse)
+    return _apply(
+        builder,
+        catalog_conf(name, type="hadoop", warehouse=warehouse, with_extensions=False),
+    )
+
+
+def configure_glue_catalog(
+    builder,
+    name: str,
+    warehouse: str,
+    *,
+    io_impl: str = S3_FILE_IO_IMPL,
+    extra: dict[str, str] | None = None,
+):
+    """AWS Glue Data Catalog — the reference's SOURCE catalog config
+    (`1_collect_src_snapshots.py:31-34`: GlueCatalog + S3FileIO +
+    warehouse URI). ``builder`` may be a SparkSession.Builder or a
+    plain dict (returned merged, for offline tests)."""
+    return _apply(
+        builder,
+        catalog_conf(
+            name, catalog_impl=GLUE_CATALOG_IMPL, warehouse=warehouse,
+            io_impl=io_impl, extra=extra,
+        ),
+    )
+
+
+def configure_s3tables_catalog(
+    builder, name: str, table_bucket_arn: str, *, extra: dict[str, str] | None = None
+):
+    """Amazon S3 Tables — the reference's TARGET catalog config
+    (`5_migrate_tables_data.py:33-36`: S3TablesCatalog with the table
+    bucket ARN as the warehouse)."""
+    return _apply(
+        builder,
+        catalog_conf(
+            name, catalog_impl=S3TABLES_CATALOG_IMPL,
+            warehouse=table_bucket_arn, extra=extra,
+        ),
+    )
+
+
+def configure_rest_catalog(
+    builder,
+    name: str,
+    uri: str,
+    *,
+    warehouse: str | None = None,
+    credential: str | None = None,
+    token: str | None = None,
+    extra: dict[str, str] | None = None,
+):
+    """Iceberg REST catalog (e.g. a self-hosted REST server, Polaris,
+    or any spec-compliant endpoint): ``type=rest`` + ``uri`` plus
+    optional OAuth2 ``credential``/``token`` passthrough."""
+    props: dict[str, str] = {"uri": uri}
+    if credential is not None:
+        props["credential"] = credential
+    if token is not None:
+        props["token"] = token
+    props.update(extra or {})
+    return _apply(
+        builder,
+        catalog_conf(name, type=REST_CATALOG_TYPE, warehouse=warehouse, extra=props),
     )
 
 

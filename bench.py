@@ -48,15 +48,28 @@ def main() -> None:
             pass  # warm-up must never fail the bench
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    for name in headline:
-        samples = []
-        for _ in range(reps):
-            t0 = time.monotonic()
-            df = QUERIES[name].fn(spark, sf_dir)
-            df.count()
-            samples.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+
+    def run_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            samples = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                df = QUERIES[name].fn(spark, sf_dir)
+                df.count()
+                samples.append(time.monotonic() - t0)
+            out[name] = round(statistics.median(samples), 3)
+        return out
+
+    timings = run_set(headline)
+    # Feature-tier wall-clocks (round-4 verdict action #6): the
+    # snapshot-catalog lifecycle + corpus pipeline, timed SEPARATELY so
+    # the headline total stays comparable to BASELINE.md round-over-
+    # round. These are write-heavy e2e pipelines (catalog commits, MOR
+    # deletes, CDC replay, WAP publish), not scan queries.
+    feature = run_set(
+        ["merge_on_read_lifecycle", "changelog_cdc_stream", "corpus_build_e2e"]
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +79,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "feature_queries": feature,
+                "feature_total_sec": round(sum(feature.values()), 3),
                 "sf": sf,
             }
         )

@@ -24,28 +24,15 @@ _PYTHON_OK = {"vector", "multimodal", "stateful", "arrow"}
 #: nowhere else
 _BNLJ_OK = {"range", "scalar-broadcast"}
 
-#: queries that execute during planning (streaming drain / filesystem
-#: catalog) — skipped here, covered by their own e2e tests
-_SKIP = {
-    "migration_e2e_report",
-    "snapshot_history_ops",
-    "stateful_user_totals",
-    "migration_history_replay",
-    "wap_audit_publish",
-    "snapshot_row_diff",
-    "dedup_clusters",  # iterative: localCheckpoint jobs run during planning
-    "rowlevel_merge_delete",
-    "dedup_embedding_clusters",  # iterative localCheckpoint
-    "corpus_build_e2e",  # iterative catalog writes run during planning
-    "knn_ivf_persisted",  # catalog writes + collect during planning
-    "streaming_dedup_counts",  # streaming drain during planning
-    "partition_stats_metadata",  # filesystem catalog during planning
-    "rollback_and_orphan_cleanup",  # filesystem catalog during planning
-    "branch_write_fast_forward",  # filesystem catalog during planning
-    "schema_evolution_lifecycle",  # filesystem catalog during planning
-    "changelog_cdc_stream",  # filesystem catalog during planning
-    "merge_on_read_lifecycle",  # filesystem catalog during planning
-}
+#: round-4 verdict action #3: the lifecycle/streaming queries that
+#: execute setup work (catalog writes, streaming drains, iterative
+#: localCheckpoints) while ``fn()`` builds their FINAL DataFrame used
+#: to be skipped here — that exempted exactly the snapshot-catalog
+#: feature tier from the cartesian/BNLJ/Python checks. The setup cost
+#: is bounded (these all run in the oracle suite anyway), so the guard
+#: now covers the ENTIRE registry; _SKIP stays only for a future query
+#: whose plan genuinely cannot be captured (none today).
+_SKIP: set[str] = set()
 
 
 def _plans():
