@@ -425,3 +425,54 @@ def pack_sequences(
             F.floor(F.col("__start") / budget).alias("seq_id"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split EVERY
+    training pipeline needs to be reproducible, leak-free, and stable
+    under corpus growth (a document keeps its split forever; new
+    documents land proportionally).
+
+    Mechanism: md5 of (salt ‖ id) is uniform over the 16^32 hex space,
+    so comparing its first-4-hex-chars PREFIX against precomputed
+    thresholds partitions rows at 1/65536 granularity. The comparison
+    is plain lexicographic order on lowercase hex — bit-portable
+    across engines (Spark and DuckDB produce identical md5 hex), and a
+    pure row-local projection: zero shuffle, fully scan-pushed, the
+    100 TB shape. Changing ``salt`` re-deals the whole split.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split listed). Returns ``df`` plus a
+    ``split`` column.
+    """
+    if not fractions or any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {sum(fractions.values())} > 1")
+    hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    prefix = F.substring(hx, 1, 4)
+    names = list(fractions)
+    # CASE with ascending thresholds: the first matching WHEN wins,
+    # so each split owns exactly its [prev_bound, bound) hex band
+    expr = None
+    for nm, b in hash_split_thresholds(fractions):
+        cond = prefix < F.lit(b)
+        expr = F.when(cond, F.lit(nm)) if expr is None else expr.when(cond, F.lit(nm))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def hash_split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """The (name, 4-hex upper bound) thresholds ``hash_split`` uses —
+    exposed so oracles can restate the identical CASE expression."""
+    names = list(fractions)
+    out, cum = [], 0.0
+    for nm in names[:-1]:
+        cum += fractions[nm]
+        out.append((nm, format(min(65535, int(cum * 65536)), "04x")))
+    return out

@@ -156,6 +156,26 @@ def cosine_pairs(
     return emb.select(id_col, vec_col).mapInPandas(score, schema=_PAIRS_SCHEMA)
 
 
+def _block_grid(packed: DataFrame, n_blocks: int) -> DataFrame:
+    """The upper-triangle block-pair relation (rows_a, rows_b, blk_a,
+    blk_b) built with two EQUI joins against an enumerated pair list —
+    not a `blk_a <= blk_b` theta-join, which would plan as a broadcast
+    nested loop (policed by test_plan_hygiene). The pair list is
+    B(B+1)/2 driver-built ints; each join shuffles only B heavy rows."""
+    spark = packed.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a bigint, blk_b bigint",
+    )
+    return pairs.join(
+        packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")),
+        "blk_a",
+    ).join(
+        packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")),
+        "blk_b",
+    )
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     threshold: float,
@@ -191,13 +211,7 @@ def cosine_pairs_blocked(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows"))
     )
-    a = packed.select(
-        F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
-    )
-    b = packed.select(
-        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
-    )
-    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    grid = _block_grid(packed, n_blocks)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -222,6 +236,78 @@ def cosine_pairs_blocked(
                 yield pd.DataFrame({"vec_a": pa, "vec_b": pb, "sim": s})
 
     return grid.mapInPandas(score, schema=_PAIRS_SCHEMA)
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_block_rows: int = 100_000,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact k-NN GRAPH: every corpus vector's top-k cosine neighbors
+    (self excluded) — the semantic-clustering / graph-dedup substrate
+    where the query set IS the corpus, so ``cosine_topk``'s
+    queries-broadcast shape no longer applies.
+
+    Same blocked grid self-join as ``cosine_pairs_blocked``: B hash
+    blocks, B(B+1)/2 independent block-pair matmuls. Each task emits
+    only its LOCAL top-k per vector (both directions for off-diagonal
+    pairs), so the shuffle carries O(N·k·B) candidate rows — never the
+    O(N²) similarity matrix — and one windowed rank reduces local
+    top-k to the global answer. Deterministic ties: (sim desc, id
+    asc). Returns (qid, vec_id, sim, rk) with rk ∈ [1, k].
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if n_blocks is None:
+        n = e.count()
+        n_blocks = max(1, -(-n // max(1, target_block_rows)))
+    packed = (
+        e.withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows"))
+    )
+    grid = _block_grid(packed, n_blocks)
+
+    def _local_topk(qids: np.ndarray, sims: np.ndarray, nids: np.ndarray):
+        keep = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids, keep),
+                "vec_id": nids[idx].ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+        )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ra, rb = row["rows_a"], row["rows_b"]
+                ia = np.array([r["vec_id"] for r in ra], dtype=np.int64)
+                ib = np.array([r["vec_id"] for r in rb], dtype=np.int64)
+                ma = _normalize(
+                    np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in ra])
+                )
+                mb = _normalize(
+                    np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in rb])
+                )
+                sims = ma @ mb.T
+                if row["blk_a"] == row["blk_b"]:
+                    sims[ia[:, None] == ib[None, :]] = -np.inf  # self
+                    yield _local_topk(ia, sims, ib)
+                else:  # each direction needs the other block's rows
+                    yield _local_topk(ia, sims, ib)
+                    yield _local_topk(ib, sims.T.copy(), ia)
+
+    partial = grid.mapInPandas(score, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "sim", "rk")
+    )
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:

@@ -92,13 +92,18 @@ _DRIVER_PRIORITY = [
     "knn_pq_adc",
     "bigram_surprisal_quality",
     "video_frame_sample",
+    # round-5 additions (built this round, no driver row yet): the
+    # exact k-NN graph, the deterministic dataset split, and TPC-H Q3
+    # — in place of three single-green r4 TPC-H secondary carriers
+    # (top_supplier_q15, small_quantity_revenue_q17, bracket_revenue_q19
+    # keep their r4 green rows and stay pinned by pytest + the sweep)
+    "knn_graph_neighbors",
+    "dataset_split_report",
+    "shipping_priority_q3",
     # never-graded: TPC-H adaptation shapes (multi-join aggs, scalar
     # subqueries, grouped havings — the relational breadth tier)
     "profit_by_nation_year_q9",
-    "top_supplier_q15",
-    "small_quantity_revenue_q17",
     "large_volume_customers_q18",
-    "bracket_revenue_q19",
     # r4 additions: the 7 queries with no driver row yet
     "min_cost_supplier_q2",
     "supplier_variety_q16",

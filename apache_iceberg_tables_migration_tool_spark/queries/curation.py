@@ -617,3 +617,39 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "o_orderstatus = 'P' AND o_orderpriority LIKE '1-%'"),
     ])
     return rep.select("rule", "column", "violations", "total")
+
+
+@query(
+    "dataset_split_report",
+    tags=("curation", "sampling"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         CASE WHEN substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'train'
+              WHEN substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang
+""",
+)
+def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) + the per-split
+    per-language composition report run before any training job. The
+    split is a pure row-local md5-prefix projection (zero shuffle; a
+    document keeps its split forever as the corpus grows), the report
+    one grouped agg. Portable by construction: Spark and DuckDB emit
+    identical lowercase md5 hex, and band assignment is lexicographic
+    comparison on its first 4 chars — thresholds e666/f333 restated
+    verbatim in the oracle (`hash_split_thresholds`)."""
+    docs = load(spark, sf_dir, "documents")
+    split = C.hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("sum_chars"),
+    )

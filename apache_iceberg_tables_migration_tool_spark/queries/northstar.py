@@ -361,6 +361,35 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rk")
 
 
+@query(
+    "knn_graph_neighbors",
+    tags=("vector", "topk", "graph"),
+    oracle="""
+SELECT qid, vec_id, rk FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                     b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rk <= 3
+""",
+)
+def knn_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN GRAPH over the whole corpus (every vector a query) —
+    the substrate for semantic clustering and graph-based dedup, where
+    broadcasting the query set equals broadcasting the corpus. Runs the
+    blocked grid self-join (`operators/similarity.knn_graph`): forced
+    multi-block here (≥4 blocks at sf0.01) so the driver grades the
+    distributed plan; the shuffle carries only O(N·k·blocks) local
+    top-k candidates, never the N² similarity matrix. Oracle is the
+    all-pairs SQL ranking — ranks compared, sims excluded (fixture
+    margins ≫ float noise, same analysis as knn_topk_cosine)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=3, target_block_rows=128).select(
+        "qid", "vec_id", "rk"
+    )
+
+
 @query("knn_lsh_bucketed", tags=("vector", "approx"), oracle=_KNN_EXACT_SQL)
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via hyperplane-LSH banding + exact re-rank —

@@ -663,3 +663,61 @@ def sole_return_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping-priority candidates: unshipped BUILDING orders placed
+# before the cutoff, ranked by outstanding revenue, top 10. Shape:
+# selective dim filter → two fact joins → grouped agg → global top-k.
+# (o_shippriority is absent from the fixtures; o_orderpriority stands in
+# as the carried-through order attribute, same query shape.)
+# --------------------------------------------------------------------------
+@query(
+    "shipping_priority_q3",
+    tags=("join", "agg", "topk", "tpch"),
+    oracle=f"""
+SELECT l_orderkey, {portable_sum_sql(_REV, 6)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3. Both fact filters sit below the joins (PushedFilters
+    at the scans); customer is reduced to the BUILDING keys before the
+    join so the threshold/AQE can broadcast it while it fits; the
+    global top-10 plans as TakeOrderedAndProject (no full sort). Ties
+    broken (orderdate, orderkey) so the LIMIT cut is deterministic on
+    both engines."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev(), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -200,6 +200,51 @@ def test_cosine_pairs_blocked_matches_broadcast(spark):
     assert {(r["vec_a"], r["vec_b"]) for r in guarded.collect()} == exact
 
 
+def test_knn_graph_matches_per_query_topk(spark):
+    """The blocked k-NN graph must equal cosine_topk run with the whole
+    corpus as the query set, for any block count."""
+    emb = load(spark, SF_DIR, "embeddings")
+    all_q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    want = {
+        (r["qid"], r["vec_id"], r["rk"])
+        for r in S.cosine_topk(emb, all_q, k=3).collect()
+    }
+    for n_blocks in (1, 4):
+        got = {
+            (r["qid"], r["vec_id"], r["rk"])
+            for r in S.knn_graph(emb, k=3, n_blocks=n_blocks).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import hash_split
+
+    docs = load(spark, SF_DIR, "documents")
+    s1 = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    s2 = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    a = {(r["doc_id"], r["split"]) for r in s1.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in s2.select("doc_id", "split").collect()}
+    assert a == b  # rerun-stable
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / total > 0.8  # 90% nominal, small-sample slack
+    # a document keeps its split when the corpus grows (subset stability)
+    sub = hash_split(docs.limit(50), {"train": 0.9, "val": 0.05, "test": 0.05})
+    for r in sub.select("doc_id", "split").collect():
+        assert (r["doc_id"], r["split"]) in a
+    # salt re-deals the split
+    s3 = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v2")
+    c = {(r["doc_id"], r["split"]) for r in s3.select("doc_id", "split").collect()}
+    assert c != a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.9, "val": 0.2})
+
+
 def test_cosine_pairs_lsh_recall(spark):
     emb = load(spark, SF_DIR, "embeddings")
     exact = {
