@@ -302,6 +302,7 @@ def dedup_batch_against_corpus(
     bands: int = 32,
     seed: int = 42,
     corpus_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: which NEW documents duplicate
     something already in the corpus? The per-ingest step of a crawl
@@ -325,7 +326,13 @@ def dedup_batch_against_corpus(
        candidates (left-semi prune before tokenizing) — corpus text
        is read just for the candidate sliver, never in full.
     """
-    nb = band_table(new_docs, id_col, text_col, n, num_hashes, bands, seed)
+    # callers that also persist the batch's band rows (incremental
+    # ingest) pass them in so the batch text is signatured ONCE
+    nb = (
+        new_bands
+        if new_bands is not None
+        else band_table(new_docs, id_col, text_col, n, num_hashes, bands, seed)
+    )
     cb = (
         corpus_bands
         if corpus_bands is not None

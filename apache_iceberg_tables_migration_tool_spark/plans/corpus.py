@@ -132,8 +132,16 @@ def build_corpus(
     stats: list[dict] = []
     for b in range(batches):
         batch_docs = ok.where(F.col("doc_id") % batches == b)
+        # ONE signature pass per batch: the band rows feed both the
+        # dedup candidate join and (filtered to survivors) the
+        # persisted index append below — minhash over the batch text
+        # is the expensive step, never pay it twice.
+        batch_bands = D.band_table(
+            batch_docs, num_hashes=num_hashes, bands=bands, seed=seed
+        ).localCheckpoint(eager=False)
         if b == 0:
             accepted = batch_docs
+            accepted_bands = batch_bands
             n_dups = 0
         else:
             tbl = cat.table(database, "docs")
@@ -147,10 +155,16 @@ def build_corpus(
                 bands=bands,
                 seed=seed,
                 corpus_bands=band_index,
+                new_bands=batch_bands,
             )
-            dup_ids = dups.select(F.col("doc_a").alias("doc_id")).distinct()
+            dup_ids = (
+                dups.select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=False)  # two consumers below
+            )
             n_dups = dup_ids.count()
             accepted = batch_docs.join(dup_ids, "doc_id", "left_anti")
+            accepted_bands = batch_bands.join(dup_ids, "doc_id", "left_anti")
 
         payload = accepted.withColumn("ingest_batch", F.lit(b).cast("int"))
         # WAP: stage → audit → publish. The staged snapshot is
@@ -166,12 +180,28 @@ def build_corpus(
             if b > 0
             else spark.range(0).select(F.col("id").alias("doc_id"))
         )
-        audit_bench = staged_df.where(F.col("doc_id") % bench_mod == 0).count()
-        audit_dup_ids = (
-            staged_df.where(F.col("ingest_batch") == b)
-            .join(prev_ids, "doc_id", "left_semi")
-            .count()
+        # one audit job: benchmark-leak count, id-collision count and
+        # the batch's accepted count come from a single pass over the
+        # staged snapshot (left join against prior ids replaces the
+        # separate semi-join count)
+        audit = (
+            staged_df.join(
+                prev_ids.withColumn("__prev", F.lit(True)), "doc_id", "left"
+            )
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % bench_mod == 0).cast("long")
+                ).alias("bench"),
+                F.sum(
+                    (
+                        (F.col("ingest_batch") == b) & F.col("__prev").isNotNull()
+                    ).cast("long")
+                ).alias("collisions"),
+                F.sum((F.col("ingest_batch") == b).cast("long")).alias("accepted"),
+            )
+            .collect()[0]
         )
+        audit_bench, audit_dup_ids = audit["bench"], audit["collisions"]
         if audit_bench or audit_dup_ids:
             raise RuntimeError(
                 f"ingest-{b} failed audit: {audit_bench} benchmark docs, "
@@ -183,17 +213,15 @@ def build_corpus(
         # Append the accepted docs' band rows to the persisted index —
         # the next ingest joins against it instead of re-signaturing
         # the corpus (partitioned by band → the candidate join prunes).
-        bands_df = D.band_table(
-            accepted, num_hashes=num_hashes, bands=bands, seed=seed
-        )
+        # Reuses the batch's single signature pass (accepted_bands).
         cat.write(
-            database, "band_index", bands_df,
+            database, "band_index", accepted_bands,
             mode="append", partition_by=["band"], committed_at=_T[2 * b + 1],
         )
         stats.append(
             {
                 "batch": b,
-                "accepted": staged_df.where(F.col("ingest_batch") == b).count(),
+                "accepted": int(audit["accepted"]),
                 "near_dups_dropped": n_dups,
                 "snapshot_id": staged.snapshot_id,
             }
