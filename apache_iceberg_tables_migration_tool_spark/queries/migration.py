@@ -1187,3 +1187,75 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "hidden_partition_scan",
+    tags=("migration", "metadata"),
+    oracle="""
+SELECT 'head' AS phase, COUNT(*) AS records,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+UNION ALL
+SELECT 'week2', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+UNION ALL
+SELECT 'clicks', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'day3_purchases', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'
+  AND event_type = 'purchase'
+""",
+)
+def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style HIDDEN partitioning end to end: events land under
+    ``days(ts)`` × ``truncate(2, event_type)`` — derived path values
+    users never see or maintain — and every query keeps filtering the
+    SOURCE columns (ts, event_type). The layout clusters each file to
+    one day × one type-prefix, so footer min/max stats prune the scan
+    for time-range and type-equality predicates alike; none of the
+    phases mentions a derived column (that is the Hive-partitioning
+    mistake hidden partitioning exists to remove). Oracle recomputes
+    each phase straight off the source parquet."""
+    root = tempfile.mkdtemp(prefix="snapcat_hidden_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type"
+        )
+        cat.write(
+            "db", "events_hp", ev,
+            partition_by=["days(ts)", "truncate(2, event_type)"],
+            committed_at=_T[0],
+        )
+        tbl = cat.table("db", "events_hp")
+
+        def _phase(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.lit(name).alias("phase"),
+                F.count("*").alias("records"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+            )
+
+        head = tbl.read(spark)
+        out = (
+            _phase("head", head)
+            .unionByName(_phase("week2", tbl.read_where(spark, [
+                ("ts", ">=", "2024-01-08 00:00:00"),
+                ("ts", "<", "2024-01-15 00:00:00"),
+            ])))
+            .unionByName(_phase("clicks", tbl.read_where(spark, [
+                ("event_type", "=", "click"),
+            ])))
+            .unionByName(_phase("day3_purchases", tbl.read_where(spark, [
+                ("ts", ">=", "2024-01-03 00:00:00"),
+                ("ts", "<", "2024-01-04 00:00:00"),
+                ("event_type", "=", "purchase"),
+            ])))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -177,6 +178,116 @@ def _snap_from_dict(s: dict) -> Snapshot:
     )
 
 
+_SPEC_RE = re.compile(
+    r"^\s*(year|years|month|months|day|days|hour|hours|bucket|truncate)\s*\((.*)\)\s*$"
+)
+
+_SPEC_SUFFIX = {
+    "years": "year",
+    "months": "month",
+    "days": "day",
+    "hours": "hour",
+    "bucket": "bucket",
+    "truncate": "trunc",
+}
+
+
+@dataclass(frozen=True)
+class SpecField:
+    """One partition-spec entry — a bare column (identity) or an
+    Iceberg-style HIDDEN partition transform over a source column:
+    ``years(ts)``/``months(ts)``/``days(ts)``/``hours(ts)``,
+    ``bucket(N, col)``, ``truncate(W, col)``. With a transform the
+    SOURCE column stays in the data files (queries keep filtering on
+    it; footer min/max stats drive pruning because the layout clusters
+    it) while the derived value lives only in the path — users never
+    see or maintain the derived column, which is the whole point of
+    hidden partitioning vs Hive-style explicit partition columns.
+
+    Derivations (documented, engine-portable): time transforms format
+    the timestamp (``yyyy``/``yyyy-MM``/``yyyy-MM-dd``/
+    ``yyyy-MM-dd-HH`` — lexically ordered like Iceberg's ordinals);
+    ``bucket`` is ``xxhash64 mod N`` (stable across Spark versions;
+    NOT Iceberg's murmur3 bucket — foreign Iceberg readers must not
+    assume layout compatibility); ``truncate`` is substring for
+    strings and ``v - (v mod W)`` for integrals (Iceberg semantics,
+    negative-safe via pmod)."""
+
+    raw: str
+    kind: str  # identity|years|months|days|hours|bucket|truncate
+    source: str
+    param: int | None = None
+
+    @property
+    def partition_name(self) -> str:
+        """Path-segment key (≙ Iceberg's derived partition field name)."""
+        if self.kind == "identity":
+            return self.source
+        return f"{self.source}_{_SPEC_SUFFIX[self.kind]}"
+
+    def expr(self, dtype: T.DataType | None = None) -> Column:
+        c = F.col(self.source)
+        if self.kind == "identity":
+            return c
+        if self.kind == "years":
+            return F.date_format(c, "yyyy")
+        if self.kind == "months":
+            return F.date_format(c, "yyyy-MM")
+        if self.kind == "days":
+            return F.date_format(c, "yyyy-MM-dd")
+        if self.kind == "hours":
+            return F.date_format(c, "yyyy-MM-dd-HH")
+        if self.kind == "bucket":
+            return F.pmod(F.xxhash64(c), F.lit(self.param))
+        # truncate: width semantics depend on the source type
+        if isinstance(dtype, T.StringType) or dtype is None:
+            return F.substring(c, 1, self.param)
+        return c - F.pmod(c, F.lit(self.param))
+
+
+def parse_spec_field(raw: str) -> SpecField:
+    """Parse one partition-spec entry; raises on malformed transforms."""
+    m = _SPEC_RE.match(raw)
+    if not m:
+        if "(" in raw or ")" in raw:
+            raise ValueError(
+                f"unsupported partition transform {raw!r}; supported: "
+                "identity, years/months/days/hours(col), bucket(N, col), "
+                "truncate(W, col)"
+            )
+        return SpecField(raw=raw, kind="identity", source=raw.strip())
+    fn, arg_str = m.group(1), m.group(2)
+    args = [a.strip() for a in arg_str.split(",")]
+    kind = {"year": "years", "month": "months", "day": "days", "hour": "hours"}.get(
+        fn, fn
+    )
+    if kind in ("bucket", "truncate"):
+        if len(args) != 2 or not args[0].isdigit() or int(args[0]) <= 0:
+            raise ValueError(
+                f"{kind} transform needs (positive_int, column), got {raw!r}"
+            )
+        return SpecField(raw=raw, kind=kind, source=args[1], param=int(args[0]))
+    if len(args) != 1 or not args[0]:
+        raise ValueError(f"{kind} transform takes one column, got {raw!r}")
+    return SpecField(raw=raw, kind=kind, source=args[0])
+
+
+def spec_fields(spec: list[str]) -> list[SpecField]:
+    return [parse_spec_field(s) for s in spec]
+
+
+def spec_source_cols(spec: list[str]) -> list[str]:
+    """Schema columns a partition spec depends on (guards: these can't
+    be renamed/dropped while the spec references them)."""
+    return [sf.source for sf in spec_fields(spec)]
+
+
+def _spec_identity_cols(spec: list[str]) -> set[str]:
+    """Spec columns whose VALUES live in the path instead of the data
+    files — identity entries only; transform sources stay in the data."""
+    return {sf.source for sf in spec_fields(spec) if sf.kind == "identity"}
+
+
 def _origin_sid(rel_path: str) -> int:
     """Snapshot id of the commit that WROTE a data file — encoded in
     its path (``data/s{N:06d}/…``). The key that lets a post-rename
@@ -235,10 +346,25 @@ def _current_id(meta: dict) -> int:
     return meta["snapshots"][-1]["snapshot_id"]
 
 
+def _json_stat(v):
+    """Normalize a stat/predicate value to its JSON-portable manifest
+    form. Timestamps become naive-UTC ``YYYY-MM-DD HH:MM:SS[.ffffff]``
+    strings — fixed-width zero-padded prefix, so lexicographic string
+    comparison orders exactly like the timestamps themselves and
+    time-range predicates prune on manifests that round-tripped
+    through JSON."""
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    return v
+
+
 def _footer_stats(md) -> dict[str, list] | None:
     """Aggregate parquet row-group min/max into per-file column bounds
     (≙ Iceberg manifest lower_bounds/upper_bounds). JSON-portable
-    types only (int/float/str); a column with any missing row-group
+    types only (int/float/str, plus timestamps normalized to sortable
+    strings by ``_json_stat``); a column with any missing row-group
     stats is skipped — absence means "can't prune", never wrong
     pruning."""
     bounds: dict[str, list] = {}
@@ -253,7 +379,7 @@ def _footer_stats(md) -> dict[str, list] | None:
                 usable = (
                     st is not None
                     and st.has_min_max
-                    and isinstance(st.min, (int, float, str))
+                    and isinstance(st.min, (int, float, str, datetime))
                     and not isinstance(st.min, bool)
                 )
             except Exception:
@@ -261,8 +387,8 @@ def _footer_stats(md) -> dict[str, list] | None:
             if not usable:
                 ok = False
                 break
-            los.append(st.min)
-            his.append(st.max)
+            los.append(_json_stat(st.min))
+            his.append(_json_stat(st.max))
         if ok and los:
             bounds[name] = [min(los), max(his)]
     return bounds or None
@@ -766,7 +892,9 @@ class SnapTable:
             if snap.field_ids is not None
             else {}
         )
-        part_cols = set(snap.partition_spec)
+        # only IDENTITY spec columns live in the path; transform
+        # sources are physical columns in the data files
+        part_cols = _spec_identity_cols(snap.partition_spec)
         groups: dict[int, list[str]] = {}
         for rel in rel_paths:
             groups.setdefault(_origin_sid(rel), []).append(rel)
@@ -873,14 +1001,16 @@ class SnapTable:
         for commit_dir, paths in sorted(by_commit.items()):
             reader = spark.read.schema(schema).option("basePath", commit_dir)
             part = reader.parquet(*sorted(paths))
-            if with_file_path or with_pos:
-                extra = []
-                if with_file_path:
-                    extra.append(F.col("_metadata.file_path").alias("__file"))
-                if with_pos:
-                    extra.append(F.col("_metadata.row_index").alias("__pos"))
-                part = part.select("*", *extra)
-            parts.append(part)
+            # path-derived partition columns outside the requested
+            # schema (hidden-transform values like ts_day=…) are
+            # appended by Spark even under an explicit schema — project
+            # them away so unions stay schema-stable
+            cols: list[Column] = [F.col(f.name) for f in schema.fields]
+            if with_file_path:
+                cols.append(F.col("_metadata.file_path").alias("__file"))
+            if with_pos:
+                cols.append(F.col("_metadata.row_index").alias("__pos"))
+            parts.append(part.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -974,6 +1104,12 @@ class SnapTable:
                 if b is None:
                     continue
                 lo, hi = b
+                val = _json_stat(val)
+                if not isinstance(val, type(lo)) and not (
+                    isinstance(val, (int, float))
+                    and isinstance(lo, (int, float))
+                ):
+                    continue  # incomparable literal — can't prune safely
                 if (
                     (op == "=" and not (lo <= val <= hi))
                     or (op == "<" and not (lo < val))
@@ -1618,7 +1754,18 @@ class SnapCatalog:
         if tbl.exists():
             return tbl
         ddl = schema if isinstance(schema, str) else schema_to_ddl(schema)
-        T._parse_datatype_string(ddl)  # validate round-trip (G1 regression guard)
+        parsed = T._parse_datatype_string(ddl)  # G1 regression guard
+        schema_names = {f.name for f in parsed.fields}
+        bad = [
+            sf.raw
+            for sf in spec_fields(list(partition_by or []))
+            if sf.source not in schema_names
+        ]
+        if bad:
+            raise ValueError(
+                f"partition spec entries {bad} reference columns not in the "
+                f"schema of {database}.{name}"
+            )
         snap = Snapshot(
             snapshot_id=1,
             parent_id=None,
@@ -1809,7 +1956,8 @@ class SnapCatalog:
             prev = _snap_from_dict(prev_dict)
             fields = T._parse_datatype_string(prev.schema_ddl).fields
             names = {f.name for f in fields}
-            part = set(prev.partition_spec)
+            # a transform spec pins its SOURCE column (days(ts) → ts)
+            part = set(spec_source_cols(prev.partition_spec))
 
             del_keys = {c for d in prev.delete_files for c in d.key_cols}
             for old in list(rename_columns) + drop_columns + list(widen_columns):
@@ -1960,14 +2108,16 @@ class SnapCatalog:
                 )
             prev = _snap_from_dict(prev_dict)
             names = {f.name for f in T._parse_datatype_string(prev.schema_ddl).fields}
-            unknown = [c for c in partition_by if c not in names]
+            new_sfs = spec_fields(partition_by)  # validates transform syntax
+            unknown = [sf.raw for sf in new_sfs if sf.source not in names]
             if unknown:
                 raise ValueError(
-                    f"partition columns {unknown} not in the schema of "
-                    f"{database}.{name}"
+                    f"partition spec entries {unknown} reference columns not "
+                    f"in the schema of {database}.{name}"
                 )
-            if len(set(partition_by)) != len(partition_by):
-                raise ValueError("duplicate columns in partition spec")
+            pnames = [sf.partition_name for sf in new_sfs]
+            if len(set(pnames)) != len(pnames):
+                raise ValueError("duplicate fields in partition spec")
             if list(partition_by) == prev.partition_spec:
                 raise ValueError(
                     f"{database}.{name} already partitioned by {partition_by}"
@@ -2125,10 +2275,14 @@ class SnapCatalog:
                     "field_ids": fid_map,
                 }
             if distribution and spec:
+                dtypes = {f.name: f.dataType for f in df.schema.fields}
+                exprs = [
+                    sf.expr(dtypes.get(sf.source)) for sf in spec_fields(spec)
+                ]
                 df = (
-                    df.repartition(*[F.col(c) for c in spec])
+                    df.repartition(*exprs)
                     if distribution == "hash"
-                    else df.repartitionByRange(*[F.col(c) for c in spec])
+                    else df.repartitionByRange(*exprs)
                 )
             new_files = self._write_data_files(tbl, sid, df, spec)
             _assign_row_ids(meta, new_files, materialized)
@@ -2190,10 +2344,40 @@ class SnapCatalog:
         directory; returns the manifest entries with footer-derived
         stats (the commit metrics — no post-write count scan)."""
         commit_dir = os.path.join(tbl.root, f"data/s{sid:06d}")
+        sfs = spec_fields(spec)
+        types = {f.name: f.dataType for f in df.schema.fields}
+        missing = [sf.source for sf in sfs if sf.source not in types]
+        if missing:
+            raise ValueError(
+                f"partition spec references columns {missing} absent from the "
+                f"write schema of {tbl.database}.{tbl.name}"
+            )
+        pcols: list[str] = []
+        for sf in sfs:
+            if sf.kind == "identity":
+                pcols.append(sf.source)
+            else:
+                # hidden partitioning: derive the path value; the source
+                # column stays in the data files
+                df = df.withColumn(sf.partition_name, sf.expr(types[sf.source]))
+                pcols.append(sf.partition_name)
         writer = df.write.mode("overwrite")
-        if spec:
-            writer = writer.partitionBy(*spec)
-        writer.parquet(commit_dir)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # stats — write TIMESTAMP_MICROS (int64) so manifests get
+        # timestamp bounds and time-range predicates prune (INT96 is
+        # deprecated in the parquet spec anyway)
+        conf = df.sparkSession.conf
+        prev_tt = conf.get("spark.sql.parquet.outputTimestampType", None)
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(commit_dir)
+        finally:
+            if prev_tt is None:
+                conf.unset("spark.sql.parquet.outputTimestampType")
+            else:
+                conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
         new_files: list[DataFile] = []
         for dirpath, _dirs, fnames in os.walk(commit_dir):
             for fn in sorted(fnames):

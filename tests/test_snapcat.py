@@ -940,6 +940,74 @@ def test_mor_parent_candidates_prune(spark, cat):
     assert len(tbln._mor_parent_candidates(p0, list(s1.delete_files), s1)) == len(p0.files)
 
 
+def test_hidden_partitioning_transforms(spark, cat):
+    """Iceberg-style hidden partitioning: days()/bucket()/truncate()
+    specs lay files out under derived path values while the SOURCE
+    column stays in the data — reads see exactly the logical schema,
+    row-level ops and compaction keep working, and the derived values
+    surface in the .partitions metadata."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import parse_spec_field
+
+    df = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("u"), F.col("id") % 5).alias("user"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int"))
+        ).alias("ts"),
+    )
+    cat.write("db", "hp", df, partition_by=["days(ts)", "bucket(4, id)"],
+              committed_at=T[0])
+    tbl = cat.table("db", "hp")
+    out = tbl.read(spark)
+    assert out.columns == ["id", "user", "ts"]  # derived cols hidden
+    assert out.count() == 40
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(40))
+    # layout: both derived keys appear in every data-file path
+    f0 = tbl.current_snapshot().files[0].path
+    assert "ts_day=" in f0 and "id_bucket=" in f0
+    # .partitions metadata reports the derived values
+    parts = tbl.partitions_df(spark).collect()
+    assert all("ts_day=" in r["partition"] for r in parts)
+    days = {r["partition"].split("/")[0] for r in parts}
+    buckets = {r["partition"].split("id_bucket=")[1] for r in parts}
+    assert days == {f"ts_day=2024-01-0{d}" for d in (1, 2, 3)}
+    assert buckets <= {"0", "1", "2", "3"} and len(buckets) >= 2
+    assert sum(r["record_count"] for r in parts) == 40
+    # hidden layout + timestamp footer stats → manifest pruning on the
+    # SOURCE column: a one-day predicate must plan a strict file subset
+    planned = tbl.plan_files([
+        ("ts", ">=", "2024-01-02 00:00:00"),
+        ("ts", "<", "2024-01-03 00:00:00"),
+    ])
+    assert 0 < len(planned) < len(tbl.current_snapshot().files)
+    assert all("ts_day=2024-01-02" in f.path for f in planned)
+    # row-level ops on a transform-partitioned table
+    cat.delete_where("db", "hp", "id >= 30")
+    assert tbl.read(spark).count() == 30
+    cat.upsert("db", "hp", spark.createDataFrame(
+        [(0, "zz", None)], "id int, user string, ts timestamp"), key_cols=["id"])
+    assert tbl.read(spark).where("user = 'zz'").count() == 1
+    cat.compact("db", "hp", spark, target_partitions=1)
+    assert tbl.read(spark).count() == 30
+    # the spec's source column is pinned against rename/drop
+    with pytest.raises(ValueError, match="partition column"):
+        cat.alter_table("db", "hp", rename_columns={"ts": "event_ts"})
+    # truncate transform on strings + spec evolution onto a transform
+    cat.write("db", "hp2", df, partition_by=["truncate(1, user)"], committed_at=T[0])
+    f = cat.table("db", "hp2").current_snapshot().files[0].path
+    assert "user_trunc=u" in f
+    cat.alter_partition_spec("db", "hp2", ["months(ts)"])
+    cat.write("db", "hp2", df, committed_at=T[1])
+    newest = max(cat.table("db", "hp2").current_snapshot().files,
+                 key=lambda x: x.path)
+    assert "ts_month=2024-01" in newest.path
+    assert cat.table("db", "hp2").read(spark).count() == 80
+    # parser rejects malformed transforms
+    for bad in ("bucket(id)", "days()", "frobnicate(ts)", "bucket(0, id)"):
+        with pytest.raises(ValueError):
+            parse_spec_field(bad)
+
+
 def test_equality_delete_null_key_matches_null(spark, cat):
     """Iceberg equality-delete semantics: a NULL key value matches
     rows whose key is NULL (ADVICE r4 — plain equality silently made
