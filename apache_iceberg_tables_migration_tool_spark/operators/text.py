@@ -259,3 +259,44 @@ def bigram_surprisal(
         "surprisal_scaled",
         F.expr("(surprisal_scaled * 100) div n_tokens").alias("mean_surprisal_x100"),
     )
+
+
+def vocab_coverage(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Out-of-vocabulary audit: the token vocabulary observed in
+    ``train`` vs every token OCCURRENCE in ``eval_df``, reported per
+    ``group_col`` — the split-health check run before training (a
+    val/test slice whose OOV rate spikes for some language signals a
+    broken split or an under-covered stratum).
+
+    Plan shape at 100 TB: the vocabulary is a distinct-shuffle over
+    train tokens; eval tokens LEFT-join it (AQE promotes the
+    vocabulary to broadcast while it fits) and one grouped agg
+    produces (group, n_tokens, n_oov, oov token ratio). Everything is
+    whole-stage-codegen split/explode — zero Python."""
+    vocab = (
+        train.select(F.explode(words(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("__in_vocab", F.lit(True))
+    )
+    toks = eval_df.select(
+        F.col(group_col), F.explode(words(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.join(vocab, "tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

@@ -101,14 +101,15 @@ _DRIVER_PRIORITY = [
     "dataset_split_report",
     "shipping_priority_q3",
     "hidden_partition_scan",  # r5: days()/bucket()/truncate() transforms
-    # (slot freed by supplier_variety_q16, single-green in r4)
+    "oov_rate_report",        # r5: hash_split x vocab coverage
+    # (slots freed by supplier_variety_q16 / excess_shipping_q20,
+    # both single-green in r4)
     # never-graded: TPC-H adaptation shapes (multi-join aggs, scalar
     # subqueries, grouped havings — the relational breadth tier)
     "profit_by_nation_year_q9",
     "large_volume_customers_q18",
     # r4 additions: the 7 queries with no driver row yet
     "min_cost_supplier_q2",
-    "excess_shipping_q20",
     "sole_return_supplier_q21",
     "lang_confusion_matrix",
     "source_reputation_gate",

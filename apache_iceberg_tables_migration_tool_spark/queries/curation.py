@@ -653,3 +653,50 @@ def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text").cast("long")).alias("sum_chars"),
     )
+
+
+@query(
+    "oov_rate_report",
+    tags=("curation", "text", "sampling"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'train' ELSE 'heldout' END AS split
+  FROM documents),
+vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM s WHERE split = 'train'),
+toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM s WHERE split = 'heldout'),
+flags AS (
+  SELECT lang, t.tok, (v.tok IS NOT NULL) AS in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  WHERE t.tok <> '')
+SELECT lang, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM flags GROUP BY lang
+""",
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-health audit: tokenize the held-out (val+test) slice of
+    the deterministic hash split and measure its out-of-vocabulary
+    token rate against the train slice's vocabulary, per language —
+    run before every training job to catch under-covered strata. The
+    vocabulary is one distinct shuffle; eval tokens left-join it
+    (broadcast while it fits) into a single grouped agg. The oov_rate
+    double is a single IEEE division — portable. Composes the round-5
+    hash_split with the text tier."""
+    from apache_iceberg_tables_migration_tool_spark.operators import text as X
+
+    docs = C.hash_split(
+        load(spark, sf_dir, "documents"),
+        {"train": 0.9, "heldout": 0.1},
+        id_col="doc_id",
+    )
+    return X.vocab_coverage(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") == "heldout"),
+    )

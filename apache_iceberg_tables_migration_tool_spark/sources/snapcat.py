@@ -493,6 +493,55 @@ def _path_partition_stats(
     return out
 
 
+def _merge_append_schema(
+    prev_schema: T.StructType, incoming: T.StructType, ident: str
+) -> T.StructType:
+    """Schema-evolution-on-write for APPENDS (≙ Iceberg mergeSchema):
+    existing columns absent from the incoming frame STAY in the table
+    schema (new files read null for them; silently narrowing the
+    schema would hide still-present data in every older file), new
+    columns append at the end, and a same-name type change is rejected
+    at COMMIT time — the old behavior adopted the incoming type and
+    left the table unreadable (parquet type mismatch at scan), which
+    is corruption discovered by the first reader instead of the
+    writer. Widening is an explicit ``alter_table(widen_columns=…)``,
+    which activates field-id tracking so old files are cast-mapped."""
+    by_name = {f.name: f for f in incoming.fields}
+    out: list[T.StructField] = []
+    for pf in prev_schema.fields:
+        nf = by_name.pop(pf.name, None)
+        if nf is None or nf.dataType == pf.dataType:
+            out.append(pf)
+            continue
+        wider = _wider_type(pf.dataType, nf.dataType)
+        if wider is None:
+            raise ValueError(
+                f"append to {ident} changes column {pf.name!r} from "
+                f"{pf.dataType.simpleString()} to {nf.dataType.simpleString()}; "
+                "cast the input, or alter_table(widen_columns=...) first"
+            )
+        # widening promotion (int→bigint, float→double): the schema
+        # takes the wider type either way; narrower files upcast in
+        # place at read (Spark 4 parquet type widening)
+        out.append(T.StructField(pf.name, wider, True))
+    out.extend(f for f in incoming.fields if f.name in by_name)
+    return T.StructType(out)
+
+
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_WIDTH = {"float": 0, "double": 1}
+
+
+def _wider_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types along the safe promotion chains
+    (integral, floating); None when incomparable."""
+    an, bn = a.simpleString(), b.simpleString()
+    for order in (_INT_WIDTH, _FLOAT_WIDTH):
+        if an in order and bn in order:
+            return a if order[an] >= order[bn] else b
+    return None
+
+
 def _record_commit_schema(meta: dict, sid: int, prev: "Snapshot") -> None:
     """Log the schema in force at commit ``sid`` when field-id
     evolution tracking is active. Every commit that writes EQUALITY
@@ -2258,6 +2307,12 @@ class SnapCatalog:
                 if materialized
                 else df.schema
             )
+            if mode == "append" and prev is not None:
+                logical = _merge_append_schema(
+                    T._parse_datatype_string(prev.schema_ddl),
+                    logical,
+                    f"{database}.{name}",
+                )
             fid_map = None
             if "next_field_id" in meta:  # evolution tracking active
                 prev_ids = dict(prev.field_ids or {}) if prev else {}

@@ -1008,6 +1008,33 @@ def test_hidden_partitioning_transforms(spark, cat):
             parse_spec_field(bad)
 
 
+def test_append_schema_merge_never_narrows_or_conflicts(spark, cat):
+    """Schema evolution on write (≙ Iceberg mergeSchema): an append
+    missing an existing column must NOT narrow the table schema (old
+    data stays visible; the new file reads null), new columns append,
+    and a type-changing append is rejected at COMMIT time instead of
+    corrupting every subsequent read."""
+    cat.write("db", "sm", spark.createDataFrame([(1, "a")], "id int, v string"),
+              committed_at=T[0])
+    # narrowing append: v survives in the schema, new row reads null v
+    cat.write("db", "sm", spark.createDataFrame([(2,)], "id int"),
+              committed_at=T[1])
+    tbl = cat.table("db", "sm")
+    assert tbl.current_snapshot().schema_ddl == "id int, v string"
+    rows = {r["id"]: r["v"] for r in tbl.read(spark).collect()}
+    assert rows == {1: "a", 2: None}
+    # widening append: new column lands at the end, old rows null
+    cat.write("db", "sm", spark.createDataFrame(
+        [(3, "c", 9)], "id int, v string, extra int"), committed_at=T[2])
+    assert tbl.current_snapshot().schema_ddl == "id int, v string, extra int"
+    assert tbl.read(spark).where("extra = 9").count() == 1
+    # type conflict: rejected by the writer, table stays readable
+    with pytest.raises(ValueError, match="changes column 'id'"):
+        cat.write("db", "sm", spark.createDataFrame([("x", "y")],
+                  "id string, v string"))
+    assert tbl.read(spark).count() == 3
+
+
 def test_equality_delete_null_key_matches_null(spark, cat):
     """Iceberg equality-delete semantics: a NULL key value matches
     rows whose key is NULL (ADVICE r4 — plain equality silently made
