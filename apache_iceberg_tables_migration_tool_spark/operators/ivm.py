@@ -1,0 +1,78 @@
+"""Incremental view maintenance (IVM) over the snapshot catalog's
+CDC changelog: keep a grouped COUNT/SUM aggregate in sync with a base
+table by applying only the row-level DELTA between two snapshots —
+never re-scanning the base.
+
+This is the derived-table pattern every warehouse runs at scale: a
+100 TB fact table absorbs a day of commits and the downstream rollup
+refreshes from the changelog slice (O(changed rows)) instead of a full
+recompute (O(table)). COUNT and SUM are self-maintainable under
+insert+delete streams (each change row contributes ±1 / ±value);
+MIN/MAX are not (a deleted extremum needs a rescan) and are therefore
+deliberately absent from this surface.
+
+Reference substrate: the reference recomputes verification aggregates
+from scratch on every run (`6_verify_data_integrity.py:45-87`); this is
+the O(delta) generalization the changelog unlocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: column naming contract shared by both halves
+_COUNT = "group_count"
+
+
+def _sum_col(c: str) -> str:
+    return f"sum_{c}"
+
+
+def grouped_aggregate(df: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """The maintained view's full-recompute form: COUNT(*) plus
+    SUM(col) per key group — run ONCE at view creation, then kept
+    fresh with :func:`agg_delta` + :func:`apply_agg_delta`."""
+    aggs = [F.count(F.lit(1)).alias(_COUNT)] + [
+        F.sum(F.col(c)).alias(_sum_col(c)) for c in sum_cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def agg_delta(changelog: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """Collapse a changelog slice (``_change_type`` ∈ insert|delete)
+    into one signed delta row per key group: inserts contribute +1 /
+    +value, deletes −1 / −value. One shuffle over the CHANGED rows
+    only."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).alias(_COUNT)] + [
+        F.sum(sign * F.col(c)).alias(_sum_col(c)) for c in sum_cols
+    ]
+    return changelog.groupBy(*keys).agg(*aggs)
+
+
+def apply_agg_delta(
+    base: DataFrame, delta: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Merge a delta into the maintained aggregate: groups touched by
+    the delta adjust, untouched groups pass through, groups whose
+    count reaches zero disappear (exactly like a recompute), and
+    groups born in the delta appear. A full-outer join on the group
+    keys — at scale both sides are aggregate-sized (|groups|), not
+    data-sized."""
+    cols = [_COUNT] + [_sum_col(c) for c in sum_cols]
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in cols]
+    )
+    merged = base.join(d, keys, "full_outer")
+    out = merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in cols
+        ],
+    )
+    return out.where(F.col(_COUNT) > 0)

@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = [
     "shipping_priority_q3",
     "hidden_partition_scan",  # r5: days()/bucket()/truncate() transforms
     "oov_rate_report",        # r5: hash_split x vocab coverage
+    "incremental_view_maintenance",  # r5: CDC-driven O(delta) view refresh
     # (slots freed by supplier_variety_q16 / excess_shipping_q20,
     # both single-green in r4)
     # never-graded: TPC-H adaptation shapes (multi-join aggs, scalar
@@ -110,7 +111,6 @@ _DRIVER_PRIORITY = [
     "large_volume_customers_q18",
     # r4 additions: the 7 queries with no driver row yet
     "min_cost_supplier_q2",
-    "sole_return_supplier_q21",
     "lang_confusion_matrix",
     "source_reputation_gate",
     "source_overlap_matrix",

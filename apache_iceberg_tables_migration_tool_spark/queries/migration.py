@@ -1259,3 +1259,83 @@ def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "incremental_view_maintenance",
+    tags=("migration", "metadata", "cdc", "agg"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS ok, CAST(o_custkey AS INTEGER) AS cust,
+         o_orderpriority AS priority
+  FROM orders),
+surv AS (
+  SELECT ok, CASE WHEN ok % 11 = 0 THEN cust + 1000000 ELSE cust END AS cust,
+         priority
+  FROM o WHERE cust % 5 <> 0),
+ins AS (
+  SELECT ok + 1000000000 AS ok, CAST(77 AS INTEGER) AS cust, priority
+  FROM o WHERE ok % 13 = 0),
+fin AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+SELECT priority, COUNT(*) AS group_count,
+       CAST(SUM(cust) AS BIGINT) AS sum_cust
+FROM fin GROUP BY priority
+""",
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-table refresh WITHOUT rescanning the base: a grouped
+    COUNT/SUM view is computed once at snapshot s1, the table then
+    absorbs an append + a predicate DELETE + a MERGE (update+insert),
+    and the view refreshes by folding the CDC changelog slice
+    (s1 → head] into the stale aggregate — O(changed rows), the
+    100 TB refresh path (`operators/ivm.py`). The oracle recomputes
+    the final aggregate from scratch, so the hash compare IS the
+    IVM ≡ recompute theorem on this history."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    root = tempfile.mkdtemp(prefix="snapcat_ivm_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        s1 = cat.write("db", "orders_ivm", o.where("ok % 2 = 0"),
+                       committed_at=_T[0])
+        tbl = cat.table("db", "orders_ivm")
+        # the maintained view, recomputed ONCE at s1
+        base_agg = ivm.grouped_aggregate(
+            tbl.read(spark, snapshot_id=s1.snapshot_id), ["priority"], ["cust"]
+        )
+        # … the table moves on: append, delete, merge
+        cat.write("db", "orders_ivm", o.where("ok % 2 = 1"), committed_at=_T[1])
+        cat.delete_where("db", "orders_ivm", F.col("cust") % 5 == 0,
+                         committed_at=_T[2])
+        updates = (
+            o.where("ok % 11 = 0 AND cust % 5 <> 0")
+            .withColumn("cust", F.col("cust") + F.lit(1000000))
+            .unionByName(
+                o.where("ok % 13 = 0").select(
+                    (F.col("ok") + F.lit(1000000000)).alias("ok"),
+                    F.lit(77).cast("int").alias("cust"),
+                    "priority",
+                )
+            )
+        )
+        cat.upsert("db", "orders_ivm", updates, key_cols=["ok"],
+                   committed_at=_T[3])
+        # refresh = stale view + changelog delta (never rereads base)
+        head = tbl.current_snapshot().snapshot_id
+        delta = ivm.agg_delta(
+            tbl.changelog(spark, s1.snapshot_id, head), ["priority"], ["cust"]
+        )
+        refreshed = ivm.apply_agg_delta(base_agg, delta, ["priority"], ["cust"])
+        out = refreshed.select(
+            "priority",
+            F.col("group_count"),
+            F.col("sum_cust").cast("long").alias("sum_cust"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -3310,11 +3310,24 @@ class SnapCatalog:
         target_partitions: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        min_file_bytes: int | None = None,
     ) -> Snapshot:
         """Rewrite the current snapshot's data into fewer, larger
         files (≙ Iceberg ``rewrite_data_files``): small-file compaction
         is what keeps scan planning cheap after many streaming-ish
         appends.
+
+        ``min_file_bytes`` selects Iceberg's BINPACK strategy: only
+        files smaller than the threshold are rewritten; every
+        already-right-sized file carries over BY REFERENCE — on a
+        100 TB table that has absorbed a thousand streaming appends,
+        this touches the kilobyte-file tail and leaves the petascale
+        body unread. Merge-on-read delete files are kept for the
+        carried-over files and naturally stop applying to the rewrite
+        (its commit sequence is higher — Iceberg's sequence rule), so
+        the deletes ARE materialized for the rewritten sliver without
+        a full-table pass. Mutually exclusive with sort/zorder (a
+        clustering rewrite is global by definition).
 
         ``sort_by`` range-clusters the rewrite (``repartitionByRange``
         + ``sortWithinPartitions`` ≙ Iceberg's sort-order rewrite):
@@ -3329,12 +3342,40 @@ class SnapCatalog:
         retried against the new snapshot instead of silently dropping
         that commit (Iceberg's ``rewrite_data_files`` validate-and-
         retry behavior)."""
+        if min_file_bytes is not None and (sort_by or zorder_by):
+            raise ValueError("min_file_bytes (binpack) excludes sort/zorder rewrites")
         tbl = self.table(database, name)
         last_err: CommitConflictError | None = None
         for _attempt in range(3):
             base = tbl.current_snapshot()
             if base is None:
                 raise LookupError(f"table {database}.{name} does not exist")
+            if min_file_bytes is not None:
+                small = [f for f in base.files if f.bytes < min_file_bytes]
+                if len(small) < 2:
+                    return base  # nothing worth rewriting
+                big = [f for f in base.files if f.bytes >= min_file_bytes]
+                sdf = tbl._read_files(
+                    spark, base, [f.path for f in small],
+                    apply_deletes=True, with_lineage=True,
+                ).coalesce(target_partitions or max(1, len(small) // 8))
+                with _commit_lock(tbl.root):
+                    cur = tbl.current_snapshot()
+                    if cur is None or cur.snapshot_id != base.snapshot_id:
+                        last_err = CommitConflictError(
+                            f"concurrent commit on {database}.{name} during binpack"
+                        )
+                        continue
+                    sid = _next_id(tbl._load_meta())
+                    new_files = self._write_data_files(
+                        tbl, sid, sdf, base.partition_spec
+                    )
+                    return self._commit(
+                        tbl, base, big + new_files, new_files, "replace", None,
+                        {"binpack-rewritten-files": str(len(small)),
+                         "binpack-min-bytes": str(min_file_bytes)},
+                        sid=sid, materialized_lineage=True,
+                    )
             # carry row lineage through the rewrite (≙ Iceberg v3:
             # compaction preserves _row_id / _last_updated_seq)
             df = tbl.read(spark, with_row_ids=True)

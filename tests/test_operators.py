@@ -574,3 +574,30 @@ def test_bigram_surprisal_hand_corpus(spark):
         assert got[i] == (len(ws), ref(ws)), f"doc {i}"
     # word order matters: 'b a' repeated never follows corpus order a->b
     # as often, so docs of equal unigram composition can differ here
+
+
+# ------------------------------------------------------------------ IVM
+
+def test_ivm_group_birth_and_death(spark):
+    """apply_agg_delta must drop groups whose count reaches zero and
+    create groups born in the delta — matching a recompute exactly."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    base_rows = [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)]
+    base_df = spark.createDataFrame(base_rows, "g string, k int, v int")
+    base = ivm.grouped_aggregate(base_df, ["g"], ["v"])
+    # delete both 'a' rows, insert two 'c' rows, adjust 'b'
+    cl = spark.createDataFrame(
+        [
+            ("delete", "a", 10), ("delete", "a", 20),
+            ("insert", "c", 5), ("insert", "c", 7),
+            ("insert", "b", 1),
+        ],
+        "_change_type string, g string, v int",
+    )
+    delta = ivm.agg_delta(cl, ["g"], ["v"])
+    got = {
+        r["g"]: (r["group_count"], r["sum_v"])
+        for r in ivm.apply_agg_delta(base, delta, ["g"], ["v"]).collect()
+    }
+    assert got == {"b": (2, 31), "c": (2, 12)}  # 'a' died, 'c' born

@@ -1008,6 +1008,39 @@ def test_hidden_partitioning_transforms(spark, cat):
             parse_spec_field(bad)
 
 
+def test_binpack_compaction_rewrites_only_small_files(spark, cat):
+    """Iceberg binpack strategy: compact(min_file_bytes=...) rewrites
+    the small-file tail and carries right-sized files by reference —
+    and MOR deletes keep applying to carried files while the rewrite
+    materializes them for its own sliver."""
+    # one big file, then a burst of tiny appends
+    cat.write("db", "bp", spark.range(0, 2000).coalesce(1), committed_at=T[0])
+    big_path = cat.table("db", "bp").current_snapshot().files[0].path
+    for i in range(4):
+        cat.write("db", "bp", spark.range(10_000 + i, 10_001 + i).coalesce(1),
+                  committed_at=T[1])
+    tbl = cat.table("db", "bp")
+    base = tbl.current_snapshot()
+    big_bytes = next(f.bytes for f in base.files if f.path == big_path)
+    # MOR delete hitting both a small file's row and the big file's rows
+    cat.delete_keys("db", "bp", spark.createDataFrame(
+        [(10_000,), (5,)], "id bigint"))
+    snap = cat.compact("db", "bp", spark, min_file_bytes=big_bytes)
+    assert snap.operation == "replace"
+    assert big_path in {f.path for f in snap.files}  # carried by reference
+    assert len(snap.files) < len(base.files)
+    assert snap.summary["binpack-rewritten-files"] == "4"
+    out = tbl.read(spark)
+    assert out.count() == 2002  # 2004 - 2 deleted
+    ids = {r["id"] for r in out.collect()}
+    assert 10_000 not in ids and 5 not in ids  # delete still applies to big file
+    # idempotent: nothing small left → no-op returns current snapshot
+    again = cat.compact("db", "bp", spark, min_file_bytes=100)
+    assert again.snapshot_id == snap.snapshot_id
+    with pytest.raises(ValueError, match="binpack"):
+        cat.compact("db", "bp", spark, min_file_bytes=1, sort_by=["id"])
+
+
 def test_append_schema_merge_never_narrows_or_conflicts(spark, cat):
     """Schema evolution on write (≙ Iceberg mergeSchema): an append
     missing an existing column must NOT narrow the table schema (old
