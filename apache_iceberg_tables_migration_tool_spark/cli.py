@@ -149,17 +149,23 @@ def cmd_maintain(args: argparse.Namespace) -> int:
             if args.expire_keep_last:
                 expired = cat.expire_snapshots(db, name, keep_last=args.expire_keep_last)
                 print(f"{db}.{name}: expired {len(expired)} snapshots")
-            if args.compact or args.compact_sort_by or args.compact_zorder_by:
+            if (args.compact or args.compact_sort_by or args.compact_zorder_by
+                    or args.compact_min_file_bytes):
                 sort_by = args.compact_sort_by.split(",") if args.compact_sort_by else None
                 zorder_by = (
                     args.compact_zorder_by.split(",") if args.compact_zorder_by else None
                 )
-                cat.compact(db, name, spark, sort_by=sort_by, zorder_by=zorder_by)
+                cat.compact(
+                    db, name, spark, sort_by=sort_by, zorder_by=zorder_by,
+                    min_file_bytes=args.compact_min_file_bytes,
+                )
                 how = (
                     f" (z-ordered by {zorder_by})"
                     if zorder_by
                     else (f" (sorted by {sort_by})" if sort_by else "")
                 )
+                if args.compact_min_file_bytes:
+                    how = f" (binpack < {args.compact_min_file_bytes} bytes)"
                 print(f"{db}.{name}: compacted{how}")
             if args.remove_orphans:
                 removed = cat.remove_orphan_files(db, name)
@@ -578,6 +584,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated sort columns: range-cluster the rewrite so "
         "file min/max stats enable scan skipping",
     )
+    sp.add_argument(
+        "--compact-min-file-bytes", type=int, default=None,
+        help="binpack: rewrite only files smaller than this (bytes)")
     sp.add_argument(
         "--compact-zorder-by", default=None,
         help="comma-separated integral columns: Morton z-order the rewrite "

@@ -1127,13 +1127,55 @@ class SnapTable:
         before Spark lists or opens a single file. Together with
         clustered layouts (compact ``sort_by``/``zorder_by``) this is
         the 100 TB selective-scan path: the executor never sees files
-        the predicate rules out."""
-        snap = self.resolve_snapshot(snapshot_id)
-        commit_schemas = (
-            self._load_meta().get("commit_schemas", {})
-            if snap.field_ids is not None
-            else {}
+        the predicate rules out.
+
+        Point predicates additionally prune ``bucket(N, col)`` hidden
+        partitions: the driver recomputes Spark's xxhash64 of the
+        literal in pure Python (`functions/xxh64.py`, bit-parity
+        pinned) and rules out files whose path bucket can't contain it
+        — the primary-key-lookup path on a bucketed 100 TB table.
+        Each file resolves N against its OWN origin commit's spec
+        (spec evolution may rebucket); unresolvable origins, uncovered
+        literal types, and statless files are conservatively kept."""
+        from apache_iceberg_tables_migration_tool_spark.functions.xxh64 import (
+            spark_xxhash64,
         )
+
+        snap = self.resolve_snapshot(snapshot_id)
+        meta = self._load_meta()
+        commit_schemas = (
+            meta.get("commit_schemas", {}) if snap.field_ids is not None else {}
+        )
+        specs_by_sid = {
+            s["snapshot_id"]: s.get("partition_spec", [])
+            for s in meta["snapshots"]
+        }
+        col_types = {
+            fld.name: fld.dataType.simpleString()
+            for fld in T._parse_datatype_string(snap.schema_ddl).fields
+        }
+        eq_preds = [(c, v) for c, op, v in predicates if op == "="]
+
+        def _bucket_excludes(f: DataFile) -> bool:
+            if not eq_preds or not f.stats:
+                return False
+            spec = specs_by_sid.get(_origin_sid(f.path))
+            if not spec:
+                return False
+            for sf in spec_fields(spec):
+                if sf.kind != "bucket":
+                    continue
+                for c, v in eq_preds:
+                    if sf.source != c:
+                        continue
+                    b = f.stats.get(sf.partition_name)
+                    h = spark_xxhash64(v, col_types.get(c, ""))
+                    if b is None or h is None:
+                        continue
+                    if not (b[0] <= h % sf.param <= b[1]):
+                        return True
+            return False
+
         out = []
         for f in snap.files:
             # footer stats are keyed by the column names the file was
@@ -1168,7 +1210,7 @@ class SnapTable:
                 ):
                     keep = False
                     break
-            if keep:
+            if keep and not _bucket_excludes(f):
                 out.append(f)
         return out
 

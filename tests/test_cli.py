@@ -164,6 +164,22 @@ def test_cli_maintain_zorder(spark, tmp_path, capsys):
     assert cat.table("zdb", "t").read(spark).count() == 1024
 
 
+def test_cli_maintain_binpack(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "bwh"))
+    cat.write("bdb", "t", spark.range(2000).coalesce(1))
+    big = cat.table("bdb", "t").current_snapshot().files[0]
+    for i in range(3):
+        cat.write("bdb", "t", spark.range(9000 + i, 9001 + i).coalesce(1))
+    assert main([
+        "maintain", "--warehouse", str(tmp_path / "bwh"),
+        "--compact-min-file-bytes", str(big.bytes),
+    ]) == 0
+    assert "binpack" in capsys.readouterr().out
+    snap = cat.table("bdb", "t").current_snapshot()
+    assert big.path in {f.path for f in snap.files}  # carried by reference
+    assert cat.table("bdb", "t").read(spark).count() == 2003
+
+
 def test_cli_corpus_build(spark, tmp_path, capsys):
     out_path = str(tmp_path / "corpus_summary.json")
     assert main([

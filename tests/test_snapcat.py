@@ -981,6 +981,17 @@ def test_hidden_partitioning_transforms(spark, cat):
     ])
     assert 0 < len(planned) < len(tbl.current_snapshot().files)
     assert all("ts_day=2024-01-02" in f.path for f in planned)
+    # bucket point-lookup pruning: driver-side xxhash64 of the literal
+    # rules out every other bucket's files, and the pruned read is
+    # still exact
+    from apache_iceberg_tables_migration_tool_spark.functions.xxh64 import xxh64_int
+
+    expected_bucket = xxh64_int(17) % 4
+    by_key = tbl.plan_files([("id", "=", 17)])
+    assert by_key
+    assert all(f"id_bucket={expected_bucket}" in f.path for f in by_key)
+    assert len(by_key) < len(tbl.current_snapshot().files)
+    assert [r["id"] for r in tbl.read_where(spark, [("id", "=", 17)]).collect()] == [17]
     # row-level ops on a transform-partitioned table
     cat.delete_where("db", "hp", "id >= 30")
     assert tbl.read(spark).count() == 30
