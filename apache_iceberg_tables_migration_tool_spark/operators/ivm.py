@@ -57,22 +57,13 @@ def apply_agg_delta(
     """Merge a delta into the maintained aggregate: groups touched by
     the delta adjust, untouched groups pass through, groups whose
     count reaches zero disappear (exactly like a recompute), and
-    groups born in the delta appear. A full-outer join on the group
-    keys — at scale both sides are aggregate-sized (|groups|), not
-    data-sized."""
+    groups born in the delta appear. Union + re-group rather than a
+    full-outer join: same aggregate-sized shuffle, and NULL group keys
+    merge correctly (grouping treats NULL as a group; a USING-style
+    outer join would keep base and delta null-key rows apart)."""
     cols = [_COUNT] + [_sum_col(c) for c in sum_cols]
-    d = delta.select(
-        *keys, *[F.col(c).alias(f"__d_{c}") for c in cols]
-    )
-    merged = base.join(d, keys, "full_outer")
-    out = merged.select(
-        *keys,
-        *[
-            (
-                F.coalesce(F.col(c), F.lit(0))
-                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
-            ).alias(c)
-            for c in cols
-        ],
+    both = base.select(*keys, *cols).unionByName(delta.select(*keys, *cols))
+    out = both.groupBy(*keys).agg(
+        *[F.sum(F.col(c)).alias(c) for c in cols]
     )
     return out.where(F.col(_COUNT) > 0)

@@ -601,3 +601,23 @@ def test_ivm_group_birth_and_death(spark):
         for r in ivm.apply_agg_delta(base, delta, ["g"], ["v"]).collect()
     }
     assert got == {"b": (2, 31), "c": (2, 12)}  # 'a' died, 'c' born
+
+
+def test_ivm_null_group_key_merges(spark):
+    """NULL group keys must merge base+delta like any other group —
+    the union+re-group formulation's reason to exist."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    base = ivm.grouped_aggregate(
+        spark.createDataFrame([(None, 1), ("a", 2)], "g string, v int"), ["g"], ["v"]
+    )
+    cl = spark.createDataFrame(
+        [("insert", None, 4), ("delete", "a", 2)], "_change_type string, g string, v int"
+    )
+    got = {
+        r["g"]: (r["group_count"], r["sum_v"])
+        for r in ivm.apply_agg_delta(
+            base, ivm.agg_delta(cl, ["g"], ["v"]), ["g"], ["v"]
+        ).collect()
+    }
+    assert got == {None: (2, 5)}  # null group merged; 'a' died
