@@ -103,6 +103,7 @@ _DRIVER_PRIORITY = [
     "hidden_partition_scan",  # r5: days()/bucket()/truncate() transforms
     "oov_rate_report",        # r5: hash_split x vocab coverage
     "incremental_view_maintenance",  # r5: CDC-driven O(delta) view refresh
+    "streaming_view_maintenance",    # r5: streaming materialized-view fold
     # (slots freed by supplier_variety_q16 / excess_shipping_q20,
     # both single-green in r4)
     # never-graded: TPC-H adaptation shapes (multi-join aggs, scalar
@@ -111,7 +112,6 @@ _DRIVER_PRIORITY = [
     "large_volume_customers_q18",
     # r4 additions: the 7 queries with no driver row yet
     "min_cost_supplier_q2",
-    "lang_confusion_matrix",
     "source_reputation_gate",
     "source_overlap_matrix",
     # bench watch-list second carriers (r3 regression tracking)

@@ -1339,3 +1339,54 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_view_maintenance",
+    tags=("migration", "streaming", "cdc", "agg"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority, CAST(o_custkey AS INTEGER) AS cust
+  FROM orders)
+SELECT priority, COUNT(*) AS group_count,
+       CAST(SUM(cust) AS BIGINT) AS sum_cust
+FROM o GROUP BY priority
+""",
+)
+def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance end to end: orders land
+    in three append commits, a checkpointed consumer tails the table
+    and folds each micro-batch into a snapshot-versioned COUNT/SUM
+    rollup (`streaming/pipelines.maintain_view_stream` over
+    `operators/ivm.py`) — the view is only ever touched with
+    batch-sized deltas, never a base rescan. The oracle recomputes the
+    rollup from scratch over all orders, so the hash compare proves
+    stream-folded ≡ recomputed regardless of how the file-stream
+    source batched the commits."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_view_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_svm_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("band"),
+        )
+        for b in range(3):
+            cat.write("db", "orders_svm", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+        q = maintain_view_stream(
+            spark, cat, "db", "orders_svm", "db", "orders_rollup",
+            keys=["priority"], sum_cols=["cust"],
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        view = cat.table("db", "orders_rollup").read(spark).select(
+            "priority", "group_count", F.col("sum_cust").cast("long").alias("sum_cust")
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

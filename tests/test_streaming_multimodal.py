@@ -474,3 +474,41 @@ def test_video_container_roundtrip_and_sampling(spark):
     assert all(r["width"] == 8 and r["height"] == 8 for r in out)
     for r in out:
         assert r["brightness_x100"] == ((7 * 7 + r["frame_idx"] * 13) % 256) * 100
+
+
+def test_maintain_view_stream_incremental_fold(spark, tmp_path):
+    """The maintained rollup equals a recompute after the initial
+    drain, and a SAME-checkpoint rerun after one more commit folds
+    ONLY the delta (view history grows by one snapshot, totals stay
+    recompute-equal)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_view_stream,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, v int"
+    )
+    cat.write("db", "src", df1)
+    ckpt = str(tmp_path / "ckpt")
+    maintain_view_stream(
+        spark, cat, "db", "src", "db", "rollup",
+        keys=["g"], sum_cols=["v"], checkpoint_dir=ckpt,
+    ).awaitTermination()
+    view = cat.table("db", "rollup")
+    got = {r["g"]: (r["group_count"], r["sum_v"])
+           for r in view.read(spark).collect()}
+    assert got == {"a": (2, 3), "b": (1, 3)}
+    n_snaps = len(view.snapshots())
+    # a new commit lands; the SAME checkpoint folds only the delta
+    cat.write("db", "src", spark.createDataFrame([("b", 10), ("c", 4)],
+                                                 "g string, v int"))
+    maintain_view_stream(
+        spark, cat, "db", "src", "db", "rollup",
+        keys=["g"], sum_cols=["v"], checkpoint_dir=ckpt,
+    ).awaitTermination()
+    got2 = {r["g"]: (r["group_count"], r["sum_v"])
+            for r in view.read(spark).collect()}
+    assert got2 == {"a": (2, 3), "b": (2, 13), "c": (1, 4)}
+    assert len(view.snapshots()) == n_snaps + 1  # one fold, not a replay
