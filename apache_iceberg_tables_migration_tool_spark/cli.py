@@ -142,6 +142,11 @@ def cmd_verify(args: argparse.Namespace) -> int:
 def cmd_maintain(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
+    if args.compact_min_file_bytes and (
+            args.compact_sort_by or args.compact_zorder_by):
+        print("maintain: --compact-min-file-bytes (binpack) cannot "
+              "combine with sort/zorder rewrites", file=sys.stderr)
+        return 2
     spark = _spark(args.cpus)
     cat = SnapCatalog(args.warehouse)
     for db in args.databases or cat.list_namespaces():
@@ -193,11 +198,9 @@ def cmd_rollback(args: argparse.Namespace) -> int:
 def cmd_alter(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
-    def _pairs(spec: str | None) -> dict[str, str]:
-        # "a=b,c=d" → {"a": "b", "c": "d"}; commas inside parentheses
-        # belong to the value ("amt=decimal(12,2)" is ONE item)
-        if not spec:
-            return {}
+    def _split_depth0(spec: str) -> list[str]:
+        # split on commas OUTSIDE parentheses: "amt=decimal(12,2)" and
+        # the transform "bucket(4,id)" are each ONE item
         items, depth, cur = [], 0, []
         for ch in spec:
             if ch == "," and depth == 0:
@@ -208,6 +211,13 @@ def cmd_alter(args: argparse.Namespace) -> int:
             depth -= ch == ")"
             cur.append(ch)
         items.append("".join(cur))
+        return items
+
+    def _pairs(spec: str | None) -> dict[str, str]:
+        # "a=b,c=d" → {"a": "b", "c": "d"}
+        if not spec:
+            return {}
+        items = _split_depth0(spec)
         out = {}
         for item in items:
             if "=" not in item:
@@ -223,7 +233,8 @@ def cmd_alter(args: argparse.Namespace) -> int:
             return 2
         snap = SnapCatalog(args.warehouse).alter_partition_spec(
             args.database, args.table,
-            [c for c in args.partition_by.split(",") if c],
+            # depth-aware: bucket(4,id) / truncate(8,col) are one entry
+            [c.strip() for c in _split_depth0(args.partition_by) if c.strip()],
         )
         print(
             f"{args.database}.{args.table}: partition spec evolved in "

@@ -158,14 +158,21 @@ def cosine_pairs(
 
 def _block_grid(packed: DataFrame, n_blocks: int) -> DataFrame:
     """The upper-triangle block-pair relation (rows_a, rows_b, blk_a,
-    blk_b) built with two EQUI joins against an enumerated pair list —
-    not a `blk_a <= blk_b` theta-join, which would plan as a broadcast
-    nested loop (policed by test_plan_hygiene). The pair list is
-    B(B+1)/2 driver-built ints; each join shuffles only B heavy rows."""
+    blk_b) built with two EQUI joins against an enumerated pair
+    relation — not a `blk_a <= blk_b` theta-join, which would plan as
+    a broadcast nested loop (policed by test_plan_hygiene). The B²
+    pair space is generated DISTRIBUTED via ``spark.range`` and
+    filtered to the triangle — never a driver-built Python list, which
+    at B = 20k blocks would be 2×10⁸ driver tuples."""
     spark = packed.sparkSession
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "blk_a bigint, blk_b bigint",
+    b = F.lit(n_blocks)
+    pairs = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / b).cast("bigint").alias("blk_a"),
+            F.pmod(F.col("id"), b).alias("blk_b"),
+        )
+        .where(F.col("blk_a") <= F.col("blk_b"))
     )
     return pairs.join(
         packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")),
@@ -174,6 +181,29 @@ def _block_grid(packed: DataFrame, n_blocks: int) -> DataFrame:
         packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")),
         "blk_b",
     )
+
+
+def _pack_blocks(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    target_block_rows: int,
+    n_blocks: int | None,
+) -> tuple[DataFrame, int]:
+    """Hash the corpus into B ≈ ⌈N/target_block_rows⌉ blocks and pack
+    each block into ONE (blk, rows) row executor-side — the shared
+    preamble of every blocked grid operator. Returns (grid, n_blocks)
+    where grid is the upper-triangle block-pair relation."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if n_blocks is None:
+        n = e.count()
+        n_blocks = max(1, -(-n // max(1, target_block_rows)))
+    packed = (
+        e.withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows"))
+    )
+    return _block_grid(packed, n_blocks), n_blocks
 
 
 def cosine_pairs_blocked(
@@ -200,18 +230,7 @@ def cosine_pairs_blocked(
     Deterministic: xxhash64 block assignment, exact f64 matmul —
     emits exactly the pairs the broadcast path emits (pytest-pinned).
     """
-    e = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-    )
-    if n_blocks is None:
-        n = e.count()
-        n_blocks = max(1, -(-n // max(1, target_block_rows)))
-    packed = (
-        e.withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows"))
-    )
-    grid = _block_grid(packed, n_blocks)
+    grid, _ = _pack_blocks(emb, id_col, vec_col, target_block_rows, n_blocks)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,27 +278,22 @@ def knn_graph(
     top-k to the global answer. Deterministic ties: (sim desc, id
     asc). Returns (qid, vec_id, sim, rk) with rk ∈ [1, k].
     """
-    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    if n_blocks is None:
-        n = e.count()
-        n_blocks = max(1, -(-n // max(1, target_block_rows)))
-    packed = (
-        e.withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows"))
-    )
-    grid = _block_grid(packed, n_blocks)
+    grid, _ = _pack_blocks(emb, id_col, vec_col, target_block_rows, n_blocks)
 
     def _local_topk(qids: np.ndarray, sims: np.ndarray, nids: np.ndarray):
         keep = min(k, sims.shape[1])
         idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "qid": np.repeat(qids, keep),
                 "vec_id": nids[idx].ravel(),
                 "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
             }
         )
+        # the -inf self mask can survive argpartition when a diagonal
+        # block has ≤ k vectors — drop it so tiny corpora never emit a
+        # (qid, qid, -inf) self-edge
+        return out[np.isfinite(out["sim"].to_numpy())]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

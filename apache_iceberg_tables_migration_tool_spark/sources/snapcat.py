@@ -591,14 +591,23 @@ def _commit_lock(
     atomically renamed to a unique name first (concurrent breakers
     lose the rename and retry), then double-checked — if the renamed
     dir turns out heartbeat-fresh (owner re-acquired inside the
-    stat→rename window), it is renamed back instead of removed.
+    stat→rename window), the breaker tries to rename it back. Every
+    holder drops an ``owner`` file inside its dir immediately after
+    mkdir, so a lock dir is never empty while held — POSIX rename can
+    replace an EMPTY directory but fails (ENOTEMPTY) on a non-empty
+    one, which is what stops the restore from silently clobbering a
+    lock a third waiter acquired in the meantime.
     """
     lock_dir = os.path.join(table_root, "metadata", ".commit_lock")
+    owner_file = os.path.join(lock_dir, "owner")
     os.makedirs(os.path.dirname(lock_dir), exist_ok=True)
     deadline = time.monotonic() + timeout_sec
+    token = uuid.uuid4().hex
     while True:
         try:
             os.mkdir(lock_dir)
+            with open(owner_file, "w") as fh:  # lock dir never empty while held
+                fh.write(token)
             break
         except FileExistsError:
             # a writer killed between mkdir and rmdir would deadlock the
@@ -613,7 +622,7 @@ def _commit_lock(
                         shutil.rmtree(trash, ignore_errors=True)
                     else:  # stole a live lock re-acquired mid-window
                         with contextlib.suppress(OSError):
-                            os.rename(trash, lock_dir)
+                            os.rename(trash, lock_dir)  # ENOTEMPTY if taken
                     continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"commit lock timeout on {table_root}") from None
@@ -632,8 +641,14 @@ def _commit_lock(
     finally:
         stop.set()
         beat.join(timeout=2.0)
+        # release ONLY a dir we still own: if the lock was stolen and
+        # the path now holds another waiter's dir, their token differs
+        # and both the owner file and the dir are left alone
         with contextlib.suppress(FileNotFoundError, OSError):
-            os.rmdir(lock_dir)
+            with open(owner_file) as fh:
+                if fh.read() == token:
+                    os.remove(owner_file)
+                    os.rmdir(lock_dir)
 
 
 class SnapTable:
@@ -1268,10 +1283,8 @@ class SnapTable:
                 break
             full = os.path.join(self.root, d.path)
             if d.kind == "position":
-                import pyarrow.parquet as _pq
-
                 named = set(
-                    _pq.ParquetFile(full).read(columns=["file_path"])
+                    pq.ParquetFile(full).read(columns=["file_path"])
                     .column("file_path").to_pylist()
                 )
                 keep |= {f.path for f in parent.files if f.path in named}

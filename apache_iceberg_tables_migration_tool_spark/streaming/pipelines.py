@@ -364,6 +364,7 @@ def maintain_view_stream(
     sum_cols: list[str],
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
 ):
     """Streaming MATERIALIZED VIEW maintenance: tail a table's append
     commits (:func:`stream_catalog_appends`) and fold every micro-batch
@@ -378,7 +379,14 @@ def maintain_view_stream(
     Exactly-once under at-least-once replay: the view commit stamps
     ``streaming.batch_id`` and a replayed batch (crash between view
     commit and checkpoint write) is skipped — the same protocol as
-    :func:`ingest_stream_to_catalog`."""
+    :func:`ingest_stream_to_catalog`.
+
+    Bounded metadata: after each fold the view's history is trimmed to
+    ``view_keep_last`` snapshots — without this a long-running stream
+    grows one snapshot (plus superseded rollup files) per micro-batch
+    forever. Replay dedup only ever needs batch ids near the head
+    (file-source replays are adjacent), so the trim also bounds the
+    seen-set scan."""
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
     events = stream_catalog_appends(
@@ -401,6 +409,10 @@ def maintain_view_stream(
             view_database, view_table, refreshed, mode="overwrite",
             summary_extra={"streaming.batch_id": str(batch_id)},
         )
+        if view_keep_last is not None:
+            catalog.expire_snapshots(
+                view_database, view_table, keep_last=view_keep_last
+            )
 
     return (
         events.writeStream.foreachBatch(fold)

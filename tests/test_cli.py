@@ -377,6 +377,30 @@ def test_cli_analyze(spark, tmp_path, capsys):
     assert cat.table("db", "t").column_stats()["columns"]["g"]["null_count"] == 0
 
 
+def test_cli_alter_partition_transform_spec(spark, tmp_path, capsys):
+    """Two-argument transforms like bucket(4,id) must survive the
+    CLI's comma split (depth-aware, same as parenthesized types)."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "ptwh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "t", spark.range(8).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("s"), F.col("id") % 2).alias("tag")).coalesce(1))
+    assert main([
+        "alter", "--warehouse", wh, "--database", "db", "--table", "t",
+        "--partition-by", "bucket(4, id),truncate(1, tag)",
+    ]) == 0
+    assert "partition spec evolved" in capsys.readouterr().out
+    cat.write("db", "t", spark.range(8, 16).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("s"), F.col("id") % 2).alias("tag")).coalesce(1))
+    newest = max(cat.table("db", "t").current_snapshot().files,
+                 key=lambda f: f.path)
+    assert "id_bucket=" in newest.path and "tag_trunc=s" in newest.path
+    assert cat.table("db", "t").read(spark).count() == 16
+
+
 def test_cli_alter_add_parenthesized_type(spark, tmp_path, capsys):
     from pyspark.sql import functions as F
 
