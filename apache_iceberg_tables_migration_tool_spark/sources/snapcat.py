@@ -282,6 +282,38 @@ def spec_source_cols(spec: list[str]) -> list[str]:
     return [sf.source for sf in spec_fields(spec)]
 
 
+def _validate_spec_against_schema(
+    sfs: list[SpecField], schema_names: set[str], table_label: str
+) -> None:
+    """Shared spec/schema hygiene for create_table / alter_partition_spec
+    / _write_data_files: every transform source must be a schema column,
+    partition names must be unique, and — crucially — a DERIVED partition
+    name (``ts_day`` for ``days(ts)``) must not collide with a real schema
+    column: `_write_data_files` materializes the derived value under that
+    name, so a collision would silently overwrite the user's column and
+    strip it into the path (data corruption on read)."""
+    unknown = [sf.raw for sf in sfs if sf.source not in schema_names]
+    if unknown:
+        raise ValueError(
+            f"partition spec entries {unknown} reference columns not in the "
+            f"schema of {table_label}"
+        )
+    pnames = [sf.partition_name for sf in sfs]
+    if len(set(pnames)) != len(pnames):
+        raise ValueError(f"duplicate fields in partition spec of {table_label}")
+    clash = [
+        f"{sf.raw} -> {sf.partition_name}"
+        for sf in sfs
+        if sf.kind != "identity" and sf.partition_name in schema_names
+    ]
+    if clash:
+        raise ValueError(
+            f"hidden-partition derived names collide with schema columns of "
+            f"{table_label}: {clash}; rename the column or use a different "
+            f"transform — the derived name is reserved for the path value"
+        )
+
+
 def _spec_identity_cols(spec: list[str]) -> set[str]:
     """Spec columns whose VALUES live in the path instead of the data
     files — identity entries only; transform sources stay in the data."""
@@ -591,42 +623,68 @@ def _commit_lock(
     atomically renamed to a unique name first (concurrent breakers
     lose the rename and retry), then double-checked — if the renamed
     dir turns out heartbeat-fresh (owner re-acquired inside the
-    stat→rename window), the breaker tries to rename it back. Every
-    holder drops an ``owner`` file inside its dir immediately after
-    mkdir, so a lock dir is never empty while held — POSIX rename can
-    replace an EMPTY directory but fails (ENOTEMPTY) on a non-empty
-    one, which is what stops the restore from silently clobbering a
-    lock a third waiter acquired in the meantime.
+    stat→rename window), the breaker tries to rename it back, and
+    rmtree-s the trash dir when the restore loses (no leak).
+
+    Acquisition renames a PRE-POPULATED staging dir into place (never
+    a bare mkdir): the lock dir therefore holds its ``owner`` token
+    file from the very first instant it exists — there is no empty
+    window for a stale-breaker's restore rename to silently replace
+    (POSIX rename succeeds over an empty target dir but fails
+    ENOTEMPTY on a populated one).
     """
     lock_dir = os.path.join(table_root, "metadata", ".commit_lock")
     owner_file = os.path.join(lock_dir, "owner")
     os.makedirs(os.path.dirname(lock_dir), exist_ok=True)
     deadline = time.monotonic() + timeout_sec
     token = uuid.uuid4().hex
-    while True:
-        try:
-            os.mkdir(lock_dir)
-            with open(owner_file, "w") as fh:  # lock dir never empty while held
-                fh.write(token)
-            break
-        except FileExistsError:
-            # a writer killed between mkdir and rmdir would deadlock the
-            # table forever: break locks whose mtime heartbeat has been
-            # silent for ``stale_after_sec`` — only a dead owner goes
-            # that long without touching the dir.
-            with contextlib.suppress(FileNotFoundError, OSError):
-                if time.time() - os.stat(lock_dir).st_mtime > stale_after_sec:
-                    trash = f"{lock_dir}.stale.{uuid.uuid4().hex}"
-                    os.rename(lock_dir, trash)  # single breaker wins
-                    if time.time() - os.stat(trash).st_mtime > stale_after_sec:
-                        shutil.rmtree(trash, ignore_errors=True)
-                    else:  # stole a live lock re-acquired mid-window
-                        with contextlib.suppress(OSError):
-                            os.rename(trash, lock_dir)  # ENOTEMPTY if taken
-                    continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"commit lock timeout on {table_root}") from None
-            time.sleep(0.05)
+    # stage a fully-populated dir once; the rename into place is atomic
+    stage = f"{lock_dir}.acq.{token}"
+    os.mkdir(stage)
+    with open(os.path.join(stage, "owner"), "w") as fh:
+        fh.write(token)
+    try:
+        while True:
+            claimed = False
+            if not os.path.lexists(lock_dir):
+                # atomic claim: rename fails ENOTEMPTY while another
+                # holder's (always-populated) dir occupies the path; the
+                # lexists guard keeps a FOREIGN empty lock dir (old
+                # protocol / crashed external writer) blocking instead
+                # of being replaced, since rename succeeds over an
+                # empty target
+                with contextlib.suppress(OSError):
+                    os.rename(stage, lock_dir)
+                    claimed = True
+            if claimed:
+                break
+            if True:
+                # a writer killed between rename and release would
+                # deadlock the table forever: break locks whose mtime
+                # heartbeat has been silent for ``stale_after_sec`` —
+                # only a dead owner goes that long without touching
+                # the dir.
+                with contextlib.suppress(FileNotFoundError, OSError):
+                    if time.time() - os.stat(lock_dir).st_mtime > stale_after_sec:
+                        trash = f"{lock_dir}.stale.{uuid.uuid4().hex}"
+                        os.rename(lock_dir, trash)  # single breaker wins
+                        if time.time() - os.stat(trash).st_mtime > stale_after_sec:
+                            shutil.rmtree(trash, ignore_errors=True)
+                        else:  # stole a live lock re-acquired mid-window
+                            try:
+                                os.rename(trash, lock_dir)  # ENOTEMPTY if taken
+                            except OSError:
+                                # restore lost to a new waiter: don't leak
+                                shutil.rmtree(trash, ignore_errors=True)
+                        continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock timeout on {table_root}"
+                    ) from None
+                time.sleep(0.05)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     stop = threading.Event()
 
     def _beat() -> None:
@@ -1860,16 +1918,9 @@ class SnapCatalog:
         ddl = schema if isinstance(schema, str) else schema_to_ddl(schema)
         parsed = T._parse_datatype_string(ddl)  # G1 regression guard
         schema_names = {f.name for f in parsed.fields}
-        bad = [
-            sf.raw
-            for sf in spec_fields(list(partition_by or []))
-            if sf.source not in schema_names
-        ]
-        if bad:
-            raise ValueError(
-                f"partition spec entries {bad} reference columns not in the "
-                f"schema of {database}.{name}"
-            )
+        _validate_spec_against_schema(
+            spec_fields(list(partition_by or [])), schema_names, f"{database}.{name}"
+        )
         snap = Snapshot(
             snapshot_id=1,
             parent_id=None,
@@ -2213,15 +2264,7 @@ class SnapCatalog:
             prev = _snap_from_dict(prev_dict)
             names = {f.name for f in T._parse_datatype_string(prev.schema_ddl).fields}
             new_sfs = spec_fields(partition_by)  # validates transform syntax
-            unknown = [sf.raw for sf in new_sfs if sf.source not in names]
-            if unknown:
-                raise ValueError(
-                    f"partition spec entries {unknown} reference columns not "
-                    f"in the schema of {database}.{name}"
-                )
-            pnames = [sf.partition_name for sf in new_sfs]
-            if len(set(pnames)) != len(pnames):
-                raise ValueError("duplicate fields in partition spec")
+            _validate_spec_against_schema(new_sfs, names, f"{database}.{name}")
             if list(partition_by) == prev.partition_spec:
                 raise ValueError(
                     f"{database}.{name} already partitioned by {partition_by}"
@@ -2456,12 +2499,11 @@ class SnapCatalog:
         commit_dir = os.path.join(tbl.root, f"data/s{sid:06d}")
         sfs = spec_fields(spec)
         types = {f.name: f.dataType for f in df.schema.fields}
-        missing = [sf.source for sf in sfs if sf.source not in types]
-        if missing:
-            raise ValueError(
-                f"partition spec references columns {missing} absent from the "
-                f"write schema of {tbl.database}.{tbl.name}"
-            )
+        # re-check against the INCOMING frame: schema evolution may have
+        # added a column since the spec was validated at create/alter time
+        _validate_spec_against_schema(
+            sfs, set(types), f"{tbl.database}.{tbl.name} (write schema)"
+        )
         pcols: list[str] = []
         for sf in sfs:
             if sf.kind == "identity":
