@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import logging
 import os
 import re
 import shutil
@@ -46,6 +47,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
 
 
 def _utcnow_iso() -> str:
@@ -597,6 +600,26 @@ def _next_id(meta: dict) -> int:
     return max((s["snapshot_id"] for s in meta["snapshots"]), default=0) + 1
 
 
+def _reap_lock_litter(lock_dir: str, stale_after_sec: float) -> None:
+    """Sweep abandoned lock-protocol dirs next to ``lock_dir``: a
+    waiter SIGKILLed mid-acquire leaks its ``.acq.<token>`` staging
+    dir, a breaker killed mid-break leaks its ``.stale.<hex>`` trash,
+    a releaser its ``.rel.<token>`` — none ever blocks the lock path,
+    but they accumulate in metadata/ forever. Ran opportunistically
+    from the stale-break path (the one place we already know the
+    table has had a dead writer); only dirs whose mtime is older than
+    ``stale_after_sec`` go, so nothing in-flight is touched."""
+    meta_dir, base = os.path.split(lock_dir)
+    with contextlib.suppress(OSError):
+        for entry in os.listdir(meta_dir):
+            if not entry.startswith((f"{base}.acq.", f"{base}.stale.", f"{base}.rel.")):
+                continue
+            p = os.path.join(meta_dir, entry)
+            with contextlib.suppress(OSError):
+                if time.time() - os.stat(p).st_mtime > stale_after_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+
+
 @contextlib.contextmanager
 def _commit_lock(
     table_root: str,
@@ -631,7 +654,16 @@ def _commit_lock(
     file from the very first instant it exists — there is no empty
     window for a stale-breaker's restore rename to silently replace
     (POSIX rename succeeds over an empty target dir but fails
-    ENOTEMPTY on a populated one).
+    ENOTEMPTY on a populated one). Release is the mirror image: the
+    held dir is atomically renamed AWAY and deleted from its trash
+    name, so the lock path never transits through an empty directory
+    at either end of a hold.
+
+    Rolling-upgrade constraint: a pre-rename-protocol writer (bare
+    ``os.mkdir`` then owner write) momentarily holds an EMPTY lock
+    dir, which this protocol's rename-claim would silently replace.
+    Old- and new-protocol writers must not commit to the same table
+    concurrently; drain old writers before upgrading.
     """
     lock_dir = os.path.join(table_root, "metadata", ".commit_lock")
     owner_file = os.path.join(lock_dir, "owner")
@@ -658,30 +690,42 @@ def _commit_lock(
                     claimed = True
             if claimed:
                 break
-            if True:
-                # a writer killed between rename and release would
-                # deadlock the table forever: break locks whose mtime
-                # heartbeat has been silent for ``stale_after_sec`` —
-                # only a dead owner goes that long without touching
-                # the dir.
-                with contextlib.suppress(FileNotFoundError, OSError):
-                    if time.time() - os.stat(lock_dir).st_mtime > stale_after_sec:
-                        trash = f"{lock_dir}.stale.{uuid.uuid4().hex}"
-                        os.rename(lock_dir, trash)  # single breaker wins
-                        if time.time() - os.stat(trash).st_mtime > stale_after_sec:
+            # a writer killed between rename and release would
+            # deadlock the table forever: break locks whose mtime
+            # heartbeat has been silent for ``stale_after_sec`` —
+            # only a dead owner goes that long without touching
+            # the dir.
+            with contextlib.suppress(FileNotFoundError, OSError):
+                if time.time() - os.stat(lock_dir).st_mtime > stale_after_sec:
+                    _reap_lock_litter(lock_dir, stale_after_sec)
+                    trash = f"{lock_dir}.stale.{uuid.uuid4().hex}"
+                    os.rename(lock_dir, trash)  # single breaker wins
+                    if time.time() - os.stat(trash).st_mtime > stale_after_sec:
+                        shutil.rmtree(trash, ignore_errors=True)
+                    else:  # stole a live lock re-acquired mid-window
+                        try:
+                            os.rename(trash, lock_dir)  # ENOTEMPTY if taken
+                        except OSError:
+                            # restore lost to a new waiter: the mid-
+                            # window owner keeps running unserialized
+                            # (inherent to lock breaking) — leave a
+                            # diagnosable trace before removing its
+                            # state, then don't leak the dir
+                            _log.warning(
+                                "commit lock on %s: broke a heartbeat-"
+                                "fresh lock and a new waiter claimed "
+                                "before restore; discarding stolen "
+                                "lock state %s (its owner continues "
+                                "unserialized until release)",
+                                table_root, trash,
+                            )
                             shutil.rmtree(trash, ignore_errors=True)
-                        else:  # stole a live lock re-acquired mid-window
-                            try:
-                                os.rename(trash, lock_dir)  # ENOTEMPTY if taken
-                            except OSError:
-                                # restore lost to a new waiter: don't leak
-                                shutil.rmtree(trash, ignore_errors=True)
-                        continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"commit lock timeout on {table_root}"
-                    ) from None
-                time.sleep(0.05)
+                    continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock timeout on {table_root}"
+                ) from None
+            time.sleep(0.05)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
@@ -701,12 +745,37 @@ def _commit_lock(
         beat.join(timeout=2.0)
         # release ONLY a dir we still own: if the lock was stolen and
         # the path now holds another waiter's dir, their token differs
-        # and both the owner file and the dir are left alone
+        # and the dir is left alone. The release itself is one atomic
+        # rename-away (then rmtree of the trash name), so the lock
+        # path never exposes a momentarily-empty directory a
+        # concurrent stale-breaker restore could race into.
         with contextlib.suppress(FileNotFoundError, OSError):
             with open(owner_file) as fh:
-                if fh.read() == token:
-                    os.remove(owner_file)
-                    os.rmdir(lock_dir)
+                owned = fh.read() == token
+            if owned:
+                trash = f"{lock_dir}.rel.{token}"
+                os.rename(lock_dir, trash)
+                # re-verify after the rename: a breaker could have
+                # swapped dirs inside the read→rename window, making
+                # the renamed dir a NEW waiter's lock — give it back
+                try:
+                    with open(os.path.join(trash, "owner")) as fh:
+                        still_ours = fh.read() == token
+                except OSError:
+                    still_ours = True  # our dir, token already gone
+                if still_ours:
+                    shutil.rmtree(trash, ignore_errors=True)
+                else:
+                    try:
+                        os.rename(trash, lock_dir)
+                    except OSError:
+                        _log.warning(
+                            "commit lock on %s: released a dir that "
+                            "was swapped mid-release and could not "
+                            "be restored; discarding %s",
+                            table_root, trash,
+                        )
+                        shutil.rmtree(trash, ignore_errors=True)
 
 
 class SnapTable:

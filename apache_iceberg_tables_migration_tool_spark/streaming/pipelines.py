@@ -365,6 +365,7 @@ def maintain_view_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
+    on_nonappend: str = "error",
 ):
     """Streaming MATERIALIZED VIEW maintenance: tail a table's append
     commits (:func:`stream_catalog_appends`) and fold every micro-batch
@@ -386,8 +387,26 @@ def maintain_view_stream(
     grows one snapshot (plus superseded rollup files) per micro-batch
     forever. Replay dedup only ever needs batch ids near the head
     (file-source replays are adjacent), so the trim also bounds the
-    seen-set scan."""
+    seen-set scan.
+
+    ENFORCED append-only contract: every batch file's commit is
+    resolved against the source's snapshot log (the sid is encoded in
+    the ``data/s{N}`` path). Files written by ``replace`` commits
+    (compaction — row-preserving rewrites, same rule the changelog
+    applies at ``snapcat.changelog``) are always dropped, so running
+    ``maintain`` on a streamed source no longer double-counts its
+    rows into the view. Files from row-CHANGING commits (overwrite /
+    merge / delete / rollback) cannot be folded as inserts:
+    ``on_nonappend="error"`` (default) fails the stream loudly;
+    ``"skip"`` drops them — the view then misses those updates (goes
+    stale, never corrupt). For streams over mutating tables use the
+    changelog-backed :func:`maintain_view_changelog` instead."""
+    import re
+
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    if on_nonappend not in ("error", "skip"):
+        raise ValueError(f"on_nonappend must be 'error' or 'skip', got {on_nonappend!r}")
 
     events = stream_catalog_appends(
         spark, catalog, src_database, src_table, max_files_per_trigger
@@ -399,6 +418,42 @@ def maintain_view_stream(
             seen = {s.summary.get("streaming.batch_id") for s in vt.snapshots()}
             if str(batch_id) in seen:
                 return  # replayed micro-batch — view already folded
+        # Resolve each batch file's commit against the snapshot log and
+        # keep only genuinely-appended rows (driver-side metadata: one
+        # distinct over the batch's file list, never the table).
+        src = catalog.table(src_database, src_table)
+        ops = {s.snapshot_id: s.operation for s in src.snapshots()}
+        paths = [
+            r["p"]
+            for r in batch_df.select(F.input_file_name().alias("p")).distinct().collect()
+        ]
+
+        def _sid(path: str) -> int | None:
+            m = re.search(r"/data/s(\d+)/", path)
+            return int(m.group(1)) if m else None
+
+        drop_paths = []
+        for p in paths:
+            op = ops.get(_sid(p), "unknown")
+            if op in ("append", "create"):
+                continue
+            if op == "replace":  # compaction rewrite — rows already folded
+                drop_paths.append(p)
+                continue
+            if on_nonappend == "error":
+                raise RuntimeError(
+                    f"maintain_view_stream: {src_database}.{src_table} file {p} "
+                    f"was written by a non-append commit (operation={op}); the "
+                    "fold cannot represent row changes as inserts. Use the "
+                    "changelog-backed maintain_view_changelog for mutating "
+                    "sources, or pass on_nonappend='skip' to let the view go "
+                    "stale instead."
+                )
+            drop_paths.append(p)
+        if drop_paths:
+            batch_df = batch_df.where(~F.input_file_name().isin(drop_paths))
+            if not paths or len(drop_paths) == len(paths):
+                return  # nothing appended in this micro-batch
         delta = ivm.grouped_aggregate(batch_df, keys, sum_cols)
         if vt.exists() and vt.current_snapshot() is not None:
             base = vt.read(batch_df.sparkSession)

@@ -512,3 +512,78 @@ def test_maintain_view_stream_incremental_fold(spark, tmp_path):
             for r in view.read(spark).collect()}
     assert got2 == {"a": (2, 3), "b": (2, 13), "c": (1, 4)}
     assert len(view.snapshots()) == n_snaps + 1  # one fold, not a replay
+
+
+def test_maintain_view_stream_ignores_compaction(spark, tmp_path):
+    """Compacting the streamed source must NOT change the view: the
+    fold resolves each batch file's commit sid against the snapshot
+    log and drops files written by ``replace`` commits (row-preserving
+    rewrites), so the rewritten rows are never double-counted. A later
+    genuine append still folds through the same checkpoint."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_view_stream,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    for batch in ([("a", 1), ("b", 3)], [("a", 2), ("b", 4)]):
+        cat.write("db", "src", spark.createDataFrame(batch, "g string, v int"))
+    ckpt = str(tmp_path / "ckpt")
+    args = (spark, cat, "db", "src", "db", "rollup")
+    kw = dict(keys=["g"], sum_cols=["v"], checkpoint_dir=ckpt)
+    maintain_view_stream(*args, **kw).awaitTermination()
+    view = cat.table("db", "rollup")
+    want = {"a": (2, 3), "b": (2, 7)}
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in view.read(spark).collect()}
+    assert got == want
+    # compaction rewrites every row into new data/s{N} files
+    snap = cat.compact("db", "src", spark, target_partitions=1)
+    assert snap.operation == "replace"
+    maintain_view_stream(*args, **kw).awaitTermination()
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in view.read(spark).collect()}
+    assert got == want  # unchanged — compaction contributed nothing
+    # a real append after the compaction still folds incrementally
+    cat.write("db", "src", spark.createDataFrame([("c", 9)], "g string, v int"))
+    maintain_view_stream(*args, **kw).awaitTermination()
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in view.read(spark).collect()}
+    assert got == {"a": (2, 3), "b": (2, 7), "c": (1, 9)}
+
+
+def test_maintain_view_stream_rejects_row_changes(spark, tmp_path):
+    """A COW delete on the streamed source writes rewrite files whose
+    rows the fold cannot represent as inserts: the default policy
+    fails the stream loudly; ``on_nonappend='skip'`` drops them (view
+    goes stale, never corrupt)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_view_stream,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    # one file, so the COW rewrite file carries SURVIVING rows the
+    # stream would otherwise double-count
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, v int").coalesce(1))
+    kw = dict(keys=["g"], sum_cols=["v"])
+    maintain_view_stream(
+        spark, cat, "db", "src", "db", "rollup",
+        checkpoint_dir=str(tmp_path / "ck1"), **kw,
+    ).awaitTermination()
+    # COW delete rewrites the file without the deleted row
+    cat.delete_where("db", "src", F.col("v") == 2)
+    with pytest.raises(StreamingQueryException, match="non-append"):
+        maintain_view_stream(
+            spark, cat, "db", "src", "db", "rollup",
+            checkpoint_dir=str(tmp_path / "ck1"), **kw,
+        ).awaitTermination()
+    # skip mode: the rewrite files are dropped — the view keeps its
+    # pre-delete totals (stale) instead of double-counting survivors
+    maintain_view_stream(
+        spark, cat, "db", "src", "db", "rollup2",
+        checkpoint_dir=str(tmp_path / "ck2"), on_nonappend="skip", **kw,
+    ).awaitTermination()
+    got = {r["g"]: (r["group_count"], r["sum_v"])
+           for r in cat.table("db", "rollup2").read(spark).collect()}
+    assert got == {"a": (2, 3), "b": (1, 3)}
