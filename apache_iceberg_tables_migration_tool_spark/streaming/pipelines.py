@@ -475,3 +475,136 @@ def maintain_view_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def refresh_view_changelog(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    view_database: str,
+    view_table: str,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+) -> int | None:
+    """One incremental refresh of a materialized view driven by the
+    source's row-level CHANGELOG (``SnapTable.changelog`` — ≙ folding
+    an Iceberg ``create_changelog_view`` stream), the principled
+    successor to the file-tail fold: append, copy-on-write upsert /
+    delete, merge-on-read and rollback commits ALL maintain the view
+    exactly, and ``replace`` (compaction) commits contribute nothing
+    by construction.
+
+    Views come in two kinds: ``sum_cols`` → COUNT/SUM rollup
+    (self-maintainable, pure O(changed rows) fold); ``minmax_cols`` →
+    COUNT/MIN/MAX (folds inserts in O(delta); deletes touching a
+    group's extremum trigger an affected-group-only rescan via
+    :func:`~...operators.ivm.apply_minmax_delta`). Exactly one must be
+    given.
+
+    Exactly-once without a separate checkpoint: the high-water mark
+    (``ivm.src_snapshot_id``) rides IN the view's own commit summary,
+    so refresh + watermark advance are one atomic commit — a crashed
+    or replayed refresh re-reads the old watermark and either redoes
+    the identical fold or no-ops. The initial build recomputes from
+    the source head directly (cheaper and delete-history-proof vs
+    replaying the full changelog).
+
+    Returns the source snapshot id the view now reflects, or None if
+    there was nothing to fold. Raises ``LookupError`` if the stored
+    watermark snapshot has been expired from the source's history —
+    keep the source's ``expire_snapshots`` horizon longer than the
+    refresh cadence.
+    """
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    if (sum_cols is None) == (minmax_cols is None):
+        raise ValueError("provide exactly one of sum_cols / minmax_cols")
+    src = catalog.table(src_database, src_table)
+    head = src.current_snapshot()
+    if head is None:
+        return None
+    vt = catalog.table(view_database, view_table)
+    from_id = None
+    if vt.exists() and vt.current_snapshot() is not None:
+        wm = vt.current_snapshot().summary.get("ivm.src_snapshot_id")
+        if wm is None:
+            raise ValueError(
+                f"{view_database}.{view_table} exists but carries no "
+                "ivm.src_snapshot_id watermark — not a changelog-maintained "
+                "view; refusing to overwrite it"
+            )
+        from_id = int(wm)
+        if from_id == head.snapshot_id:
+            return None  # already current
+    if from_id is None:
+        cur = src.read(spark, snapshot_id=head.snapshot_id)
+        refreshed = (
+            ivm.grouped_aggregate(cur, keys, sum_cols)
+            if sum_cols is not None
+            else ivm.grouped_minmax(cur, keys, minmax_cols)
+        )
+    else:
+        cl = src.changelog(spark, from_id, head.snapshot_id, net_changes=True)
+        base = vt.read(spark)
+        if sum_cols is not None:
+            delta = ivm.agg_delta(cl, keys, sum_cols)
+            refreshed = ivm.apply_agg_delta(base, delta, keys, sum_cols)
+        else:
+            cur = src.read(spark, snapshot_id=head.snapshot_id)
+            refreshed = ivm.apply_minmax_delta(base, cl, cur, keys, minmax_cols)
+    catalog.write(
+        view_database, view_table, refreshed, mode="overwrite",
+        summary_extra={"ivm.src_snapshot_id": str(head.snapshot_id)},
+    )
+    return head.snapshot_id
+
+
+def maintain_view_changelog(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    view_database: str,
+    view_table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming wrapper around :func:`refresh_view_changelog`: the
+    file-source tail over the source's commit dirs is used purely as
+    COMMIT DISCOVERY (wake up when new files land); every micro-batch
+    folds the changelog from the view's watermark to the CURRENT
+    published head, so batching never changes the result and replays
+    no-op on the watermark. Unlike :func:`maintain_view_stream` this
+    stays exact under compaction, COW upserts/deletes and MOR commits.
+
+    Trigger-lag caveat: a commit that adds NO files (a pure-MOR
+    equality delete, a rollback) wakes nothing — its delta folds at
+    the next file-producing commit, or call
+    :func:`refresh_view_changelog` directly after such commits."""
+    events = stream_catalog_appends(
+        spark, catalog, src_database, src_table, max_files_per_trigger
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        folded = refresh_view_changelog(
+            spark, catalog, src_database, src_table,
+            view_database, view_table, keys,
+            sum_cols=sum_cols, minmax_cols=minmax_cols,
+        )
+        if folded is not None and view_keep_last is not None:
+            catalog.expire_snapshots(
+                view_database, view_table, keep_last=view_keep_last
+            )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

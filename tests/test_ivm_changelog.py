@@ -1,0 +1,182 @@
+"""Changelog-driven view maintenance: MIN/MAX affected-group rescan
+(`operators.ivm.apply_minmax_delta`) and the changelog-backed refresh
+protocol (`streaming.pipelines.refresh_view_changelog` /
+`maintain_view_changelog`) that stays exact under COW deletes, MOR
+commits and compaction — the cases the file-tail fold must reject."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import ivm
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+    maintain_view_changelog,
+    refresh_view_changelog,
+)
+
+
+def _view_rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=lambda t: (t[0] is None, t))
+
+
+def _cl(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long, _change_type string")
+
+
+def test_minmax_insert_only_is_arithmetic(spark):
+    base = ivm.grouped_minmax(
+        spark.createDataFrame([("a", 1), ("a", 5), ("b", 3)], "g string, v long"),
+        ["g"], ["v"],
+    )
+    cl = _cl(spark, [("a", 9, "insert"), ("c", 2, "insert")])
+    cur = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 3), ("c", 2)], "g string, v long"
+    )
+    out = ivm.apply_minmax_delta(base, cl, cur, ["g"], ["v"])
+    assert _view_rows(out) == _view_rows(ivm.grouped_minmax(cur, ["g"], ["v"]))
+
+
+def test_minmax_interior_delete_no_rescan_needed(spark):
+    """Deleting a strictly interior value leaves extrema intact via
+    pure arithmetic (the affected test must NOT fire)."""
+    data = [("a", 1), ("a", 5), ("a", 9)]
+    base = ivm.grouped_minmax(
+        spark.createDataFrame(data, "g string, v long"), ["g"], ["v"]
+    )
+    cl = _cl(spark, [("a", 5, "delete")])
+    cur = spark.createDataFrame([("a", 1), ("a", 9)], "g string, v long")
+    out = ivm.apply_minmax_delta(base, cl, cur, ["g"], ["v"])
+    assert _view_rows(out) == [("a", 2, 1, 9)]
+
+
+def test_minmax_extremum_delete_rescans(spark):
+    """Deleting the max forces the affected-group rescan; a duplicate
+    extremum survives (multiplicity is why the rescan exists)."""
+    cur1 = spark.createDataFrame([("a", 1), ("a", 9)], "g string, v long")
+    base = ivm.grouped_minmax(
+        spark.createDataFrame([("a", 1), ("a", 9), ("a", 9)], "g string, v long"),
+        ["g"], ["v"],
+    )
+    out = ivm.apply_minmax_delta(
+        base, _cl(spark, [("a", 9, "delete")]), cur1, ["g"], ["v"]
+    )
+    assert _view_rows(out) == [("a", 2, 1, 9)]  # dup 9 survives
+    cur2 = spark.createDataFrame([("a", 1)], "g string, v long")
+    base2 = ivm.grouped_minmax(cur1, ["g"], ["v"])
+    out2 = ivm.apply_minmax_delta(
+        base2, _cl(spark, [("a", 9, "delete")]), cur2, ["g"], ["v"]
+    )
+    assert _view_rows(out2) == [("a", 1, 1, 1)]
+
+
+def test_minmax_group_death_and_birth(spark):
+    base = ivm.grouped_minmax(
+        spark.createDataFrame([("a", 4), ("b", 7)], "g string, v long"), ["g"], ["v"]
+    )
+    cl = _cl(spark, [("a", 4, "delete"), ("c", 5, "insert"), ("c", 1, "delete"),
+                     ("c", 1, "insert")])
+    cur = spark.createDataFrame([("b", 7), ("c", 5)], "g string, v long")
+    out = ivm.apply_minmax_delta(base, cl, cur, ["g"], ["v"])
+    assert _view_rows(out) == _view_rows(ivm.grouped_minmax(cur, ["g"], ["v"]))
+
+
+def test_minmax_null_keys_merge(spark):
+    """NULL group keys must merge across base/slice (union semantics)
+    and survive the null-safe rescan join."""
+    base = ivm.grouped_minmax(
+        spark.createDataFrame([(None, 3), (None, 8), ("a", 1)], "g string, v long"),
+        ["g"], ["v"],
+    )
+    cl = _cl(spark, [(None, 8, "delete"), (None, 2, "insert")])
+    cur = spark.createDataFrame([(None, 3), (None, 2), ("a", 1)], "g string, v long")
+    out = ivm.apply_minmax_delta(base, cl, cur, ["g"], ["v"])
+    assert _view_rows(out) == _view_rows(ivm.grouped_minmax(cur, ["g"], ["v"]))
+
+
+def test_refresh_sum_view_exact_under_mutation(spark, tmp_path):
+    """The changelog-backed COUNT/SUM refresh equals a recompute after
+    append → COW delete → compact → append, refreshed at arbitrary
+    points; a replayed refresh no-ops on the watermark."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    args = (spark, cat, "db", "src", "db", "view")
+
+    cat.write("db", "src", mk([("a", 1), ("a", 2), ("b", 3)]))
+    assert refresh_view_changelog(*args, keys=["g"], sum_cols=["v"]) is not None
+    vt = cat.table("db", "view")
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 3), "b": (1, 3)}
+    # no new commits → no-op, no new view snapshot
+    n = len(vt.snapshots())
+    assert refresh_view_changelog(*args, keys=["g"], sum_cols=["v"]) is None
+    assert len(vt.snapshots()) == n
+    # COW delete + compaction + append, folded in ONE refresh
+    cat.delete_where("db", "src", F.col("v") == 2)
+    cat.compact("db", "src", spark, target_partitions=1)
+    cat.write("db", "src", mk([("c", 10), ("a", 5)]))
+    assert refresh_view_changelog(*args, keys=["g"], sum_cols=["v"]) is not None
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 6), "b": (1, 3), "c": (1, 10)}
+    # group death: delete all of b
+    cat.delete_where("db", "src", F.col("g") == "b")
+    refresh_view_changelog(*args, keys=["g"], sum_cols=["v"])
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 6), "c": (1, 10)}
+
+
+def test_refresh_minmax_view_rescans_on_extremum_delete(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    args = (spark, cat, "db", "src", "db", "mview")
+    cat.write("db", "src", mk([("a", 1), ("a", 9), ("b", 5)]))
+    refresh_view_changelog(*args, keys=["g"], minmax_cols=["v"])
+    cat.delete_where("db", "src", F.col("v") == 9)  # kills a's max
+    cat.write("db", "src", mk([("b", 11)]))
+    refresh_view_changelog(*args, keys=["g"], minmax_cols=["v"])
+    vt = cat.table("db", "mview")
+    got = {r["g"]: (r["group_count"], r["min_v"], r["max_v"])
+           for r in vt.read(spark).collect()}
+    assert got == {"a": (1, 1, 1), "b": (2, 5, 11)}
+
+
+def test_refresh_guards(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="exactly one"):
+        refresh_view_changelog(spark, cat, "db", "s", "db", "v", keys=["g"])
+    # a foreign table at the view name is refused, not overwritten
+    cat.write("db", "src", spark.createDataFrame([("a", 1)], "g string, v long"))
+    cat.write("db", "not_a_view", spark.createDataFrame([("x", 1)], "g string, v long"))
+    with pytest.raises(ValueError, match="watermark"):
+        refresh_view_changelog(
+            spark, cat, "db", "src", "db", "not_a_view",
+            keys=["g"], sum_cols=["v"],
+        )
+
+
+def test_maintain_view_changelog_stream(spark, tmp_path):
+    """End-to-end streaming maintenance over a MUTATING source: the
+    availableNow drains fold appends, a COW delete and a compaction
+    exactly (where the file-tail fold would corrupt or reject)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_view_changelog(
+            spark, cat, "db", "src", "db", "view",
+            keys=["g"], sum_cols=["v"], checkpoint_dir=ckpt,
+        ).awaitTermination()
+
+    cat.write("db", "src", mk([("a", 1), ("a", 2), ("b", 3)]))
+    drain()
+    vt = cat.table("db", "view")
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 3), "b": (1, 3)}
+    cat.delete_where("db", "src", F.col("v") == 2)
+    cat.compact("db", "src", spark, target_partitions=1)
+    cat.write("db", "src", mk([("c", 4)]))
+    drain()
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (1, 1), "b": (1, 3), "c": (1, 4)}
