@@ -652,3 +652,55 @@ def connected_components(
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    band_cols: list[str],
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs within ``max_hamming`` bits over a signature split
+    into per-band integer columns — the multi-column generalization of
+    :func:`simhash_pairs` (image pHash bands, any fixed-width binary
+    sketch). Pigeonhole banding: a pair within distance <
+    ``len(band_cols)`` must agree on ≥1 band → one equi-join per band
+    via posexplode, exact popcount verify over the carried band
+    values. ``max_hamming`` must be < the band count or recall would
+    silently depend on luck (same guard as :func:`simhash_pairs`).
+
+    Scale shape: candidate generation is an equi-shuffle on (band,
+    value) — only hash-colliding docs meet, never all pairs; the
+    verify is arithmetic on the joined row. Returns (id_a, id_b,
+    hamming) with id_a < id_b, deduped across bands."""
+    if max_hamming >= len(band_cols):
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands than distance "
+            f"(got {len(band_cols)}): pigeonhole only guarantees recall "
+            "for distance < band count"
+        )
+    arr = F.array(*[F.col(c) for c in band_cols])
+    blocks = sig.select(
+        F.col(id_col), *band_cols, F.posexplode(arr).alias("band", "blk")
+    )
+    a = blocks.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in band_cols],
+        "band", "blk",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in band_cols],
+        "band", "blk",
+    )
+    ham = None
+    for c in band_cols:
+        d = F.bit_count(F.col(f"__a_{c}").bitwiseXOR(F.col(f"__b_{c}")))
+        ham = d if ham is None else (ham + d)
+    return (
+        a.join(b, ["band", "blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -481,3 +481,103 @@ def sample_frames(
         schema=f"{id_col} bigint, frame_idx bigint, width bigint, "
         "height bigint, brightness_x100 bigint",
     )
+
+
+def render_bmp_payloads_near(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic NEAR-duplicate synthetic image payloads — the
+    image-dedup counterpart of :func:`render_bmp_payloads`: docs in
+    the same group of 4 consecutive ids share one base image and
+    differ only by a single perturbed pixel (variant = ``id % 4``),
+    while a 20-bit pattern of the group id woven across the pixels
+    makes images of DIFFERENT groups far apart. Channel-``c`` pixel
+    ``i``::
+
+        canon = id - id % 4
+        v(c, i) = ((canon % 199) * (c + 2) + 11*i
+                   + 97 * ((canon >> (i % 20)) & 1)
+                   + (32 * (id % 4) if i == canon % 64 else 0)) % 256
+
+    — a closed form a SQL oracle recomputes exactly, so the whole
+    encode → decode → perceptual-hash → banded-pair loop is
+    hash-checkable end to end."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                canon, var = did - did % 4, did % 4
+                noise = 97 * ((canon >> (i % 20)) & 1)
+                pert = np.where(i == canon % 64, 32 * var, 0)
+                chans = [
+                    ((canon % 199) * (c + 2) + 11 * i + noise + pert) % 256
+                    for c in range(3)
+                ]
+                px = (
+                    np.stack(chans, axis=1)
+                    .astype(np.uint8)
+                    .reshape(IMG_SIDE, IMG_SIDE, 3)
+                )
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({id_col: pdf[id_col], "content": payloads})
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, content binary"
+    )
+
+
+#: perceptual-hash grid side: hashes are GRID²-bit (8 → 64-bit)
+PHASH_GRID = 8
+
+
+def phash64(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit perceptual hash over image payloads (mean-hash / aHash
+    family): decode, reduce to an 8×8 grid of integer gray sums
+    (exact block sums when the dimensions divide evenly, deterministic
+    strided sampling otherwise), and set bit ``i`` iff cell ``i``'s
+    gray mass exceeds the image average — all integer compares
+    (``g_i * 64 > Σg``), so the hash is bit-identical across engines.
+    Near-identical images land within a few bits of each other;
+    unrelated images differ in ~32.
+
+    Emitted as four 16-bit band values ``p0..p3`` (not one int64):
+    the bands feed :func:`~...operators.dedup.banded_hamming_pairs`
+    directly and sidestep signed-overflow in bit-63 arithmetic on
+    engines without unsigned 64-bit ints. Arrow-batched mapInPandas,
+    one numpy pass per image — the same scale shape as
+    :func:`decode_images`."""
+    g = PHASH_GRID
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {id_col: pdf[id_col]}
+            bands: list[list[int]] = [[] for _ in range(4)]
+            for payload in pdf[content_col]:
+                px = decode_image_bytes(payload)
+                h, w, _ = px.shape
+                gray = px.astype(np.int64).sum(axis=2)
+                if h % g == 0 and w % g == 0:
+                    cells = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+                else:
+                    rr = (np.arange(g) * h) // g
+                    cc = (np.arange(g) * w) // g
+                    cells = gray[np.ix_(rr, cc)]
+                flat = cells.reshape(-1)
+                bits = (flat * (g * g) > flat.sum()).astype(np.int64)
+                for b in range(4):
+                    chunk = bits[b * 16 : (b + 1) * 16]
+                    bands[b].append(int((chunk << np.arange(16)).sum()))
+            for b in range(4):
+                out[f"p{b}"] = pd.Series(bands[b], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, p0 int, p1 int, p2 int, p3 int"
+    )

@@ -959,3 +959,73 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     videos = M.synth_video_payload(docs)
     return M.sample_frames(videos, every=2)
+
+
+def _phash_oracle() -> str:
+    """DuckDB twin of the full image-pHash dedup loop: recompute the
+    pixel formula of ``render_bmp_payloads_near`` arithmetically, the
+    8×8 mean-hash bit rule (``gray*64 > Σgray`` — pure integers), the
+    four 16-bit bands, then brute-force Hamming ≤ 3 pairs. Any single
+    bit wrong in BMP encode, decode, grid reduction or banding breaks
+    the hash compare."""
+    chan = (
+        "(((canon % 199) * ({m}) + 11*i + 97*nb "
+        "+ CASE WHEN i = canon % 64 THEN 32*var ELSE 0 END) % 256)"
+    )
+    gray = " + ".join(chan.format(m=m) for m in (2, 3, 4))
+    return f"""
+WITH g AS (
+  SELECT d.doc_id, d.doc_id - d.doc_id % 4 AS canon, d.doc_id % 4 AS var,
+         t.i, ((d.doc_id - d.doc_id % 4) >> (t.i % 20)) & 1 AS nb
+  FROM documents d CROSS JOIN range(64) t(i)),
+px AS (SELECT doc_id, i, {gray} AS gray FROM g),
+tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT p.doc_id, p.i, CASE WHEN p.gray * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM px p JOIN tot t USING (doc_id)),
+h AS (
+  SELECT doc_id,
+    SUM(CASE WHEN i < 16 THEN b << i ELSE 0 END) AS p0,
+    SUM(CASE WHEN i >= 16 AND i < 32 THEN b << (i - 16) ELSE 0 END) AS p1,
+    SUM(CASE WHEN i >= 32 AND i < 48 THEN b << (i - 32) ELSE 0 END) AS p2,
+    SUM(CASE WHEN i >= 48 THEN b << (i - 48) ELSE 0 END) AS p3
+  FROM bits GROUP BY doc_id)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
+            + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3))
+              AS INTEGER) AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3
+"""
+
+
+@query(
+    "dedup_image_phash",
+    tags=("multimodal", "dedup"),
+    oracle=_phash_oracle(),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate dedup via perceptual hash (X5 × X2 — the
+    image counterpart of the three text dedup families): render
+    deterministic near-dup BMP payloads (groups of 4 consecutive docs
+    share a base image, single-pixel perturbed per variant), decode
+    and 64-bit mean-hash them in one Arrow pass
+    (`multimodal.phash64`), then find all pairs within Hamming ≤ 3 by
+    pigeonhole banding over the hash's four 16-bit bands
+    (`dedup.banded_hamming_pairs`) — candidate generation is an
+    equi-join on colliding bands, never all pairs, so the plan scales
+    to a 100 TB image corpus the way SimHash banding scales for text.
+    The DuckDB oracle recomputes pixels → hash → brute-force pairs
+    from the closed-form pixel formula."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    payloads = M.render_bmp_payloads_near(docs)
+    hashes = M.phash64(payloads)
+    pairs = D.banded_hamming_pairs(
+        hashes, ["p0", "p1", "p2", "p3"], max_hamming=3, id_col="doc_id"
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

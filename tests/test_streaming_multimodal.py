@@ -587,3 +587,69 @@ def test_maintain_view_stream_rejects_row_changes(spark, tmp_path):
     got = {r["g"]: (r["group_count"], r["sum_v"])
            for r in cat.table("db", "rollup2").read(spark).collect()}
     assert got == {"a": (2, 3), "b": (1, 3)}
+
+
+def test_phash64_identical_and_perturbed_images(spark):
+    """Same group+variant → identical hash (Hamming 0); different
+    variants of one group differ in only a few bits; different groups
+    are far apart; banding returns exactly the brute-force pair set."""
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    # ids 0,4: variants of group 0... actually 0 and 4 are DIFFERENT
+    # groups; 0-3 share a group, 1000/1001 another
+    ids = [0, 1, 2, 3, 256, 1000, 1001]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashes = M.phash64(M.render_bmp_payloads_near(df)).collect()
+    hv = {r["doc_id"]: (r["p0"], r["p1"], r["p2"], r["p3"]) for r in hashes}
+    assert all(0 <= b <= 0xFFFF for h in hv.values() for b in h)
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(hv[x], hv[y]))
+
+    assert ham(0, 1) <= 3  # single-pixel perturbation stays near
+    assert ham(1000, 1001) <= 3
+    assert ham(0, 256) > 10  # different groups: 20-bit pattern differs
+    assert ham(0, 1000) > 10
+    # banding equals brute force at threshold 3
+    sig = spark.createDataFrame(
+        [(i, *hv[i]) for i in ids], "doc_id long, p0 int, p1 int, p2 int, p3 int"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in banded_hamming_pairs(sig, ["p0", "p1", "p2", "p3"], 3).collect()
+    )
+    want = sorted(
+        (a, b, ham(a, b))
+        for ai, a in enumerate(ids) for b in ids[ai + 1:]
+        if ham(a, b) <= 3
+        for a, b in [(min(a, b), max(a, b))]
+    )
+    assert got == want and len(got) > 0
+
+
+def test_phash64_block_reduction_non_native_size(spark):
+    """A 16×16 image block-sums to the same 8×8 cells as manual
+    numpy pooling — the resize path is exact, not approximate."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    payload = M.encode_bmp(px)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, content binary")
+    r = M.phash64(df).collect()[0]
+    gray = px.astype(np.int64).sum(axis=2)
+    cells = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3)).reshape(-1)
+    bits = (cells * 64 > cells.sum()).astype(int)
+    want = [int(sum(b << k for k, b in enumerate(bits[s * 16:(s + 1) * 16])))
+            for s in range(4)]
+    assert [r["p0"], r["p1"], r["p2"], r["p3"]] == want
+
+
+def test_banded_hamming_pairs_guard(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sig = spark.createDataFrame([(1, 0, 0)], "doc_id long, p0 int, p1 int")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(sig, ["p0", "p1"], max_hamming=2)
