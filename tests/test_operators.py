@@ -621,3 +621,35 @@ def test_ivm_null_group_key_merges(spark):
         ).collect()
     }
     assert got == {None: (2, 5)}  # null group merged; 'a' died
+
+
+def test_cosine_pairs_single_upstream_execution(spark):
+    """The dispatch count must not re-execute the upstream lineage
+    (round-6 verdict): an accumulator-instrumented upstream runs
+    exactly once per call on BOTH the broadcast and the blocked
+    path."""
+    import pandas as pd
+
+    from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
+    from tests.conftest import SF_DIR
+
+    base = (
+        load(spark, SF_DIR, "embeddings")
+        .limit(40)
+        .select("vec_id", "embedding")
+    )
+
+    def run(**kw):
+        acc = spark.sparkContext.accumulator(0)
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        emb = base.mapInPandas(bump, schema="vec_id long, embedding array<double>")
+        S.cosine_pairs(emb, threshold=0.4, **kw).collect()
+        return acc.value
+
+    assert run() == 40  # broadcast path
+    assert run(max_broadcast_rows=10, target_block_rows=8) == 40  # blocked path
