@@ -37,7 +37,7 @@ def iceberg_spark(tmp_path_factory):
     if not iceberg_available(spark):
         pytest.skip(
             "iceberg-spark-runtime not on the classpath. Jar resolution "
-            "re-attempted in rounds 3 AND 4: no iceberg jar anywhere on "
+            "re-attempted in rounds 3, 4, 5 AND 7: no iceberg jar anywhere on "
             "the filesystem (`find / -name '*iceberg*.jar'` empty, "
             "pyspark/jars has no iceberg artifact), no ~/.ivy2 or ~/.m2 "
             "cache to resolve offline, and no network (repo1.maven.org "
