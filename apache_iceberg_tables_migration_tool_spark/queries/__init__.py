@@ -81,75 +81,78 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # rotated-out rows keep their green driver history and stay pinned by
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
-    # continuity: flagship + the two bench watch-list dedup queries
-    "flagship_topk_revenue",        # J2 broadcast join + O1 top-k (flagship)
-    "dedup_ngram_jaccard",          # bench watch: df-cap exchange reuse
-    "dedup_minhash_lsh",            # bench watch: 1.06x baseline in r2
-    # round-5 rotation-in: the 6 round-4 queries with no driver row yet
-    "table_column_stats",
-    "data_quality_report",
-    "stream_stream_join_events",
-    "knn_pq_adc",
-    "bigram_surprisal_quality",
-    "video_frame_sample",
-    # round-5 additions (built this round, no driver row yet): the
-    # exact k-NN graph, the deterministic dataset split, and TPC-H Q3
-    # — in place of three single-green r4 TPC-H secondary carriers
-    # (top_supplier_q15, small_quantity_revenue_q17, bracket_revenue_q19
-    # keep their r4 green rows and stay pinned by pytest + the sweep)
-    "knn_graph_neighbors",
-    "dataset_split_report",
-    "shipping_priority_q3",
-    "hidden_partition_scan",  # r5: days()/bucket()/truncate() transforms
-    "oov_rate_report",        # r5: hash_split x vocab coverage
-    "incremental_view_maintenance",  # r5: CDC-driven O(delta) view refresh
-    "streaming_view_maintenance",    # r5: streaming materialized-view fold
-    # (slots freed by supplier_variety_q16 / excess_shipping_q20,
-    # both single-green in r4)
-    # never-graded: TPC-H adaptation shapes (multi-join aggs, scalar
-    # subqueries, grouped havings — the relational breadth tier)
-    "profit_by_nation_year_q9",
-    "large_volume_customers_q18",
-    # r4 additions: the 7 queries with no driver row yet
-    "min_cost_supplier_q2",
-    "source_reputation_gate",
-    "source_overlap_matrix",
-    # bench watch-list second carriers (r3 regression tracking)
+    # ------------------------------------------------------------------
+    # ROUND-7 ROTATION (verdict r6 action #1): the r5/r6 windows were
+    # identical, so this round grades the LONGEST-UNGRADED tier.
+    # Kept for continuity (standing policy): the flagship + the two
+    # bench watch-list dedups + the two bench second carriers.
+    # Rotated IN: the 3 queries BUILT this round (changelog-backed
+    # streaming view, MIN/MAX IVM rescan, image pHash dedup — verdict
+    # items 3-5) and all 42 single-green rows from rounds 1-3 (11 r1,
+    # 16 r2, 15 r3) — every one re-verified green in this round's
+    # full sf0.01 sweep before rotation. Rotated OUT: the 42 r4/r5
+    # multi-or-recently-graded rows; the only single-green rows left
+    # out are the four r4-graded ones (lang_confusion_matrix,
+    # supplier_variety_q16, excess_shipping_q20,
+    # sole_return_supplier_q21) — most recently graded of the
+    # singles; they queue for round 8. bpe_train_merges stays out by
+    # the rows-only policy (window keeps 100%-hash-checked).
+    # ------------------------------------------------------------------
+    # continuity: flagship + bench watch
+    "flagship_topk_revenue",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # round-4 additions: the snapshot-catalog feature tier built this
-    # round (branches, schema/partition evolution, MOR equality+position
-    # deletes, CDC changelog, rollback/orphan/partitions metadata) plus
-    # the new LLM-pipeline carriers — none has a driver row yet
-    "branch_write_fast_forward",
-    "schema_evolution_lifecycle",
-    "merge_on_read_lifecycle",
-    "position_delete_scan",
-    "partition_evolution_scan",
-    "row_lineage_audit",
-    "changelog_cdc_stream",
-    "rollback_and_orphan_cleanup",
-    "partition_stats_metadata",
-    "knn_ivf_persisted",
-    "streaming_dedup_counts",
-    "streaming_catalog_tail",
-    "quality_weighted_sample",
-    "corpus_build_e2e",
-    # LLM-pipeline carriers first graded green in r3 (kept: sole
-    # drivers of their operator families in the current window)
-    "dedup_duplicate_spans",
-    "dedup_embedding_clusters",
-    "embedding_outliers",
-    "knn_int8_quantized",
-    "audio_spectral_profile",
-    "clean_text_stats",
-    "top_bigrams_per_lang",
-    "repetition_profile",
-    "unigram_surprisal_quality",
-    "inverted_index_terms",
-    "mixture_weighted_sample",
-    "sample_fixed_per_lang",
-    "curation_pipeline_e2e",
+    # built this round (no driver row yet)
+    "streaming_changelog_view",
+    "incremental_minmax_view",
+    "dedup_image_phash",
+    # single-green since round 1
+    "distinct_counts",
+    "cube_lineitem_flags",
+    "pivot_status_priority",
+    "window_topk_orders_per_customer",
+    "running_total_per_customer",
+    "sql_api_top_spenders",
+    "having_popular_parts",
+    "ntile_price_quartiles",
+    "grouping_sets_flags",
+    "min_price_item_per_order",
+    "window_rank_metrics",
+    # single-green since round 2
+    "dedup_incremental_ingest",
+    "multimodal_decode_image",
+    "dedup_clusters",
+    "migration_e2e_report",
+    "snapshot_history_ops",
+    "wap_audit_publish",
+    "migration_history_replay",
+    "rowlevel_merge_delete",
+    "knn_ivf",
+    "token_count_bpe",
+    "multimodal_feature_knn",
+    "contamination_benchmark_overlap",
+    "pii_redaction",
+    "stratified_sample_langs",
+    "pack_training_sequences",
+    "bm25_search_topk",
+    # single-green since round 3
+    "sliding_window_events",
+    "snapshot_row_diff",
+    "approx_distinct_users",
+    "range_join_value_buckets",
+    "skew_salted_agg",
+    "portable_corr_stats",
+    "user_event_type_sets",
+    "orders_by_weekday",
+    "rolling_30d_customer_spend",
+    "funnel_conversion",
+    "weekly_cohort_retention",
+    "approx_percentile_quality",
+    "zorder_values",
+    "order_count_distribution_q13",
+    "idle_balance_by_nation_q22",
 ]
 # Still past the graded window after the round-4 rotation: every query
 # out of window has at least one driver-graded green row from rounds

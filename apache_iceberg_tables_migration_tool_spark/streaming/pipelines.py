@@ -451,9 +451,9 @@ def maintain_view_stream(
                 )
             drop_paths.append(p)
         if drop_paths:
-            batch_df = batch_df.where(~F.input_file_name().isin(drop_paths))
-            if not paths or len(drop_paths) == len(paths):
+            if len(drop_paths) == len(paths):
                 return  # nothing appended in this micro-batch
+            batch_df = batch_df.where(~F.input_file_name().isin(drop_paths))
         delta = ivm.grouped_aggregate(batch_df, keys, sum_cols)
         if vt.exists() and vt.current_snapshot() is not None:
             base = vt.read(batch_df.sparkSession)
