@@ -8,8 +8,8 @@ This is the derived-table pattern every warehouse runs at scale: a
 refreshes from the changelog slice (O(changed rows)) instead of a full
 recompute (O(table)). COUNT and SUM are self-maintainable under
 insert+delete streams (each change row contributes ±1 / ±value);
-MIN/MAX are not (a deleted extremum needs a rescan) and are therefore
-deliberately absent from this surface.
+MIN/MAX are not (a deleted extremum needs a rescan) and get the
+affected-group-rescan treatment below (round-7 addition).
 
 Reference substrate: the reference recomputes verification aggregates
 from scratch on every run (`6_verify_data_integrity.py:45-87`); this is

@@ -399,7 +399,10 @@ def maintain_view_stream(
     merge / delete / rollback) cannot be folded as inserts:
     ``on_nonappend="error"`` (default) fails the stream loudly;
     ``"skip"`` drops them — the view then misses those updates (goes
-    stale, never corrupt). For streams over mutating tables use the
+    stale, never corrupt). Caveat: a merge-on-read commit that only
+    ADDS DELETE FILES writes nothing under ``data/``, so the file
+    tail cannot even see it to fail — the view silently misses those
+    deletes. For streams over mutating tables use the
     changelog-backed :func:`maintain_view_changelog` instead."""
     import re
 
