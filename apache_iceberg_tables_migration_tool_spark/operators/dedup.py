@@ -672,13 +672,20 @@ def banded_hamming_pairs(
     Scale shape: candidate generation is an equi-shuffle on (band,
     value) — only hash-colliding docs meet, never all pairs; the
     verify is arithmetic on the joined row. Returns (id_a, id_b,
-    hamming) with id_a < id_b, deduped across bands."""
+    hamming) with id_a < id_b, deduped across bands.
+
+    The signature projection is eagerly localCheckpoint-ed first:
+    both self-join sides would otherwise re-execute the upstream
+    (typically a full image decode + hash) — the same
+    single-upstream-execution contract as ``cosine_pairs``; the
+    checkpoint holds one id plus a few ints per doc."""
     if max_hamming >= len(band_cols):
         raise ValueError(
             f"max_hamming={max_hamming} needs more bands than distance "
             f"(got {len(band_cols)}): pigeonhole only guarantees recall "
             "for distance < band count"
         )
+    sig = sig.select(id_col, *band_cols).localCheckpoint(eager=True)
     arr = F.array(*[F.col(c) for c in band_cols])
     blocks = sig.select(
         F.col(id_col), *band_cols, F.posexplode(arr).alias("band", "blk")

@@ -653,3 +653,26 @@ def test_banded_hamming_pairs_guard(spark):
     sig = spark.createDataFrame([(1, 0, 0)], "doc_id long, p0 int, p1 int")
     with pytest.raises(ValueError, match="pigeonhole"):
         banded_hamming_pairs(sig, ["p0", "p1"], max_hamming=2)
+
+
+def test_banded_hamming_pairs_single_upstream_execution(spark):
+    """Both self-join sides must read the checkpointed signatures —
+    the decode+hash upstream executes exactly once per call (same
+    contract as cosine_pairs)."""
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+    docs = spark.range(60).selectExpr("id as doc_id")
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    payloads = M.render_bmp_payloads_near(docs).mapInPandas(
+        bump, schema="doc_id bigint, content binary"
+    )
+    banded_hamming_pairs(M.phash64(payloads), ["p0", "p1", "p2", "p3"], 3).collect()
+    assert acc.value == 60
