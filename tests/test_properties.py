@@ -186,3 +186,63 @@ def test_wap_commit_protocol_invariants(spark, tmp_path_factory, ops):
     assert [s.snapshot_id for s in chain] == sorted(s.snapshot_id for s in chain)
     if cur:
         assert chain[-1].snapshot_id == cur.snapshot_id
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX IVM: maintained view ≡ recompute over arbitrary commit tapes
+# ---------------------------------------------------------------------------
+
+# a tape of micro-batches; each op is (is_insert, key_idx, value).
+# Deletes are resolved against the LIVE multiset (pick an existing row
+# by index), so every tape is a consistent insert/delete history.
+_mm_tape = st.lists(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1, max_size=8,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(tape=_mm_tape)
+@settings(**_SETTINGS)
+def test_minmax_ivm_equals_recompute_on_random_tapes(spark, tape):
+    """apply_minmax_delta folded over ANY consistent insert/delete
+    tape (null keys, duplicate extrema, group death/rebirth, deletes
+    that do and don't touch extrema) equals grouped_minmax recomputed
+    from the surviving rows — the IVM ≡ recompute law the carrier
+    query checks once, checked here across the state space."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    keys = ["a", "b", None]
+    schema = "g string, v long"
+    cl_schema = "g string, v long, _change_type string"
+
+    live: list[tuple] = []
+    view_rows: list = []
+    view_schema = None
+    for batch in tape:
+        changes = []
+        for is_insert, kidx, val in batch:
+            if is_insert or not live:
+                row = (keys[kidx], val)
+                live.append(row)
+                changes.append((*row, "insert"))
+            else:
+                row = live.pop(val % len(live))
+                changes.append((*row, "delete"))
+        base = (
+            spark.createDataFrame(view_rows, view_schema)
+            if view_schema is not None
+            else ivm.grouped_minmax(spark.createDataFrame([], schema), ["g"], ["v"])
+        )
+        cl = spark.createDataFrame(changes, cl_schema)
+        cur = spark.createDataFrame(live, schema) if live else \
+            spark.createDataFrame([], schema)
+        out = ivm.apply_minmax_delta(base, cl, cur, ["g"], ["v"])
+        view_rows, view_schema = out.collect(), out.schema
+        want = sorted(
+            (tuple(r) for r in ivm.grouped_minmax(cur, ["g"], ["v"]).collect()),
+            key=repr,
+        )
+        assert sorted((tuple(r) for r in view_rows), key=repr) == want
