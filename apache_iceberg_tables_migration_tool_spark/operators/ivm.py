@@ -183,3 +183,75 @@ def apply_minmax_delta(
         current.join(F.broadcast(akeys), cond, "left_semi"), keys, cols
     )
     return clean.unionByName(rescanned)
+
+
+# ---------------------------------------------------------------------------
+# Second moments: AVG / VAR / STDDEV views (self-maintainable)
+# ---------------------------------------------------------------------------
+#
+# AVG and population variance ARE self-maintainable — store the raw
+# moments (count, Σv, Σv²), which fold under insert/delete exactly
+# like SUM, and derive the statistics at read time. The stored view
+# keeps integer moments for integer columns, so the fold is exact and
+# the derived doubles are bit-identical to a recompute that derives
+# them the same way (one fixed IEEE expression tree).
+
+
+def _sumsq_col(c: str) -> str:
+    return f"sumsq_{c}"
+
+
+def grouped_moments(df: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+    """Full-recompute form of the moments view: COUNT(*), SUM(v),
+    SUM(v²) per key group — the stored (not derived) representation."""
+    aggs = [F.count(F.lit(1)).alias(_COUNT)]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(_sum_col(c)))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(_sumsq_col(c)))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def moments_delta(changelog: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+    """Signed moment delta per group from a changelog slice: inserts
+    contribute +1/+v/+v², deletes the negation. One shuffle over the
+    changed rows only."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).alias(_COUNT)]
+    for c in cols:
+        aggs.append(F.sum(sign * F.col(c)).alias(_sum_col(c)))
+        aggs.append(F.sum(sign * F.col(c) * F.col(c)).alias(_sumsq_col(c)))
+    return changelog.groupBy(*keys).agg(*aggs)
+
+
+def apply_moments_delta(
+    base: DataFrame, delta: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    """Merge a moments delta into the stored view — identical shape to
+    :func:`apply_agg_delta` (union + re-group so NULL keys merge;
+    groups die at count 0)."""
+    mcols = [_COUNT]
+    for c in cols:
+        mcols += [_sum_col(c), _sumsq_col(c)]
+    both = base.select(*keys, *mcols).unionByName(delta.select(*keys, *mcols))
+    out = both.groupBy(*keys).agg(*[F.sum(F.col(c)).alias(c) for c in mcols])
+    return out.where(F.col(_COUNT) > 0)
+
+
+def derive_stats(view: DataFrame, cols: list[str]) -> DataFrame:
+    """Read-time statistics over a stored moments view: ``avg_c`` and
+    population variance ``varp_c`` per tracked column, derived with
+    ONE fixed IEEE expression tree — ``sum/n`` and
+    ``(sumsq - sum*sum/n)/n`` on doubles — so an engine recomputing
+    the same tree from the same exact integer moments produces
+    bit-identical doubles (the portability contract the oracle
+    carrier hashes)."""
+    out = [*view.columns]
+    exprs = [F.col(c) for c in view.columns]
+    for c in cols:
+        n = F.col(_COUNT).cast("double")
+        s = F.col(_sum_col(c)).cast("double")
+        q = F.col(_sumsq_col(c)).cast("double")
+        exprs.append((s / n).alias(f"avg_{c}"))
+        exprs.append(((q - s * s / n) / n).alias(f"varp_{c}"))
+        out += [f"avg_{c}", f"varp_{c}"]
+    return view.select(*exprs)

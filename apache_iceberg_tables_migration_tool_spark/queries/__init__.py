@@ -95,7 +95,9 @@ _DRIVER_PRIORITY = [
     # out are the four r4-graded ones (lang_confusion_matrix,
     # supplier_variety_q16, excess_shipping_q20,
     # sole_return_supplier_q21) — most recently graded of the
-    # singles; they queue for round 8. bpe_train_merges stays out by
+    # singles; they queue for round 8 together with the late-round-7
+    # addition incremental_moments_view (registered past the cap,
+    # sweep- and pytest-verified). bpe_train_merges stays out by
     # the rows-only policy (window keeps 100%-hash-checked).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch

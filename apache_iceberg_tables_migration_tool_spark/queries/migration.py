@@ -1515,3 +1515,73 @@ def incremental_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(view.collect(), view.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "incremental_moments_view",
+    tags=("migration", "cdc", "agg"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority, CAST(o_custkey AS BIGINT) AS cust,
+         o_orderkey % 3 AS band
+  FROM orders),
+f AS (SELECT * FROM o WHERE NOT (band < 2 AND cust % 7 = 0)),
+m AS (SELECT priority, COUNT(*) AS group_count,
+             CAST(SUM(cust) AS BIGINT) AS sum_cust,
+             CAST(SUM(cust * cust) AS BIGINT) AS sumsq_cust
+      FROM f GROUP BY priority)
+SELECT priority, group_count, sum_cust, sumsq_cust,
+       CAST(sum_cust AS DOUBLE) / CAST(group_count AS DOUBLE) AS avg_cust,
+       (CAST(sumsq_cust AS DOUBLE)
+        - CAST(sum_cust AS DOUBLE) * CAST(sum_cust AS DOUBLE)
+          / CAST(group_count AS DOUBLE))
+       / CAST(group_count AS DOUBLE) AS varp_cust
+FROM m
+""",
+)
+def incremental_moments_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/VARIANCE incremental view maintenance via raw moments: the
+    stored view keeps COUNT/Σv/Σv² — self-maintainable under
+    insert+delete like SUM (`ivm.moments_delta`/`apply_moments_delta`,
+    one shuffle over changed rows, no rescan ever) — and AVG +
+    population variance derive at read time (`ivm.derive_stats`) with
+    one fixed IEEE expression tree, so the doubles hash-match an
+    engine that derives from the same exact integer moments. History:
+    two appends fold arithmetically, a COW DELETE subtracts its
+    moments, a final append folds on top; the oracle recomputes from
+    the final logical state."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_imo_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").cast("long").alias("cust"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "db", "orders_imo", "db", "imo_view")
+        kw = dict(keys=["priority"], moment_cols=["cust"])
+        for b in range(2):
+            cat.write("db", "orders_imo", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+            refresh_view_changelog(*args, **kw)
+        cat.delete_where("db", "orders_imo", F.pmod(F.col("cust"), F.lit(7)) == 0,
+                         committed_at=_T[2])
+        refresh_view_changelog(*args, **kw)
+        cat.write("db", "orders_imo", o.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[3])
+        refresh_view_changelog(*args, **kw)
+        stored = cat.table("db", "imo_view").read(spark)
+        view = ivm.derive_stats(stored, ["cust"]).select(
+            "priority", "group_count",
+            F.col("sum_cust").cast("long").alias("sum_cust"),
+            F.col("sumsq_cust").cast("long").alias("sumsq_cust"),
+            "avg_cust", "varp_cust",
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

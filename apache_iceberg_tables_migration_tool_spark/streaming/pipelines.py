@@ -490,6 +490,7 @@ def refresh_view_changelog(
     keys: list[str],
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    moment_cols: list[str] | None = None,
 ) -> int | None:
     """One incremental refresh of a materialized view driven by the
     source's row-level CHANGELOG (``SnapTable.changelog`` — ≙ folding
@@ -499,12 +500,14 @@ def refresh_view_changelog(
     exactly, and ``replace`` (compaction) commits contribute nothing
     by construction.
 
-    Views come in two kinds: ``sum_cols`` → COUNT/SUM rollup
+    Views come in three kinds: ``sum_cols`` → COUNT/SUM rollup
     (self-maintainable, pure O(changed rows) fold); ``minmax_cols`` →
     COUNT/MIN/MAX (folds inserts in O(delta); deletes touching a
     group's extremum trigger an affected-group-only rescan via
-    :func:`~...operators.ivm.apply_minmax_delta`). Exactly one must be
-    given.
+    :func:`~...operators.ivm.apply_minmax_delta`); ``moment_cols`` →
+    COUNT/Σv/Σv² raw moments (self-maintainable; derive AVG/VAR at
+    read time with :func:`~...operators.ivm.derive_stats`). Exactly
+    one must be given.
 
     Exactly-once without a separate checkpoint: the high-water mark
     (``ivm.src_snapshot_id``) rides IN the view's own commit summary,
@@ -522,8 +525,10 @@ def refresh_view_changelog(
     """
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
-    if (sum_cols is None) == (minmax_cols is None):
-        raise ValueError("provide exactly one of sum_cols / minmax_cols")
+    if sum(k is not None for k in (sum_cols, minmax_cols, moment_cols)) != 1:
+        raise ValueError(
+            "provide exactly one of sum_cols / minmax_cols / moment_cols"
+        )
     src = catalog.table(src_database, src_table)
     head = src.current_snapshot()
     if head is None:
@@ -543,17 +548,21 @@ def refresh_view_changelog(
             return None  # already current
     if from_id is None:
         cur = src.read(spark, snapshot_id=head.snapshot_id)
-        refreshed = (
-            ivm.grouped_aggregate(cur, keys, sum_cols)
-            if sum_cols is not None
-            else ivm.grouped_minmax(cur, keys, minmax_cols)
-        )
+        if sum_cols is not None:
+            refreshed = ivm.grouped_aggregate(cur, keys, sum_cols)
+        elif moment_cols is not None:
+            refreshed = ivm.grouped_moments(cur, keys, moment_cols)
+        else:
+            refreshed = ivm.grouped_minmax(cur, keys, minmax_cols)
     else:
         cl = src.changelog(spark, from_id, head.snapshot_id, net_changes=True)
         base = vt.read(spark)
         if sum_cols is not None:
             delta = ivm.agg_delta(cl, keys, sum_cols)
             refreshed = ivm.apply_agg_delta(base, delta, keys, sum_cols)
+        elif moment_cols is not None:
+            delta = ivm.moments_delta(cl, keys, moment_cols)
+            refreshed = ivm.apply_moments_delta(base, delta, keys, moment_cols)
         else:
             cur = src.read(spark, snapshot_id=head.snapshot_id)
             refreshed = ivm.apply_minmax_delta(base, cl, cur, keys, minmax_cols)
@@ -575,6 +584,7 @@ def maintain_view_changelog(
     checkpoint_dir: str,
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    moment_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
 ):
@@ -599,6 +609,7 @@ def maintain_view_changelog(
             spark, catalog, src_database, src_table,
             view_database, view_table, keys,
             sum_cols=sum_cols, minmax_cols=minmax_cols,
+            moment_cols=moment_cols,
         )
         if folded is not None and view_keep_last is not None:
             catalog.expire_snapshots(

@@ -180,3 +180,48 @@ def test_maintain_view_changelog_stream(spark, tmp_path):
     drain()
     got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
     assert got == {"a": (1, 1), "b": (1, 3), "c": (1, 4)}
+
+
+def test_moments_view_exact_and_derived_stats(spark, tmp_path):
+    """Raw-moment folds equal a recompute under append/delete, and the
+    derived AVG/VAR doubles are bit-identical to deriving from the
+    recomputed moments (single IEEE expression tree)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    args = (spark, cat, "db", "src", "db", "mo_view")
+    cat.write("db", "src", mk([("a", 1), ("a", 5), ("b", 3)]))
+    refresh_view_changelog(*args, keys=["g"], moment_cols=["v"])
+    cat.delete_where("db", "src", F.col("v") == 5)
+    cat.write("db", "src", mk([("a", 7), ("b", 3), ("c", 2)]))
+    refresh_view_changelog(*args, keys=["g"], moment_cols=["v"])
+    got = {
+        r["g"]: (r["group_count"], r["sum_v"], r["sumsq_v"],
+                 r["avg_v"], r["varp_v"])
+        for r in ivm.derive_stats(
+            cat.table("db", "mo_view").read(spark), ["v"]
+        ).collect()
+    }
+    want_rows = spark.createDataFrame(
+        [("a", 1), ("a", 7), ("b", 3), ("b", 3), ("c", 2)], "g string, v long"
+    )
+    want = {
+        r["g"]: (r["group_count"], r["sum_v"], r["sumsq_v"],
+                 r["avg_v"], r["varp_v"])
+        for r in ivm.derive_stats(
+            ivm.grouped_moments(want_rows, ["g"], ["v"]), ["v"]
+        ).collect()
+    }
+    assert got == want
+    assert got["a"][3] == 4.0 and got["a"][4] == 9.0  # avg/varp of {1,7}
+
+
+def test_moments_group_death(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 2), ("b", 3)], "g string, v long").coalesce(1))
+    args = (spark, cat, "db", "src", "db", "mo2")
+    refresh_view_changelog(*args, keys=["g"], moment_cols=["v"])
+    cat.delete_where("db", "src", F.col("g") == "a")
+    refresh_view_changelog(*args, keys=["g"], moment_cols=["v"])
+    got = {r["g"] for r in cat.table("db", "mo2").read(spark).collect()}
+    assert got == {"b"}
