@@ -806,6 +806,38 @@ class SnapTable:
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self._meta_path)  # atomic commit swap
+        self._write_commit_marker(meta)
+
+    def _write_commit_marker(self, meta: dict) -> None:
+        """One immutable marker file per snapshot commit
+        (``metadata/commits/s{N}.json`` ≙ Iceberg's versioned
+        ``v{N}.metadata.json`` sequence): ``metadata.json`` itself is
+        REPLACED in place, which a Spark file-stream source can never
+        re-discover — the marker sequence is the append-only commit
+        feed streaming consumers (``maintain_view_changelog``) tail
+        for wake-up, and it fires for EVERY commit kind including
+        metadata-only ones (rollback, alter, pure-MOR deletes) that
+        add no data files. Written after the meta swap: a crash in
+        between leaves a missing marker, which the next commit's
+        marker or a direct refresh call covers (markers are a wake-up
+        channel, never the source of truth). Idempotent per sid;
+        expire_snapshots reaps markers of expired snapshots."""
+        snaps = meta.get("snapshots") or []
+        if not snaps:
+            return
+        sid = max(s["snapshot_id"] for s in snaps)
+        mdir = os.path.join(self.root, "metadata", "commits")
+        marker = os.path.join(mdir, f"s{sid:06d}.json")
+        if os.path.lexists(marker):
+            return
+        os.makedirs(mdir, exist_ok=True)
+        last = next(s for s in snaps if s["snapshot_id"] == sid)
+        tmp = f"{marker}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"snapshot_id": sid, "operation": last.get("operation")}, f
+            )
+        os.replace(tmp, marker)
 
     def snapshots(self) -> list[Snapshot]:
         if not self.exists():
@@ -3466,6 +3498,13 @@ class SnapCatalog:
             }:
                 del meta["column_stats"]
             tbl._save_meta(meta)
+            # reap commit markers of expired snapshots (the streaming
+            # wake-up feed, see _write_commit_marker) so the commits/
+            # dir stays bounded by the kept history
+            mdir = os.path.join(tbl.root, "metadata", "commits")
+            for s in expired:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(mdir, f"s{s['snapshot_id']:06d}.json"))
             return [s["snapshot_id"] for s in expired]
 
     def compact(

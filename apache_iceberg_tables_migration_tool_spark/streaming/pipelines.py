@@ -588,28 +588,45 @@ def maintain_view_changelog(
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
 ):
-    """Streaming wrapper around :func:`refresh_view_changelog`: the
-    file-source tail over the source's commit dirs is used purely as
-    COMMIT DISCOVERY (wake up when new files land); every micro-batch
-    folds the changelog from the view's watermark to the CURRENT
-    published head, so batching never changes the result and replays
-    no-op on the watermark. Unlike :func:`maintain_view_stream` this
-    stays exact under compaction, COW upserts/deletes and MOR commits.
+    """Streaming wrapper around :func:`refresh_view_changelog`: a
+    file-source tail over the source's COMMIT-MARKER feed
+    (``metadata/commits/s{N}.json`` — one immutable file per commit,
+    ≙ Iceberg's versioned metadata files) is used purely as commit
+    discovery; every micro-batch folds the changelog from the view's
+    watermark to the CURRENT published head, so batching never
+    changes the result and replays no-op on the watermark. Unlike
+    :func:`maintain_view_stream` this stays exact under compaction,
+    COW upserts/deletes and MOR commits — and because markers fire
+    for EVERY commit kind, metadata-only commits (rollback, pure-MOR
+    equality deletes, alter) wake the fold too, closing the old
+    data-file tail's trigger-lag hole.
 
-    Trigger-lag caveat: a commit that adds NO files (a pure-MOR
-    equality delete, a rollback) wakes nothing — its delta folds at
-    the next file-producing commit, or call
-    :func:`refresh_view_changelog` directly after such commits."""
-    events = stream_catalog_appends(
-        spark, catalog, src_database, src_table, max_files_per_trigger
+    One synchronous refresh runs before the stream starts: it covers
+    commits that predate the marker feed (tables from older layouts)
+    and makes the view current immediately. WAP caveat (unchanged
+    from the data-file tail): a staged commit's marker wakes a
+    refresh that no-ops until publish; the publish itself writes no
+    marker, so the published rows fold at the next commit or via a
+    direct :func:`refresh_view_changelog` call."""
+    kinds = dict(
+        sum_cols=sum_cols, minmax_cols=minmax_cols, moment_cols=moment_cols
     )
+    refresh_view_changelog(
+        spark, catalog, src_database, src_table,
+        view_database, view_table, keys, **kinds,
+    )
+    src = catalog.table(src_database, src_table)
+    marker_dir = os.path.join(src.root, "metadata", "commits")
+    os.makedirs(marker_dir, exist_ok=True)  # pre-marker / pre-first-commit tables
+    reader = spark.readStream.schema("snapshot_id long, operation string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.option("pathGlobFilter", "*.json").json(marker_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         folded = refresh_view_changelog(
             spark, catalog, src_database, src_table,
-            view_database, view_table, keys,
-            sum_cols=sum_cols, minmax_cols=minmax_cols,
-            moment_cols=moment_cols,
+            view_database, view_table, keys, **kinds,
         )
         if folded is not None and view_keep_last is not None:
             catalog.expire_snapshots(

@@ -6,6 +6,8 @@ commits and compaction — the cases the file-tail fold must reject."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -225,3 +227,63 @@ def test_moments_group_death(spark, tmp_path):
     refresh_view_changelog(*args, keys=["g"], moment_cols=["v"])
     got = {r["g"] for r in cat.table("db", "mo2").read(spark).collect()}
     assert got == {"b"}
+
+
+def test_maintain_view_changelog_wakes_on_metadata_only_commits(spark, tmp_path):
+    """Commit MARKERS (not data files) drive discovery: a rollback
+    adds no data files, yet the drain folds its deletes into the
+    view — the old data-file tail's trigger-lag hole."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_view_changelog(
+            spark, cat, "db", "src", "db", "view",
+            keys=["g"], sum_cols=["v"], checkpoint_dir=ckpt,
+        ).awaitTermination()
+
+    s1 = cat.write("db", "src", mk([("a", 1), ("b", 3)]))
+    cat.write("db", "src", mk([("a", 2), ("c", 9)]))
+    drain()
+    vt = cat.table("db", "view")
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 3), "b": (1, 3), "c": (1, 9)}
+    cat.rollback("db", "src", s1.snapshot_id)  # metadata-only commit
+    drain()
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (1, 1), "b": (1, 3)}
+
+
+def test_maintain_view_changelog_pre_marker_table(spark, tmp_path):
+    """A table whose commits predate the marker feed (commits/ dir
+    wiped) is still folded by the initial synchronous refresh."""
+    import shutil as _sh
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "src", spark.createDataFrame([("a", 4)], "g string, v long"))
+    _sh.rmtree(os.path.join(cat.table("db", "src").root, "metadata", "commits"))
+    maintain_view_changelog(
+        spark, cat, "db", "src", "db", "view",
+        keys=["g"], sum_cols=["v"], checkpoint_dir=str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    got = {r["g"]: (r["group_count"], r["sum_v"])
+           for r in cat.table("db", "view").read(spark).collect()}
+    assert got == {"a": (1, 4)}
+
+
+def test_commit_markers_written_and_reaped(spark, tmp_path):
+    """Every commit kind leaves one marker; expire_snapshots reaps the
+    expired snapshots' markers so the feed stays bounded."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    cat.write("db", "t", mk([("a", 1)]))
+    cat.write("db", "t", mk([("b", 2)]))
+    cat.delete_where("db", "t", F.col("v") == 1)  # COW delete commit
+    tbl = cat.table("db", "t")
+    mdir = os.path.join(tbl.root, "metadata", "commits")
+    sids = sorted(s.snapshot_id for s in tbl.snapshots())
+    assert sorted(os.listdir(mdir)) == [f"s{s:06d}.json" for s in sids]
+    cat.expire_snapshots("db", "t", keep_last=1)
+    keep = [s.snapshot_id for s in tbl.snapshots()]
+    assert sorted(os.listdir(mdir)) == [f"s{s:06d}.json" for s in sorted(keep)]
