@@ -486,6 +486,36 @@ def cmd_changelog(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_view_refresh(args: argparse.Namespace) -> int:
+    """Changelog-driven materialized-view refresh: create-or-advance
+    a COUNT/SUM, COUNT/MIN/MAX or COUNT/Σv/Σv² rollup of a catalog
+    table in O(changed rows) — the operable face of
+    `streaming/pipelines.refresh_view_changelog` (the cron-job shape:
+    run it after commits land, or on a schedule)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    kinds = {args.kind + "_cols": args.cols.split(",")}
+    folded = refresh_view_changelog(
+        spark, cat, args.database, args.table,
+        args.view_database or args.database, args.view,
+        keys=args.keys.split(","), **kinds,
+    )
+    if folded is None:
+        print("-- view already current (nothing to fold)")
+    else:
+        vdb = args.view_database or args.database
+        vt = cat.table(vdb, args.view)
+        print(f"-- folded to source snapshot {folded}; view rows:")
+        for r in vt.read(spark).limit(args.limit).collect():
+            print(r)
+    return 0
+
+
 def cmd_corpus_build(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans.corpus import build_corpus
     from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
@@ -751,6 +781,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_changelog)
+
+    sp = sub.add_parser(
+        "view-refresh",
+        help="changelog-driven materialized-view refresh (COUNT/SUM, "
+        "MIN/MAX with affected-group rescan, or AVG/VAR moments) — "
+        "O(changed rows), watermark in the view's own commit",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--view", required=True, help="view table name")
+    sp.add_argument("--view-database", default=None,
+                    help="view namespace (default: source database)")
+    sp.add_argument("--keys", required=True, help="comma-separated group keys")
+    sp.add_argument("--cols", required=True, help="comma-separated value columns")
+    sp.add_argument("--kind", choices=["sum", "minmax", "moment"], default="sum")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_view_refresh)
 
     sp = sub.add_parser(
         "corpus-build",

@@ -462,3 +462,32 @@ def test_cli_query_explain(spark, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_cli_view_refresh(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 3)], "g string, v long").coalesce(1))
+    base = ["view-refresh", "--warehouse", wh, "--database", "db",
+            "--table", "src", "--view", "rollup", "--keys", "g",
+            "--cols", "v"]
+    assert main(base) == 0
+    got = {r["g"]: (r["group_count"], r["sum_v"])
+           for r in cat.table("db", "rollup").read(spark).collect()}
+    assert got == {"a": (2, 6), "b": (1, 3)}
+    # no new commits → no-op message
+    assert main(base) == 0
+    assert "already current" in capsys.readouterr().out
+    # a COW delete folds incrementally; minmax kind maintains its own view
+    cat.delete_where("db", "src", F.col("v") == 5)
+    assert main(base) == 0
+    got = {r["g"]: (r["group_count"], r["sum_v"])
+           for r in cat.table("db", "rollup").read(spark).collect()}
+    assert got == {"a": (1, 1), "b": (1, 3)}
+    assert main([*base[:8], "mm_view", *base[9:], "--kind", "minmax"]) == 0
+    got = {r["g"]: (r["group_count"], r["min_v"], r["max_v"])
+           for r in cat.table("db", "mm_view").read(spark).collect()}
+    assert got == {"a": (1, 1, 1), "b": (1, 3, 3)}
