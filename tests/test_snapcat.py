@@ -1761,3 +1761,75 @@ def test_live_lock_heartbeat_survives_long_hold(cat):
     release.set()
     t.join(5.0)
     assert not os.path.exists(lock)
+
+
+def test_stale_break_reaps_lock_litter(cat):
+    """Abandoned .acq/.stale/.rel protocol dirs (SIGKILLed waiters /
+    breakers / releasers) are swept opportunistically when a stale
+    lock is broken; fresh litter is left alone."""
+    import os
+    import time as _time
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    root = os.path.join(cat.warehouse, "db", "litter_t")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    lock = os.path.join(meta, ".commit_lock")
+    old = _time.time() - 400
+    stale_litter = []
+    for suffix in (".commit_lock.acq.dead1", ".commit_lock.stale.dead2",
+                   ".commit_lock.rel.dead3"):
+        p = os.path.join(meta, suffix)
+        os.mkdir(p)
+        os.utime(p, (old, old))
+        stale_litter.append(p)
+    fresh = os.path.join(meta, ".commit_lock.acq.alive")
+    os.mkdir(fresh)
+    os.mkdir(lock)  # stale foreign lock triggers the break path
+    os.utime(lock, (old, old))
+    with SC._commit_lock(root, stale_after_sec=300):
+        pass
+    assert all(not os.path.exists(p) for p in stale_litter)
+    assert os.path.exists(fresh)  # younger than stale_after — kept
+    os.rmdir(fresh)
+
+
+def test_lock_release_leaves_no_residue_and_serializes(cat):
+    """The rename-away release leaves neither the lock dir nor a .rel
+    trash behind, and N threads hammering acquire/release serialize a
+    plain counter exactly."""
+    import os
+    import threading as _threading
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    root = os.path.join(cat.warehouse, "db", "stress_t")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    counter = os.path.join(meta, "counter.txt")
+    with open(counter, "w") as f:
+        f.write("0")
+    errs: list = []
+
+    def worker() -> None:
+        try:
+            for _ in range(20):
+                with SC._commit_lock(root, timeout_sec=30):
+                    with open(counter) as f:
+                        v = int(f.read())
+                    with open(counter, "w") as f:
+                        f.write(str(v + 1))
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [_threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errs
+    with open(counter) as f:
+        assert int(f.read()) == 160
+    residue = [e for e in os.listdir(meta) if e.startswith(".commit_lock")]
+    assert residue == []
