@@ -175,14 +175,34 @@ def apply_minmax_delta(
         *keys, *viewcols
     )
     akeys = merged.where(F.col("__affected")).select(*keys)
-    cond = None
-    for k in keys:
-        eq = current[k].eqNullSafe(akeys[k])
-        cond = eq if cond is None else (cond & eq)
-    rescanned = grouped_minmax(
-        current.join(F.broadcast(akeys), cond, "left_semi"), keys, cols
-    )
-    return clean.unionByName(rescanned)
+    # Rescan pruning: the affected set is bounded by extremum damage,
+    # so collect it (driver-side metadata, same size class as a
+    # broadcast) and push it down as a PREDICATE on the scan — that
+    # lets the source's file/partition pruning skip untouched
+    # partitions entirely, where a semi-join would still READ the
+    # whole table and only filter rows after the fact. Degenerate
+    # huge affected sets (a delete storm touching every extremum)
+    # fall back to the broadcast null-safe semi-join.
+    rows = akeys.collect()
+    if not rows:
+        return clean
+    if len(rows) <= 256:
+        pred = None
+        for r in rows:
+            conj = None
+            for k in keys:
+                eq = F.col(k).eqNullSafe(F.lit(r[k]))
+                conj = eq if conj is None else (conj & eq)
+            pred = conj if pred is None else (pred | conj)
+        pruned = current.where(pred)
+    else:
+        adf = current.sparkSession.createDataFrame(rows, akeys.schema)
+        cond = None
+        for k in keys:
+            eq = current[k].eqNullSafe(adf[k])
+            cond = eq if cond is None else (cond & eq)
+        pruned = current.join(F.broadcast(adf), cond, "left_semi")
+    return clean.unionByName(grouped_minmax(pruned, keys, cols))
 
 
 # ---------------------------------------------------------------------------

@@ -287,3 +287,20 @@ def test_commit_markers_written_and_reaped(spark, tmp_path):
     cat.expire_snapshots("db", "t", keep_last=1)
     keep = [s.snapshot_id for s in tbl.snapshots()]
     assert sorted(os.listdir(mdir)) == [f"s{s:06d}.json" for s in sorted(keep)]
+
+
+def test_minmax_rescan_fallback_many_affected_groups(spark):
+    """A delete storm touching >256 extrema exercises the semi-join
+    fallback; result still equals a recompute."""
+    n = 300
+    base_rows = [(f"g{i}", v) for i in range(n) for v in (1, 9)]
+    base = ivm.grouped_minmax(
+        spark.createDataFrame(base_rows, "g string, v long"), ["g"], ["v"]
+    )
+    cl = spark.createDataFrame(
+        [(f"g{i}", 9, "delete") for i in range(n)],
+        "g string, v long, _change_type string",
+    )
+    cur = spark.createDataFrame([(f"g{i}", 1) for i in range(n)], "g string, v long")
+    out = ivm.apply_minmax_delta(base, cl, cur, ["g"], ["v"])
+    assert _view_rows(out) == _view_rows(ivm.grouped_minmax(cur, ["g"], ["v"]))
