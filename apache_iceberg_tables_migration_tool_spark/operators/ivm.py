@@ -175,20 +175,25 @@ def apply_minmax_delta(
         *keys, *viewcols
     )
     akeys = merged.where(F.col("__affected")).select(*keys)
-    # Rescan pruning: the affected set is bounded by extremum damage,
-    # so collect it (driver-side metadata, same size class as a
-    # broadcast) and push it down as a PREDICATE on the scan — that
-    # lets the source's file/partition pruning skip untouched
-    # partitions entirely, where a semi-join would still READ the
-    # whole table and only filter rows after the fact. Degenerate
-    # huge affected sets (a delete storm touching every extremum)
-    # fall back to the broadcast null-safe semi-join.
-    rows = akeys.collect()
-    if not rows:
+    # Rescan pruning: probe the affected set's size with a
+    # LIMIT-BOUNDED collect, so at most 257 rows ever reach the driver
+    # no matter how degenerate the delete storm. The normal case
+    # (extremum damage touches a handful of groups) pushes the probed
+    # keys down as a PREDICATE on the scan — that lets the source's
+    # file/partition pruning skip untouched partitions entirely, where
+    # a semi-join would still READ the whole table and only filter
+    # rows after the fact. A huge affected set (a delete storm
+    # touching most extrema) never materializes on the driver at all:
+    # the rescan prunes with a shuffle null-safe LEFT SEMI join
+    # against the affected-keys DataFrame itself — no broadcast hint,
+    # the set can be arbitrarily large (AQE may still downgrade the
+    # exchange to a broadcast at runtime if it turns out small).
+    probe = akeys.limit(257).collect()
+    if not probe:
         return clean
-    if len(rows) <= 256:
+    if len(probe) <= 256:
         pred = None
-        for r in rows:
+        for r in probe:
             conj = None
             for k in keys:
                 eq = F.col(k).eqNullSafe(F.lit(r[k]))
@@ -196,12 +201,13 @@ def apply_minmax_delta(
             pred = conj if pred is None else (pred | conj)
         pruned = current.where(pred)
     else:
-        adf = current.sparkSession.createDataFrame(rows, akeys.schema)
         cond = None
         for k in keys:
-            eq = current[k].eqNullSafe(adf[k])
+            eq = F.col(f"__cur.{k}").eqNullSafe(F.col(f"__ak.{k}"))
             cond = eq if cond is None else (cond & eq)
-        pruned = current.join(F.broadcast(adf), cond, "left_semi")
+        pruned = current.alias("__cur").join(
+            akeys.alias("__ak"), cond, "left_semi"
+        )
     return clean.unionByName(grouped_minmax(pruned, keys, cols))
 
 
