@@ -399,11 +399,27 @@ def maintain_view_stream(
     merge / delete / rollback) cannot be folded as inserts:
     ``on_nonappend="error"`` (default) fails the stream loudly;
     ``"skip"`` drops them — the view then misses those updates (goes
-    stale, never corrupt). Caveat: a merge-on-read commit that only
-    ADDS DELETE FILES writes nothing under ``data/``, so the file
-    tail cannot even see it to fail — the view silently misses those
-    deletes. For streams over mutating tables use the
-    changelog-backed :func:`maintain_view_changelog` instead."""
+    stale, never corrupt). Row-changing commits that write NO data
+    files — pure merge-on-read delete-file commits, rollbacks,
+    overwrites-to-empty — are invisible to a data-file tail, so the
+    fold additionally scans the snapshot LOG (once at start, then per
+    micro-batch) and applies the same error/skip policy to any such
+    commit: without this a MOR delete would silently never subtract
+    and the view would diverge forever, not merely go stale. For
+    streams over mutating tables use the changelog-backed
+    :func:`maintain_view_changelog` instead.
+
+    Expired history: a batch file whose commit has been expired from
+    the snapshot log resolves to no operation. On the FIRST fold of a
+    fresh view (backfill) such a file is folded iff it is live in the
+    source's current snapshot — live rows belong in the view no
+    matter which commit wrote them, and expiry has already removed
+    dead pre-compaction originals from disk, so no double count is
+    possible. Once the view exists, unknown-commit files take the
+    ``on_nonappend`` policy instead: a live-but-unknown file arriving
+    mid-stream can be an expired compaction's rewrite of rows already
+    folded, which folding again would double-count (keep the source's
+    expire horizon longer than the trigger interval)."""
     import re
 
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
@@ -411,20 +427,57 @@ def maintain_view_stream(
     if on_nonappend not in ("error", "skip"):
         raise ValueError(f"on_nonappend must be 'error' or 'skip', got {on_nonappend!r}")
 
+    #: commit kinds that preserve the table's row multiset
+    _ROW_PRESERVING = ("append", "create", "replace", "alter")
+
+    def _check_invisible_row_changes() -> None:
+        """Police the commits a data-file tail can never see: any
+        row-changing commit that wrote no files under its own
+        ``data/s{sid}`` directory (pure-MOR delete-file commits,
+        rollback, overwrite-to-empty). Driver-side metadata scan of
+        the already-loaded snapshot log; short-circuits per commit."""
+        src = catalog.table(src_database, src_table)
+        if not src.exists():
+            return
+        for s in src.snapshots():
+            if s.operation in _ROW_PRESERVING:
+                continue
+            pref = f"data/s{s.snapshot_id:06d}/"
+            if any(f.path.startswith(pref) for f in s.files):
+                continue  # wrote data files — the batch-file policy polices it
+            if on_nonappend == "error":
+                raise RuntimeError(
+                    f"maintain_view_stream: {src_database}.{src_table} snapshot "
+                    f"{s.snapshot_id} (operation={s.operation}) changed rows "
+                    "without writing data files, which a data-file tail cannot "
+                    "observe — folding around it would corrupt the view "
+                    "permanently, not merely let it go stale. Use the "
+                    "changelog-backed maintain_view_changelog for mutating "
+                    "sources, or pass on_nonappend='skip' to let the view "
+                    "silently miss these row changes."
+                )
+            return  # skip: accept staleness once, don't rescan the log
+
+    _check_invisible_row_changes()  # no-new-files runs must fail too
+
     events = stream_catalog_appends(
         spark, catalog, src_database, src_table, max_files_per_trigger
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         vt = catalog.table(view_database, view_table)
-        if vt.exists():
+        view_fresh = not (vt.exists() and vt.current_snapshot() is not None)
+        if not view_fresh:
             seen = {s.summary.get("streaming.batch_id") for s in vt.snapshots()}
             if str(batch_id) in seen:
                 return  # replayed micro-batch — view already folded
+        _check_invisible_row_changes()
         # Resolve each batch file's commit against the snapshot log and
         # keep only genuinely-appended rows (driver-side metadata: one
         # distinct over the batch's file list, never the table).
         src = catalog.table(src_database, src_table)
+        cur = src.current_snapshot()
+        live = {f.path for f in cur.files} if cur is not None else set()
         ops = {s.snapshot_id: s.operation for s in src.snapshots()}
         paths = [
             r["p"]
@@ -437,7 +490,26 @@ def maintain_view_stream(
 
         drop_paths = []
         for p in paths:
-            op = ops.get(_sid(p), "unknown")
+            op = ops.get(_sid(p))
+            if op is None:
+                # commit expired from the log (see docstring): backfill
+                # folds live files, everything else takes the policy
+                rel = os.path.relpath(re.sub(r"^file:/*", "/", p), src.root)
+                if view_fresh and rel in live:
+                    continue
+                if on_nonappend == "error":
+                    state = "live" if rel in live else "no longer live"
+                    raise RuntimeError(
+                        f"maintain_view_stream: {src_database}.{src_table} file "
+                        f"{p} was written by a commit already expired from the "
+                        f"snapshot log (file is {state} in the current "
+                        "snapshot); mid-stream the fold cannot prove it is a "
+                        "pure append. Keep the source's expire_snapshots "
+                        "horizon longer than the trigger interval, or pass "
+                        "on_nonappend='skip'."
+                    )
+                drop_paths.append(p)
+                continue
             if op in ("append", "create"):
                 continue
             if op == "replace":  # compaction rewrite — rows already folded
