@@ -839,6 +839,26 @@ class SnapTable:
             )
         os.replace(tmp, marker)
 
+    def _write_publish_marker(self, sid: int) -> None:
+        """Marker for a pointer-only commit: ``publish``'s fast path
+        and ``fast_forward`` move ``current_id`` WITHOUT appending a
+        snapshot, so :meth:`_write_commit_marker` (keyed off the max
+        sid, which already fired when the snapshot was STAGED) stays
+        silent and a ``maintain_view_changelog`` stream would sleep on
+        the newly-published rows until the next real commit. A
+        distinct ``s{N}.pub.json`` marker wakes the feed immediately;
+        the fold itself always re-reads the published head, so the
+        marker's only job is discovery. Idempotent per sid."""
+        mdir = os.path.join(self.root, "metadata", "commits")
+        marker = os.path.join(mdir, f"s{sid:06d}.pub.json")
+        if os.path.lexists(marker):
+            return
+        os.makedirs(mdir, exist_ok=True)
+        tmp = f"{marker}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": sid, "operation": "publish"}, f)
+        os.replace(tmp, marker)
+
     def snapshots(self) -> list[Snapshot]:
         if not self.exists():
             return []
@@ -3215,6 +3235,8 @@ class SnapCatalog:
                 )
             meta["current_id"] = head
             tbl._save_meta(meta)
+            # pointer-only commit: wake the marker feed explicitly
+            tbl._write_publish_marker(head)
             return head
 
     def drop_ref(self, database: str, name: str, ref_name: str) -> None:
@@ -3256,6 +3278,8 @@ class SnapCatalog:
             if staged["parent_id"] == (cur_id or None):
                 meta["current_id"] = snapshot_id
                 tbl._save_meta(meta)
+                # pointer-only commit: wake the marker feed explicitly
+                tbl._write_publish_marker(snapshot_id)
                 return _snap_from_dict(staged)
             if staged["operation"] != "append":
                 raise CommitConflictError(
@@ -3505,6 +3529,10 @@ class SnapCatalog:
             for s in expired:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(mdir, f"s{s['snapshot_id']:06d}.json"))
+                with contextlib.suppress(OSError):
+                    os.remove(
+                        os.path.join(mdir, f"s{s['snapshot_id']:06d}.pub.json")
+                    )
             return [s["snapshot_id"] for s in expired]
 
     def compact(

@@ -675,11 +675,12 @@ def maintain_view_changelog(
 
     One synchronous refresh runs before the stream starts: it covers
     commits that predate the marker feed (tables from older layouts)
-    and makes the view current immediately. WAP caveat (unchanged
-    from the data-file tail): a staged commit's marker wakes a
-    refresh that no-ops until publish; the publish itself writes no
-    marker, so the published rows fold at the next commit or via a
-    direct :func:`refresh_view_changelog` call."""
+    and makes the view current immediately. WAP: a staged commit's
+    marker wakes a refresh that no-ops until publish, and the publish
+    itself — a pointer-only commit that appends no snapshot — writes
+    a distinct ``s{N}.pub.json`` marker (``_write_publish_marker``),
+    so the published rows fold immediately instead of waiting for the
+    next real commit."""
     kinds = dict(
         sum_cols=sum_cols, minmax_cols=minmax_cols, moment_cols=moment_cols
     )
