@@ -600,6 +600,21 @@ def _next_id(meta: dict) -> int:
     return max((s["snapshot_id"] for s in meta["snapshots"]), default=0) + 1
 
 
+#: Counters for lock-protocol anomalies (ADVICE r7: surface stolen-lock
+#: events as a metric, not log-only). Monotonic per process; a
+#: monitoring hook — or a test — reads them to see how often the
+#: inherent lock-breaking races actually fire in a deployment.
+LOCK_STATS = {
+    # a breaker stole a heartbeat-fresh lock and a new waiter claimed
+    # the path before the restore — the mid-window owner runs
+    # unserialized until its release
+    "stolen_fresh_lock_discarded": 0,
+    # release renamed away a dir that had been swapped mid-release and
+    # the give-back rename lost to a third waiter
+    "release_swap_discarded": 0,
+}
+
+
 def _reap_lock_litter(lock_dir: str, stale_after_sec: float) -> None:
     """Sweep abandoned lock-protocol dirs next to ``lock_dir``: a
     waiter SIGKILLed mid-acquire leaks its ``.acq.<token>`` staging
@@ -711,6 +726,7 @@ def _commit_lock(
                             # (inherent to lock breaking) — leave a
                             # diagnosable trace before removing its
                             # state, then don't leak the dir
+                            LOCK_STATS["stolen_fresh_lock_discarded"] += 1
                             _log.warning(
                                 "commit lock on %s: broke a heartbeat-"
                                 "fresh lock and a new waiter claimed "
@@ -750,6 +766,11 @@ def _commit_lock(
         # path never exposes a momentarily-empty directory a
         # concurrent stale-breaker restore could race into.
         with contextlib.suppress(FileNotFoundError, OSError):
+            # the ownership read sits IMMEDIATELY before the rename —
+            # nothing in between — so the swap window a stale-breaker
+            # could race into is as narrow as the protocol allows
+            # (ADVICE r7: an inherent residual of break-capable locks;
+            # the post-rename re-verify + counters cover the rest)
             with open(owner_file) as fh:
                 owned = fh.read() == token
             if owned:
@@ -769,6 +790,7 @@ def _commit_lock(
                     try:
                         os.rename(trash, lock_dir)
                     except OSError:
+                        LOCK_STATS["release_swap_discarded"] += 1
                         _log.warning(
                             "commit lock on %s: released a dir that "
                             "was swapped mid-release and could not "

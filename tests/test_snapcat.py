@@ -1833,3 +1833,47 @@ def test_lock_release_leaves_no_residue_and_serializes(cat):
         assert int(f.read()) == 160
     residue = [e for e in os.listdir(meta) if e.startswith(".commit_lock")]
     assert residue == []
+
+
+def test_release_swap_is_counted_not_just_logged(cat, monkeypatch):
+    """ADVICE r7: the swapped-mid-release discard (a breaker replaces
+    the lock dir inside the read→rename window and the give-back
+    rename loses to a third waiter) must bump a METRIC, not just log.
+    The race is forced deterministically by intercepting the
+    rename-away."""
+    import os as _os
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    root = _os.path.join(cat.warehouse, "db", "swap_t")
+    lock_dir = _os.path.join(root, "metadata", ".commit_lock")
+    real_rename = _os.rename
+
+    def racy_rename(src, dst):
+        if src == lock_dir and ".rel." in str(dst):
+            real_rename(src, dst)
+            # the dir we renamed away turns out to be a NEW waiter's…
+            with open(_os.path.join(dst, "owner"), "w") as fh:
+                fh.write("swapped-in-waiter")
+            # …and a third waiter claims the path before the restore
+            _os.mkdir(lock_dir)
+            with open(_os.path.join(lock_dir, "owner"), "w") as fh:
+                fh.write("third-waiter")
+            return
+        return real_rename(src, dst)
+
+    before = dict(SC.LOCK_STATS)
+    monkeypatch.setattr(SC.os, "rename", racy_rename)
+    with SC._commit_lock(root, timeout_sec=10):
+        pass
+    monkeypatch.undo()
+    assert (
+        SC.LOCK_STATS["release_swap_discarded"]
+        == before["release_swap_discarded"] + 1
+    )
+    # the third waiter's live lock state survived the discard
+    with open(_os.path.join(lock_dir, "owner")) as fh:
+        assert fh.read() == "third-waiter"
+    import shutil as _shutil
+
+    _shutil.rmtree(root, ignore_errors=True)
