@@ -212,6 +212,74 @@ def apply_minmax_delta(
 
 
 # ---------------------------------------------------------------------------
+# Join views: Δ(A ⋈ B) from the two sides' changelogs
+# ---------------------------------------------------------------------------
+#
+# The next rung of the IVM ladder (round-7 verdict action #6): a view
+# over a two-table equi-join — the shape every incremental dashboard
+# needs beyond single-table rollups. The join is BILINEAR over signed
+# multisets, so its delta factors into three terms that each touch at
+# least one changed side; the view never re-joins the full new states.
+
+
+def join_delta(
+    cl_a: DataFrame | None,
+    a_old: DataFrame,
+    cl_b: DataFrame | None,
+    b_old: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Signed changelog of the inner equi-join ``A ⋈ B`` from the two
+    sides' changelog slices plus their OLD (pre-slice) states. By
+    bilinearity of the join over signed multisets::
+
+        A_new ⋈ B_new − A_old ⋈ B_old
+            = ΔA ⋈ B_old ∪ A_old ⋈ ΔB ∪ ΔA ⋈ ΔB
+
+    where each factor row carries sign +1 (insert / old state) or −1
+    (delete) and a joined row's sign is the PRODUCT — a deleted-A row
+    joining a deleted-B row yields an insert, which is exactly right:
+    the old joined row died twice and must be credited back once. The
+    result is changelog-shaped (``_change_type`` ∈ insert|delete),
+    ready for :func:`agg_delta` / :func:`moments_delta`.
+
+    Cost: every term has at least one DELTA factor, so work is
+    O(changed rows × their matches), never O(A × B) — the 100 TB
+    shape. Spark/AQE broadcasts the delta side of each term when
+    small. Pass ``None`` for an unchanged side's changelog (that
+    side's two terms vanish). Non-key column names must be disjoint
+    between the sides — project before calling, and drop changelog
+    metadata columns (``_commit_*``) from the slices."""
+    if cl_a is None and cl_b is None:
+        raise ValueError("join_delta: at least one side must have changed")
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+
+    def signed(cl: DataFrame, col: str) -> DataFrame:
+        return cl.withColumn(col, sign).drop("_change_type")
+
+    a0 = a_old.withColumn("__jd_sa", F.lit(1))
+    b0 = b_old.withColumn("__jd_sb", F.lit(1))
+    da = signed(cl_a, "__jd_sa") if cl_a is not None else None
+    db = signed(cl_b, "__jd_sb") if cl_b is not None else None
+    terms = []
+    if da is not None:
+        terms.append(da.join(b0, on))  # ΔA ⋈ B_old
+    if db is not None:
+        terms.append(a0.join(db, on))  # A_old ⋈ ΔB
+    if da is not None and db is not None:
+        terms.append(da.join(db, on))  # ΔA ⋈ ΔB
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out.withColumn(
+        "_change_type",
+        F.when(
+            F.col("__jd_sa") * F.col("__jd_sb") > 0, F.lit("insert")
+        ).otherwise(F.lit("delete")),
+    ).drop("__jd_sa", "__jd_sb")
+
+
+# ---------------------------------------------------------------------------
 # Second moments: AVG / VAR / STDDEV views (self-maintainable)
 # ---------------------------------------------------------------------------
 #

@@ -1585,3 +1585,74 @@ def incremental_moments_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(view.collect(), view.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "incremental_join_view",
+    tags=("migration", "cdc", "agg", "join"),
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 7 <> 0),
+b AS (
+  SELECT l_orderkey AS ok, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE CAST(l_quantity AS BIGINT) < 48)
+SELECT priority, COUNT(*) AS group_count,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM a JOIN b USING (ok)
+GROUP BY priority
+""",
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance (round-7 verdict action #6) —
+    a COUNT/SUM rollup over ``orders ⋈ lineitem`` kept fresh from BOTH
+    sides' changelogs via the bilinearity identity (`ivm.join_delta`:
+    ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, signs multiplied), never re-joining
+    the full new states. History: each side lands in two appends
+    (refreshed at staggered points, so each single-sided delta path
+    runs), then a copy-on-write DELETE on orders AND a merge-on-read
+    position delete on lineitem fold together in ONE refresh — the
+    cross-term case. The oracle recomputes the joined rollup from the
+    final logical state, so the hash compare proves delta-join ≡
+    recompute across every term."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_ijv_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderpriority").alias("priority"),
+            F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int").alias("band"),
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.pmod(F.col("l_linenumber"), F.lit(2)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "db", "orders_ijv", "db", "items_ijv", "db", "ijv_view")
+        kw = dict(on=["ok"], keys=["priority"], sum_cols=["qty"])
+        cat.write("db", "orders_ijv", o.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        cat.write("db", "items_ijv", li.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        refresh_join_view(*args, **kw)  # initial build on partial states
+        cat.write("db", "orders_ijv", o.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[1])
+        refresh_join_view(*args, **kw)  # ΔA-only fold
+        cat.write("db", "items_ijv", li.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[2])
+        refresh_join_view(*args, **kw)  # ΔB-only fold
+        cat.delete_where("db", "orders_ijv", F.pmod(F.col("ok"), F.lit(7)) == 0,
+                         committed_at=_T[3])
+        cat.delete_where("db", "items_ijv", F.col("qty") >= 48,
+                         mode="merge-on-read", committed_at=_T[4])
+        refresh_join_view(*args, **kw)  # both sides + cross term, one fold
+        view = cat.table("db", "ijv_view").read(spark).select(
+            "priority", "group_count", F.col("sum_qty").cast("long").alias("sum_qty")
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

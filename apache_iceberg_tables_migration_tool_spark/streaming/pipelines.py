@@ -645,6 +645,113 @@ def refresh_view_changelog(
     return head.snapshot_id
 
 
+def refresh_join_view(
+    spark: SparkSession,
+    catalog,
+    a_database: str,
+    a_table: str,
+    b_database: str,
+    b_table: str,
+    view_database: str,
+    view_table: str,
+    on: list[str],
+    keys: list[str],
+    sum_cols: list[str],
+) -> tuple[int, int] | None:
+    """One incremental refresh of a COUNT/SUM rollup over the inner
+    equi-join ``A ⋈ B``, driven by BOTH sides' changelogs — the
+    two-table rung of the IVM ladder (single-table COUNT/SUM, MIN/MAX
+    and moments live in :func:`refresh_view_changelog`). The joined
+    delta comes from :func:`~...operators.ivm.join_delta`'s
+    bilinearity identity, so a refresh joins only changed rows against
+    the other side's (time-travel) old state — never the two full new
+    states — and folds the signed result into the view with the same
+    aggregate-sized merge as the single-table path.
+
+    Watermarks for both sources ride in the view's own commit summary
+    (``ivm.src_a_snapshot_id`` / ``ivm.src_b_snapshot_id``), so
+    refresh + double watermark advance are one atomic commit: a
+    crashed or replayed refresh redoes the identical fold or no-ops.
+    The initial build joins the two heads directly. Appends, COW
+    upserts/deletes, MOR commits and rollbacks on EITHER side all
+    maintain the view exactly; compaction contributes nothing.
+
+    ``keys``/``sum_cols`` may come from either side (join keys in
+    ``on`` may also serve as group keys); every other referenced
+    column must exist on exactly one side — the standard disjointness
+    the join itself needs. Returns the (a, b) snapshot-id pair the
+    view now reflects, or None if there was nothing to fold. Raises
+    ``LookupError`` if a stored watermark has been expired from its
+    source's history."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    ta = catalog.table(a_database, a_table)
+    tb = catalog.table(b_database, b_table)
+    ha, hb = ta.current_snapshot(), tb.current_snapshot()
+    if ha is None or hb is None:
+        return None
+    vt = catalog.table(view_database, view_table)
+    wm_a = wm_b = None
+    if vt.exists() and vt.current_snapshot() is not None:
+        s = vt.current_snapshot().summary
+        if "ivm.src_a_snapshot_id" not in s or "ivm.src_b_snapshot_id" not in s:
+            raise ValueError(
+                f"{view_database}.{view_table} exists but carries no "
+                "ivm.src_a/b_snapshot_id watermarks — not a join-maintained "
+                "view; refusing to overwrite it"
+            )
+        wm_a = int(s["ivm.src_a_snapshot_id"])
+        wm_b = int(s["ivm.src_b_snapshot_id"])
+        if wm_a == ha.snapshot_id and wm_b == hb.snapshot_id:
+            return None  # already current
+
+    # project each side to the columns the view actually needs: the
+    # join keys plus whichever of keys/sum_cols live on that side —
+    # narrow time-travel scans, and join_delta's disjointness contract
+    a_fields = set(ta.schema(snapshot_id=ha.snapshot_id).fieldNames())
+    b_fields = set(tb.schema(snapshot_id=hb.snapshot_id).fieldNames())
+    needed = [c for c in (*keys, *sum_cols) if c not in on]
+    for c in needed:
+        if (c in a_fields) == (c in b_fields):
+            raise ValueError(
+                f"refresh_join_view: column {c!r} must exist on exactly one "
+                f"side of the join (in A: {c in a_fields}, in B: "
+                f"{c in b_fields}) — rename/project the sources first"
+            )
+    a_cols = list(on) + [c for c in needed if c in a_fields]
+    b_cols = list(on) + [c for c in needed if c in b_fields]
+
+    if wm_a is None:
+        a_new = ta.read(spark, snapshot_id=ha.snapshot_id).select(*a_cols)
+        b_new = tb.read(spark, snapshot_id=hb.snapshot_id).select(*b_cols)
+        refreshed = ivm.grouped_aggregate(a_new.join(b_new, on), keys, sum_cols)
+    else:
+        meta = ["_change_type"]
+        cl_a = (
+            ta.changelog(spark, wm_a, ha.snapshot_id).select(*a_cols, *meta)
+            if wm_a != ha.snapshot_id
+            else None
+        )
+        cl_b = (
+            tb.changelog(spark, wm_b, hb.snapshot_id).select(*b_cols, *meta)
+            if wm_b != hb.snapshot_id
+            else None
+        )
+        a_old = ta.read(spark, snapshot_id=wm_a).select(*a_cols)
+        b_old = tb.read(spark, snapshot_id=wm_b).select(*b_cols)
+        jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
+        delta = ivm.agg_delta(jd, keys, sum_cols)
+        refreshed = ivm.apply_agg_delta(vt.read(spark), delta, keys, sum_cols)
+    catalog.write(
+        view_database, view_table, refreshed, mode="overwrite",
+        summary_extra={
+            "ivm.src_a_snapshot_id": str(ha.snapshot_id),
+            "ivm.src_b_snapshot_id": str(hb.snapshot_id),
+        },
+    )
+    return (ha.snapshot_id, hb.snapshot_id)
+
+
 def maintain_view_changelog(
     spark: SparkSession,
     catalog,

@@ -272,6 +272,114 @@ def test_maintain_view_changelog_pre_marker_table(spark, tmp_path):
     assert got == {"a": (1, 4)}
 
 
+def test_join_delta_bilinearity(spark):
+    """delta(A⋈B) from the three bilinearity terms equals a recompute
+    of the new join — including the ΔA⋈ΔB cross term with its sign
+    PRODUCT (a deleted-A row meeting an inserted-B row contributes a
+    delete; two deletes credit an insert back)."""
+    a_old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "ok long, p string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "ok long, qty long"
+    )
+    cl_a = spark.createDataFrame(
+        [(1, "x", "delete"), (4, "y", "insert")],
+        "ok long, p string, _change_type string",
+    )
+    cl_b = spark.createDataFrame(
+        [(1, 3, "insert"), (2, 7, "delete"), (4, 2, "insert")],
+        "ok long, qty long, _change_type string",
+    )
+    a_new = spark.createDataFrame(
+        [(2, "y"), (3, "x"), (4, "y")], "ok long, p string"
+    )
+    b_new = spark.createDataFrame(
+        [(1, 10), (1, 5), (1, 3), (4, 2)], "ok long, qty long"
+    )
+    base = ivm.grouped_aggregate(a_old.join(b_old, ["ok"]), ["p"], ["qty"])
+    jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, ["ok"])
+    out = ivm.apply_agg_delta(
+        base, ivm.agg_delta(jd, ["p"], ["qty"]), ["p"], ["qty"]
+    )
+    want = ivm.grouped_aggregate(a_new.join(b_new, ["ok"]), ["p"], ["qty"])
+    assert _view_rows(out) == _view_rows(want)
+    # one-sided change: the unchanged side passes None
+    jd_a = ivm.join_delta(cl_a, a_old, None, b_old, ["ok"])
+    out_a = ivm.apply_agg_delta(
+        base, ivm.agg_delta(jd_a, ["p"], ["qty"]), ["p"], ["qty"]
+    )
+    want_a = ivm.grouped_aggregate(a_new.join(b_old, ["ok"]), ["p"], ["qty"])
+    assert _view_rows(out_a) == _view_rows(want_a)
+    with pytest.raises(ValueError, match="at least one side"):
+        ivm.join_delta(None, a_old, None, b_old, ["ok"])
+
+
+def test_refresh_join_view_exact_under_mutation(spark, tmp_path):
+    """End-to-end join-view maintenance over two catalog tables:
+    initial build, no-op refresh, then appends on BOTH sides + a COW
+    delete on A + a MOR position delete on B folded in ONE refresh —
+    the view equals a recompute from the final logical state,
+    including a group whose insert and delete cancel inside the same
+    slice (pure ΔA⋈ΔB cross-term) and a group that dies."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mka = lambda rows: spark.createDataFrame(rows, "ok long, p string").coalesce(1)
+    mkb = lambda rows: spark.createDataFrame(rows, "ok long, qty long").coalesce(1)
+    cat.write("db", "a", mka([(1, "x"), (2, "y")]))
+    cat.write("db", "b", mkb([(1, 10), (1, 5), (3, 7)]))
+    args = (spark, cat, "db", "a", "db", "b", "db", "jview")
+    kw = dict(on=["ok"], keys=["p"], sum_cols=["qty"])
+    assert refresh_join_view(*args, **kw) is not None  # initial build
+    vt = cat.table("db", "jview")
+    got = {r["p"]: (r["group_count"], r["sum_qty"]) for r in vt.read(spark).collect()}
+    assert got == {"x": (2, 15)}
+    n = len(vt.snapshots())
+    assert refresh_join_view(*args, **kw) is None  # no-op, no new commit
+    assert len(vt.snapshots()) == n
+    # mutate both sides, fold everything in one refresh
+    cat.write("db", "a", mka([(3, "z"), (4, "x")]))
+    cat.write("db", "b", mkb([(4, 2), (2, 9)]))
+    cat.delete_where("db", "a", F.col("ok") == 1)  # COW
+    cat.delete_where("db", "b", F.col("qty") == 7, mode="merge-on-read")
+    heads = refresh_join_view(*args, **kw)
+    assert heads == (
+        cat.table("db", "a").current_snapshot().snapshot_id,
+        cat.table("db", "b").current_snapshot().snapshot_id,
+    )
+    got = {r["p"]: (r["group_count"], r["sum_qty"]) for r in vt.read(spark).collect()}
+    # recompute: A={2:y,3:z,4:x}, B={1:10,1:5,4:2,2:9} → z joins nothing
+    # (its only match was deleted in the same slice), x's ok=1 rows die
+    assert got == {"x": (1, 2), "y": (1, 9)}
+    assert refresh_join_view(*args, **kw) is None  # watermarks current
+
+
+def test_refresh_join_view_guards(spark, tmp_path):
+    """Ambiguous/missing view columns and foreign tables at the view
+    path are rejected loudly."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame([(1, "x")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame([(1, 2)], "ok long, p long"))
+    with pytest.raises(ValueError, match="exactly one side"):
+        refresh_join_view(
+            spark, cat, "db", "a", "db", "b", "db", "v",
+            on=["ok"], keys=["p"], sum_cols=[],
+        )
+    cat.write("db", "notaview", spark.createDataFrame([(1,)], "z long"))
+    with pytest.raises(ValueError, match="watermark"):
+        refresh_join_view(
+            spark, cat, "db", "a", "db", "b", "db", "notaview",
+            on=["ok"], keys=["p"], sum_cols=[],
+        )
+
+
 def test_maintain_view_changelog_wakes_on_publish(spark, tmp_path):
     """WAP publish is a pointer-only commit (no snapshot appended), so
     the regular max-sid marker stays silent — round-7 verdict Missing
