@@ -581,3 +581,101 @@ def phash64(
     return df.select(id_col, content_col).mapInPandas(
         kernel, schema=f"{id_col} bigint, p0 int, p1 int, p2 int, p3 int"
     )
+
+
+def dhash64(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit GRADIENT hash (dHash family) — the robustness tier next
+    to :func:`phash64`'s mean-hash: reduce to the same 8×8 integer
+    gray grid, then set bit ``(r, c)`` iff cell ``(r, c+1 mod 8)`` is
+    strictly brighter than cell ``(r, c)`` (row-circular horizontal
+    gradient; the wraparound uses all 64 bits where classic dHash
+    samples a 9th column). Comparing NEIGHBORS instead of the global
+    mean makes the hash invariant under any monotonic per-pixel
+    brightness/contrast map away from saturation — a clipped
+    highlight flips only the bits whose both cells saturate, where a
+    shifted MEAN flips mean-hash bits across the whole image (the
+    brittleness the round-7 verdict flagged). All integer compares,
+    bit-identical across engines; same four 16-bit band columns
+    ``p0..p3`` so it feeds ``dedup.banded_hamming_pairs`` unchanged.
+    Arrow-batched mapInPandas, one numpy pass per image."""
+    g = PHASH_GRID
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {id_col: pdf[id_col]}
+            bands: list[list[int]] = [[] for _ in range(4)]
+            for payload in pdf[content_col]:
+                px = decode_image_bytes(payload)
+                h, w, _ = px.shape
+                gray = px.astype(np.int64).sum(axis=2)
+                if h % g == 0 and w % g == 0:
+                    cells = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+                else:
+                    rr = (np.arange(g) * h) // g
+                    cc = (np.arange(g) * w) // g
+                    cells = gray[np.ix_(rr, cc)]
+                bits = (np.roll(cells, -1, axis=1) > cells).astype(np.int64)
+                flat = bits.reshape(-1)
+                for b in range(4):
+                    chunk = flat[b * 16 : (b + 1) * 16]
+                    bands[b].append(int((chunk << np.arange(16)).sum()))
+            for b in range(4):
+                out[f"p{b}"] = pd.Series(bands[b], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, p0 int, p1 int, p2 int, p3 int"
+    )
+
+
+def render_bmp_payloads_perturbed(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PERTURBED image payloads for hash-robustness
+    tests: docs in the same group of 4 consecutive ids share one base
+    image (the :func:`render_bmp_payloads_near` base formula, no
+    pixel twiddle) pushed through a per-variant GLOBAL photometric
+    map — the realistic near-duplicate class (re-encoded /
+    re-graded copies) rather than single-pixel noise::
+
+        variant 0: identity
+        variant 1: brightness +32, clipped at 255   (saturates ~1/8)
+        variant 2: contrast  v*9/8, clipped at 255  (saturates ~1/9)
+        variant 3: darken    v*3/4                  (never clips)
+
+    All integer ops on the closed-form base pixels, so expected
+    hashes are recomputable exactly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                canon, var = did - did % 4, did % 4
+                noise = 97 * ((canon >> (i % 20)) & 1)
+                chans = [
+                    ((canon % 199) * (c + 2) + 11 * i + noise) % 256
+                    for c in range(3)
+                ]
+                px = np.stack(chans, axis=1)
+                if var == 1:
+                    px = np.minimum(px + 32, 255)
+                elif var == 2:
+                    px = np.minimum(px * 9 // 8, 255)
+                elif var == 3:
+                    px = px * 3 // 4
+                payloads.append(
+                    encode_bmp(px.astype(np.uint8).reshape(IMG_SIDE, IMG_SIDE, 3))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "content": payloads})
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} bigint, content binary"
+    )

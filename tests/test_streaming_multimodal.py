@@ -722,6 +722,52 @@ def test_phash64_identical_and_perturbed_images(spark):
     assert got == want and len(got) > 0
 
 
+def test_dhash_robust_to_photometric_perturbations(spark):
+    """Recall bound vs the exact Hamming ground truth (r7 verdict
+    action #5): over a corpus of brightness-clipped, contrast-clipped
+    and darkened copies, (a) the unclipped monotone map is an EXACT
+    gradient-hash invariant, (b) clipped maps do only bounded local
+    damage (≥90% of perturbed pairs inside the banding radius), (c)
+    distinct groups stay well separated, and (d) banding returns
+    exactly the brute-force Hamming ≤ 3 pair set."""
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    groups = 15
+    ids = [g * 4 + v for g in range(groups) for v in range(4)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashes = M.dhash64(M.render_bmp_payloads_perturbed(df))
+    hv = {r["doc_id"]: (r["p0"], r["p1"], r["p2"], r["p3"])
+          for r in hashes.collect()}
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(hv[x], hv[y]))
+
+    # darken (×3/4, never clips) preserves every gradient comparison
+    assert all(ham(g * 4, g * 4 + 3) == 0 for g in range(groups))
+    # clipped photometric maps: bounded, mostly within the radius
+    intra = [ham(g * 4, g * 4 + v) for g in range(groups) for v in (1, 2)]
+    assert max(intra) <= 5
+    assert sum(d <= 3 for d in intra) / len(intra) >= 0.9
+    # distinct base images stay far apart
+    inter = [ham(a * 4, b * 4) for a in range(groups) for b in range(a + 1, groups)]
+    assert min(inter) >= 5
+    # banding completeness: exactly the brute-force ≤3 pair set
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in banded_hamming_pairs(
+            hashes, ["p0", "p1", "p2", "p3"], max_hamming=3, id_col="doc_id"
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for ai, a in enumerate(ids) for b in ids[ai + 1:]
+        if ham(a, b) <= 3
+    }
+    assert got == want and len(got) >= 2 * groups  # v3 + most of v1/v2
+
+
 def test_phash64_block_reduction_non_native_size(spark):
     """A 16×16 image block-sums to the same 8×8 cells as manual
     numpy pooling — the resize path is exact, not approximate."""
