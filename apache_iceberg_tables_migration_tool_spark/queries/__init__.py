@@ -82,23 +82,24 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-7 ROTATION (verdict r6 action #1): the r5/r6 windows were
-    # identical, so this round grades the LONGEST-UNGRADED tier.
-    # Kept for continuity (standing policy): the flagship + the two
-    # bench watch-list dedups + the two bench second carriers.
-    # Rotated IN: the 3 queries BUILT this round (changelog-backed
-    # streaming view, MIN/MAX IVM rescan, image pHash dedup — verdict
-    # items 3-5) and all 42 single-green rows from rounds 1-3 (11 r1,
-    # 16 r2, 15 r3) — every one re-verified green in this round's
-    # full sf0.01 sweep before rotation. Rotated OUT: the 42 r4/r5
-    # multi-or-recently-graded rows; the only single-green rows left
-    # out are the four r4-graded ones (lang_confusion_matrix,
+    # ROUND-8 ROTATION (verdict r7 action #4, standing longest-
+    # ungraded-first policy). Kept for continuity: the flagship + the
+    # two bench watch-list dedups + the two bench second carriers.
+    # Rotated IN: the 2 queries BUILT this round (join-view IVM,
+    # gradient-hash image dedup) + the late-r7 registration
+    # incremental_moments_view (never graded), then the entire
+    # longest-ungraded tier by last-graded round: all 27 rows last
+    # graded in ROUND 2, all 6 last graded in round 3, and 9 of the
+    # 13 last graded in round 4 — including the four singles the r7
+    # verdict queued by name (lang_confusion_matrix,
     # supplier_variety_q16, excess_shipping_q20,
-    # sole_return_supplier_q21) — most recently graded of the
-    # singles; they queue for round 8 together with the late-round-7
-    # addition incremental_moments_view (registered past the cap,
-    # sweep- and pytest-verified). bpe_train_merges stays out by
-    # the rows-only policy (window keeps 100%-hash-checked).
+    # sole_return_supplier_q21). Left out of the r4 tier (double-
+    # green r3+r4, secondary carriers of multiply-graded shapes):
+    # bracket_revenue_q19, small_quantity_revenue_q17,
+    # top_supplier_q15, session_window_events — they queue for r9.
+    # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
+    # bpe_train_merges stays out by the rows-only policy (window
+    # keeps 100%-hash-checked).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
     "flagship_topk_revenue",
@@ -106,55 +107,55 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # built this round (no driver row yet)
-    "streaming_changelog_view",
-    "incremental_minmax_view",
-    "dedup_image_phash",
-    # single-green since round 1
-    "distinct_counts",
-    "cube_lineitem_flags",
-    "pivot_status_priority",
-    "window_topk_orders_per_customer",
-    "running_total_per_customer",
-    "sql_api_top_spenders",
-    "having_popular_parts",
-    "ntile_price_quartiles",
-    "grouping_sets_flags",
-    "min_price_item_per_order",
-    "window_rank_metrics",
-    # single-green since round 2
-    "dedup_incremental_ingest",
-    "multimodal_decode_image",
-    "dedup_clusters",
-    "migration_e2e_report",
-    "snapshot_history_ops",
-    "wap_audit_publish",
-    "migration_history_replay",
-    "rowlevel_merge_delete",
-    "knn_ivf",
-    "token_count_bpe",
-    "multimodal_feature_knn",
-    "contamination_benchmark_overlap",
-    "pii_redaction",
-    "stratified_sample_langs",
-    "pack_training_sequences",
-    "bm25_search_topk",
-    # single-green since round 3
-    "sliding_window_events",
-    "snapshot_row_diff",
-    "approx_distinct_users",
-    "range_join_value_buckets",
-    "skew_salted_agg",
-    "portable_corr_stats",
-    "user_event_type_sets",
-    "orders_by_weekday",
-    "rolling_30d_customer_spend",
-    "funnel_conversion",
-    "weekly_cohort_retention",
-    "approx_percentile_quality",
-    "zorder_values",
-    "order_count_distribution_q13",
-    "idle_balance_by_nation_q22",
+    # built this round / never graded
+    "incremental_join_view",
+    "dedup_image_dhash",
+    "incremental_moments_view",
+    # last graded round 2 (all 27)
+    "antijoin_orders_without_items",
+    "argmax_customer_per_nation",
+    "asof_join_click_purchase",
+    "correlated_exists_late_orders",
+    "dedup_embedding_cosine",
+    "dedup_exact_documents",
+    "dedup_keep_latest_events",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "filter_sum_revenue",
+    "integrity_fingerprint",
+    "json_extract_events",
+    "knn_lsh_bucketed",
+    "knn_topk_cosine",
+    "lag_order_gap_days",
+    "lang_id_rulebased",
+    "multimodal_metadata",
+    "pricing_summary",
+    "rollup_order_stats",
+    "scalar_functions_showcase",
+    "semijoin_customers_with_open_orders",
+    "table_counts",
+    "text_quality_features",
+    "text_stats_by_lang",
+    "unpivot_lineitem_metrics",
+    "vector_sql_arith",
+    "year_over_year_orders",
+    # last graded round 3 (all 6)
+    "churned_buyers_1998",
+    "except_en_not_es_texts",
+    "intersect_active_users",
+    "median_value_by_type",
+    "nation_customer_share",
+    "promo_revenue_share",
+    # last graded round 4 (9 of 13)
+    "lang_confusion_matrix",
+    "supplier_variety_q16",
+    "excess_shipping_q20",
+    "sole_return_supplier_q21",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "asof_snapshot_resolution",
+    "tumbling_window_events",
+    "stateful_user_totals",
 ]
 # Still past the graded window after the round-4 rotation: every query
 # out of window has at least one driver-graded green row from rounds
