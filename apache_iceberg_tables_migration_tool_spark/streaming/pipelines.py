@@ -721,24 +721,68 @@ def refresh_join_view(
     a_cols = list(on) + [c for c in needed if c in a_fields]
     b_cols = list(on) + [c for c in needed if c in b_fields]
 
+    def _old_state(tbl, wm: int, cols: list[str], other_cl: DataFrame | None):
+        """Pre-slice state of one side, pruned to the OTHER side's
+        delta join keys where possible: by bilinearity each old state
+        only ever joins that delta (never the other old state), and
+        inner-join null semantics make key pruning exact. A numeric
+        single-column join key prunes at the MANIFEST level — a
+        ``read_where`` key-range scan skips files whose footer bounds
+        can't contain any delta key (the 100 TB shape: a day's delta
+        against a clustered fact table reads the overlapping files,
+        not the table) — plus an exact ``isin`` filter when the
+        delta's key set is small (probed with a limit-bounded
+        collect, ≤257 rows on the driver). Everything else falls back
+        to the plain time-travel read; when ``other_cl`` is None the
+        returned frame is never executed at all."""
+        from pyspark.sql import types as T
+
+        def full():
+            return tbl.read(spark, snapshot_id=wm).select(*cols)
+
+        if other_cl is None or len(on) != 1:
+            return full()
+        k = on[0]
+        if not isinstance(tbl.schema(snapshot_id=wm)[k].dataType, T.NumericType):
+            return full()  # string footer stats may be truncated — no range trust
+        probe = (
+            other_cl.select(k).where(F.col(k).isNotNull())
+            .distinct().limit(257).collect()
+        )
+        if not probe:
+            return full().limit(0)  # no non-null delta keys: nothing joins
+        bounds = other_cl.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+        pruned = tbl.read_where(
+            spark, [(k, ">=", bounds["lo"]), (k, "<=", bounds["hi"])],
+            snapshot_id=wm,
+        ).select(*cols)
+        if len(probe) <= 256:
+            pruned = pruned.where(F.col(k).isin([r[k] for r in probe]))
+        return pruned
+
     if wm_a is None:
         a_new = ta.read(spark, snapshot_id=ha.snapshot_id).select(*a_cols)
         b_new = tb.read(spark, snapshot_id=hb.snapshot_id).select(*b_cols)
         refreshed = ivm.grouped_aggregate(a_new.join(b_new, on), keys, sum_cols)
     else:
         meta = ["_change_type"]
+        # localCheckpoint: each slice is delta-sized and consumed up to
+        # four times (key probe, bounds, two join terms) — materialize
+        # once instead of replaying the changelog per consumer
         cl_a = (
-            ta.changelog(spark, wm_a, ha.snapshot_id).select(*a_cols, *meta)
+            ta.changelog(spark, wm_a, ha.snapshot_id)
+            .select(*a_cols, *meta).localCheckpoint(eager=False)
             if wm_a != ha.snapshot_id
             else None
         )
         cl_b = (
-            tb.changelog(spark, wm_b, hb.snapshot_id).select(*b_cols, *meta)
+            tb.changelog(spark, wm_b, hb.snapshot_id)
+            .select(*b_cols, *meta).localCheckpoint(eager=False)
             if wm_b != hb.snapshot_id
             else None
         )
-        a_old = ta.read(spark, snapshot_id=wm_a).select(*a_cols)
-        b_old = tb.read(spark, snapshot_id=wm_b).select(*b_cols)
+        a_old = _old_state(ta, wm_a, a_cols, cl_b)
+        b_old = _old_state(tb, wm_b, b_cols, cl_a)
         jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
         delta = ivm.agg_delta(jd, keys, sum_cols)
         refreshed = ivm.apply_agg_delta(vt.read(spark), delta, keys, sum_cols)

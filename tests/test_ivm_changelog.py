@@ -357,6 +357,41 @@ def test_refresh_join_view_exact_under_mutation(spark, tmp_path):
     assert refresh_join_view(*args, **kw) is None  # watermarks current
 
 
+def test_refresh_join_view_prunes_but_stays_exact(spark, tmp_path):
+    """The old-state scans are pruned to the other side's delta join
+    keys — manifest key-range skip plus an exact isin when the delta
+    key set is ≤256, range-only above (the limit-bounded probe keeps
+    the driver out of the loop). Both paths must equal a recompute."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    n = 600
+    cat.write("db", "a", spark.createDataFrame(
+        [(i, f"p{i % 5}") for i in range(n)], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(i, i % 10) for i in range(n)], "ok long, qty long"))
+    args = (spark, cat, "db", "a", "db", "b", "db", "jv2")
+    kw = dict(on=["ok"], keys=["p"], sum_cols=["qty"])
+    refresh_join_view(*args, **kw)
+
+    def recompute():
+        a = cat.table("db", "a").read(spark)
+        b = cat.table("db", "b").read(spark)
+        return ivm.grouped_aggregate(a.join(b, ["ok"]), ["p"], ["qty"])
+
+    vt = cat.table("db", "jv2")
+    # >256 delta keys on B: A_old pruned range-only
+    cat.delete_where("db", "b", F.col("ok") < 300)
+    refresh_join_view(*args, **kw)
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    # small delta on A: isin path on B_old
+    cat.delete_where("db", "a", F.col("ok") == 599)
+    refresh_join_view(*args, **kw)
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+
+
 def test_refresh_join_view_guards(spark, tmp_path):
     """Ambiguous/missing view columns and foreign tables at the view
     path are rejected loudly."""
