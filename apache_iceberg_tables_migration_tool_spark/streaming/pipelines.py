@@ -796,6 +796,64 @@ def refresh_join_view(
     return (ha.snapshot_id, hb.snapshot_id)
 
 
+def maintain_join_view_changelog(
+    spark: SparkSession,
+    catalog,
+    a_database: str,
+    a_table: str,
+    b_database: str,
+    b_table: str,
+    view_database: str,
+    view_table: str,
+    on: list[str],
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming wrapper around :func:`refresh_join_view` — the
+    join-view twin of :func:`maintain_view_changelog`: a UNION of the
+    two sources' commit-marker feeds drives discovery, so a commit on
+    EITHER side (including metadata-only MOR deletes, rollbacks and
+    WAP publishes via their ``.pub`` markers) wakes a fold; every
+    micro-batch folds both changelogs from the view's per-side
+    watermarks to the current heads, so batching never changes the
+    result and replays no-op. One synchronous refresh runs before the
+    stream starts (pre-marker history + immediate freshness)."""
+    refresh_join_view(
+        spark, catalog, a_database, a_table, b_database, b_table,
+        view_database, view_table, on, keys, sum_cols,
+    )
+    feeds = []
+    for tbl in (catalog.table(a_database, a_table),
+                catalog.table(b_database, b_table)):
+        mdir = os.path.join(tbl.root, "metadata", "commits")
+        os.makedirs(mdir, exist_ok=True)
+        reader = spark.readStream.schema("snapshot_id long, operation string")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        feeds.append(reader.option("pathGlobFilter", "*.json").json(mdir))
+    events = feeds[0].unionByName(feeds[1])
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        folded = refresh_join_view(
+            spark, catalog, a_database, a_table, b_database, b_table,
+            view_database, view_table, on, keys, sum_cols,
+        )
+        if folded is not None and view_keep_last is not None:
+            catalog.expire_snapshots(
+                view_database, view_table, keep_last=view_keep_last
+            )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintain_view_changelog(
     spark: SparkSession,
     catalog,

@@ -392,6 +392,45 @@ def test_refresh_join_view_prunes_but_stays_exact(spark, tmp_path):
     assert _view_rows(vt.read(spark)) == _view_rows(recompute())
 
 
+def test_maintain_join_view_changelog_stream(spark, tmp_path):
+    """Streaming join-view maintenance: the union of BOTH sources'
+    marker feeds drives the fold — commits on either side (append on
+    one, MOR delete on the other, landing between drains) keep the
+    view recompute-equal through one checkpointed stream."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_join_view_changelog,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10), (2, 7)], "ok long, qty long").coalesce(1))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_join_view_changelog(
+            spark, cat, "db", "a", "db", "b", "db", "sjv",
+            on=["ok"], keys=["p"], sum_cols=["qty"], checkpoint_dir=ckpt,
+        ).awaitTermination()
+
+    drain()
+    vt = cat.table("db", "sjv")
+    got = {r["p"]: (r["group_count"], r["sum_qty"]) for r in vt.read(spark).collect()}
+    assert got == {"x": (1, 10), "y": (1, 7)}
+    # mutate BOTH sides between drains: append on A, MOR delete on B
+    cat.write("db", "a", spark.createDataFrame([(3, "x")], "ok long, p string"))
+    cat.delete_where("db", "b", F.col("ok") == 2, mode="merge-on-read")
+    cat.write("db", "b", spark.createDataFrame([(3, 4)], "ok long, qty long"))
+    drain()
+    got = {r["p"]: (r["group_count"], r["sum_qty"]) for r in vt.read(spark).collect()}
+    assert got == {"x": (2, 14)}
+    # idempotent re-drain
+    drain()
+    got = {r["p"]: (r["group_count"], r["sum_qty"]) for r in vt.read(spark).collect()}
+    assert got == {"x": (2, 14)}
+
+
 def test_refresh_join_view_guards(spark, tmp_path):
     """Ambiguous/missing view columns and foreign tables at the view
     path are rejected loudly."""
