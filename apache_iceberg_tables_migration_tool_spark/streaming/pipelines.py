@@ -656,13 +656,18 @@ def refresh_join_view(
     view_table: str,
     on: list[str],
     keys: list[str],
-    sum_cols: list[str],
+    sum_cols: list[str] | None = None,
+    moment_cols: list[str] | None = None,
 ) -> tuple[int, int] | None:
-    """One incremental refresh of a COUNT/SUM rollup over the inner
+    """One incremental refresh of a grouped rollup over the inner
     equi-join ``A ⋈ B``, driven by BOTH sides' changelogs — the
     two-table rung of the IVM ladder (single-table COUNT/SUM, MIN/MAX
-    and moments live in :func:`refresh_view_changelog`). The joined
-    delta comes from :func:`~...operators.ivm.join_delta`'s
+    and moments live in :func:`refresh_view_changelog`). Two view
+    kinds: ``sum_cols`` → COUNT/SUM; ``moment_cols`` → COUNT/Σv/Σv²
+    raw moments (derive AVG/VAR at read time with
+    :func:`~...operators.ivm.derive_stats`) — both self-maintainable
+    under the signed joined delta. Exactly one must be given. The
+    joined delta comes from :func:`~...operators.ivm.join_delta`'s
     bilinearity identity, so a refresh joins only changed rows against
     the other side's (time-travel) old state — never the two full new
     states — and folds the signed result into the view with the same
@@ -685,6 +690,9 @@ def refresh_join_view(
     source's history."""
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
+    if (sum_cols is None) == (moment_cols is None):
+        raise ValueError("provide exactly one of sum_cols / moment_cols")
+    vcols = sum_cols if sum_cols is not None else moment_cols
     ta = catalog.table(a_database, a_table)
     tb = catalog.table(b_database, b_table)
     ha, hb = ta.current_snapshot(), tb.current_snapshot()
@@ -710,7 +718,7 @@ def refresh_join_view(
     # narrow time-travel scans, and join_delta's disjointness contract
     a_fields = set(ta.schema(snapshot_id=ha.snapshot_id).fieldNames())
     b_fields = set(tb.schema(snapshot_id=hb.snapshot_id).fieldNames())
-    needed = [c for c in (*keys, *sum_cols) if c not in on]
+    needed = [c for c in (*keys, *vcols) if c not in on]
     for c in needed:
         if (c in a_fields) == (c in b_fields):
             raise ValueError(
@@ -763,7 +771,11 @@ def refresh_join_view(
     if wm_a is None:
         a_new = ta.read(spark, snapshot_id=ha.snapshot_id).select(*a_cols)
         b_new = tb.read(spark, snapshot_id=hb.snapshot_id).select(*b_cols)
-        refreshed = ivm.grouped_aggregate(a_new.join(b_new, on), keys, sum_cols)
+        joined = a_new.join(b_new, on)
+        if sum_cols is not None:
+            refreshed = ivm.grouped_aggregate(joined, keys, sum_cols)
+        else:
+            refreshed = ivm.grouped_moments(joined, keys, moment_cols)
     else:
         meta = ["_change_type"]
         # localCheckpoint: each slice is delta-sized and consumed up to
@@ -784,8 +796,13 @@ def refresh_join_view(
         a_old = _old_state(ta, wm_a, a_cols, cl_b)
         b_old = _old_state(tb, wm_b, b_cols, cl_a)
         jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
-        delta = ivm.agg_delta(jd, keys, sum_cols)
-        refreshed = ivm.apply_agg_delta(vt.read(spark), delta, keys, sum_cols)
+        base = vt.read(spark)
+        if sum_cols is not None:
+            delta = ivm.agg_delta(jd, keys, sum_cols)
+            refreshed = ivm.apply_agg_delta(base, delta, keys, sum_cols)
+        else:
+            delta = ivm.moments_delta(jd, keys, moment_cols)
+            refreshed = ivm.apply_moments_delta(base, delta, keys, moment_cols)
     catalog.write(
         view_database, view_table, refreshed, mode="overwrite",
         summary_extra={
@@ -807,8 +824,9 @@ def maintain_join_view_changelog(
     view_table: str,
     on: list[str],
     keys: list[str],
-    sum_cols: list[str],
-    checkpoint_dir: str,
+    sum_cols: list[str] | None = None,
+    checkpoint_dir: str = None,
+    moment_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
 ):
@@ -820,10 +838,15 @@ def maintain_join_view_changelog(
     micro-batch folds both changelogs from the view's per-side
     watermarks to the current heads, so batching never changes the
     result and replays no-op. One synchronous refresh runs before the
-    stream starts (pre-marker history + immediate freshness)."""
+    stream starts (pre-marker history + immediate freshness). View
+    kinds as in :func:`refresh_join_view`: exactly one of
+    ``sum_cols`` / ``moment_cols``."""
+    if checkpoint_dir is None:
+        raise ValueError("checkpoint_dir is required")
+    kinds = dict(sum_cols=sum_cols, moment_cols=moment_cols)
     refresh_join_view(
         spark, catalog, a_database, a_table, b_database, b_table,
-        view_database, view_table, on, keys, sum_cols,
+        view_database, view_table, on, keys, **kinds,
     )
     feeds = []
     for tbl in (catalog.table(a_database, a_table),
@@ -839,7 +862,7 @@ def maintain_join_view_changelog(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         folded = refresh_join_view(
             spark, catalog, a_database, a_table, b_database, b_table,
-            view_database, view_table, on, keys, sum_cols,
+            view_database, view_table, on, keys, **kinds,
         )
         if folded is not None and view_keep_last is not None:
             catalog.expire_snapshots(

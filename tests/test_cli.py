@@ -491,3 +491,30 @@ def test_cli_view_refresh(spark, tmp_path, capsys):
     got = {r["g"]: (r["group_count"], r["min_v"], r["max_v"])
            for r in cat.table("db", "mm_view").read(spark).collect()}
     assert got == {"a": (1, 1, 1), "b": (1, 3, 3)}
+
+
+def test_cli_join_view_refresh(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "ok long, qty long").coalesce(1))
+    base = ["join-view-refresh", "--warehouse", wh, "--database", "db",
+            "--table", "a", "--b-table", "b", "--view", "jv",
+            "--on", "ok", "--keys", "p", "--cols", "qty"]
+    assert main(base) == 0
+    got = {r["p"]: (r["group_count"], r["sum_qty"])
+           for r in cat.table("db", "jv").read(spark).collect()}
+    assert got == {"x": (2, 15), "y": (1, 7)}
+    assert main(base) == 0
+    assert "already current" in capsys.readouterr().out
+    # commits on both sides fold in one refresh
+    cat.delete_where("db", "b", F.col("qty") == 5)
+    cat.write("db", "a", spark.createDataFrame([(3, "y")], "ok long, p string"))
+    assert main(base) == 0
+    got = {r["p"]: (r["group_count"], r["sum_qty"])
+           for r in cat.table("db", "jv").read(spark).collect()}
+    assert got == {"x": (1, 10), "y": (1, 7)}

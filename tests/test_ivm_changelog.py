@@ -431,6 +431,40 @@ def test_maintain_join_view_changelog_stream(spark, tmp_path):
     assert got == {"x": (2, 14)}
 
 
+def test_refresh_join_view_moments_kind(spark, tmp_path):
+    """moment_cols join views: COUNT/Σv/Σv² fold under the signed
+    joined delta exactly like SUM (self-maintainable), so AVG/VAR
+    over a join stay recompute-equal through mutations on both
+    sides."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7), (3, 2)], "ok long, qty long").coalesce(1))
+    args = (spark, cat, "db", "a", "db", "b", "db", "mjv")
+    kw = dict(on=["ok"], keys=["p"], moment_cols=["qty"])
+    refresh_join_view(*args, **kw)
+    cat.write("db", "a", spark.createDataFrame([(4, "y")], "ok long, p string"))
+    cat.delete_where("db", "b", F.col("qty") == 5, mode="merge-on-read")
+    cat.write("db", "b", spark.createDataFrame([(4, 6)], "ok long, qty long"))
+    refresh_join_view(*args, **kw)
+    a = cat.table("db", "a").read(spark)
+    b = cat.table("db", "b").read(spark)
+    want = ivm.grouped_moments(a.join(b, ["ok"]), ["p"], ["qty"])
+    got = cat.table("db", "mjv").read(spark)
+    assert _view_rows(got.select(*want.columns)) == _view_rows(want)
+    with pytest.raises(ValueError, match="exactly one of"):
+        refresh_join_view(*args, on=["ok"], keys=["p"])
+    with pytest.raises(ValueError, match="exactly one of"):
+        refresh_join_view(
+            *args, on=["ok"], keys=["p"], sum_cols=["qty"], moment_cols=["qty"]
+        )
+
+
 def test_refresh_join_view_guards(spark, tmp_path):
     """Ambiguous/missing view columns and foreign tables at the view
     path are rejected loudly."""
