@@ -851,7 +851,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--on", required=True, help="comma-separated join keys")
     sp.add_argument("--keys", required=True, help="comma-separated group keys")
     sp.add_argument("--cols", required=True, help="comma-separated value columns")
-    sp.add_argument("--kind", choices=["sum", "moment"], default="sum")
+    sp.add_argument("--kind", choices=["sum", "moment", "minmax"], default="sum")
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_join_view_refresh)

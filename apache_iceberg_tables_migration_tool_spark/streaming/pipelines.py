@@ -658,19 +658,27 @@ def refresh_join_view(
     keys: list[str],
     sum_cols: list[str] | None = None,
     moment_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
 ) -> tuple[int, int] | None:
     """One incremental refresh of a grouped rollup over the inner
     equi-join ``A ⋈ B``, driven by BOTH sides' changelogs — the
     two-table rung of the IVM ladder (single-table COUNT/SUM, MIN/MAX
-    and moments live in :func:`refresh_view_changelog`). Two view
+    and moments live in :func:`refresh_view_changelog`). Three view
     kinds: ``sum_cols`` → COUNT/SUM; ``moment_cols`` → COUNT/Σv/Σv²
     raw moments (derive AVG/VAR at read time with
     :func:`~...operators.ivm.derive_stats`) — both self-maintainable
-    under the signed joined delta. Exactly one must be given. The
-    joined delta comes from :func:`~...operators.ivm.join_delta`'s
-    bilinearity identity, so a refresh joins only changed rows against
-    the other side's (time-travel) old state — never the two full new
-    states — and folds the signed result into the view with the same
+    under the signed joined delta; ``minmax_cols`` → COUNT/MIN/MAX,
+    where a delete touching a group's extremum triggers
+    :func:`~...operators.ivm.apply_minmax_delta`'s affected-group
+    rescan with the NEW-state join as the rescan source — the ≤256
+    affected-key predicate pushes through the join into both scans
+    (Catalyst routes each group-key conjunct to the side that owns
+    the column), so the rescan re-joins only damaged groups. Exactly
+    one kind must be given. The joined delta comes from
+    :func:`~...operators.ivm.join_delta`'s bilinearity identity, so a
+    refresh joins only changed rows against the other side's
+    (time-travel) old state — never the two full new states — and
+    folds the signed result into the view with the same
     aggregate-sized merge as the single-table path.
 
     Watermarks for both sources ride in the view's own commit summary
@@ -690,9 +698,13 @@ def refresh_join_view(
     source's history."""
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
-    if (sum_cols is None) == (moment_cols is None):
-        raise ValueError("provide exactly one of sum_cols / moment_cols")
-    vcols = sum_cols if sum_cols is not None else moment_cols
+    if sum(k is not None for k in (sum_cols, moment_cols, minmax_cols)) != 1:
+        raise ValueError(
+            "provide exactly one of sum_cols / moment_cols / minmax_cols"
+        )
+    vcols = next(
+        k for k in (sum_cols, moment_cols, minmax_cols) if k is not None
+    )
     ta = catalog.table(a_database, a_table)
     tb = catalog.table(b_database, b_table)
     ha, hb = ta.current_snapshot(), tb.current_snapshot()
@@ -774,8 +786,10 @@ def refresh_join_view(
         joined = a_new.join(b_new, on)
         if sum_cols is not None:
             refreshed = ivm.grouped_aggregate(joined, keys, sum_cols)
-        else:
+        elif moment_cols is not None:
             refreshed = ivm.grouped_moments(joined, keys, moment_cols)
+        else:
+            refreshed = ivm.grouped_minmax(joined, keys, minmax_cols)
     else:
         meta = ["_change_type"]
         # localCheckpoint: each slice is delta-sized and consumed up to
@@ -800,9 +814,18 @@ def refresh_join_view(
         if sum_cols is not None:
             delta = ivm.agg_delta(jd, keys, sum_cols)
             refreshed = ivm.apply_agg_delta(base, delta, keys, sum_cols)
-        else:
+        elif moment_cols is not None:
             delta = ivm.moments_delta(jd, keys, moment_cols)
             refreshed = ivm.apply_moments_delta(base, delta, keys, moment_cols)
+        else:
+            # affected-group rescan source = the NEW-state join; the
+            # bounded affected-key predicate pushes through the join
+            # into both sides' scans, so only damaged groups re-join
+            a_new = ta.read(spark, snapshot_id=ha.snapshot_id).select(*a_cols)
+            b_new = tb.read(spark, snapshot_id=hb.snapshot_id).select(*b_cols)
+            refreshed = ivm.apply_minmax_delta(
+                base, jd, a_new.join(b_new, on), keys, minmax_cols
+            )
     catalog.write(
         view_database, view_table, refreshed, mode="overwrite",
         summary_extra={
@@ -827,6 +850,7 @@ def maintain_join_view_changelog(
     sum_cols: list[str] | None = None,
     checkpoint_dir: str = None,
     moment_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
 ):
@@ -840,10 +864,12 @@ def maintain_join_view_changelog(
     result and replays no-op. One synchronous refresh runs before the
     stream starts (pre-marker history + immediate freshness). View
     kinds as in :func:`refresh_join_view`: exactly one of
-    ``sum_cols`` / ``moment_cols``."""
+    ``sum_cols`` / ``moment_cols`` / ``minmax_cols``."""
     if checkpoint_dir is None:
         raise ValueError("checkpoint_dir is required")
-    kinds = dict(sum_cols=sum_cols, moment_cols=moment_cols)
+    kinds = dict(
+        sum_cols=sum_cols, moment_cols=moment_cols, minmax_cols=minmax_cols
+    )
     refresh_join_view(
         spark, catalog, a_database, a_table, b_database, b_table,
         view_database, view_table, on, keys, **kinds,

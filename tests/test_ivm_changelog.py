@@ -465,6 +465,52 @@ def test_refresh_join_view_moments_kind(spark, tmp_path):
         )
 
 
+def test_refresh_join_view_minmax_kind(spark, tmp_path):
+    """minmax_cols join views: inserts fold arithmetically; a delete
+    that kills a group's extremum (on EITHER side of the join)
+    triggers the affected-group rescan with the NEW-state join as the
+    rescan source — recompute-equal throughout."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7), (3, 99)], "ok long, qty long").coalesce(1))
+    args = (spark, cat, "db", "a", "db", "b", "db", "mmjv")
+    kw = dict(on=["ok"], keys=["p"], minmax_cols=["qty"])
+    refresh_join_view(*args, **kw)
+
+    def recompute():
+        a = cat.table("db", "a").read(spark)
+        b = cat.table("db", "b").read(spark)
+        return ivm.grouped_minmax(a.join(b, ["ok"]), ["p"], ["qty"])
+
+    vt = cat.table("db", "mmjv")
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    # delete group x's max (99) via side B → rescan path
+    cat.delete_where("db", "b", F.col("qty") == 99)
+    refresh_join_view(*args, **kw)
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {r["p"]: (r["min_qty"], r["max_qty"]) for r in vt.read(spark).collect()}
+    assert got["x"] == (5, 10)
+    # delete a whole A row whose items held group y's extrema → rescan
+    # driven from the OTHER side, group dies
+    cat.delete_where("db", "a", F.col("ok") == 2)
+    refresh_join_view(*args, **kw)
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    # inserts on both sides fold on top
+    cat.write("db", "a", spark.createDataFrame([(4, "x")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame([(4, 1)], "ok long, qty long"))
+    refresh_join_view(*args, **kw)
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {r["p"]: (r["group_count"], r["min_qty"], r["max_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (3, 1, 10)}
+
+
 def test_refresh_join_view_guards(spark, tmp_path):
     """Ambiguous/missing view columns and foreign tables at the view
     path are rejected loudly."""
