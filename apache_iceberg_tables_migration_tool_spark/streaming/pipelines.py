@@ -429,22 +429,31 @@ def maintain_view_stream(
 
     #: commit kinds that preserve the table's row multiset
     _ROW_PRESERVING = ("append", "create", "replace", "alter")
+    #: snapshots are immutable, so each sid's visibility verdict is
+    #: computed once across the stream's lifetime — the per-batch cost
+    #: is O(new commits), not O(history × manifest) every micro-batch
+    _vetted: dict[int, bool] = {}
 
     def _check_invisible_row_changes() -> None:
         """Police the commits a data-file tail can never see: any
         row-changing commit that wrote no files under its own
         ``data/s{sid}`` directory (pure-MOR delete-file commits,
         rollback, overwrite-to-empty). Driver-side metadata scan of
-        the already-loaded snapshot log; short-circuits per commit."""
+        the already-loaded snapshot log; short-circuits per commit and
+        memoizes per-sid verdicts."""
         src = catalog.table(src_database, src_table)
         if not src.exists():
             return
         for s in src.snapshots():
-            if s.operation in _ROW_PRESERVING:
-                continue
-            pref = f"data/s{s.snapshot_id:06d}/"
-            if any(f.path.startswith(pref) for f in s.files):
-                continue  # wrote data files — the batch-file policy polices it
+            ok = _vetted.get(s.snapshot_id)
+            if ok is None:
+                pref = f"data/s{s.snapshot_id:06d}/"
+                ok = s.operation in _ROW_PRESERVING or any(
+                    f.path.startswith(pref) for f in s.files
+                )
+                _vetted[s.snapshot_id] = ok
+            if ok:
+                continue  # row-preserving, or the batch-file policy polices it
             if on_nonappend == "error":
                 raise RuntimeError(
                     f"maintain_view_stream: {src_database}.{src_table} snapshot "
