@@ -189,6 +189,83 @@ def test_wap_commit_protocol_invariants(spark, tmp_path_factory, ops):
 
 
 # ---------------------------------------------------------------------------
+# Join-view IVM: maintained view ≡ recompute over arbitrary two-sided tapes
+# ---------------------------------------------------------------------------
+
+# a tape of rounds; each op is (side_is_a, is_insert, join_key_idx, aux).
+# Deletes resolve against that side's LIVE multiset, so every tape is a
+# consistent two-sided insert/delete history; duplicate join keys on
+# both sides exercise multiplicity (one delta row joins many matches).
+_jv_tape = st.lists(
+    st.lists(
+        st.tuples(
+            st.booleans(), st.booleans(), st.integers(0, 2), st.integers(-9, 9)
+        ),
+        min_size=1, max_size=8,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(tape=_jv_tape)
+@settings(**_SETTINGS)
+def test_join_view_ivm_equals_recompute_on_random_tapes(spark, tape):
+    """join_delta + apply_agg_delta folded over ANY consistent
+    two-sided insert/delete tape (duplicate join keys, null group
+    keys, group death, same-round churn on both sides — the ΔA⋈ΔB
+    cross term) equals grouped_aggregate recomputed from the surviving
+    joined rows: the bilinearity law across the state space."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    groups = ["x", "y", None]
+    a_schema = "k long, g string"
+    b_schema = "k long, v long"
+
+    live_a: list[tuple] = []
+    live_b: list[tuple] = []
+    view_rows: list = []
+    view_schema = None
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    for batch in tape:
+        a_old, b_old = list(live_a), list(live_b)
+        ch_a, ch_b = [], []
+        for side_a, is_insert, kidx, aux in batch:
+            live, ch = (live_a, ch_a) if side_a else (live_b, ch_b)
+            if is_insert or not live:
+                row = (kidx, groups[aux % 3]) if side_a else (kidx, aux)
+                live.append(row)
+                ch.append((*row, "insert"))
+            else:
+                row = live.pop(aux % len(live))
+                ch.append((*row, "delete"))
+        cl_a = df(ch_a, a_schema + ", _change_type string") if ch_a else None
+        cl_b = df(ch_b, b_schema + ", _change_type string") if ch_b else None
+        base = (
+            df(view_rows, view_schema)
+            if view_schema is not None
+            else ivm.grouped_aggregate(
+                df([], a_schema).join(df([], b_schema), ["k"]), ["g"], ["v"]
+            )
+        )
+        jd = ivm.join_delta(cl_a, df(a_old, a_schema), cl_b, df(b_old, b_schema), ["k"])
+        out = ivm.apply_agg_delta(
+            base, ivm.agg_delta(jd, ["g"], ["v"]), ["g"], ["v"]
+        )
+        view_rows, view_schema = out.collect(), out.schema
+        want = sorted(
+            (tuple(r) for r in ivm.grouped_aggregate(
+                df(live_a, a_schema).join(df(live_b, b_schema), ["k"]),
+                ["g"], ["v"],
+            ).collect()),
+            key=repr,
+        )
+        assert sorted((tuple(r) for r in view_rows), key=repr) == want
+
+
+# ---------------------------------------------------------------------------
 # MIN/MAX IVM: maintained view ≡ recompute over arbitrary commit tapes
 # ---------------------------------------------------------------------------
 
