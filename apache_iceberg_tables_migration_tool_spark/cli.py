@@ -499,7 +499,14 @@ def cmd_view_refresh(args: argparse.Namespace) -> int:
 
     spark = _spark(args.cpus)
     cat = SnapCatalog(args.warehouse)
-    kinds = {args.kind + "_cols": args.cols.split(",")}
+    cols = args.cols.split(",")
+    if args.kind == "distinct":
+        if len(cols) != 1:
+            print("-- --kind distinct takes exactly one column")
+            return 2
+        kinds = {"distinct_col": cols[0]}
+    else:
+        kinds = {args.kind + "_cols": cols}
     folded = refresh_view_changelog(
         spark, cat, args.database, args.table,
         args.view_database or args.database, args.view,
@@ -510,8 +517,15 @@ def cmd_view_refresh(args: argparse.Namespace) -> int:
     else:
         vdb = args.view_database or args.database
         vt = cat.table(vdb, args.view)
+        out = vt.read(spark)
+        if args.kind == "distinct":  # stored aux → derived distinct counts
+            from apache_iceberg_tables_migration_tool_spark.operators.ivm import (
+                derive_distinct,
+            )
+
+            out = derive_distinct(out, args.keys.split(","), cols[0])
         print(f"-- folded to source snapshot {folded}; view rows:")
-        for r in vt.read(spark).limit(args.limit).collect():
+        for r in out.limit(args.limit).collect():
             print(r)
     return 0
 
@@ -828,7 +842,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="view namespace (default: source database)")
     sp.add_argument("--keys", required=True, help="comma-separated group keys")
     sp.add_argument("--cols", required=True, help="comma-separated value columns")
-    sp.add_argument("--kind", choices=["sum", "minmax", "moment"], default="sum")
+    sp.add_argument("--kind", choices=["sum", "minmax", "moment", "distinct"],
+                    default="sum")
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_view_refresh)

@@ -212,6 +212,45 @@ def apply_minmax_delta(
 
 
 # ---------------------------------------------------------------------------
+# COUNT(DISTINCT) views (exact, delete-capable, via a counted auxiliary)
+# ---------------------------------------------------------------------------
+#
+# Sketches (HLL) can't subtract, so a deletable distinct-count view
+# stores the standard auxiliary instead: per-(group, value) row counts
+# — itself a COUNT view, hence exactly self-maintainable under
+# insert/delete — and derives COUNT(DISTINCT v) at read time as the
+# group's surviving aux-row count. Aux size is O(distinct (group,
+# value) pairs), the same information a recompute would shuffle anyway.
+
+
+def grouped_distinct_aux(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Full-recompute form of the stored auxiliary: one row per
+    (group, value) with its multiplicity."""
+    return df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias(_COUNT))
+
+
+def apply_distinct_delta(
+    aux: DataFrame, changelog: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """Fold a changelog slice into the auxiliary: one shuffle over the
+    changed rows keyed by (group, value); values whose multiplicity
+    reaches zero disappear — exactly when they stop counting as
+    distinct."""
+    delta = agg_delta(changelog, [*keys, col], [])
+    return apply_agg_delta(aux, delta, [*keys, col], [])
+
+
+def derive_distinct(aux: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Read-time view over the auxiliary: ``distinct_{col}`` (non-null
+    distinct values — SQL COUNT(DISTINCT) semantics) plus
+    ``group_count`` (total surviving rows, nulls included)."""
+    return aux.groupBy(*keys).agg(
+        F.count(F.col(col)).alias(f"distinct_{col}"),
+        F.sum(F.col(_COUNT)).alias(_COUNT),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Join views: Δ(A ⋈ B) from the two sides' changelogs
 # ---------------------------------------------------------------------------
 #

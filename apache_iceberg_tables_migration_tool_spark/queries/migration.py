@@ -1588,6 +1588,70 @@ def incremental_moments_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_distinct_view",
+    tags=("migration", "cdc", "agg"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority, CAST(o_custkey AS BIGINT) AS cust,
+         o_orderkey % 3 AS band
+  FROM orders),
+f AS (SELECT * FROM o WHERE NOT (band < 2 AND (cust % 5 = 0 OR cust % 7 = 0)))
+SELECT priority, COUNT(DISTINCT cust) AS distinct_cust,
+       COUNT(*) AS group_count
+FROM f GROUP BY priority
+""",
+)
+def incremental_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deletable COUNT(DISTINCT) view maintenance: sketches
+    can't subtract, so the stored view is the per-(group, value)
+    counted auxiliary — itself a COUNT view, hence exactly
+    self-maintainable (`ivm.grouped_distinct_aux` /
+    `apply_distinct_delta`) — and the distinct count derives at read
+    time (`ivm.derive_distinct`: a value stops counting exactly when
+    its multiplicity hits zero). History: two appends fold
+    arithmetically, then a copy-on-write delete AND a merge-on-read
+    position delete subtract (values with surviving duplicates stay
+    distinct), and a final append folds on top. The oracle recomputes
+    COUNT(DISTINCT) from the final logical state."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_idv_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").cast("long").alias("cust"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "db", "orders_idv", "db", "idv_aux")
+        kw = dict(keys=["priority"], distinct_col="cust")
+        for b in range(2):
+            cat.write("db", "orders_idv", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+            refresh_view_changelog(*args, **kw)
+        cat.delete_where("db", "orders_idv", F.pmod(F.col("cust"), F.lit(5)) == 0,
+                         committed_at=_T[2])
+        refresh_view_changelog(*args, **kw)
+        cat.delete_where("db", "orders_idv", F.pmod(F.col("cust"), F.lit(7)) == 0,
+                         mode="merge-on-read", committed_at=_T[3])
+        refresh_view_changelog(*args, **kw)
+        cat.write("db", "orders_idv", o.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[4])
+        refresh_view_changelog(*args, **kw)
+        aux = cat.table("db", "idv_aux").read(spark)
+        view = ivm.derive_distinct(aux, ["priority"], "cust").select(
+            "priority", "distinct_cust",
+            F.col("group_count").cast("long").alias("group_count"),
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "incremental_join_view",
     tags=("migration", "cdc", "agg", "join"),
     oracle="""

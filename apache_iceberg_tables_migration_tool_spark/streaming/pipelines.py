@@ -572,6 +572,7 @@ def refresh_view_changelog(
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
     moment_cols: list[str] | None = None,
+    distinct_col: str | None = None,
 ) -> int | None:
     """One incremental refresh of a materialized view driven by the
     source's row-level CHANGELOG (``SnapTable.changelog`` — ≙ folding
@@ -581,14 +582,18 @@ def refresh_view_changelog(
     exactly, and ``replace`` (compaction) commits contribute nothing
     by construction.
 
-    Views come in three kinds: ``sum_cols`` → COUNT/SUM rollup
+    Views come in four kinds: ``sum_cols`` → COUNT/SUM rollup
     (self-maintainable, pure O(changed rows) fold); ``minmax_cols`` →
     COUNT/MIN/MAX (folds inserts in O(delta); deletes touching a
     group's extremum trigger an affected-group-only rescan via
     :func:`~...operators.ivm.apply_minmax_delta`); ``moment_cols`` →
     COUNT/Σv/Σv² raw moments (self-maintainable; derive AVG/VAR at
-    read time with :func:`~...operators.ivm.derive_stats`). Exactly
-    one must be given.
+    read time with :func:`~...operators.ivm.derive_stats`);
+    ``distinct_col`` → exact deletable COUNT(DISTINCT): the STORED
+    view is the per-(group, value) counted auxiliary (itself a COUNT
+    view, hence exactly self-maintainable where sketches can't
+    subtract), and ``ivm.derive_distinct`` reads the distinct count
+    off it. Exactly one must be given.
 
     Exactly-once without a separate checkpoint: the high-water mark
     (``ivm.src_snapshot_id``) rides IN the view's own commit summary,
@@ -606,9 +611,12 @@ def refresh_view_changelog(
     """
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
-    if sum(k is not None for k in (sum_cols, minmax_cols, moment_cols)) != 1:
+    if sum(
+        k is not None for k in (sum_cols, minmax_cols, moment_cols, distinct_col)
+    ) != 1:
         raise ValueError(
-            "provide exactly one of sum_cols / minmax_cols / moment_cols"
+            "provide exactly one of sum_cols / minmax_cols / moment_cols / "
+            "distinct_col"
         )
     src = catalog.table(src_database, src_table)
     head = src.current_snapshot()
@@ -633,6 +641,8 @@ def refresh_view_changelog(
             refreshed = ivm.grouped_aggregate(cur, keys, sum_cols)
         elif moment_cols is not None:
             refreshed = ivm.grouped_moments(cur, keys, moment_cols)
+        elif distinct_col is not None:
+            refreshed = ivm.grouped_distinct_aux(cur, keys, distinct_col)
         else:
             refreshed = ivm.grouped_minmax(cur, keys, minmax_cols)
     else:
@@ -644,6 +654,8 @@ def refresh_view_changelog(
         elif moment_cols is not None:
             delta = ivm.moments_delta(cl, keys, moment_cols)
             refreshed = ivm.apply_moments_delta(base, delta, keys, moment_cols)
+        elif distinct_col is not None:
+            refreshed = ivm.apply_distinct_delta(base, cl, keys, distinct_col)
         else:
             cur = src.read(spark, snapshot_id=head.snapshot_id)
             refreshed = ivm.apply_minmax_delta(base, cl, cur, keys, minmax_cols)
@@ -924,6 +936,7 @@ def maintain_view_changelog(
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
     moment_cols: list[str] | None = None,
+    distinct_col: str | None = None,
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
 ):
@@ -949,7 +962,8 @@ def maintain_view_changelog(
     so the published rows fold immediately instead of waiting for the
     next real commit."""
     kinds = dict(
-        sum_cols=sum_cols, minmax_cols=minmax_cols, moment_cols=moment_cols
+        sum_cols=sum_cols, minmax_cols=minmax_cols, moment_cols=moment_cols,
+        distinct_col=distinct_col,
     )
     refresh_view_changelog(
         spark, catalog, src_database, src_table,

@@ -491,6 +491,11 @@ def test_cli_view_refresh(spark, tmp_path, capsys):
     got = {r["g"]: (r["group_count"], r["min_v"], r["max_v"])
            for r in cat.table("db", "mm_view").read(spark).collect()}
     assert got == {"a": (1, 1, 1), "b": (1, 3, 3)}
+    # distinct kind: stored view is the counted aux; CLI prints derived
+    assert main([*base[:8], "d_view", *base[9:], "--kind", "distinct"]) == 0
+    got = {(r["g"], r["v"]): r["group_count"]
+           for r in cat.table("db", "d_view").read(spark).collect()}
+    assert got == {("a", 1): 1, ("b", 3): 1}
 
 
 def test_cli_join_view_refresh(spark, tmp_path, capsys):

@@ -272,6 +272,56 @@ def test_maintain_view_changelog_pre_marker_table(spark, tmp_path):
     assert got == {"a": (1, 4)}
 
 
+def test_distinct_aux_multiplicity_and_nulls(spark):
+    """The counted auxiliary keeps a value distinct while ANY copy
+    survives, drops it at multiplicity zero, ignores NULL values in
+    the distinct count (SQL semantics) but counts their rows."""
+    rows = [("a", 1), ("a", 1), ("a", 2), ("a", None), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    aux = ivm.grouped_distinct_aux(df, ["g"], "v")
+    got = {(r["g"], r["v"]): r["group_count"] for r in aux.collect()}
+    assert got == {("a", 1): 2, ("a", 2): 1, ("a", None): 1, ("b", 3): 1}
+    # delete ONE copy of (a,1): still distinct; delete (a,2): gone;
+    # delete the null row: group_count drops, distinct unchanged
+    cl = _cl(spark, [("a", 1, "delete"), ("a", 2, "delete"),
+                     ("a", None, "delete"), ("c", 9, "insert")])
+    aux2 = ivm.apply_distinct_delta(aux, cl, ["g"], "v")
+    out = {r["g"]: (r["distinct_v"], r["group_count"])
+           for r in ivm.derive_distinct(aux2, ["g"], "v").collect()}
+    assert out == {"a": (1, 1), "b": (1, 1), "c": (1, 1)}
+    # recompute identity on the surviving multiset
+    surv = spark.createDataFrame(
+        [("a", 1), ("b", 3), ("c", 9)], "g string, v long"
+    )
+    want = _view_rows(ivm.derive_distinct(
+        ivm.grouped_distinct_aux(surv, ["g"], "v"), ["g"], "v"))
+    assert _view_rows(ivm.derive_distinct(aux2, ["g"], "v")) == want
+
+
+def test_refresh_distinct_view_exact_under_mutation(spark, tmp_path):
+    """Changelog-driven distinct-count view: appends, a COW delete
+    that kills one copy of a duplicated value, and a MOR delete fold
+    exactly; group death works; replay no-ops."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long").coalesce(1)
+    args = (spark, cat, "db", "src", "db", "aux")
+    kw = dict(keys=["g"], distinct_col="v")
+    cat.write("db", "src", mk([("a", 1), ("a", 1), ("a", 2), ("b", 3)]))
+    assert refresh_view_changelog(*args, **kw) is not None
+    vt = cat.table("db", "aux")
+    out = lambda: {r["g"]: (r["distinct_v"], r["group_count"])
+                   for r in ivm.derive_distinct(
+                       vt.read(spark), ["g"], "v").collect()}
+    assert out() == {"a": (2, 3), "b": (1, 1)}
+    assert refresh_view_changelog(*args, **kw) is None  # no-op
+    # COW delete of v=2 (distinct drops) then MOR delete of all b rows
+    cat.delete_where("db", "src", F.col("v") == 2)
+    cat.delete_where("db", "src", F.col("g") == "b", mode="merge-on-read")
+    cat.write("db", "src", mk([("a", 9)]))
+    assert refresh_view_changelog(*args, **kw) is not None
+    assert out() == {"a": (2, 3)}  # values {1, 9}; rows (a,1)x2 + (a,9)
+
+
 def test_join_delta_bilinearity(spark):
     """delta(A⋈B) from the three bilinearity terms equals a recompute
     of the new join — including the ΔA⋈ΔB cross term with its sign
