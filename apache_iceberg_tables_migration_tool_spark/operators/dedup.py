@@ -711,3 +711,54 @@ def banded_hamming_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_batch_against_index(
+    batch_sig: DataFrame,
+    index_sig: DataFrame,
+    band_cols: list[str],
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental image-dedup ingest: which NEW signatures sit within
+    ``max_hamming`` bits of something already in the corpus? The
+    per-ingest twin of :func:`banded_hamming_pairs`, shaped like
+    :func:`dedup_batch_against_corpus`'s band-index lookup: the
+    batch's band rows equi-join the accumulated corpus signature
+    table on (band, value) — a batch-sized probe (AQE broadcasts the
+    batch side when small), never an index rescan and never all
+    pairs. Persist ``index_sig`` (id + band columns) in a catalog
+    table and append each accepted batch's signatures to make ingest
+    O(batch) at any corpus size. Ids must be disjoint across the two
+    inputs. Returns (id_a from the batch, id_b from the corpus,
+    hamming ≤ max_hamming), exact popcount verify; same pigeonhole
+    recall guard as :func:`banded_hamming_pairs`."""
+    if max_hamming >= len(band_cols):
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands than distance "
+            f"(got {len(band_cols)}): pigeonhole only guarantees recall "
+            "for distance < band count"
+        )
+
+    def blocks(df: DataFrame, role: str) -> DataFrame:
+        arr = F.array(*[F.col(c) for c in band_cols])
+        return df.select(
+            F.col(id_col).alias(f"id_{role}"),
+            *[F.col(c).alias(f"__{role}_{c}") for c in band_cols],
+            F.posexplode(arr).alias("band", "blk"),
+        )
+
+    # the batch is signatured once (it is typically the output of a
+    # decode+hash pass); the index side is a plain table scan
+    a = blocks(batch_sig.select(id_col, *band_cols).localCheckpoint(eager=True), "a")
+    b = blocks(index_sig.select(id_col, *band_cols), "b")
+    ham = None
+    for c in band_cols:
+        d = F.bit_count(F.col(f"__a_{c}").bitwiseXOR(F.col(f"__b_{c}")))
+        ham = d if ham is None else (ham + d)
+    return (
+        a.join(b, ["band", "blk"])
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -97,9 +97,10 @@ _DRIVER_PRIORITY = [
     # green r3+r4, secondary carriers of multiply-graded shapes):
     # bracket_revenue_q19, small_quantity_revenue_q17,
     # top_supplier_q15, session_window_events — they queue for r9,
-    # together with the late-round-8 registration
-    # incremental_distinct_view (built after this window was set;
-    # sweep- and pytest-verified, registers past the cap).
+    # together with the late-round-8 registrations
+    # incremental_distinct_view and dedup_image_ingest_index (built
+    # after this window was set; sweep- and pytest-verified, register
+    # past the cap).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
     # bpe_train_merges stays out by the rows-only policy (window
     # keeps 100%-hash-checked).

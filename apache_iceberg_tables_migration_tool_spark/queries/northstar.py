@@ -1031,6 +1031,75 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_ingest_oracle() -> str:
+    """DuckDB twin of the incremental image-ingest dedup: the same
+    closed-form pixels → mean-hash → bands as ``_phash_oracle``, but
+    pairs are (batch doc, corpus doc) — corpus = base variants
+    (id % 4 = 0), batch = the perturbed variants — mirroring the
+    band-index probe's role split."""
+    chan = (
+        "(((canon % 199) * ({m}) + 11*i + 97*nb "
+        "+ CASE WHEN i = canon % 64 THEN 32*var ELSE 0 END) % 256)"
+    )
+    gray = " + ".join(chan.format(m=m) for m in (2, 3, 4))
+    return f"""
+WITH g AS (
+  SELECT d.doc_id, d.doc_id - d.doc_id % 4 AS canon, d.doc_id % 4 AS var,
+         t.i, ((d.doc_id - d.doc_id % 4) >> (t.i % 20)) & 1 AS nb
+  FROM documents d CROSS JOIN range(64) t(i)),
+px AS (SELECT doc_id, i, {gray} AS gray FROM g),
+tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT p.doc_id, p.i, CASE WHEN p.gray * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM px p JOIN tot t USING (doc_id)),
+h AS (
+  SELECT doc_id,
+    SUM(CASE WHEN i < 16 THEN b << i ELSE 0 END) AS p0,
+    SUM(CASE WHEN i >= 16 AND i < 32 THEN b << (i - 16) ELSE 0 END) AS p1,
+    SUM(CASE WHEN i >= 32 AND i < 48 THEN b << (i - 32) ELSE 0 END) AS p2,
+    SUM(CASE WHEN i >= 48 THEN b << (i - 48) ELSE 0 END) AS p3
+  FROM bits GROUP BY doc_id)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
+            + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3))
+              AS INTEGER) AS hamming
+  FROM h a JOIN h b ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0)
+WHERE hamming <= 3
+"""
+
+
+@query(
+    "dedup_image_ingest_index",
+    tags=("multimodal", "dedup"),
+    oracle=_phash_ingest_oracle(),
+)
+def dedup_image_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image-dedup ingest (the per-batch step of a crawl
+    pipeline): base images (id % 4 = 0) form the accumulated CORPUS
+    signature index, the perturbed variants arrive as the NEW batch,
+    and `dedup.hamming_batch_against_index` probes the batch's band
+    rows against the index — a batch-sized (band, value) equi-join,
+    never an index rescan, the image twin of
+    `dedup_batch_against_corpus`'s MinHash lookup. The oracle
+    recomputes pixels → hash → batch-vs-corpus pairs from the closed
+    form."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    corpus_sig = M.phash64(M.render_bmp_payloads_near(corpus))
+    batch_sig = M.phash64(M.render_bmp_payloads_near(batch))
+    pairs = D.hamming_batch_against_index(
+        batch_sig, corpus_sig, ["p0", "p1", "p2", "p3"],
+        max_hamming=3, id_col="doc_id",
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def _dhash_oracle() -> str:
     """DuckDB twin of the gradient-hash dedup loop: same closed-form
     pixels as :func:`_phash_oracle`, but the bit rule compares each

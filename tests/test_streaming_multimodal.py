@@ -768,6 +768,42 @@ def test_dhash_robust_to_photometric_perturbations(spark):
     assert got == want and len(got) >= 2 * groups  # v3 + most of v1/v2
 
 
+def test_hamming_batch_against_index_equals_bruteforce(spark):
+    """The band-index probe returns exactly the brute-force
+    (batch, corpus) pairs within the radius — and only cross-role
+    pairs (in-batch near-dups are not its job)."""
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        hamming_batch_against_index,
+    )
+
+    ids = [0, 1, 2, 4, 5, 1000, 1001]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    sig = M.phash64(M.render_bmp_payloads_near(df))
+    hv = {r["doc_id"]: (r["p0"], r["p1"], r["p2"], r["p3"])
+          for r in sig.collect()}
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(hv[x], hv[y]))
+
+    corpus_ids = [i for i in ids if i % 4 == 0]
+    batch_ids = [i for i in ids if i % 4 != 0]
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_batch_against_index(
+            sig.where(F.col("doc_id") % 4 != 0),
+            sig.where(F.col("doc_id") % 4 == 0),
+            ["p0", "p1", "p2", "p3"], max_hamming=3,
+        ).collect()
+    )
+    want = sorted(
+        (a, b, ham(a, b))
+        for a in batch_ids for b in corpus_ids if ham(a, b) <= 3
+    )
+    assert got == want and len(got) >= 3  # 1,2→0; 5→4; 1001→1000
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_batch_against_index(sig, sig, ["p0", "p1"], max_hamming=2)
+
+
 def test_phash64_block_reduction_non_native_size(spark):
     """A 16×16 image block-sums to the same 8×8 cells as manual
     numpy pooling — the resize path is exact, not approximate."""
