@@ -272,6 +272,46 @@ def test_maintain_view_changelog_pre_marker_table(spark, tmp_path):
     assert got == {"a": (1, 4)}
 
 
+def test_refresh_view_schema_evolution_fails_loud_or_stays_exact(spark, tmp_path):
+    """Schema evolution crossing a refresh window: renaming a column
+    the view does NOT track leaves the fold exact (the changelog
+    emits under the end schema; untracked names don't matter);
+    renaming a TRACKED column fails the refresh loudly — never a
+    silent wrong view — and a rebuild from scratch under the new name
+    recovers."""
+    import shutil as _sh
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long, extra long")
+    args = (spark, cat, "db", "src", "db", "view")
+    kw = dict(keys=["g"], sum_cols=["v"])
+    cat.write("db", "src", mk([("a", 1, 9), ("b", 3, 9)]))
+    refresh_view_changelog(*args, **kw)
+    # rename an UNTRACKED column + append under the new schema → exact
+    cat.alter_table("db", "src", rename_columns={"extra": "extra2"})
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 5, 9)], "g string, v long, extra2 long"))
+    refresh_view_changelog(*args, **kw)
+    vt = cat.table("db", "view")
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 6), "b": (1, 3)}
+    # rename the TRACKED sum column → the fold must fail loudly
+    cat.alter_table("db", "src", rename_columns={"v": "val"})
+    cat.write("db", "src", spark.createDataFrame(
+        [("b", 10, 9)], "g string, val long, extra2 long"))
+    with pytest.raises(Exception) as ei:
+        refresh_view_changelog(*args, **kw)
+    assert "v" in str(ei.value)  # names the missing column, not silent
+    # view untouched by the failed refresh
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 6), "b": (1, 3)}
+    # recovery: rebuild under the new tracked name
+    _sh.rmtree(vt.root)
+    refresh_view_changelog(*args, keys=["g"], sum_cols=["val"])
+    got = {r["g"]: (r["group_count"], r["sum_val"]) for r in vt.read(spark).collect()}
+    assert got == {"a": (2, 6), "b": (2, 13)}
+
+
 def test_distinct_aux_multiplicity_and_nulls(spark):
     """The counted auxiliary keeps a value distinct while ANY copy
     survives, drops it at multiplicity zero, ignores NULL values in
