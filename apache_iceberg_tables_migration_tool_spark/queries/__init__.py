@@ -161,12 +161,12 @@ _DRIVER_PRIORITY = [
     "tumbling_window_events",
     "stateful_user_totals",
 ]
-# Still past the graded window after the round-4 rotation: every query
-# out of window has at least one driver-graded green row from rounds
-# 1-3 (CORRECTNESS_r01-r03) and stays pinned by pytest at sf0.001 plus
-# the sf0.01 driver-replica sweep (scripts/check_sf001.py). Any NEW
-# queries added in round 4 register past the cap and queue for the
-# round-5 window.
+# Standing invariants of the window policy: every out-of-window query
+# keeps at least one driver-graded green row and stays pinned by
+# pytest at sf0.001 plus the independent sf0.01 sweep
+# (.claude/skills/verify/run_verify.py, run each round); new carriers
+# registered after a round's window is set queue for the next one and
+# are named in the rotation comment above.
 
 
 def _apply_driver_priority() -> None:
