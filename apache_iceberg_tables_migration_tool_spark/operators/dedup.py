@@ -678,7 +678,16 @@ def banded_hamming_pairs(
     both self-join sides would otherwise re-execute the upstream
     (typically a full image decode + hash) — the same
     single-upstream-execution contract as ``cosine_pairs``; the
-    checkpoint holds one id plus a few ints per doc."""
+    checkpoint holds one id plus a few ints per doc.
+
+    Hot-bucket note: a flood of IDENTICAL images collapses into one
+    (band, value) bucket and the candidate set is quadratic in the
+    flood size — but those pairs are genuinely all duplicates, so the
+    OUTPUT itself is quadratic; no cap can fix what the data asks
+    for. The scalable composition is exact dedup FIRST (hash the
+    payload bytes, keep one representative per identical image —
+    `exact_dedup`), then band the surviving distinct images; near-dup
+    clusters of distinct images are small, so buckets stay small."""
     if max_hamming >= len(band_cols):
         raise ValueError(
             f"max_hamming={max_hamming} needs more bands than distance "

@@ -15,10 +15,13 @@ swapped in for the file source; nothing else changes.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from apache_iceberg_tables_migration_tool_spark.sources.fixtures import (
     _EVENTS_NATIVE_SCHEMA,
@@ -465,6 +468,12 @@ def maintain_view_stream(
                     "sources, or pass on_nonappend='skip' to let the view "
                     "silently miss these row changes."
                 )
+            _log.warning(
+                "maintain_view_stream: skipping invisible row-changing "
+                "commit %s (operation=%s) on %s.%s — the view misses "
+                "these row changes (on_nonappend='skip')",
+                s.snapshot_id, s.operation, src_database, src_table,
+            )
             return  # skip: accept staleness once, don't rescan the log
 
     _check_invisible_row_changes()  # no-new-files runs must fail too
@@ -535,6 +544,11 @@ def maintain_view_stream(
                 )
             drop_paths.append(p)
         if drop_paths:
+            _log.warning(
+                "maintain_view_stream: dropping %d non-append batch file(s) "
+                "of %s.%s from the fold (on_nonappend='skip' / compaction)",
+                len(drop_paths), src_database, src_table,
+            )
             if len(drop_paths) == len(paths):
                 return  # nothing appended in this micro-batch
             batch_df = batch_df.where(~F.input_file_name().isin(drop_paths))
