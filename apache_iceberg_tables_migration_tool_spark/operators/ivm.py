@@ -212,6 +212,141 @@ def apply_minmax_delta(
 
 
 # ---------------------------------------------------------------------------
+# Top-k views (leaderboards): the k-generalization of MIN/MAX
+# ---------------------------------------------------------------------------
+#
+# A top-k-per-group view stores ROWS, not aggregates, so maintenance
+# follows the minmax logic generalized: inserts fold arithmetically
+# (union the stored rows with the inserted candidates, re-rank, keep
+# ≤ k — under pure inserts the boundary only rises, so evicted rows
+# can never legally return); a delete matters ONLY when it removes a
+# STORED row (an unstored row was below the boundary, and removing it
+# cannot change the top k), and exactly those groups rescan from the
+# current state, pruned with the same bounded-probe predicate /
+# semi-join machinery as the minmax rescan.
+
+from pyspark.sql import Window as _W
+
+
+def _topk_rank(keys: list[str], metric_col: str, id_col: str):
+    """The view's total order: metric DESC, id ASC tiebreak — a
+    DETERMINISTIC ranking, so view ≡ recompute is well-defined under
+    ties (and an oracle can replay it)."""
+    return F.row_number().over(
+        _W.partitionBy(*keys).orderBy(F.col(metric_col).desc(), F.col(id_col).asc())
+    )
+
+
+def grouped_topk(
+    df: DataFrame, keys: list[str], metric_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Full-recompute form of the top-k view: the ≤k highest-metric
+    rows per group with their rank."""
+    return (
+        df.select(*keys, id_col, metric_col)
+        .withColumn("rk", _topk_rank(keys, metric_col, id_col))
+        .where(F.col("rk") <= k)
+    )
+
+
+def apply_topk_delta(
+    base: DataFrame,
+    changelog: DataFrame,
+    current: DataFrame,
+    keys: list[str],
+    metric_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Merge a changelog slice into a top-k view (``grouped_topk``
+    shape). A group must RESCAN from ``current`` exactly when the
+    slice touches one of its STORED rows — a delete of a ranked row
+    (or an update lowering it) can pull a previously-evicted row back
+    above the boundary, which no arithmetic on the stored rows can
+    reconstruct. The rescan is pruned with the minmax rules: ≤256
+    affected key tuples push down as a scan predicate, larger sets
+    prune with a shuffle null-safe left-semi join. Every other group
+    merges by re-ranking its stored rows plus the slice's inserted
+    candidates — changes to UNSTORED rows can only push the boundary
+    up, never down. Ids are assumed unique per live row (the usual
+    primary-key contract of a leaderboard).
+
+    Intra-slice churn: a multi-commit slice can insert a row and
+    delete it again (or update it repeatedly), so the slice is first
+    collapsed to each (group, id)'s LAST change — ordered by
+    ``_commit_order`` when present, insert outranking delete inside
+    one commit (an update's insert is the survivor). Without the
+    collapse a dead intra-slice insert would fold as live (pinned by
+    the carrier's COW-delete-after-append history)."""
+    ocol = (
+        F.col("_commit_order")
+        if "_commit_order" in changelog.columns
+        else F.lit(0)
+    )
+    last = changelog.withColumn(
+        "__rn",
+        F.row_number().over(
+            _W.partitionBy(*keys, id_col).orderBy(
+                ocol.desc(), F.col("_change_type").desc()
+            )
+        ),
+    ).where(F.col("__rn") == 1)
+    ins = last.where(F.col("_change_type") == "insert").select(
+        *keys, id_col, metric_col
+    )
+    # ANY net change touching a stored id (delete, or an update whose
+    # surviving version may rank lower) makes its group rescan
+    changed = last.select(*keys, id_col)
+    kcond = None
+    for c in keys:
+        eq = F.col(f"__b.{c}").eqNullSafe(F.col(f"__d.{c}"))
+        kcond = eq if kcond is None else (kcond & eq)
+    kcond = kcond & (F.col(f"__b.{id_col}") == F.col(f"__d.{id_col}"))
+    akeys = (
+        base.alias("__b")
+        .join(changed.alias("__d"), kcond, "left_semi")
+        .select(*keys)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    stored = base.select(*keys, id_col, metric_col)
+    cand = stored.unionByName(ins)
+    # prune candidate rows of affected groups — those groups rescan
+    acond = None
+    for c in keys:
+        eq = F.col(f"__c.{c}").eqNullSafe(F.col(f"__a.{c}"))
+        acond = eq if acond is None else (acond & eq)
+    clean = (
+        cand.alias("__c")
+        .join(akeys.alias("__a"), acond, "left_anti")
+        .withColumn("rk", _topk_rank(keys, metric_col, id_col))
+        .where(F.col("rk") <= k)
+    )
+    probe = akeys.limit(257).collect()
+    if not probe:
+        return clean
+    if len(probe) <= 256:
+        pred = None
+        for r in probe:
+            conj = None
+            for c in keys:
+                eq = F.col(c).eqNullSafe(F.lit(r[c]))
+                conj = eq if conj is None else (conj & eq)
+            pred = conj if pred is None else (pred | conj)
+        pruned = current.where(pred)
+    else:
+        rcond = None
+        for c in keys:
+            eq = F.col(f"__cur.{c}").eqNullSafe(F.col(f"__ak.{c}"))
+            rcond = eq if rcond is None else (rcond & eq)
+        pruned = current.alias("__cur").join(
+            akeys.alias("__ak"), rcond, "left_semi"
+        )
+    return clean.unionByName(grouped_topk(pruned, keys, metric_col, id_col, k))
+
+
+# ---------------------------------------------------------------------------
 # COUNT(DISTINCT) views (exact, delete-capable, via a counted auxiliary)
 # ---------------------------------------------------------------------------
 #

@@ -1588,6 +1588,77 @@ def incremental_moments_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_topk_view",
+    tags=("migration", "cdc", "window"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority, o_orderkey AS ok,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+         o_orderkey % 3 AS band
+  FROM orders),
+f AS (SELECT * FROM o
+      WHERE NOT (band < 2 AND (price_c > 40000000 OR ok % 13 = 0))),
+r AS (SELECT priority, ok, price_c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY priority
+                    ORDER BY price_c DESC, ok ASC) AS INTEGER) AS rk
+      FROM f)
+SELECT priority, ok, price_c, rk FROM r WHERE rk <= 3
+""",
+)
+def incremental_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K (leaderboard) incremental view maintenance — the
+    k-generalization of the MIN/MAX kind (`ivm.grouped_topk` /
+    `apply_topk_delta`, `pipelines.refresh_topk_view`): inserts fold
+    by re-ranking stored rows plus candidates; a slice touching a
+    STORED row rescans only that group (a deleted or demoted ranked
+    row can resurrect a previously-evicted one, which no arithmetic
+    can reconstruct). History: one append folds arithmetically, then
+    a second append PLUS a copy-on-write delete of every top price
+    PLUS a merge-on-read delete land in ONE refresh — intra-slice
+    churn (rows inserted and deleted inside the window) exercises the
+    last-change collapse — and a final append folds on top. The
+    oracle recomputes the ranked rows (metric DESC, id ASC ties) from
+    the final logical state."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_itk_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("ok"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "db", "orders_itk", "db", "itk_view")
+        kw = dict(keys=["priority"], metric_col="price_c", id_col="ok", k=3)
+        cat.write("db", "orders_itk", o.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        refresh_topk_view(*args, **kw)
+        # append + COW delete + MOR delete, folded in ONE refresh —
+        # the intra-slice churn case (band-1 top prices are inserted
+        # AND deleted inside this window)
+        cat.write("db", "orders_itk", o.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[1])
+        cat.delete_where("db", "orders_itk", F.col("price_c") > 40000000,
+                         committed_at=_T[2])
+        cat.delete_where("db", "orders_itk", F.pmod(F.col("ok"), F.lit(13)) == 0,
+                         mode="merge-on-read", committed_at=_T[3])
+        refresh_topk_view(*args, **kw)
+        cat.write("db", "orders_itk", o.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[4])
+        refresh_topk_view(*args, **kw)
+        view = cat.table("db", "itk_view").read(spark).select(
+            "priority", "ok", "price_c", F.col("rk").cast("int").alias("rk")
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "incremental_distinct_view",
     tags=("migration", "cdc", "agg"),
     oracle="""

@@ -680,6 +680,67 @@ def refresh_view_changelog(
     return head.snapshot_id
 
 
+def refresh_topk_view(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    view_database: str,
+    view_table: str,
+    keys: list[str],
+    metric_col: str,
+    id_col: str,
+    k: int,
+) -> int | None:
+    """One incremental refresh of a TOP-K-per-group view (leaderboard
+    — the k-generalization of the MIN/MAX kind, row-shaped so it gets
+    its own entry point rather than a kind flag): inserts fold by
+    re-ranking the stored rows plus the slice's inserted candidates
+    (under pure inserts the boundary only rises, so evicted rows can
+    never legally return); a delete matters only when it removes a
+    STORED row, and exactly those groups rescan from the current
+    state via :func:`~...operators.ivm.apply_topk_delta`'s pruned
+    rescan (≤256 affected keys push down as a scan predicate).
+
+    Same exactly-once watermark protocol as
+    :func:`refresh_view_changelog`: ``ivm.src_snapshot_id`` rides in
+    the view's own commit summary. Returns the source snapshot id the
+    view now reflects, or None if nothing to fold."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    src = catalog.table(src_database, src_table)
+    head = src.current_snapshot()
+    if head is None:
+        return None
+    vt = catalog.table(view_database, view_table)
+    from_id = None
+    if vt.exists() and vt.current_snapshot() is not None:
+        wm = vt.current_snapshot().summary.get("ivm.src_snapshot_id")
+        if wm is None:
+            raise ValueError(
+                f"{view_database}.{view_table} exists but carries no "
+                "ivm.src_snapshot_id watermark — not a changelog-maintained "
+                "view; refusing to overwrite it"
+            )
+        from_id = int(wm)
+        if from_id == head.snapshot_id:
+            return None  # already current
+    if from_id is None:
+        cur = src.read(spark, snapshot_id=head.snapshot_id)
+        refreshed = ivm.grouped_topk(cur, keys, metric_col, id_col, k)
+    else:
+        cl = src.changelog(spark, from_id, head.snapshot_id, net_changes=True)
+        cur = src.read(spark, snapshot_id=head.snapshot_id)
+        refreshed = ivm.apply_topk_delta(
+            vt.read(spark), cl, cur, keys, metric_col, id_col, k
+        )
+    catalog.write(
+        view_database, view_table, refreshed, mode="overwrite",
+        summary_extra={"ivm.src_snapshot_id": str(head.snapshot_id)},
+    )
+    return head.snapshot_id
+
+
 def refresh_join_view(
     spark: SparkSession,
     catalog,

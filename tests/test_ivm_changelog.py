@@ -312,6 +312,86 @@ def test_refresh_view_schema_evolution_fails_loud_or_stays_exact(spark, tmp_path
     assert got == {"a": (2, 6), "b": (2, 13)}
 
 
+def test_topk_delta_insert_evict_and_rescan(spark):
+    """Top-k fold rules: inserts evict by re-rank (no rescan); a
+    delete of an UNSTORED row changes nothing; a delete of a STORED
+    row rescans its group and brings a previously-evicted row back;
+    ties break by id; groups die when emptied."""
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 4, 5)]
+    cur0 = spark.createDataFrame(rows, "g string, id long, m long")
+    base = ivm.grouped_topk(cur0, ["g"], "m", "id", 2)
+    got = {(r["g"], r["id"]): r["rk"] for r in base.collect()}
+    assert got == {("a", 3): 1, ("a", 2): 2, ("b", 4): 1}
+
+    def fold(base, changes, live):
+        cl = spark.createDataFrame(changes, "g string, id long, m long, _change_type string")
+        cur = spark.createDataFrame(live, "g string, id long, m long")
+        out = ivm.apply_topk_delta(base, cl, cur, ["g"], "m", "id", 2)
+        want = ivm.grouped_topk(cur, ["g"], "m", "id", 2)
+        assert _view_rows(out) == _view_rows(want)
+        return out
+
+    # insert evicts id=2 from a's top-2 (pure re-rank)
+    live = rows + [("a", 5, 25)]
+    base = fold(base, [("a", 5, 25, "insert")], live)
+    # delete an UNSTORED row (id=1, below boundary): nothing changes
+    live = [r for r in live if r[1] != 1]
+    base = fold(base, [("a", 1, 10, "delete")], live)
+    # delete a STORED row (id=3, rank 1): rescan resurrects id=2
+    live = [r for r in live if r[1] != 3]
+    base = fold(base, [("a", 3, 30, "delete")], live)
+    got = {(r["g"], r["id"]): r["rk"] for r in base.collect()}
+    assert got == {("a", 5): 1, ("a", 2): 2, ("b", 4): 1}
+    # tie on metric: id ASC wins; group b dies
+    live = [r for r in live if r[0] != "b"] + [("a", 6, 25)]
+    base = fold(
+        base, [("b", 4, 5, "delete"), ("a", 6, 25, "insert")], live
+    )
+    got = {(r["g"], r["id"]): r["rk"] for r in base.collect()}
+    assert got == {("a", 5): 1, ("a", 6): 2}  # 25 tie → lower id 5 first
+    # UPDATE that lowers a stored row below the boundary (delete+insert
+    # same id): the group must rescan — arithmetic on stored rows
+    # cannot resurrect the evicted id=2
+    live = [r for r in live if r[1] != 5] + [("a", 5, 1)]
+    base = fold(
+        base, [("a", 5, 25, "delete"), ("a", 5, 1, "insert")], live
+    )
+    got = {(r["g"], r["id"]): r["rk"] for r in base.collect()}
+    assert got == {("a", 6): 1, ("a", 2): 2}  # id=2 (20) resurrected
+
+
+def test_refresh_topk_view_exact_under_mutation(spark, tmp_path):
+    """Changelog-driven top-k view over a catalog table: appends, a
+    COW delete of ranked rows and a MOR delete fold exactly with
+    replay no-ops."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, id long, m long").coalesce(1)
+    args = (spark, cat, "db", "src", "db", "board")
+    kw = dict(keys=["g"], metric_col="m", id_col="id", k=2)
+    cat.write("db", "src", mk([("a", 1, 10), ("a", 2, 20), ("b", 3, 7)]))
+    assert refresh_topk_view(*args, **kw) is not None
+    vt = cat.table("db", "board")
+
+    def recompute():
+        return ivm.grouped_topk(
+            cat.table("db", "src").read(spark), ["g"], "m", "id", 2
+        )
+
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    assert refresh_topk_view(*args, **kw) is None  # no-op on watermark
+    cat.write("db", "src", mk([("a", 4, 30), ("b", 5, 1)]))
+    cat.delete_where("db", "src", F.col("m") == 30)  # COW: kills a's #1
+    cat.delete_where("db", "src", F.col("id") == 3, mode="merge-on-read")
+    assert refresh_topk_view(*args, **kw) is not None
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {(r["g"], r["id"]): r["rk"] for r in vt.read(spark).collect()}
+    assert got == {("a", 2): 1, ("a", 1): 2, ("b", 5): 1}
+
+
 def test_distinct_aux_multiplicity_and_nulls(spark):
     """The counted auxiliary keeps a value distinct while ANY copy
     survives, drops it at multiplicity zero, ignores NULL values in

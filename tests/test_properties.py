@@ -266,6 +266,74 @@ def test_join_view_ivm_equals_recompute_on_random_tapes(spark, tape):
 
 
 # ---------------------------------------------------------------------------
+# Top-k IVM: maintained leaderboard ≡ recompute over arbitrary tapes
+# ---------------------------------------------------------------------------
+
+# a tape of rounds; each op is (kind, group_idx, metric) with kind
+# 0=insert new id, 1=delete an existing row, 2=update an existing row.
+_tk_tape = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(-20, 20)),
+        min_size=1, max_size=7,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(tape=_tk_tape)
+@settings(**_SETTINGS)
+def test_topk_ivm_equals_recompute_on_random_tapes(spark, tape):
+    """apply_topk_delta folded over ANY consistent unique-id tape of
+    inserts, deletes and updates (metric ties, boundary churn,
+    evicted-row resurrection, group death, intra-slice insert+delete
+    of the same id) equals grouped_topk recomputed from the surviving
+    rows."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    groups = ["x", "y", None]
+    schema = "g string, id long, m long"
+    cl_schema = schema + ", _change_type string, _commit_order int"
+
+    live: dict[int, tuple] = {}
+    next_id = 0
+    view_rows: list = []
+    view_schema = None
+    for batch in tape:
+        changes = []
+        for order, (kind, gidx, metric) in enumerate(batch):
+            if kind == 0 or not live:
+                row = (groups[gidx], next_id, metric)
+                live[next_id] = row
+                next_id += 1
+                changes.append((*row, "insert", order))
+            else:
+                victim = sorted(live)[metric % len(live)]
+                old = live.pop(victim)
+                changes.append((*old, "delete", order))
+                if kind == 2:  # update: re-insert same id, new metric
+                    row = (old[0], victim, metric)
+                    live[victim] = row
+                    changes.append((*row, "insert", order))
+        base = (
+            spark.createDataFrame(view_rows, view_schema)
+            if view_schema is not None
+            else ivm.grouped_topk(
+                spark.createDataFrame([], schema), ["g"], "m", "id", 2
+            )
+        )
+        cl = spark.createDataFrame(changes, cl_schema)
+        cur = spark.createDataFrame(list(live.values()) or [], schema)
+        out = ivm.apply_topk_delta(base, cl, cur, ["g"], "m", "id", 2)
+        view_rows, view_schema = out.collect(), out.schema
+        want = sorted(
+            (tuple(r) for r in ivm.grouped_topk(
+                cur, ["g"], "m", "id", 2).collect()),
+            key=repr,
+        )
+        assert sorted((tuple(r) for r in view_rows), key=repr) == want
+
+
+# ---------------------------------------------------------------------------
 # MIN/MAX IVM: maintained view ≡ recompute over arbitrary commit tapes
 # ---------------------------------------------------------------------------
 
