@@ -530,6 +530,33 @@ def cmd_view_refresh(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_topk_view_refresh(args: argparse.Namespace) -> int:
+    """Top-k (leaderboard) view refresh — the operable face of
+    `streaming/pipelines.refresh_topk_view`."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_view,
+    )
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    vdb = args.view_database or args.database
+    folded = refresh_topk_view(
+        spark, cat, args.database, args.table, vdb, args.view,
+        keys=args.keys.split(","), metric_col=args.metric,
+        id_col=args.id_col, k=args.k,
+    )
+    if folded is None:
+        print("-- view already current (nothing to fold)")
+    else:
+        vt = cat.table(vdb, args.view)
+        print(f"-- folded to source snapshot {folded}; view rows:")
+        for r in vt.read(spark).orderBy(*args.keys.split(","), "rk") \
+                .limit(args.limit).collect():
+            print(r)
+    return 0
+
+
 def cmd_join_view_refresh(args: argparse.Namespace) -> int:
     """Join-view refresh: create-or-advance a COUNT/SUM (or raw-
     moments) rollup over ``A ⋈ B`` from BOTH sides' changelogs in
@@ -847,6 +874,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_view_refresh)
+
+    sp = sub.add_parser(
+        "topk-view-refresh",
+        help="changelog-driven TOP-K (leaderboard) view refresh: keep the "
+        "k highest-metric rows per group fresh — inserts re-rank, deletes "
+        "of ranked rows rescan only their group",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--view", required=True, help="view table name")
+    sp.add_argument("--view-database", default=None,
+                    help="view namespace (default: source database)")
+    sp.add_argument("--keys", required=True, help="comma-separated group keys")
+    sp.add_argument("--metric", required=True, help="ranking metric column")
+    sp.add_argument("--id-col", required=True, help="unique row id column")
+    sp.add_argument("-k", type=int, default=10, help="rows kept per group")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_topk_view_refresh)
 
     sp = sub.add_parser(
         "join-view-refresh",

@@ -68,7 +68,14 @@ def main() -> None:
     # round. These are write-heavy e2e pipelines (catalog commits, MOR
     # deletes, CDC replay, WAP publish), not scan queries.
     feature = run_set(
-        ["merge_on_read_lifecycle", "changelog_cdc_stream", "corpus_build_e2e"]
+        [
+            "merge_on_read_lifecycle",
+            "changelog_cdc_stream",
+            "corpus_build_e2e",
+            # round 8: the join-view IVM family's carrier — commit-count
+            # cost class; tracked so refresh-regressions surface per round
+            "incremental_join_view",
+        ]
     )
 
     total = round(sum(timings.values()), 3)

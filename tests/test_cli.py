@@ -498,6 +498,30 @@ def test_cli_view_refresh(spark, tmp_path, capsys):
     assert got == {("a", 1): 1, ("b", 3): 1}
 
 
+def test_cli_topk_view_refresh(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 4, 5)],
+        "g string, id long, m long").coalesce(1))
+    base = ["topk-view-refresh", "--warehouse", wh, "--database", "db",
+            "--table", "src", "--view", "board", "--keys", "g",
+            "--metric", "m", "--id-col", "id", "-k", "2"]
+    assert main(base) == 0
+    got = {(r["g"], r["id"]): r["rk"]
+           for r in cat.table("db", "board").read(spark).collect()}
+    assert got == {("a", 3): 1, ("a", 2): 2, ("b", 4): 1}
+    assert main(base) == 0
+    assert "already current" in capsys.readouterr().out
+    cat.delete_where("db", "src", F.col("id") == 3)  # rescan path
+    assert main(base) == 0
+    got = {(r["g"], r["id"]): r["rk"]
+           for r in cat.table("db", "board").read(spark).collect()}
+    assert got == {("a", 2): 1, ("a", 1): 2, ("b", 4): 1}
+
+
 def test_cli_join_view_refresh(spark, tmp_path, capsys):
     from pyspark.sql import functions as F
 
