@@ -680,6 +680,51 @@ def refresh_view_changelog(
     return head.snapshot_id
 
 
+def _marker_feed_maintainer(
+    spark: SparkSession,
+    catalog,
+    tables,
+    do_refresh,
+    view_database: str,
+    view_table: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None,
+    view_keep_last: int | None,
+):
+    """Shared chassis of the changelog-backed view maintainers: one
+    synchronous refresh first (pre-marker history + immediate
+    freshness), then a file-source tail over the UNION of the given
+    tables' commit-marker feeds, each micro-batch re-running the
+    refresh — folding watermark→head makes batching irrelevant and
+    replays no-ops — and trimming the view history when something
+    folded."""
+    do_refresh()
+    feeds = []
+    for tbl in tables:
+        mdir = os.path.join(tbl.root, "metadata", "commits")
+        os.makedirs(mdir, exist_ok=True)  # pre-marker / pre-first-commit tables
+        reader = spark.readStream.schema("snapshot_id long, operation string")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        feeds.append(reader.option("pathGlobFilter", "*.json").json(mdir))
+    events = feeds[0]
+    for f in feeds[1:]:
+        events = events.unionByName(f)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if do_refresh() is not None and view_keep_last is not None:
+            catalog.expire_snapshots(
+                view_database, view_table, keep_last=view_keep_last
+            )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def refresh_topk_view(
     spark: SparkSession,
     catalog,
@@ -966,36 +1011,51 @@ def maintain_join_view_changelog(
     kinds = dict(
         sum_cols=sum_cols, moment_cols=moment_cols, minmax_cols=minmax_cols
     )
-    refresh_join_view(
-        spark, catalog, a_database, a_table, b_database, b_table,
-        view_database, view_table, on, keys, **kinds,
-    )
-    feeds = []
-    for tbl in (catalog.table(a_database, a_table),
-                catalog.table(b_database, b_table)):
-        mdir = os.path.join(tbl.root, "metadata", "commits")
-        os.makedirs(mdir, exist_ok=True)
-        reader = spark.readStream.schema("snapshot_id long, operation string")
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        feeds.append(reader.option("pathGlobFilter", "*.json").json(mdir))
-    events = feeds[0].unionByName(feeds[1])
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        folded = refresh_join_view(
+    def do_refresh():
+        return refresh_join_view(
             spark, catalog, a_database, a_table, b_database, b_table,
             view_database, view_table, on, keys, **kinds,
         )
-        if folded is not None and view_keep_last is not None:
-            catalog.expire_snapshots(
-                view_database, view_table, keep_last=view_keep_last
-            )
 
-    return (
-        events.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _marker_feed_maintainer(
+        spark, catalog,
+        [catalog.table(a_database, a_table), catalog.table(b_database, b_table)],
+        do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
+    )
+
+
+def maintain_topk_view_changelog(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    view_database: str,
+    view_table: str,
+    keys: list[str],
+    metric_col: str,
+    id_col: str,
+    k: int,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming wrapper around :func:`refresh_topk_view`: the
+    leaderboard stays fresh off the source's commit-marker feed with
+    the same fold-to-head / replay-no-op semantics as the other
+    changelog maintainers."""
+
+    def do_refresh():
+        return refresh_topk_view(
+            spark, catalog, src_database, src_table,
+            view_database, view_table, keys, metric_col, id_col, k,
+        )
+
+    return _marker_feed_maintainer(
+        spark, catalog, [catalog.table(src_database, src_table)],
+        do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
     )
 
 
@@ -1040,31 +1100,15 @@ def maintain_view_changelog(
         sum_cols=sum_cols, minmax_cols=minmax_cols, moment_cols=moment_cols,
         distinct_col=distinct_col,
     )
-    refresh_view_changelog(
-        spark, catalog, src_database, src_table,
-        view_database, view_table, keys, **kinds,
-    )
-    src = catalog.table(src_database, src_table)
-    marker_dir = os.path.join(src.root, "metadata", "commits")
-    os.makedirs(marker_dir, exist_ok=True)  # pre-marker / pre-first-commit tables
-    reader = spark.readStream.schema("snapshot_id long, operation string")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.option("pathGlobFilter", "*.json").json(marker_dir)
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        folded = refresh_view_changelog(
+    def do_refresh():
+        return refresh_view_changelog(
             spark, catalog, src_database, src_table,
             view_database, view_table, keys, **kinds,
         )
-        if folded is not None and view_keep_last is not None:
-            catalog.expire_snapshots(
-                view_database, view_table, keep_last=view_keep_last
-            )
 
-    return (
-        events.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _marker_feed_maintainer(
+        spark, catalog, [catalog.table(src_database, src_table)],
+        do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
     )

@@ -360,6 +360,38 @@ def test_topk_delta_insert_evict_and_rescan(spark):
     assert got == {("a", 6): 1, ("a", 2): 2}  # id=2 (20) resurrected
 
 
+def test_maintain_topk_view_changelog_stream(spark, tmp_path):
+    """Streaming leaderboard maintenance through the shared marker-
+    feed chassis: drains fold commits exactly; re-drain no-ops."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_topk_view_changelog,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, "g string, id long, m long").coalesce(1)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_topk_view_changelog(
+            spark, cat, "db", "src", "db", "board",
+            keys=["g"], metric_col="m", id_col="id", k=2,
+            checkpoint_dir=ckpt,
+        ).awaitTermination()
+
+    cat.write("db", "src", mk([("a", 1, 10), ("a", 2, 20), ("a", 3, 30)]))
+    drain()
+    vt = cat.table("db", "board")
+    got = {r["id"]: r["rk"] for r in vt.read(spark).collect()}
+    assert got == {3: 1, 2: 2}
+    cat.delete_where("db", "src", F.col("id") == 3, mode="merge-on-read")
+    drain()
+    got = {r["id"]: r["rk"] for r in vt.read(spark).collect()}
+    assert got == {2: 1, 1: 2}
+    drain()  # idempotent
+    got = {r["id"]: r["rk"] for r in vt.read(spark).collect()}
+    assert got == {2: 1, 1: 2}
+
+
 def test_refresh_topk_view_exact_under_mutation(spark, tmp_path):
     """Changelog-driven top-k view over a catalog table: appends, a
     COW delete of ranked rows and a MOR delete fold exactly with
