@@ -728,20 +728,27 @@ def hamming_batch_against_index(
     band_cols: list[str],
     max_hamming: int,
     id_col: str = "doc_id",
+    index_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental image-dedup ingest: which NEW signatures sit within
     ``max_hamming`` bits of something already in the corpus? The
     per-ingest twin of :func:`banded_hamming_pairs`, shaped like
     :func:`dedup_batch_against_corpus`'s band-index lookup: the
-    batch's band rows equi-join the accumulated corpus signature
-    table on (band, value) — a batch-sized probe (AQE broadcasts the
-    batch side when small), never an index rescan and never all
-    pairs. Persist ``index_sig`` (id + band columns) in a catalog
-    table and append each accepted batch's signatures to make ingest
-    O(batch) at any corpus size. Ids must be disjoint across the two
-    inputs. Returns (id_a from the batch, id_b from the corpus,
-    hamming ≤ max_hamming), exact popcount verify; same pigeonhole
-    recall guard as :func:`banded_hamming_pairs`."""
+    batch's band rows equi-join the corpus's band rows on (band,
+    value) — a batch-sized probe (AQE broadcasts the batch side when
+    small), never all pairs, and the corpus is never re-decoded or
+    re-hashed: the probe touches only the compact signature table
+    (one id plus a few ints per image). Persist ``index_sig`` in a
+    catalog table and append each accepted batch's signatures to make
+    ingest decode-free at any corpus size; to also skip the per-batch
+    explode and enable (band, value) clustering/bucketing of the
+    index, persist the EXPLODED band rows once and pass them as
+    ``index_blocks`` (columns: ``{id_col}``, the band columns,
+    ``band``, ``blk`` — the shape this function derives internally).
+    Ids must be disjoint across the two inputs. Returns (id_a from
+    the batch, id_b from the corpus, hamming ≤ max_hamming), exact
+    popcount verify; same pigeonhole recall guard as
+    :func:`banded_hamming_pairs`."""
     if max_hamming >= len(band_cols):
         raise ValueError(
             f"max_hamming={max_hamming} needs more bands than distance "
@@ -760,7 +767,14 @@ def hamming_batch_against_index(
     # the batch is signatured once (it is typically the output of a
     # decode+hash pass); the index side is a plain table scan
     a = blocks(batch_sig.select(id_col, *band_cols).localCheckpoint(eager=True), "a")
-    b = blocks(index_sig.select(id_col, *band_cols), "b")
+    if index_blocks is not None:
+        b = index_blocks.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"__b_{c}") for c in band_cols],
+            "band", "blk",
+        )
+    else:
+        b = blocks(index_sig.select(id_col, *band_cols), "b")
     ham = None
     for c in band_cols:
         d = F.bit_count(F.col(f"__a_{c}").bitwiseXOR(F.col(f"__b_{c}")))

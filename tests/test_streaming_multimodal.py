@@ -800,6 +800,20 @@ def test_hamming_batch_against_index_equals_bruteforce(spark):
         for a in batch_ids for b in corpus_ids if ham(a, b) <= 3
     )
     assert got == want and len(got) >= 3  # 1,2→0; 5→4; 1001→1000
+    # a persisted pre-exploded band table gives the same pairs
+    arr = F.array("p0", "p1", "p2", "p3")
+    pre = sig.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "p0", "p1", "p2", "p3",
+        F.posexplode(arr).alias("band", "blk"),
+    )
+    got2 = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_batch_against_index(
+            sig.where(F.col("doc_id") % 4 != 0), None,
+            ["p0", "p1", "p2", "p3"], max_hamming=3, index_blocks=pre,
+        ).collect()
+    )
+    assert got2 == want
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_batch_against_index(sig, sig, ["p0", "p1"], max_hamming=2)
 
