@@ -385,6 +385,36 @@ def derive_distinct(aux: DataFrame, keys: list[str], col: str) -> DataFrame:
     )
 
 
+def derive_quantiles(
+    aux: DataFrame, keys: list[str], col: str, qs: list[float]
+) -> DataFrame:
+    """EXACT discrete quantiles (median included) off the same
+    counted auxiliary a distinct view stores — the point of keeping
+    per-(group, value) multiplicities is that ORDER STATISTICS become
+    deletable too, which no mergeable sketch offers exactly. Rule
+    (pinned so an independent engine can replay it): quantile q =
+    the group's smallest non-null value whose cumulative multiplicity
+    reaches ``ceil(q × n)`` (1-indexed rank over the n non-null
+    rows). Cost: one window pass over the AUX (distinct-value sized,
+    not row sized) plus an aggregate; emitted as ``p{q×100}_{col}``
+    columns alongside ``group_count`` (non-null rows)."""
+    nn = aux.where(F.col(col).isNotNull())
+    w = _W.partitionBy(*keys).orderBy(F.col(col).asc())
+    cum = F.sum(F.col(_COUNT)).over(w)
+    tot = F.sum(F.col(_COUNT)).over(_W.partitionBy(*keys))
+    ranked = nn.select(*keys, F.col(col), F.col(_COUNT), cum.alias("__cum"),
+                       tot.alias("__tot"))
+    aggs = [F.sum(F.col(_COUNT)).alias(_COUNT)]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("__tot"))
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col(col))).alias(
+                f"p{int(round(q * 100))}_{col}"
+            )
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # Join views: Δ(A ⋈ B) from the two sides' changelogs
 # ---------------------------------------------------------------------------

@@ -1723,6 +1723,82 @@ def incremental_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_quantile_view",
+    tags=("migration", "cdc", "agg"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority, CAST(o_custkey AS BIGINT) AS cust,
+         o_orderkey % 3 AS band
+  FROM orders),
+f AS (SELECT * FROM o WHERE NOT (band < 2 AND (cust % 5 = 0 OR cust % 7 = 0))),
+a AS (SELECT priority, cust AS v, COUNT(*) AS c
+      FROM f WHERE cust IS NOT NULL GROUP BY priority, cust),
+b AS (SELECT priority, v,
+             SUM(c) OVER (PARTITION BY priority ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY priority) AS tot
+      FROM a)
+SELECT priority, CAST(MIN(tot) AS BIGINT) AS group_count,
+       MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN v END) AS p25_cust,
+       MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN v END) AS p50_cust,
+       MIN(CASE WHEN cum >= CEIL(0.75 * tot) THEN v END) AS p75_cust
+FROM b GROUP BY priority
+""",
+)
+def incremental_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT deletable quantiles (median included) from the SAME
+    counted auxiliary the distinct view stores: per-(group, value)
+    multiplicities make order statistics incrementally maintainable —
+    the fold is the self-maintainable COUNT merge
+    (`ivm.apply_distinct_delta`), and `ivm.derive_quantiles` reads
+    q ∈ {¼, ½, ¾} at query time as the smallest value whose
+    cumulative multiplicity reaches ceil(q·n) — a rule an independent
+    engine replays exactly (quantile fractions chosen binary-exact so
+    double vs decimal literal arithmetic cannot diverge). Same
+    mutation history as the distinct carrier: appends, a COW delete,
+    a MOR position delete, a final append. No mergeable sketch offers
+    deletable exact medians; the aux (distinct-value sized) is the
+    honest cost."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_iqv_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").cast("long").alias("cust"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "db", "orders_iqv", "db", "iqv_aux")
+        kw = dict(keys=["priority"], distinct_col="cust")
+        for b in range(2):
+            cat.write("db", "orders_iqv", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+            refresh_view_changelog(*args, **kw)
+        cat.delete_where("db", "orders_iqv", F.pmod(F.col("cust"), F.lit(5)) == 0,
+                         committed_at=_T[2])
+        refresh_view_changelog(*args, **kw)
+        cat.delete_where("db", "orders_iqv", F.pmod(F.col("cust"), F.lit(7)) == 0,
+                         mode="merge-on-read", committed_at=_T[3])
+        refresh_view_changelog(*args, **kw)
+        cat.write("db", "orders_iqv", o.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[4])
+        refresh_view_changelog(*args, **kw)
+        aux = cat.table("db", "iqv_aux").read(spark)
+        view = ivm.derive_quantiles(
+            aux, ["priority"], "cust", [0.25, 0.5, 0.75]
+        ).select(
+            "priority", F.col("group_count").cast("long").alias("group_count"),
+            "p25_cust", "p50_cust", "p75_cust",
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "incremental_join_view",
     tags=("migration", "cdc", "agg", "join"),
     oracle="""

@@ -474,6 +474,39 @@ def test_refresh_distinct_view_exact_under_mutation(spark, tmp_path):
     assert out() == {"a": (2, 3)}  # values {1, 9}; rows (a,1)x2 + (a,9)
 
 
+def test_derive_quantiles_exact_under_deletes(spark):
+    """Exact order statistics off the counted aux: the median follows
+    inserts AND deletes (including deleting one copy of a duplicated
+    value), nulls are excluded, and the rule matches a brute-force
+    rank computation."""
+    import math
+
+    rows = [("a", v) for v in (1, 2, 2, 3, 10)] + [("a", None), ("b", 7)]
+    aux = ivm.grouped_distinct_aux(
+        spark.createDataFrame(rows, "g string, v long"), ["g"], "v"
+    )
+    q = ivm.derive_quantiles(aux, ["g"], "v", [0.25, 0.5, 0.75])
+    got = {r["g"]: (r["group_count"], r["p25_v"], r["p50_v"], r["p75_v"])
+           for r in q.collect()}
+    # a: sorted [1,2,2,3,10] → ranks ceil(.25*5)=2, ceil(.5*5)=3, ceil(.75*5)=4
+    assert got == {"a": (5, 2, 2, 3), "b": (1, 7, 7, 7)}
+    # delete one copy of the duplicated 2 and the max → median shifts
+    cl = _cl(spark, [("a", 2, "delete"), ("a", 10, "delete")])
+    aux2 = ivm.apply_distinct_delta(aux, cl, ["g"], "v")
+    q2 = ivm.derive_quantiles(aux2, ["g"], "v", [0.5])
+    got2 = {r["g"]: (r["group_count"], r["p50_v"]) for r in q2.collect()}
+    assert got2 == {"a": (3, 2), "b": (1, 7)}  # [1,2,3] → median 2
+
+    # brute-force identity on a random-ish multiset
+    vals = [((i * 37) % 11, 1 + (i * 53) % 17) for i in range(40)]
+    df = spark.createDataFrame([("g", v) for _, v in vals], "g string, v long")
+    aux3 = ivm.grouped_distinct_aux(df, ["g"], "v")
+    out = ivm.derive_quantiles(aux3, ["g"], "v", [0.25, 0.5, 0.75]).collect()[0]
+    s = sorted(v for _, v in vals)
+    for frac, name in ((0.25, "p25_v"), (0.5, "p50_v"), (0.75, "p75_v")):
+        assert out[name] == s[math.ceil(frac * len(s)) - 1]
+
+
 def test_join_delta_bilinearity(spark):
     """delta(A⋈B) from the three bilinearity terms equals a recompute
     of the new join — including the ΔA⋈ΔB cross term with its sign
