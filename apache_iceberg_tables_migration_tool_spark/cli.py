@@ -512,19 +512,26 @@ def cmd_view_refresh(args: argparse.Namespace) -> int:
         args.view_database or args.database, args.view,
         keys=args.keys.split(","), **kinds,
     )
+    wants_read = args.kind == "distinct" and args.quantiles
     if folded is None:
         print("-- view already current (nothing to fold)")
-    else:
+    if folded is not None or wants_read:
         vdb = args.view_database or args.database
         vt = cat.table(vdb, args.view)
         out = vt.read(spark)
-        if args.kind == "distinct":  # stored aux → derived distinct counts
+        if args.kind == "distinct":  # stored aux → derived read-time stats
             from apache_iceberg_tables_migration_tool_spark.operators.ivm import (
                 derive_distinct,
+                derive_quantiles,
             )
 
-            out = derive_distinct(out, args.keys.split(","), cols[0])
-        print(f"-- folded to source snapshot {folded}; view rows:")
+            if args.quantiles:
+                qs = [float(x) for x in args.quantiles.split(",")]
+                out = derive_quantiles(out, args.keys.split(","), cols[0], qs)
+            else:
+                out = derive_distinct(out, args.keys.split(","), cols[0])
+        if folded is not None:
+            print(f"-- folded to source snapshot {folded}; view rows:")
         for r in out.limit(args.limit).collect():
             print(r)
     return 0
@@ -871,6 +878,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cols", required=True, help="comma-separated value columns")
     sp.add_argument("--kind", choices=["sum", "minmax", "moment", "distinct"],
                     default="sum")
+    sp.add_argument("--quantiles", default=None,
+                    help="with --kind distinct: comma-separated fractions — "
+                    "print exact quantiles (derive_quantiles) off the stored "
+                    "aux instead of distinct counts")
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_view_refresh)

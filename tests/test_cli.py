@@ -496,6 +496,10 @@ def test_cli_view_refresh(spark, tmp_path, capsys):
     got = {(r["g"], r["v"]): r["group_count"]
            for r in cat.table("db", "d_view").read(spark).collect()}
     assert got == {("a", 1): 1, ("b", 3): 1}
+    # same aux serves exact quantiles at read time
+    assert main([*base[:8], "d_view", *base[9:], "--kind", "distinct",
+                 "--quantiles", "0.5"]) == 0
+    assert "p50_v" in capsys.readouterr().out
 
 
 def test_cli_topk_view_refresh(spark, tmp_path, capsys):
