@@ -577,7 +577,14 @@ def cmd_join_view_refresh(args: argparse.Namespace) -> int:
 
     spark = _spark(args.cpus)
     cat = SnapCatalog(args.warehouse)
-    kinds = {args.kind + "_cols": args.cols.split(",")}
+    jcols = args.cols.split(",")
+    if args.kind == "distinct":
+        if len(jcols) != 1:
+            print("-- --kind distinct takes exactly one column")
+            return 2
+        kinds = {"distinct_col": jcols[0]}
+    else:
+        kinds = {args.kind + "_cols": jcols}
     vdb = args.view_database or args.database
     folded = refresh_join_view(
         spark, cat, args.database, args.table,
@@ -924,7 +931,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--on", required=True, help="comma-separated join keys")
     sp.add_argument("--keys", required=True, help="comma-separated group keys")
     sp.add_argument("--cols", required=True, help="comma-separated value columns")
-    sp.add_argument("--kind", choices=["sum", "moment", "minmax"], default="sum")
+    sp.add_argument("--kind", choices=["sum", "moment", "minmax", "distinct"],
+                    default="sum")
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_join_view_refresh)

@@ -800,15 +800,18 @@ def refresh_join_view(
     sum_cols: list[str] | None = None,
     moment_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    distinct_col: str | None = None,
 ) -> tuple[int, int] | None:
     """One incremental refresh of a grouped rollup over the inner
     equi-join ``A ⋈ B``, driven by BOTH sides' changelogs — the
     two-table rung of the IVM ladder (single-table COUNT/SUM, MIN/MAX
-    and moments live in :func:`refresh_view_changelog`). Three view
+    and moments live in :func:`refresh_view_changelog`). Four view
     kinds: ``sum_cols`` → COUNT/SUM; ``moment_cols`` → COUNT/Σv/Σv²
     raw moments (derive AVG/VAR at read time with
-    :func:`~...operators.ivm.derive_stats`) — both self-maintainable
-    under the signed joined delta; ``minmax_cols`` → COUNT/MIN/MAX,
+    :func:`~...operators.ivm.derive_stats`); ``distinct_col`` → the
+    counted per-(group, value) auxiliary (read COUNT(DISTINCT) or
+    exact quantiles off it) — all three self-maintainable under the
+    signed joined delta; ``minmax_cols`` → COUNT/MIN/MAX,
     where a delete touching a group's extremum triggers
     :func:`~...operators.ivm.apply_minmax_delta`'s affected-group
     rescan with the NEW-state join as the rescan source — the ≤256
@@ -839,13 +842,14 @@ def refresh_join_view(
     source's history."""
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
-    if sum(k is not None for k in (sum_cols, moment_cols, minmax_cols)) != 1:
+    kinds = (sum_cols, moment_cols, minmax_cols,
+             [distinct_col] if distinct_col is not None else None)
+    if sum(k is not None for k in kinds) != 1:
         raise ValueError(
-            "provide exactly one of sum_cols / moment_cols / minmax_cols"
+            "provide exactly one of sum_cols / moment_cols / minmax_cols / "
+            "distinct_col"
         )
-    vcols = next(
-        k for k in (sum_cols, moment_cols, minmax_cols) if k is not None
-    )
+    vcols = next(k for k in kinds if k is not None)
     ta = catalog.table(a_database, a_table)
     tb = catalog.table(b_database, b_table)
     ha, hb = ta.current_snapshot(), tb.current_snapshot()
@@ -929,6 +933,8 @@ def refresh_join_view(
             refreshed = ivm.grouped_aggregate(joined, keys, sum_cols)
         elif moment_cols is not None:
             refreshed = ivm.grouped_moments(joined, keys, moment_cols)
+        elif distinct_col is not None:
+            refreshed = ivm.grouped_distinct_aux(joined, keys, distinct_col)
         else:
             refreshed = ivm.grouped_minmax(joined, keys, minmax_cols)
     else:
@@ -958,6 +964,8 @@ def refresh_join_view(
         elif moment_cols is not None:
             delta = ivm.moments_delta(jd, keys, moment_cols)
             refreshed = ivm.apply_moments_delta(base, delta, keys, moment_cols)
+        elif distinct_col is not None:
+            refreshed = ivm.apply_distinct_delta(base, jd, keys, distinct_col)
         else:
             # affected-group rescan source = the NEW-state join; the
             # bounded affected-key predicate pushes through the join
@@ -992,6 +1000,7 @@ def maintain_join_view_changelog(
     checkpoint_dir: str = None,
     moment_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    distinct_col: str | None = None,
     max_files_per_trigger: int | None = None,
     view_keep_last: int = 50,
 ):
@@ -1009,7 +1018,8 @@ def maintain_join_view_changelog(
     if checkpoint_dir is None:
         raise ValueError("checkpoint_dir is required")
     kinds = dict(
-        sum_cols=sum_cols, moment_cols=moment_cols, minmax_cols=minmax_cols
+        sum_cols=sum_cols, moment_cols=moment_cols, minmax_cols=minmax_cols,
+        distinct_col=distinct_col,
     )
 
     def do_refresh():

@@ -700,6 +700,53 @@ def test_refresh_join_view_moments_kind(spark, tmp_path):
         )
 
 
+def test_refresh_join_view_distinct_kind(spark, tmp_path):
+    """distinct_col join views: the counted aux folds under the
+    signed joined delta (a value's multiplicity in the JOIN is
+    match-count shaped — one A-side delete subtracts every joined
+    copy), so COUNT(DISTINCT) and exact quantiles over A⋈B stay
+    recompute-equal through mutations on both sides."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 10), (2, 4), (3, 7)],
+        "ok long, qty long").coalesce(1))
+    args = (spark, cat, "db", "a", "db", "b", "db", "djv")
+    kw = dict(on=["ok"], keys=["p"], distinct_col="qty")
+    refresh_join_view(*args, **kw)
+    vt = cat.table("db", "djv")
+
+    def recompute():
+        a = cat.table("db", "a").read(spark)
+        b = cat.table("db", "b").read(spark)
+        return ivm.grouped_distinct_aux(a.join(b, ["ok"]), ["p"], "qty")
+
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {r["p"]: (r["distinct_qty"], r["group_count"])
+           for r in ivm.derive_distinct(vt.read(spark), ["p"], "qty").collect()}
+    assert got == {"x": (2, 4), "y": (1, 1)}  # x: {10(x3), 4}
+    # delete A ok=1 (removes TWO joined copies of qty=10), MOR delete
+    # one b row, append on both sides — one fold
+    cat.delete_where("db", "a", F.col("ok") == 1)
+    cat.delete_where("db", "b", F.col("qty") == 4, mode="merge-on-read")
+    cat.write("db", "a", spark.createDataFrame([(4, "y")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame([(4, 7)], "ok long, qty long"))
+    refresh_join_view(*args, **kw)
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {r["p"]: (r["distinct_qty"], r["group_count"])
+           for r in ivm.derive_distinct(vt.read(spark), ["p"], "qty").collect()}
+    assert got == {"x": (1, 1), "y": (1, 2)}
+    # exact quantiles read off the same maintained join aux
+    med = {r["p"]: r["p50_qty"] for r in ivm.derive_quantiles(
+        vt.read(spark), ["p"], "qty", [0.5]).collect()}
+    assert med == {"x": 10, "y": 7}
+
+
 def test_refresh_join_view_minmax_kind(spark, tmp_path):
     """minmax_cols join views: inserts fold arithmetically; a delete
     that kills a group's extremum (on EITHER side of the join)
