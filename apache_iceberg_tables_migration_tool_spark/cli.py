@@ -603,6 +603,37 @@ def cmd_join_view_refresh(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_topk_join_view_refresh(args: argparse.Namespace) -> int:
+    """Joined-leaderboard refresh — the operable face of
+    `streaming/pipelines.refresh_topk_join_view` (run after commits
+    land on either side, or on a schedule)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_join_view,
+    )
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    vdb = args.view_database or args.database
+    keys = args.keys.split(",")
+    folded = refresh_topk_join_view(
+        spark, cat, args.database, args.table,
+        args.b_database or args.database, args.b_table,
+        vdb, args.view,
+        on=args.on.split(","), keys=keys, metric_col=args.metric,
+        id_cols=args.id_cols.split(","), k=args.k,
+    )
+    if folded is None:
+        print("-- view already current (nothing to fold)")
+    else:
+        vt = cat.table(vdb, args.view)
+        print(f"-- folded to source snapshots (a={folded[0]}, b={folded[1]}); "
+              "view rows:")
+        for r in vt.read(spark).orderBy(*keys, "rk").limit(args.limit).collect():
+            print(r)
+    return 0
+
+
 def cmd_corpus_build(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans.corpus import build_corpus
     from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
@@ -936,6 +967,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_join_view_refresh)
+
+    sp = sub.add_parser(
+        "topk-join-view-refresh",
+        help="changelog-driven TOP-K view over A ⋈ B: keep the k "
+        "highest-metric joined rows per group fresh from both sides' "
+        "changelogs (bilinearity delta, net-signed fold, per-side "
+        "watermarks in the view commit)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True, help="side-A namespace")
+    sp.add_argument("--table", required=True, help="side-A table")
+    sp.add_argument("--b-table", required=True, help="side-B table")
+    sp.add_argument("--b-database", default=None,
+                    help="side-B namespace (default: --database)")
+    sp.add_argument("--view", required=True, help="view table name")
+    sp.add_argument("--view-database", default=None,
+                    help="view namespace (default: --database)")
+    sp.add_argument("--on", required=True, help="comma-separated join keys")
+    sp.add_argument("--keys", required=True, help="comma-separated group keys")
+    sp.add_argument("--metric", required=True, help="ranking metric column")
+    sp.add_argument("--id-cols", required=True,
+                    help="comma-separated columns identifying a joined row "
+                    "(cover the finer side's primary key)")
+    sp.add_argument("-k", type=int, default=10, help="rows kept per group")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_topk_join_view_refresh)
 
     sp = sub.add_parser(
         "corpus-build",

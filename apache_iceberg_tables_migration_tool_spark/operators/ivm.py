@@ -228,23 +228,34 @@ def apply_minmax_delta(
 from pyspark.sql import Window as _W
 
 
-def _topk_rank(keys: list[str], metric_col: str, id_col: str):
-    """The view's total order: metric DESC, id ASC tiebreak — a
+def _id_list(id_cols: str | list[str]) -> list[str]:
+    """Top-k ids may be COMPOSITE (a joined row's identity is the
+    concatenation of both sides' primary keys); a bare string means a
+    single-column id."""
+    return [id_cols] if isinstance(id_cols, str) else list(id_cols)
+
+
+def _topk_rank(keys: list[str], metric_col: str, id_cols: str | list[str]):
+    """The view's total order: metric DESC, id(s) ASC tiebreak — a
     DETERMINISTIC ranking, so view ≡ recompute is well-defined under
     ties (and an oracle can replay it)."""
     return F.row_number().over(
-        _W.partitionBy(*keys).orderBy(F.col(metric_col).desc(), F.col(id_col).asc())
+        _W.partitionBy(*keys).orderBy(
+            F.col(metric_col).desc(),
+            *[F.col(c).asc() for c in _id_list(id_cols)],
+        )
     )
 
 
 def grouped_topk(
-    df: DataFrame, keys: list[str], metric_col: str, id_col: str, k: int
+    df: DataFrame, keys: list[str], metric_col: str, id_cols: str | list[str], k: int
 ) -> DataFrame:
     """Full-recompute form of the top-k view: the ≤k highest-metric
     rows per group with their rank."""
+    ids = _id_list(id_cols)
     return (
-        df.select(*keys, id_col, metric_col)
-        .withColumn("rk", _topk_rank(keys, metric_col, id_col))
+        df.select(*keys, *ids, metric_col)
+        .withColumn("rk", _topk_rank(keys, metric_col, ids))
         .where(F.col("rk") <= k)
     )
 
@@ -255,8 +266,9 @@ def apply_topk_delta(
     current: DataFrame,
     keys: list[str],
     metric_col: str,
-    id_col: str,
+    id_cols: str | list[str],
     k: int,
+    collapse: str = "last",
 ) -> DataFrame:
     """Merge a changelog slice into a top-k view (``grouped_topk``
     shape). A group must RESCAN from ``current`` exactly when the
@@ -268,40 +280,69 @@ def apply_topk_delta(
     prune with a shuffle null-safe left-semi join. Every other group
     merges by re-ranking its stored rows plus the slice's inserted
     candidates — changes to UNSTORED rows can only push the boundary
-    up, never down. Ids are assumed unique per live row (the usual
-    primary-key contract of a leaderboard).
+    up, never down. Ids (possibly composite — a joined row's identity
+    is both sides' primary keys) are assumed unique per live row.
 
-    Intra-slice churn: a multi-commit slice can insert a row and
-    delete it again (or update it repeatedly), so the slice is first
-    collapsed to each (group, id)'s LAST change — ordered by
-    ``_commit_order`` when present, insert outranking delete inside
-    one commit (an update's insert is the survivor). Without the
-    collapse a dead intra-slice insert would fold as live (pinned by
-    the carrier's COW-delete-after-append history)."""
-    ocol = (
-        F.col("_commit_order")
-        if "_commit_order" in changelog.columns
-        else F.lit(0)
-    )
-    last = changelog.withColumn(
-        "__rn",
-        F.row_number().over(
-            _W.partitionBy(*keys, id_col).orderBy(
-                ocol.desc(), F.col("_change_type").desc()
+    Intra-slice churn is collapsed per ``collapse`` mode:
+
+    ``"last"`` (catalog changelogs): each (group, id) keeps its LAST
+    change — ordered by ``_commit_order`` when present, insert
+    outranking delete inside one commit (an update's insert is the
+    survivor). Without the collapse a dead intra-slice insert would
+    fold as live (pinned by the carrier's COW-delete-after-append
+    history).
+
+    ``"net"`` (signed multisets, e.g. :func:`join_delta` output):
+    commit order does not exist and the SAME logical row can carry
+    several +/− entries that must cancel exactly (a joined row whose
+    two factor rows both died appears −1, −1, +1 = net −1). Rows are
+    netted per (group, id, metric) by summing signs; net 0 vanishes
+    — marking such a group affected would needlessly rescan it."""
+    ids = _id_list(id_cols)
+    if collapse == "last":
+        ocol = (
+            F.col("_commit_order")
+            if "_commit_order" in changelog.columns
+            else F.lit(0)
+        )
+        last = changelog.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy(*keys, *ids).orderBy(
+                    ocol.desc(), F.col("_change_type").desc()
+                )
+            ),
+        ).where(F.col("__rn") == 1)
+    elif collapse == "net":
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        last = (
+            changelog.groupBy(*keys, *ids, metric_col)
+            .agg(F.sum(sign).alias("__net"))
+            .where(F.col("__net") != 0)
+            .withColumn(
+                "_change_type",
+                F.when(F.col("__net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
             )
-        ),
-    ).where(F.col("__rn") == 1)
+            .drop("__net")
+        )
+    else:
+        raise ValueError(f"collapse must be 'last' or 'net', got {collapse!r}")
     ins = last.where(F.col("_change_type") == "insert").select(
-        *keys, id_col, metric_col
+        *keys, *ids, metric_col
     )
     # ANY net change touching a stored id (delete, or an update whose
     # surviving version may rank lower) makes its group rescan
-    changed = last.select(*keys, id_col)
+    changed = last.select(*keys, *ids)
     kcond = None
     for c in keys:
         eq = F.col(f"__b.{c}").eqNullSafe(F.col(f"__d.{c}"))
         kcond = eq if kcond is None else (kcond & eq)
-    kcond = kcond & (F.col(f"__b.{id_col}") == F.col(f"__d.{id_col}"))
+    for c in ids:
+        kcond = kcond & (F.col(f"__b.{c}") == F.col(f"__d.{c}"))
     akeys = (
         base.alias("__b")
         .join(changed.alias("__d"), kcond, "left_semi")
@@ -310,7 +351,7 @@ def apply_topk_delta(
         .localCheckpoint(eager=False)
     )
 
-    stored = base.select(*keys, id_col, metric_col)
+    stored = base.select(*keys, *ids, metric_col)
     cand = stored.unionByName(ins)
     # prune candidate rows of affected groups — those groups rescan
     acond = None
@@ -320,7 +361,7 @@ def apply_topk_delta(
     clean = (
         cand.alias("__c")
         .join(akeys.alias("__a"), acond, "left_anti")
-        .withColumn("rk", _topk_rank(keys, metric_col, id_col))
+        .withColumn("rk", _topk_rank(keys, metric_col, ids))
         .where(F.col("rk") <= k)
     )
     probe = akeys.limit(257).collect()
@@ -343,7 +384,7 @@ def apply_topk_delta(
         pruned = current.alias("__cur").join(
             akeys.alias("__ak"), rcond, "left_semi"
         )
-    return clean.unionByName(grouped_topk(pruned, keys, metric_col, id_col, k))
+    return clean.unionByName(grouped_topk(pruned, keys, metric_col, ids, k))
 
 
 # ---------------------------------------------------------------------------

@@ -1867,3 +1867,86 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(view.collect(), view.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "incremental_topk_join_view",
+    tags=("migration", "cdc", "window", "join"),
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 7 <> 0),
+b AS (
+  SELECT l_orderkey AS ok, CAST(l_linenumber AS INTEGER) AS ln,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem WHERE l_linenumber % 4 <> 0),
+j AS (SELECT priority, ok, ln, price_c FROM a JOIN b USING (ok)),
+r AS (SELECT priority, ok, ln, price_c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY priority
+                    ORDER BY price_c DESC, ok ASC, ln ASC) AS INTEGER) AS rk
+      FROM j)
+SELECT priority, ok, ln, price_c, rk FROM r WHERE rk <= 3
+""",
+)
+def incremental_topk_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K view over a JOIN — the leaderboard completing the
+    join-view family (r8; deferred from the r7 ladder as the one kind
+    needing a COMPOSITE row id through `ivm.join_delta`): the top-3
+    highest-priced lineitems per order priority over
+    ``orders ⋈ lineitem``, maintained from BOTH sides' changelogs by
+    `pipelines.refresh_topk_join_view`. The joined delta folds in
+    ``collapse="net"`` mode — a signed joined multiset has no commit
+    order, and the COW delete on orders PLUS the MOR delete on
+    lineitem landing in ONE refresh makes doubly-dead joined rows
+    carry −1,−1,+1 entries that must net to a single delete (the
+    cross term of the bilinearity identity). A joined row's identity
+    is the composite (ok, ln) — lineitem's primary key. History:
+    staggered appends exercise each single-sided delta path; the
+    joint delete fold exercises the cross term and the pruned
+    affected-group rescan through the NEW-state join. The oracle
+    recomputes the ranked join from the final logical state
+    (metric DESC, (ok, ln) ASC ties)."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_join_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_itjv_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderpriority").alias("priority"),
+            F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int").alias("band"),
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").cast("int").alias("ln"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.pmod(F.col("l_linenumber"), F.lit(2)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "db", "orders_itjv", "db", "items_itjv",
+                "db", "itjv_board")
+        kw = dict(on=["ok"], keys=["priority"], metric_col="price_c",
+                  id_cols=["ok", "ln"], k=3)
+        cat.write("db", "orders_itjv", o.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        cat.write("db", "items_itjv", li.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        refresh_topk_join_view(*args, **kw)  # initial build on partial states
+        cat.write("db", "orders_itjv", o.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[1])
+        refresh_topk_join_view(*args, **kw)  # ΔA-only fold
+        cat.write("db", "items_itjv", li.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[2])
+        refresh_topk_join_view(*args, **kw)  # ΔB-only fold
+        cat.delete_where("db", "orders_itjv", F.pmod(F.col("ok"), F.lit(7)) == 0,
+                         committed_at=_T[3])
+        cat.delete_where("db", "items_itjv", F.pmod(F.col("ln"), F.lit(4)) == 0,
+                         mode="merge-on-read", committed_at=_T[4])
+        refresh_topk_join_view(*args, **kw)  # both sides + cross term, one fold
+        view = cat.table("db", "itjv_board").read(spark).select(
+            "priority", "ok", "ln", "price_c", F.col("rk").cast("int").alias("rk")
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

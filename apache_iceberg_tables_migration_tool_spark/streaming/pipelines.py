@@ -786,6 +786,75 @@ def refresh_topk_view(
     return head.snapshot_id
 
 
+def _join_side_cols(
+    ta, tb, ha, hb, on: list[str], needed: list[str], who: str
+) -> tuple[list[str], list[str]]:
+    """Project each join side to the columns the view actually needs:
+    the join keys plus whichever non-key columns live on that side —
+    narrow time-travel scans, and :func:`~...operators.ivm.join_delta`'s
+    disjointness contract. Raises when a needed column exists on both
+    sides or neither."""
+    a_fields = set(ta.schema(snapshot_id=ha.snapshot_id).fieldNames())
+    b_fields = set(tb.schema(snapshot_id=hb.snapshot_id).fieldNames())
+    for c in needed:
+        if (c in a_fields) == (c in b_fields):
+            raise ValueError(
+                f"{who}: column {c!r} must exist on exactly one "
+                f"side of the join (in A: {c in a_fields}, in B: "
+                f"{c in b_fields}) — rename/project the sources first"
+            )
+    a_cols = list(on) + [c for c in needed if c in a_fields]
+    b_cols = list(on) + [c for c in needed if c in b_fields]
+    return a_cols, b_cols
+
+
+def _old_state(
+    spark: SparkSession,
+    tbl,
+    wm: int,
+    cols: list[str],
+    other_cl: DataFrame | None,
+    on: list[str],
+) -> DataFrame:
+    """Pre-slice state of one join side, pruned to the OTHER side's
+    delta join keys where possible: by bilinearity each old state
+    only ever joins that delta (never the other old state), and
+    inner-join null semantics make key pruning exact. A numeric
+    single-column join key prunes at the MANIFEST level — a
+    ``read_where`` key-range scan skips files whose footer bounds
+    can't contain any delta key (the 100 TB shape: a day's delta
+    against a clustered fact table reads the overlapping files,
+    not the table) — plus an exact ``isin`` filter when the
+    delta's key set is small (probed with a limit-bounded
+    collect, ≤257 rows on the driver). Everything else falls back
+    to the plain time-travel read; when ``other_cl`` is None the
+    returned frame is never executed at all."""
+    from pyspark.sql import types as T
+
+    def full():
+        return tbl.read(spark, snapshot_id=wm).select(*cols)
+
+    if other_cl is None or len(on) != 1:
+        return full()
+    k = on[0]
+    if not isinstance(tbl.schema(snapshot_id=wm)[k].dataType, T.NumericType):
+        return full()  # string footer stats may be truncated — no range trust
+    probe = (
+        other_cl.select(k).where(F.col(k).isNotNull())
+        .distinct().limit(257).collect()
+    )
+    if not probe:
+        return full().limit(0)  # no non-null delta keys: nothing joins
+    bounds = other_cl.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+    pruned = tbl.read_where(
+        spark, [(k, ">=", bounds["lo"]), (k, "<=", bounds["hi"])],
+        snapshot_id=wm,
+    ).select(*cols)
+    if len(probe) <= 256:
+        pruned = pruned.where(F.col(k).isin([r[k] for r in probe]))
+    return pruned
+
+
 def refresh_join_view(
     spark: SparkSession,
     catalog,
@@ -870,60 +939,10 @@ def refresh_join_view(
         if wm_a == ha.snapshot_id and wm_b == hb.snapshot_id:
             return None  # already current
 
-    # project each side to the columns the view actually needs: the
-    # join keys plus whichever of keys/sum_cols live on that side —
-    # narrow time-travel scans, and join_delta's disjointness contract
-    a_fields = set(ta.schema(snapshot_id=ha.snapshot_id).fieldNames())
-    b_fields = set(tb.schema(snapshot_id=hb.snapshot_id).fieldNames())
-    needed = [c for c in (*keys, *vcols) if c not in on]
-    for c in needed:
-        if (c in a_fields) == (c in b_fields):
-            raise ValueError(
-                f"refresh_join_view: column {c!r} must exist on exactly one "
-                f"side of the join (in A: {c in a_fields}, in B: "
-                f"{c in b_fields}) — rename/project the sources first"
-            )
-    a_cols = list(on) + [c for c in needed if c in a_fields]
-    b_cols = list(on) + [c for c in needed if c in b_fields]
-
-    def _old_state(tbl, wm: int, cols: list[str], other_cl: DataFrame | None):
-        """Pre-slice state of one side, pruned to the OTHER side's
-        delta join keys where possible: by bilinearity each old state
-        only ever joins that delta (never the other old state), and
-        inner-join null semantics make key pruning exact. A numeric
-        single-column join key prunes at the MANIFEST level — a
-        ``read_where`` key-range scan skips files whose footer bounds
-        can't contain any delta key (the 100 TB shape: a day's delta
-        against a clustered fact table reads the overlapping files,
-        not the table) — plus an exact ``isin`` filter when the
-        delta's key set is small (probed with a limit-bounded
-        collect, ≤257 rows on the driver). Everything else falls back
-        to the plain time-travel read; when ``other_cl`` is None the
-        returned frame is never executed at all."""
-        from pyspark.sql import types as T
-
-        def full():
-            return tbl.read(spark, snapshot_id=wm).select(*cols)
-
-        if other_cl is None or len(on) != 1:
-            return full()
-        k = on[0]
-        if not isinstance(tbl.schema(snapshot_id=wm)[k].dataType, T.NumericType):
-            return full()  # string footer stats may be truncated — no range trust
-        probe = (
-            other_cl.select(k).where(F.col(k).isNotNull())
-            .distinct().limit(257).collect()
-        )
-        if not probe:
-            return full().limit(0)  # no non-null delta keys: nothing joins
-        bounds = other_cl.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
-        pruned = tbl.read_where(
-            spark, [(k, ">=", bounds["lo"]), (k, "<=", bounds["hi"])],
-            snapshot_id=wm,
-        ).select(*cols)
-        if len(probe) <= 256:
-            pruned = pruned.where(F.col(k).isin([r[k] for r in probe]))
-        return pruned
+    a_cols, b_cols = _join_side_cols(
+        ta, tb, ha, hb, on, [c for c in (*keys, *vcols) if c not in on],
+        "refresh_join_view",
+    )
 
     if wm_a is None:
         a_new = ta.read(spark, snapshot_id=ha.snapshot_id).select(*a_cols)
@@ -954,8 +973,8 @@ def refresh_join_view(
             if wm_b != hb.snapshot_id
             else None
         )
-        a_old = _old_state(ta, wm_a, a_cols, cl_b)
-        b_old = _old_state(tb, wm_b, b_cols, cl_a)
+        a_old = _old_state(spark, ta, wm_a, a_cols, cl_b, on)
+        b_old = _old_state(spark, tb, wm_b, b_cols, cl_a, on)
         jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
         base = vt.read(spark)
         if sum_cols is not None:
@@ -1026,6 +1045,146 @@ def maintain_join_view_changelog(
         return refresh_join_view(
             spark, catalog, a_database, a_table, b_database, b_table,
             view_database, view_table, on, keys, **kinds,
+        )
+
+    return _marker_feed_maintainer(
+        spark, catalog,
+        [catalog.table(a_database, a_table), catalog.table(b_database, b_table)],
+        do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
+    )
+
+
+def refresh_topk_join_view(
+    spark: SparkSession,
+    catalog,
+    a_database: str,
+    a_table: str,
+    b_database: str,
+    b_table: str,
+    view_database: str,
+    view_table: str,
+    on: list[str],
+    keys: list[str],
+    metric_col: str,
+    id_cols: list[str] | str,
+    k: int,
+) -> tuple[int, int] | None:
+    """One incremental refresh of a TOP-K-per-group view over the
+    inner equi-join ``A ⋈ B`` — the leaderboard completing the
+    join-view family (COUNT/SUM, moments, MIN/MAX, distinct/quantile
+    live in :func:`refresh_join_view`; the single-table leaderboard in
+    :func:`refresh_topk_view`). The joined delta comes from
+    :func:`~...operators.ivm.join_delta`'s bilinearity identity —
+    only changed rows ever join the other side's (time-travel,
+    key-pruned) old state — and folds with
+    :func:`~...operators.ivm.apply_topk_delta` in ``collapse="net"``
+    mode: a signed joined multiset has no commit order, and the same
+    joined row can carry several +/− entries that must cancel exactly
+    (both factor rows dying yields −1, −1, +1 = net −1).
+
+    A joined row's identity is COMPOSITE — pass ``id_cols`` covering
+    the finer side's primary key (e.g. ``["ok", "ln"]`` for
+    orders ⋈ lineitem); together with the group keys it must identify
+    each live joined row uniquely. Groups whose stored rows are
+    touched rescan from the NEW-state join, pruned by the bounded
+    affected-key predicate, which Catalyst pushes through the join
+    into both sides' scans — only damaged groups re-join.
+
+    Watermark protocol as :func:`refresh_join_view`
+    (``ivm.src_a/b_snapshot_id`` ride in the view's own commit, so
+    refresh + advance are atomic and replays no-op). Returns the
+    (a, b) snapshot-id pair the view now reflects, or None if nothing
+    to fold."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    ta = catalog.table(a_database, a_table)
+    tb = catalog.table(b_database, b_table)
+    ha, hb = ta.current_snapshot(), tb.current_snapshot()
+    if ha is None or hb is None:
+        return None
+    vt = catalog.table(view_database, view_table)
+    wm_a = wm_b = None
+    if vt.exists() and vt.current_snapshot() is not None:
+        s = vt.current_snapshot().summary
+        if "ivm.src_a_snapshot_id" not in s or "ivm.src_b_snapshot_id" not in s:
+            raise ValueError(
+                f"{view_database}.{view_table} exists but carries no "
+                "ivm.src_a/b_snapshot_id watermarks — not a join-maintained "
+                "view; refusing to overwrite it"
+            )
+        wm_a = int(s["ivm.src_a_snapshot_id"])
+        wm_b = int(s["ivm.src_b_snapshot_id"])
+        if wm_a == ha.snapshot_id and wm_b == hb.snapshot_id:
+            return None  # already current
+    a_cols, b_cols = _join_side_cols(
+        ta, tb, ha, hb, on,
+        [c for c in (*keys, metric_col, *ids) if c not in on],
+        "refresh_topk_join_view",
+    )
+    a_new = ta.read(spark, snapshot_id=ha.snapshot_id).select(*a_cols)
+    b_new = tb.read(spark, snapshot_id=hb.snapshot_id).select(*b_cols)
+    if wm_a is None:
+        refreshed = ivm.grouped_topk(a_new.join(b_new, on), keys, metric_col, ids, k)
+    else:
+        meta = ["_change_type"]
+        cl_a = (
+            ta.changelog(spark, wm_a, ha.snapshot_id)
+            .select(*a_cols, *meta).localCheckpoint(eager=False)
+            if wm_a != ha.snapshot_id
+            else None
+        )
+        cl_b = (
+            tb.changelog(spark, wm_b, hb.snapshot_id)
+            .select(*b_cols, *meta).localCheckpoint(eager=False)
+            if wm_b != hb.snapshot_id
+            else None
+        )
+        a_old = _old_state(spark, ta, wm_a, a_cols, cl_b, on)
+        b_old = _old_state(spark, tb, wm_b, b_cols, cl_a, on)
+        jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
+        refreshed = ivm.apply_topk_delta(
+            vt.read(spark), jd, a_new.join(b_new, on),
+            keys, metric_col, ids, k, collapse="net",
+        )
+    catalog.write(
+        view_database, view_table, refreshed, mode="overwrite",
+        summary_extra={
+            "ivm.src_a_snapshot_id": str(ha.snapshot_id),
+            "ivm.src_b_snapshot_id": str(hb.snapshot_id),
+        },
+    )
+    return (ha.snapshot_id, hb.snapshot_id)
+
+
+def maintain_topk_join_view_changelog(
+    spark: SparkSession,
+    catalog,
+    a_database: str,
+    a_table: str,
+    b_database: str,
+    b_table: str,
+    view_database: str,
+    view_table: str,
+    on: list[str],
+    keys: list[str],
+    metric_col: str,
+    id_cols: list[str] | str,
+    k: int,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming wrapper around :func:`refresh_topk_join_view`: the
+    joined leaderboard stays fresh off the UNION of both sources'
+    commit-marker feeds, with the same fold-to-head / replay-no-op
+    semantics as the other changelog maintainers."""
+
+    def do_refresh():
+        return refresh_topk_join_view(
+            spark, catalog, a_database, a_table, b_database, b_table,
+            view_database, view_table, on, keys, metric_col, id_cols, k,
         )
 
     return _marker_feed_maintainer(

@@ -551,3 +551,34 @@ def test_cli_join_view_refresh(spark, tmp_path, capsys):
     got = {r["p"]: (r["group_count"], r["sum_qty"])
            for r in cat.table("db", "jv").read(spark).collect()}
     assert got == {"x": (1, 10), "y": (1, 7)}
+
+
+def test_cli_topk_join_view_refresh(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 40), (1, 12, 60), (2, 20, 7)],
+        "ok long, id long, m long").coalesce(1))
+    base = ["topk-join-view-refresh", "--warehouse", wh, "--database", "db",
+            "--table", "a", "--b-table", "b", "--view", "jboard",
+            "--on", "ok", "--keys", "p", "--metric", "m",
+            "--id-cols", "ok,id", "-k", "2"]
+    assert main(base) == 0
+    got = {(r["p"], r["id"]): r["rk"]
+           for r in cat.table("db", "jboard").read(spark).collect()}
+    assert got == {("x", 10): 1, ("x", 12): 2, ("y", 20): 1}
+    assert main(base) == 0
+    assert "already current" in capsys.readouterr().out
+    # commits on both sides fold in one refresh: kill x's #1 (rescan
+    # resurrects id=11) and append a new y fact
+    cat.delete_where("db", "b", F.col("id") == 10)
+    cat.write("db", "b", spark.createDataFrame(
+        [(2, 21, 9)], "ok long, id long, m long"))
+    assert main(base) == 0
+    got = {(r["p"], r["id"]): r["rk"]
+           for r in cat.table("db", "jboard").read(spark).collect()}
+    assert got == {("x", 12): 1, ("x", 11): 2, ("y", 21): 1, ("y", 20): 2}

@@ -949,3 +949,137 @@ def test_minmax_rescan_driver_materialization_is_bounded(spark, monkeypatch):
     assert sizes and max(sizes) <= 257
     got = sorted((r["g"], r["group_count"], r["min_v"], r["max_v"]) for r in rows)
     assert got == sorted((f"g{i}", 1, 1, 1) for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# Top-k over joins: net collapse + refresh_topk_join_view
+# ---------------------------------------------------------------------------
+
+
+def test_topk_net_collapse_cancels_signed_multiset(spark):
+    """collapse="net" is the signed-multiset fold a joined delta
+    needs: a −1,−1,+1 pile on one joined row nets to a single delete;
+    a +1,−1 pile nets to zero and must NOT mark the group affected
+    (no rescan, no resurrection of the churned row)."""
+    rows = [("a", 1, 10, 10), ("a", 1, 20, 20), ("a", 2, 30, 30)]
+    cur0 = spark.createDataFrame(rows, "g string, k long, id long, m long")
+    base = ivm.grouped_topk(cur0, ["g"], "m", ["k", "id"], 2)
+    # both factor rows of (k=2, id=30) died: the joined delta carries
+    # the row twice as delete and once (cross term) as insert
+    cl = spark.createDataFrame(
+        [
+            ("a", 2, 30, 30, "delete"),
+            ("a", 2, 30, 30, "delete"),
+            ("a", 2, 30, 30, "insert"),
+            # churn that cancels exactly: net zero, no change
+            ("a", 9, 99, 99, "insert"),
+            ("a", 9, 99, 99, "delete"),
+        ],
+        "g string, k long, id long, m long, _change_type string",
+    )
+    cur = spark.createDataFrame(rows[:2], "g string, k long, id long, m long")
+    out = ivm.apply_topk_delta(
+        base, cl, cur, ["g"], "m", ["k", "id"], 2, collapse="net"
+    )
+    want = ivm.grouped_topk(cur, ["g"], "m", ["k", "id"], 2)
+    assert _view_rows(out) == _view_rows(want)
+
+
+def test_topk_net_zero_churn_skips_rescan(spark, monkeypatch):
+    """A net-zero pile on a STORED row must not trigger the rescan:
+    patch the current state so any scan of it raises."""
+    rows = [("a", 1, 10, 10), ("a", 1, 20, 20)]
+    cur0 = spark.createDataFrame(rows, "g string, k long, id long, m long")
+    base = ivm.grouped_topk(cur0, ["g"], "m", ["k", "id"], 2)
+    cl = spark.createDataFrame(
+        [("a", 1, 20, 20, "delete"), ("a", 1, 20, 20, "insert")],
+        "g string, k long, id long, m long, _change_type string",
+    )
+
+    class Boom:
+        def __getattr__(self, name):
+            raise AssertionError("net-zero churn must not touch current state")
+
+    out = ivm.apply_topk_delta(
+        base, cl, Boom(), ["g"], "m", ["k", "id"], 2, collapse="net"
+    )
+    assert _view_rows(out) == _view_rows(base)
+
+
+def test_refresh_topk_join_view_exact_under_mutation(spark, tmp_path):
+    """Joined leaderboard over A ⋈ B maintained from both changelogs:
+    staggered appends (each single-sided delta path), then a COW
+    delete on A and a MOR delete on B folded TOGETHER (the cross term
+    — doubly-dead joined rows must net to one delete), always equal
+    to grouped_topk over the recomputed join."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    mk_a = lambda rows: spark.createDataFrame(rows, "k long, g string").coalesce(1)
+    mk_b = lambda rows: spark.createDataFrame(
+        rows, "k long, id long, m long"
+    ).coalesce(1)
+    args = (spark, cat, "db", "dim", "db", "fact", "db", "board")
+    kw = dict(on=["k"], keys=["g"], metric_col="m", id_cols=["k", "id"], k=2)
+
+    def recompute():
+        j = cat.table("db", "dim").read(spark).join(
+            cat.table("db", "fact").read(spark), ["k"]
+        )
+        return ivm.grouped_topk(j, ["g"], "m", ["k", "id"], 2)
+
+    vt = cat.table("db", "board")
+    cat.write("db", "dim", mk_a([(1, "x"), (2, "y")]))
+    cat.write("db", "fact", mk_b([(1, 10, 100), (1, 11, 50), (2, 20, 7)]))
+    assert refresh_topk_join_view(*args, **kw) is not None  # initial build
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    assert refresh_topk_join_view(*args, **kw) is None  # watermark no-op
+    cat.write("db", "dim", mk_a([(3, "x")]))
+    assert refresh_topk_join_view(*args, **kw) is not None  # ΔA only
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    cat.write("db", "fact", mk_b([(3, 30, 200), (1, 12, 60), (2, 21, 9)]))
+    assert refresh_topk_join_view(*args, **kw) is not None  # ΔB only
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    # cross term: kill dim k=1 (COW) AND its top fact row (MOR) in one
+    # fold; also evict fact id=21 so group y rescans
+    cat.delete_where("db", "dim", F.col("k") == 1)
+    cat.delete_where("db", "fact", F.col("id").isin(10, 21), mode="merge-on-read")
+    assert refresh_topk_join_view(*args, **kw) is not None
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {(r["g"], r["k"], r["id"]): r["rk"] for r in vt.read(spark).collect()}
+    assert got == {("x", 3, 30): 1, ("y", 2, 20): 1}
+
+
+def test_maintain_topk_join_view_changelog_stream(spark, tmp_path):
+    """Streaming joined leaderboard through the shared marker-feed
+    chassis: a commit on EITHER side wakes a fold; re-drain no-ops."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_topk_join_view_changelog,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_topk_join_view_changelog(
+            spark, cat, "db", "dim", "db", "fact", "db", "board",
+            on=["k"], keys=["g"], metric_col="m", id_cols=["k", "id"], k=1,
+            checkpoint_dir=ckpt,
+        ).awaitTermination()
+
+    cat.write("db", "dim", spark.createDataFrame([(1, "x")], "k long, g string"))
+    cat.write("db", "fact", spark.createDataFrame(
+        [(1, 10, 5), (1, 11, 9)], "k long, id long, m long"))
+    drain()
+    vt = cat.table("db", "board")
+    got = {(r["g"], r["id"]): r["rk"] for r in vt.read(spark).collect()}
+    assert got == {("x", 11): 1}
+    cat.delete_where("db", "fact", F.col("id") == 11, mode="merge-on-read")
+    drain()
+    got = {(r["g"], r["id"]): r["rk"] for r in vt.read(spark).collect()}
+    assert got == {("x", 10): 1}
+    drain()  # idempotent
+    got = {(r["g"], r["id"]): r["rk"] for r in vt.read(spark).collect()}
+    assert got == {("x", 10): 1}

@@ -391,3 +391,101 @@ def test_minmax_ivm_equals_recompute_on_random_tapes(spark, tape):
             key=repr,
         )
         assert sorted((tuple(r) for r in view_rows), key=repr) == want
+
+
+# ---------------------------------------------------------------------------
+# Top-k over joins: maintained joined leaderboard ≡ recompute
+# ---------------------------------------------------------------------------
+
+# a tape of rounds; each op is (side_a, kind, k_idx, val):
+#   A (dimension, pk = k ∈ {0,1,2}): kind 0 = upsert (insert, or
+#     delete+insert moving the row's GROUP), kind 1+ = delete.
+#   B (fact, pk = id): kind 0 = insert (k_idx, new id, val),
+#     kind 1 = delete a live row, kind 2 = update a live row's metric.
+_tkj_tape = st.lists(
+    st.lists(
+        st.tuples(
+            st.booleans(), st.integers(0, 2), st.integers(0, 2),
+            st.integers(-20, 20),
+        ),
+        min_size=1, max_size=7,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@given(tape=_tkj_tape)
+@settings(**_SETTINGS)
+def test_topk_join_ivm_equals_recompute_on_random_tapes(spark, tape):
+    """join_delta + apply_topk_delta(collapse="net") folded over ANY
+    consistent two-sided tape (dangling fact keys, dimension group
+    moves, cross-term double deletes, metric ties, group death)
+    equals grouped_topk recomputed over the surviving join."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    groups = ["x", "y", None]
+    a_schema = "k long, g string"
+    b_schema = "k long, id long, m long"
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    live_a: dict[int, tuple] = {}
+    live_b: dict[int, tuple] = {}
+    next_id = 0
+    view_rows: list = []
+    view_schema = None
+    for batch in tape:
+        a_old = list(live_a.values())
+        b_old = list(live_b.values())
+        ch_a, ch_b = [], []
+        for side_a, kind, kidx, val in batch:
+            if side_a:
+                if kind == 0:  # upsert: group move when k already live
+                    if kidx in live_a:
+                        ch_a.append((*live_a[kidx], "delete"))
+                    row = (kidx, groups[val % 3])
+                    live_a[kidx] = row
+                    ch_a.append((*row, "insert"))
+                elif kidx in live_a:
+                    ch_a.append((*live_a.pop(kidx), "delete"))
+            else:
+                if kind == 0 or not live_b:
+                    row = (kidx, next_id, val)
+                    live_b[next_id] = row
+                    next_id += 1
+                    ch_b.append((*row, "insert"))
+                else:
+                    victim = sorted(live_b)[val % len(live_b)]
+                    old = live_b.pop(victim)
+                    ch_b.append((*old, "delete"))
+                    if kind == 2:  # update metric, same pk
+                        row = (old[0], victim, val)
+                        live_b[victim] = row
+                        ch_b.append((*row, "insert"))
+        if not ch_a and not ch_b:
+            continue
+        cl_a = df(ch_a, a_schema + ", _change_type string") if ch_a else None
+        cl_b = df(ch_b, b_schema + ", _change_type string") if ch_b else None
+        base = (
+            df(view_rows, view_schema)
+            if view_schema is not None
+            else ivm.grouped_topk(
+                df([], a_schema).join(df([], b_schema), ["k"]),
+                ["g"], "m", ["k", "id"], 2,
+            )
+        )
+        jd = ivm.join_delta(cl_a, df(a_old, a_schema), cl_b, df(b_old, b_schema), ["k"])
+        cur = df(list(live_a.values()), a_schema).join(
+            df(list(live_b.values()), b_schema), ["k"]
+        )
+        out = ivm.apply_topk_delta(
+            base, jd, cur, ["g"], "m", ["k", "id"], 2, collapse="net"
+        )
+        view_rows, view_schema = out.collect(), out.schema
+        want = sorted(
+            (tuple(r) for r in ivm.grouped_topk(
+                cur, ["g"], "m", ["k", "id"], 2).collect()),
+            key=repr,
+        )
+        assert sorted((tuple(r) for r in view_rows), key=repr) == want
