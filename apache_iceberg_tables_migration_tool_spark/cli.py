@@ -603,6 +603,45 @@ def cmd_join_view_refresh(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_join_chain_view_refresh(args: argparse.Namespace) -> int:
+    """N-way join-chain view refresh — the operable face of
+    `streaming/pipelines.refresh_join_chain_view` (a star/snowflake
+    rollup kept fresh from ALL member tables' changelogs)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    tables = [
+        tuple(t.split(".", 1)) if "." in t else (args.database, t)
+        for t in args.tables.split(",")
+    ]
+    ons = [o.split(",") for o in args.on]
+    cols = args.cols.split(",")
+    if args.kind == "distinct":
+        if len(cols) != 1:
+            print("-- --kind distinct takes exactly one column")
+            return 2
+        kinds = {"distinct_col": cols[0]}
+    else:
+        kinds = {args.kind + "_cols": cols}
+    vdb = args.view_database or args.database
+    folded = refresh_join_chain_view(
+        spark, cat, tables, vdb, args.view,
+        ons=ons, keys=args.keys.split(","), **kinds,
+    )
+    if folded is None:
+        print("-- view already current (nothing to fold)")
+    else:
+        vt = cat.table(vdb, args.view)
+        print(f"-- folded to source snapshots {folded}; view rows:")
+        for r in vt.read(spark).limit(args.limit).collect():
+            print(r)
+    return 0
+
+
 def cmd_topk_join_view_refresh(args: argparse.Namespace) -> int:
     """Joined-leaderboard refresh — the operable face of
     `streaming/pipelines.refresh_topk_join_view` (run after commits
@@ -967,6 +1006,32 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_join_view_refresh)
+
+    sp = sub.add_parser(
+        "join-chain-view-refresh",
+        help="changelog-driven N-WAY join-chain view refresh: keep a "
+        "rollup over T0 ⋈ T1 ⋈ … fresh from every member table's "
+        "changelog (composed bilinearity; one watermark per table in "
+        "the view commit)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True,
+                    help="default namespace for --tables entries")
+    sp.add_argument("--tables", required=True,
+                    help="comma-separated chain tables, 'name' or 'db.name'")
+    sp.add_argument("--view", required=True, help="view table name")
+    sp.add_argument("--view-database", default=None,
+                    help="view namespace (default: --database)")
+    sp.add_argument("--on", action="append", required=True,
+                    help="join keys for one chain step (repeat per step; "
+                    "comma-separate composite keys)")
+    sp.add_argument("--keys", required=True, help="comma-separated group keys")
+    sp.add_argument("--cols", required=True, help="comma-separated value columns")
+    sp.add_argument("--kind", choices=["sum", "moment", "minmax", "distinct"],
+                    default="sum")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_join_chain_view_refresh)
 
     sp = sub.add_parser(
         "topk-join-view-refresh",

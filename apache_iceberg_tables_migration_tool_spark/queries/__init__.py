@@ -99,9 +99,10 @@ _DRIVER_PRIORITY = [
     # top_supplier_q15, session_window_events — they queue for r9,
     # together with the late-round-8 registrations
     # incremental_distinct_view, dedup_image_ingest_index,
-    # incremental_topk_view, incremental_quantile_view and
-    # incremental_topk_join_view (built after this window was set;
-    # sweep- and pytest-verified, register past the cap).
+    # incremental_topk_view, incremental_quantile_view,
+    # incremental_topk_join_view and incremental_join_chain_view
+    # (built after this window was set; sweep- and pytest-verified,
+    # register past the cap).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
     # bpe_train_merges stays out by the rows-only policy (window
     # keeps 100%-hash-checked).

@@ -1950,3 +1950,85 @@ def incremental_topk_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(view.collect(), view.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "incremental_join_chain_view",
+    tags=("migration", "cdc", "agg", "join"),
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 5 <> 0),
+o AS (SELECT o_custkey AS ck, o_orderkey AS ok FROM orders),
+l AS (
+  SELECT l_orderkey AS ok, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE CAST(l_quantity AS BIGINT) < 45)
+SELECT seg, COUNT(*) AS group_count, CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM c JOIN o USING (ck) JOIN l USING (ok)
+GROUP BY seg
+""",
+)
+def incremental_join_chain_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-WAY join-chain view maintenance (r8): a COUNT/SUM rollup
+    over ``customer ⋈ orders ⋈ lineitem`` — the star-schema shape
+    every warehouse dashboard rolls up — kept fresh from ALL THREE
+    changelogs by `pipelines.refresh_join_chain_view`, which composes
+    the bilinearity identity with itself (`ivm.join_delta` output
+    feeds back in as the next step's left-hand changelog; sign
+    products associate, expanding to the 2³−1 = 7 multilinear terms
+    that each touch ≥1 delta — never a full re-join). History:
+    staggered appends exercise single-sided deltas at every chain
+    position; then a COW delete on the DIM end (customer) and a MOR
+    position delete on the FACT end (lineitem) fold TOGETHER — terms
+    with two delta factors must net exactly. The oracle recomputes
+    the rollup from the final logical state."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_ijcv_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        c = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+            F.pmod(F.col("c_custkey"), F.lit(2)).cast("int").alias("band"),
+        )
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok"),
+            F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int").alias("band"),
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.pmod(F.col("l_linenumber"), F.lit(2)).cast("int").alias("band"),
+        )
+        args = (spark, cat,
+                [("db", "cust_ijcv"), ("db", "ords_ijcv"), ("db", "items_ijcv")],
+                "db", "ijcv_view")
+        kw = dict(ons=[["ck"], ["ok"]], keys=["seg"], sum_cols=["qty"])
+        for name, df in (("cust_ijcv", c), ("ords_ijcv", o), ("items_ijcv", li)):
+            cat.write("db", name, df.where(F.col("band") == 0).drop("band"),
+                      committed_at=_T[0])
+        refresh_join_chain_view(*args, **kw)  # initial build on partial states
+        cat.write("db", "cust_ijcv", c.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[1])
+        refresh_join_chain_view(*args, **kw)  # Δdim-only fold
+        cat.write("db", "ords_ijcv", o.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[2])
+        refresh_join_chain_view(*args, **kw)  # Δmid-only fold
+        cat.write("db", "items_ijcv", li.where(F.col("band") == 1).drop("band"),
+                  committed_at=_T[3])
+        refresh_join_chain_view(*args, **kw)  # Δfact-only fold
+        cat.delete_where("db", "cust_ijcv", F.pmod(F.col("ck"), F.lit(5)) == 0,
+                         committed_at=_T[4])
+        cat.delete_where("db", "items_ijcv", F.col("qty") >= 45,
+                         mode="merge-on-read", committed_at=_T[5])
+        refresh_join_chain_view(*args, **kw)  # both ends + cross terms, one fold
+        view = cat.table("db", "ijcv_view").read(spark).select(
+            "seg", "group_count", F.col("sum_qty").cast("long").alias("sum_qty")
+        )
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1158,6 +1158,256 @@ def refresh_topk_join_view(
     return (ha.snapshot_id, hb.snapshot_id)
 
 
+def _df_key_pruned(df: DataFrame, cl: DataFrame | None, on: list[str]) -> DataFrame:
+    """DataFrame-level twin of :func:`_old_state`'s key pruning for
+    ACCUMULATED old states (a join of several tables, so there is no
+    single manifest to range-scan): filter to the partner delta's
+    join keys — ≤256 distinct keys become an exact ``isin`` Catalyst
+    pushes through the join into the owning table's scan, larger
+    deltas a [min, max] range filter (exact as a filter: a row
+    outside the delta's key range cannot equal any delta key).
+    Inner-join null semantics make both prunes exact. Multi-column
+    keys fall back to the unpruned frame — the optimizer still sees
+    the delta-sized probe side and plans a broadcast join."""
+    if cl is None or len(on) != 1:
+        return df
+    k = on[0]
+    probe = (
+        cl.select(k).where(F.col(k).isNotNull()).distinct().limit(257).collect()
+    )
+    if not probe:
+        return df.limit(0)  # no non-null delta keys: the term is empty
+    if len(probe) <= 256:
+        return df.where(F.col(k).isin([r[k] for r in probe]))
+    bounds = cl.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+    return df.where((F.col(k) >= bounds["lo"]) & (F.col(k) <= bounds["hi"]))
+
+
+def refresh_join_chain_view(
+    spark: SparkSession,
+    catalog,
+    tables: list[tuple[str, str]],
+    view_database: str,
+    view_table: str,
+    ons: list[list[str]],
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    moment_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+    distinct_col: str | None = None,
+) -> tuple[int, ...] | None:
+    """One incremental refresh of a grouped rollup over an N-WAY join
+    chain ``T0 ⋈ T1 ⋈ … ⋈ Tn−1`` (star schemas included — step ``s``
+    joins the accumulated left side with ``tables[s+1]`` on
+    ``ons[s]``, whose key may live on ANY left table), driven by ALL
+    sides' changelogs. The delta comes from composing the bilinearity
+    identity with ITSELF: :func:`~...operators.ivm.join_delta` emits
+    a changelog-shaped signed multiset, so the fold feeds each step's
+    output back in as the left-hand changelog of the next step —
+    sign products associate, and the recursion expands to exactly the
+    2ⁿ−1 multilinear terms that each touch at least one delta. Work
+    per term is O(changed rows × their matches): old-state factors
+    never join each other without a delta bound somewhere in the
+    term, the per-table old scans are manifest-range-pruned against
+    their partner delta (:func:`_old_state`), accumulated old joins
+    are key-pruned with exact ``isin``/range filters
+    (:func:`_df_key_pruned`), and each intermediate delta is
+    lazily checkpointed — it is consumed by two join terms plus the
+    next step's pruning probes, and must not replay the upstream
+    delta join per consumer.
+
+    View kinds as :func:`refresh_join_view` (COUNT/SUM, raw moments,
+    COUNT/MIN/MAX with rescan-through-the-join, counted distinct
+    auxiliary); exactly one must be given. Non-key columns must each
+    exist on exactly one table; every ``ons[s]`` key must exist on
+    ``tables[s+1]`` and on exactly one of ``tables[0..s]``.
+
+    One watermark per table (``ivm.src_{i}_snapshot_id``) rides in
+    the view's own commit summary — refresh + N watermark advances
+    are one atomic commit, replays no-op. Returns the tuple of
+    snapshot ids the view now reflects, or None if nothing to fold."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    n = len(tables)
+    if n < 2:
+        raise ValueError("refresh_join_chain_view needs at least two tables")
+    if len(ons) != n - 1:
+        raise ValueError(f"expected {n - 1} join-key lists, got {len(ons)}")
+    kinds = (sum_cols, moment_cols, minmax_cols,
+             [distinct_col] if distinct_col is not None else None)
+    if sum(k is not None for k in kinds) != 1:
+        raise ValueError(
+            "provide exactly one of sum_cols / moment_cols / minmax_cols / "
+            "distinct_col"
+        )
+    vcols = next(k for k in kinds if k is not None)
+
+    tbls = [catalog.table(db, t) for db, t in tables]
+    heads = [t.current_snapshot() for t in tbls]
+    if any(h is None for h in heads):
+        return None
+    vt = catalog.table(view_database, view_table)
+    wms: list[int | None] = [None] * n
+    if vt.exists() and vt.current_snapshot() is not None:
+        s = vt.current_snapshot().summary
+        names = [f"ivm.src_{i}_snapshot_id" for i in range(n)]
+        if any(nm not in s for nm in names):
+            raise ValueError(
+                f"{view_database}.{view_table} exists but carries no "
+                f"{names} watermarks — not a chain-maintained view; "
+                "refusing to overwrite it"
+            )
+        wms = [int(s[nm]) for nm in names]
+        if all(w == h.snapshot_id for w, h in zip(wms, heads)):
+            return None  # already current
+
+    # column ownership: each non-key column on exactly one table; each
+    # step key on the right table and exactly one left table
+    fields = [
+        set(t.schema(snapshot_id=h.snapshot_id).fieldNames())
+        for t, h in zip(tbls, heads)
+    ]
+    all_on = {k for on_s in ons for k in on_s}
+    cols: list[dict] = [dict() for _ in range(n)]  # ordered col sets
+    for c in (*keys, *vcols):
+        if c in all_on:
+            continue
+        owners = [i for i in range(n) if c in fields[i]]
+        if len(owners) != 1:
+            raise ValueError(
+                f"refresh_join_chain_view: column {c!r} must exist on exactly "
+                f"one table (owners: {[tables[i] for i in owners]}) — "
+                "rename/project the sources first"
+            )
+        cols[owners[0]][c] = True
+    for s_i, on_s in enumerate(ons):
+        right = s_i + 1
+        for k in on_s:
+            if k not in fields[right]:
+                raise ValueError(
+                    f"refresh_join_chain_view: step-{s_i} key {k!r} missing "
+                    f"from right table {tables[right]}"
+                )
+            owners = [i for i in range(right) if k in fields[i]]
+            if len(owners) != 1:
+                raise ValueError(
+                    f"refresh_join_chain_view: step-{s_i} key {k!r} must "
+                    f"exist on exactly one of tables[0..{s_i}] (owners: "
+                    f"{[tables[i] for i in owners]})"
+                )
+            cols[right][k] = True
+            cols[owners[0]][k] = True
+    col_lists = [list(c) for c in cols]
+
+    def new_state(i: int) -> DataFrame:
+        return tbls[i].read(
+            spark, snapshot_id=heads[i].snapshot_id
+        ).select(*col_lists[i])
+
+    if wms[0] is None:
+        joined = new_state(0)
+        for s_i in range(1, n):
+            joined = joined.join(new_state(s_i), ons[s_i - 1])
+        if sum_cols is not None:
+            refreshed = ivm.grouped_aggregate(joined, keys, sum_cols)
+        elif moment_cols is not None:
+            refreshed = ivm.grouped_moments(joined, keys, moment_cols)
+        elif distinct_col is not None:
+            refreshed = ivm.grouped_distinct_aux(joined, keys, distinct_col)
+        else:
+            refreshed = ivm.grouped_minmax(joined, keys, minmax_cols)
+    else:
+        cls = [
+            tbls[i].changelog(spark, wms[i], heads[i].snapshot_id)
+            .select(*col_lists[i], "_change_type").localCheckpoint(eager=False)
+            if wms[i] != heads[i].snapshot_id
+            else None
+            for i in range(n)
+        ]
+        l_cl = cls[0]
+        l_old = tbls[0].read(spark, snapshot_id=wms[0]).select(*col_lists[0])
+        for s_i in range(1, n):
+            on_s = ons[s_i - 1]
+            r_cl = cls[s_i]
+            if l_cl is not None or r_cl is not None:
+                r_pruned = _old_state(
+                    spark, tbls[s_i], wms[s_i], col_lists[s_i], l_cl, on_s
+                )
+                new_cl = ivm.join_delta(
+                    l_cl, _df_key_pruned(l_old, r_cl, on_s), r_cl, r_pruned, on_s
+                ).localCheckpoint(eager=False)
+            else:
+                new_cl = None
+            # the UNPRUNED accumulation — later steps prune it against
+            # their own partner deltas at use time
+            l_old = l_old.join(
+                tbls[s_i].read(spark, snapshot_id=wms[s_i])
+                .select(*col_lists[s_i]),
+                on_s,
+            )
+            l_cl = new_cl
+        base = vt.read(spark)
+        if sum_cols is not None:
+            delta = ivm.agg_delta(l_cl, keys, sum_cols)
+            refreshed = ivm.apply_agg_delta(base, delta, keys, sum_cols)
+        elif moment_cols is not None:
+            delta = ivm.moments_delta(l_cl, keys, moment_cols)
+            refreshed = ivm.apply_moments_delta(base, delta, keys, moment_cols)
+        elif distinct_col is not None:
+            refreshed = ivm.apply_distinct_delta(base, l_cl, keys, distinct_col)
+        else:
+            cur = new_state(0)
+            for s_i in range(1, n):
+                cur = cur.join(new_state(s_i), ons[s_i - 1])
+            refreshed = ivm.apply_minmax_delta(base, l_cl, cur, keys, minmax_cols)
+    catalog.write(
+        view_database, view_table, refreshed, mode="overwrite",
+        summary_extra={
+            f"ivm.src_{i}_snapshot_id": str(heads[i].snapshot_id)
+            for i in range(n)
+        },
+    )
+    return tuple(h.snapshot_id for h in heads)
+
+
+def maintain_join_chain_view_changelog(
+    spark: SparkSession,
+    catalog,
+    tables: list[tuple[str, str]],
+    view_database: str,
+    view_table: str,
+    ons: list[list[str]],
+    keys: list[str],
+    checkpoint_dir: str,
+    sum_cols: list[str] | None = None,
+    moment_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+    distinct_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming wrapper around :func:`refresh_join_chain_view`: a
+    UNION of ALL chain tables' commit-marker feeds drives discovery,
+    so a commit on any side wakes a fold with the usual
+    fold-to-heads / replay-no-op semantics."""
+    kinds = dict(
+        sum_cols=sum_cols, moment_cols=moment_cols, minmax_cols=minmax_cols,
+        distinct_col=distinct_col,
+    )
+
+    def do_refresh():
+        return refresh_join_chain_view(
+            spark, catalog, tables, view_database, view_table, ons, keys,
+            **kinds,
+        )
+
+    return _marker_feed_maintainer(
+        spark, catalog, [catalog.table(db, t) for db, t in tables],
+        do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
+    )
+
+
 def maintain_topk_join_view_changelog(
     spark: SparkSession,
     catalog,

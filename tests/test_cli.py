@@ -582,3 +582,33 @@ def test_cli_topk_join_view_refresh(spark, tmp_path, capsys):
     got = {(r["p"], r["id"]): r["rk"]
            for r in cat.table("db", "jboard").read(spark).collect()}
     assert got == {("x", 12): 1, ("x", 11): 2, ("y", 21): 1, ("y", 20): 2}
+
+
+def test_cli_join_chain_view_refresh(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "cust", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "ck long, nat string"))
+    cat.write("db", "ords", spark.createDataFrame(
+        [(1, 10), (2, 20)], "ck long, ok long").coalesce(1))
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 3), (10, 4), (20, 7)], "ok long, qty long").coalesce(1))
+    base = ["join-chain-view-refresh", "--warehouse", wh, "--database", "db",
+            "--tables", "cust,ords,items", "--view", "cv",
+            "--on", "ck", "--on", "ok", "--keys", "nat", "--cols", "qty"]
+    assert main(base) == 0
+    got = {r["nat"]: (r["group_count"], r["sum_qty"])
+           for r in cat.table("db", "cv").read(spark).collect()}
+    assert got == {"x": (2, 7), "y": (1, 7)}
+    assert main(base) == 0
+    assert "already current" in capsys.readouterr().out
+    # commits at both ends of the chain fold in one refresh
+    cat.delete_where("db", "cust", F.col("ck") == 2)
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 1)], "ok long, qty long"))
+    assert main(base) == 0
+    got = {r["nat"]: (r["group_count"], r["sum_qty"])
+           for r in cat.table("db", "cv").read(spark).collect()}
+    assert got == {"x": (3, 8)}

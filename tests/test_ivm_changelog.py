@@ -1083,3 +1083,156 @@ def test_maintain_topk_join_view_changelog_stream(spark, tmp_path):
     drain()  # idempotent
     got = {(r["g"], r["id"]): r["rk"] for r in vt.read(spark).collect()}
     assert got == {("x", 10): 1}
+
+
+# ---------------------------------------------------------------------------
+# N-way join-chain views
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_join_chain_view_exact_under_mutation(spark, tmp_path):
+    """Three-table chain (dim ⋈ mid ⋈ fact — star keys: both join
+    keys live on the MIDDLE table) maintained from all three
+    changelogs: staggered appends (each one-sided delta), then a COW
+    delete on the dim AND a MOR delete on the fact folded TOGETHER
+    (terms with two delta factors), always equal to the recomputed
+    rollup."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, [("db", "cust"), ("db", "ords"), ("db", "items")],
+            "db", "chainv")
+    kw = dict(ons=[["ck"], ["ok"]], keys=["nat"], sum_cols=["qty"])
+
+    def recompute():
+        j = (
+            cat.table("db", "cust").read(spark)
+            .join(cat.table("db", "ords").read(spark), ["ck"])
+            .join(cat.table("db", "items").read(spark), ["ok"])
+        )
+        return ivm.grouped_aggregate(j, ["nat"], ["qty"])
+
+    vt = cat.table("db", "chainv")
+    cat.write("db", "cust", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "ck long, nat string"))
+    cat.write("db", "ords", spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "ck long, ok long").coalesce(1))
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 3), (10, 4), (11, 5), (20, 7)], "ok long, qty long").coalesce(1))
+    assert refresh_join_chain_view(*args, **kw) is not None  # initial build
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    assert refresh_join_chain_view(*args, **kw) is None  # watermark no-op
+    # one-sided deltas at each position
+    cat.write("db", "cust", spark.createDataFrame([(3, "x")], "ck long, nat string"))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    cat.write("db", "ords", spark.createDataFrame([(3, 30)], "ck long, ok long"))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    cat.write("db", "items", spark.createDataFrame(
+        [(30, 9), (11, 1)], "ok long, qty long"))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    # multi-delta fold: kill dim ck=1 (COW) and fact rows of ok=10
+    # (MOR) in ONE refresh — cross terms must net exactly
+    cat.delete_where("db", "cust", F.col("ck") == 1)
+    cat.delete_where("db", "items", F.col("ok") == 10, mode="merge-on-read")
+    assert refresh_join_chain_view(*args, **kw) is not None
+    assert _view_rows(vt.read(spark)) == _view_rows(recompute())
+    got = {r["nat"]: (r["group_count"], r["sum_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (1, 9), "y": (1, 7)}
+
+
+def test_join_chain_view_minmax_kind_rescans_through_chain(spark, tmp_path):
+    """MIN/MAX over a 3-way chain: a delete of a group's extremum
+    rescans only that group, sourced from the NEW-state chain join."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, [("db", "cust"), ("db", "ords"), ("db", "items")],
+            "db", "mmchain")
+    kw = dict(ons=[["ck"], ["ok"]], keys=["nat"], minmax_cols=["qty"])
+    cat.write("db", "cust", spark.createDataFrame(
+        [(1, "x")], "ck long, nat string"))
+    cat.write("db", "ords", spark.createDataFrame(
+        [(1, 10), (1, 11)], "ck long, ok long").coalesce(1))
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 3), (11, 5), (11, 2)], "ok long, qty long").coalesce(1))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    vt = cat.table("db", "mmchain")
+    got = {r["nat"]: (r["group_count"], r["min_qty"], r["max_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (3, 2, 5)}
+    # delete the max-carrying fact row → affected-group rescan
+    cat.delete_where("db", "items", F.col("qty") == 5)
+    assert refresh_join_chain_view(*args, **kw) is not None
+    got = {r["nat"]: (r["group_count"], r["min_qty"], r["max_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (2, 2, 3)}
+
+
+def test_join_chain_view_rejects_ambiguous_columns(spark, tmp_path):
+    """Ownership rules fail loudly: a tracked column on two tables, a
+    step key missing from its right table."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame([(1, 2)], "k long, v long"))
+    cat.write("db", "b", spark.createDataFrame([(1, 3)], "k long, v long"))
+    with pytest.raises(ValueError, match="exactly one table"):
+        refresh_join_chain_view(
+            spark, cat, [("db", "a"), ("db", "b")], "db", "v1",
+            ons=[["k"]], keys=["v"], sum_cols=[],
+        )
+    with pytest.raises(ValueError, match="missing"):
+        refresh_join_chain_view(
+            spark, cat, [("db", "a"), ("db", "b")], "db", "v2",
+            ons=[["nope"]], keys=[], sum_cols=[],
+        )
+
+
+def test_maintain_join_chain_view_changelog_stream(spark, tmp_path):
+    """Streaming chain maintenance: a commit on the FACT end of a
+    3-table chain wakes a fold through the union marker feed."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_join_chain_view_changelog,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_join_chain_view_changelog(
+            spark, cat, [("db", "cust"), ("db", "ords"), ("db", "items")],
+            "db", "chainv", ons=[["ck"], ["ok"]], keys=["nat"],
+            sum_cols=["qty"], checkpoint_dir=ckpt,
+        ).awaitTermination()
+
+    cat.write("db", "cust", spark.createDataFrame(
+        [(1, "x")], "ck long, nat string"))
+    cat.write("db", "ords", spark.createDataFrame(
+        [(1, 10)], "ck long, ok long"))
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 3)], "ok long, qty long"))
+    drain()
+    vt = cat.table("db", "chainv")
+    got = {r["nat"]: (r["group_count"], r["sum_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (1, 3)}
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 5)], "ok long, qty long"))
+    drain()
+    got = {r["nat"]: (r["group_count"], r["sum_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (2, 8)}
+    drain()  # idempotent
+    got = {r["nat"]: (r["group_count"], r["sum_qty"])
+           for r in vt.read(spark).collect()}
+    assert got == {"x": (2, 8)}

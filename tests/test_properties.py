@@ -489,3 +489,92 @@ def test_topk_join_ivm_equals_recompute_on_random_tapes(spark, tape):
             key=repr,
         )
         assert sorted((tuple(r) for r in view_rows), key=repr) == want
+
+
+# ---------------------------------------------------------------------------
+# 3-way join-chain IVM: composed bilinearity ≡ recompute
+# ---------------------------------------------------------------------------
+
+# each op is (table 0|1|2, is_insert, key_idx, val); deletes resolve
+# against the table's live multiset, so every tape is consistent.
+# Duplicate rows, dangling keys and null groups are all reachable.
+_chain_tape = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2), st.booleans(), st.integers(0, 2),
+            st.integers(-9, 9),
+        ),
+        min_size=1, max_size=7,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@given(tape=_chain_tape)
+@settings(**_SETTINGS)
+def test_join_chain_ivm_equals_recompute_on_random_tapes(spark, tape):
+    """Feeding join_delta's output back in as the left changelog of
+    the next step (the refresh_join_chain_view composition) stays
+    exact over ANY consistent three-sided tape: the folded COUNT/SUM
+    view equals a recompute over the surviving A ⋈ B ⋈ C."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    groups = ["x", "y", None]
+    schemas = ["ja long, g string", "ja long, jb long", "jb long, v long"]
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def mkrow(t, kidx, val):
+        if t == 0:
+            return (kidx, groups[val % 3])
+        if t == 1:
+            return (kidx, val % 3)
+        return (kidx, val)
+
+    live: list[list[tuple]] = [[], [], []]
+    view_rows: list = []
+    view_schema = None
+    for batch in tape:
+        olds = [list(side) for side in live]
+        chs: list[list[tuple]] = [[], [], []]
+        for t, is_insert, kidx, val in batch:
+            if is_insert or not live[t]:
+                row = mkrow(t, kidx, val)
+                live[t].append(row)
+                chs[t].append((*row, "insert"))
+            else:
+                row = live[t].pop(val % len(live[t]))
+                chs[t].append((*row, "delete"))
+        cls = [
+            df(chs[t], schemas[t] + ", _change_type string") if chs[t] else None
+            for t in range(3)
+        ]
+        base = (
+            df(view_rows, view_schema)
+            if view_schema is not None
+            else ivm.grouped_aggregate(
+                df([], schemas[0]).join(df([], schemas[1]), ["ja"])
+                .join(df([], schemas[2]), ["jb"]),
+                ["g"], ["v"],
+            )
+        )
+        l_cl, l_old = cls[0], df(olds[0], schemas[0])
+        for step, on_s in ((1, ["ja"]), (2, ["jb"])):
+            r_old = df(olds[step], schemas[step])
+            if l_cl is not None or cls[step] is not None:
+                l_cl = ivm.join_delta(l_cl, l_old, cls[step], r_old, on_s)
+            l_old = l_old.join(r_old, on_s)
+        out = ivm.apply_agg_delta(
+            base, ivm.agg_delta(l_cl, ["g"], ["v"]), ["g"], ["v"]
+        )
+        view_rows, view_schema = out.collect(), out.schema
+        want = sorted(
+            (tuple(r) for r in ivm.grouped_aggregate(
+                df(live[0], schemas[0]).join(df(live[1], schemas[1]), ["ja"])
+                .join(df(live[2], schemas[2]), ["jb"]),
+                ["g"], ["v"],
+            ).collect()),
+            key=repr,
+        )
+        assert sorted((tuple(r) for r in view_rows), key=repr) == want
