@@ -1,0 +1,207 @@
+"""Aggregate navigation: answer a grouped-aggregate query FROM a
+maintained materialized view instead of the base table whenever a
+registered view provably can — the OLAP-server rewrite that makes
+incremental views pay off at read time (the reference recomputes its
+verification aggregates from the base on every run,
+`6_verify_data_integrity.py:45-87`; with IVM views maintained in
+O(delta), routing reads through them makes the whole loop O(delta)).
+
+A view is USABLE for ``SELECT keys, aggs FROM src GROUP BY keys`` iff
+
+* it is a view OVER ``src`` — the refresh protocol
+  (`streaming.pipelines.refresh_view_changelog`) stamps the view's own
+  commit summary with its definition (``ivm.src``, ``ivm.keys``,
+  ``ivm.kind``, ``ivm.cols``), so discovery is a metadata scan, never
+  a data read;
+* it is FRESH — its ``ivm.src_snapshot_id`` watermark equals the
+  source's current head (a stale view must never answer: the caller
+  either refreshes it first or falls back to the base);
+* the requested group keys are a SUBSET of the view keys (the view's
+  groups re-aggregate down to any coarser grouping); and
+* every requested aggregate is DERIVABLE from the view kind's stored
+  columns — the re-aggregation algebra:
+
+  =============  =========================================================
+  view kind      answers
+  =============  =========================================================
+  ``sum``        ``count(*)`` = Σ group_count; ``sum(c)`` = Σ sum_c
+  ``minmax``     ``count(*)``; ``min(c)`` = min min_c; ``max(c)`` = max max_c
+  ``moments``    ``count(*)``; ``sum(c)``; ``avg(c)`` = Σsum_c / Σn
+  ``distinct``   ``count(*)``; ``count_distinct(c)`` = COUNT(DISTINCT value
+                 rows of the aux) — exact at ANY coarser grouping because
+                 the auxiliary stores the surviving VALUES, not a sketch
+  =============  =========================================================
+
+``avg`` is derived with one fixed IEEE expression tree (double Σsum /
+double Σn) on BOTH the view path and the base fallback, so the two
+paths are bit-identical and an oracle can replay either.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: (fn, col, alias) aggregate requests the rewriter understands
+_FNS = ("count", "sum", "min", "max", "avg", "count_distinct")
+
+#: which aggregate functions each view kind can serve, and which
+#: stored columns they need
+_SERVES = {
+    "sum": {"count", "sum"},
+    "minmax": {"count", "min", "max"},
+    "moments": {"count", "sum", "avg"},
+    "distinct": {"count", "count_distinct"},
+}
+
+
+@dataclass(frozen=True)
+class ViewMatch:
+    """A usable materialized view for a given aggregate query."""
+
+    database: str
+    table: str
+    keys: list
+    kind: str
+    cols: list
+
+
+def _normalize_aggs(aggs) -> list[tuple[str, str | None, str]]:
+    out = []
+    for a in aggs:
+        fn, col, alias = a
+        if fn not in _FNS:
+            raise ValueError(f"unsupported aggregate fn {fn!r} (know {_FNS})")
+        if fn == "count":
+            col = None
+        elif col is None:
+            raise ValueError(f"{fn} needs a column")
+        out.append((fn, col, alias))
+    return out
+
+
+def find_rewrite(
+    catalog,
+    src_database: str,
+    src_table: str,
+    keys: list[str],
+    aggs,
+    search_databases: list[str] | None = None,
+) -> ViewMatch | None:
+    """Find the CHEAPEST fresh materialized view that can answer the
+    query, or None. Pure metadata: scans table summaries in
+    ``search_databases`` (default: the source's namespace), no data
+    reads. Cheapest = fewest view group keys — coarser views are
+    smaller, and every usable view yields the same answer (the IVM
+    exactness invariant), so only cost differs."""
+    aggs = _normalize_aggs(aggs)
+    src = catalog.table(src_database, src_table)
+    head = src.current_snapshot()
+    if head is None:
+        return None
+    want_src = f"{src_database}.{src_table}"
+    best: ViewMatch | None = None
+    for db in search_databases or [src_database]:
+        for name in catalog.list_tables(db):
+            vt = catalog.table(db, name)
+            cur = vt.current_snapshot()
+            if cur is None:
+                continue
+            s = cur.summary
+            if s.get("ivm.src") != want_src:
+                continue
+            if s.get("ivm.src_snapshot_id") != str(head.snapshot_id):
+                continue  # stale: must not answer
+            kind = s.get("ivm.kind")
+            vkeys = json.loads(s.get("ivm.keys", "[]"))
+            vcols = json.loads(s.get("ivm.cols", "[]"))
+            if kind not in _SERVES or not set(keys) <= set(vkeys):
+                continue
+            ok = True
+            for fn, col, _ in aggs:
+                if fn not in _SERVES[kind]:
+                    ok = False
+                    break
+                if fn != "count" and col not in vcols:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            if best is None or len(vkeys) < len(best.keys):
+                best = ViewMatch(db, name, vkeys, kind, vcols)
+    return best
+
+
+def _reagg_exprs(kind: str, aggs) -> list:
+    n = F.sum(F.col("group_count"))
+    exprs = []
+    for fn, col, alias in aggs:
+        if fn == "count":
+            e = n
+        elif fn == "sum":
+            e = F.sum(F.col(f"sum_{col}"))
+        elif fn == "min":
+            e = F.min(F.col(f"min_{col}"))
+        elif fn == "max":
+            e = F.max(F.col(f"max_{col}"))
+        elif fn == "avg":
+            e = F.sum(F.col(f"sum_{col}")).cast("double") / n.cast("double")
+        else:  # count_distinct over the stored aux's value rows
+            e = F.count_distinct(F.col(col))
+        exprs.append(e.alias(alias))
+    return exprs
+
+
+def _base_exprs(aggs) -> list:
+    exprs = []
+    for fn, col, alias in aggs:
+        if fn == "count":
+            e = F.count(F.lit(1))
+        elif fn == "avg":
+            # same IEEE tree AND same denominator as the view path:
+            # the moments view stores COUNT(*), so avg here is
+            # Σc / row-count (≡ ivm.derive_stats), not SQL AVG's
+            # non-null denominator — they differ only under NULLs
+            e = F.sum(F.col(col)).cast("double") / F.count(F.lit(1)).cast(
+                "double"
+            )
+        elif fn == "count_distinct":
+            e = F.count_distinct(F.col(col))
+        else:
+            e = getattr(F, fn)(F.col(col))
+        exprs.append(e.alias(alias))
+    return exprs
+
+
+def answer_aggregate(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    keys: list[str],
+    aggs,
+    search_databases: list[str] | None = None,
+) -> tuple[DataFrame, ViewMatch | None]:
+    """``SELECT keys, aggs FROM src GROUP BY keys`` — routed through a
+    matched materialized view when one is fresh and sufficient
+    (:func:`find_rewrite`), else computed from the base table. Both
+    paths return identical values (the IVM invariant plus the shared
+    ``avg`` expression tree); the second element reports which view
+    answered, if any. ``aggs`` is a list of ``(fn, col, alias)``
+    with fn ∈ count/sum/min/max/avg/count_distinct (col ignored for
+    count). The view path reads the AGGREGATE-sized view — at 100 TB
+    that is the difference between a dashboard query and a table
+    scan."""
+    norm = _normalize_aggs(aggs)
+    m = find_rewrite(
+        catalog, src_database, src_table, keys, aggs, search_databases
+    )
+    if m is not None:
+        view = catalog.table(m.database, m.table).read(spark)
+        out = view.groupBy(*keys).agg(*_reagg_exprs(m.kind, norm))
+        return out, m
+    base = catalog.table(src_database, src_table).read(spark)
+    return base.groupBy(*keys).agg(*_base_exprs(norm)), None

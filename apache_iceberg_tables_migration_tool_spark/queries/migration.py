@@ -2032,3 +2032,78 @@ def incremental_join_chain_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(view.collect(), view.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "view_rewrite_navigation",
+    tags=("migration", "cdc", "agg"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderkey % 3 AS INTEGER) AS band,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders),
+f AS (SELECT * FROM o WHERE price_c % 7 <> 0)
+SELECT priority, COUNT(*) AS n_orders,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price,
+       CAST(SUM(price_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price
+FROM f GROUP BY priority
+""",
+)
+def view_rewrite_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE NAVIGATION (r8, `plans/rewriter.py`): a grouped
+    aggregate over orders is answered FROM a maintained moments view
+    — `answer_aggregate` discovers the view via the definition
+    metadata the refresh protocol stamps into the view's own commit
+    summary (`ivm.src`/`ivm.keys`/`ivm.kind`/`ivm.cols`), proves the
+    request derivable (keys ⊆ view keys; count/sum/avg from stored
+    raw moments), checks FRESHNESS against the source head, and
+    re-aggregates the aggregate-sized view instead of scanning the
+    base — the read-time payoff of incremental maintenance. The
+    mutation history (append, COW delete, refresh) makes the view a
+    nontrivial derived state; the carrier RAISES if the rewrite falls
+    back to the base, so the green row proves the routed path, and
+    the oracle recomputes the same aggregate from the final base
+    state (avg via the same fixed Σ/n double tree)."""
+    from apache_iceberg_tables_migration_tool_spark.plans.rewriter import (
+        answer_aggregate,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_vrn_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("band"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        )
+        cat.write("db", "orders_vrn", o, committed_at=_T[0])
+        refresh_view_changelog(
+            spark, cat, "db", "orders_vrn", "db", "vrn_moments",
+            keys=["priority", "band"], moment_cols=["price_c"],
+        )
+        cat.delete_where("db", "orders_vrn",
+                         F.pmod(F.col("price_c"), F.lit(7)) == 0,
+                         committed_at=_T[1])
+        refresh_view_changelog(
+            spark, cat, "db", "orders_vrn", "db", "vrn_moments",
+            keys=["priority", "band"], moment_cols=["price_c"],
+        )
+        out, m = answer_aggregate(
+            spark, cat, "db", "orders_vrn", ["priority"],
+            [("count", None, "n_orders"), ("sum", "price_c", "sum_price"),
+             ("avg", "price_c", "avg_price")],
+        )
+        if m is None or m.table != "vrn_moments":
+            raise RuntimeError(
+                f"aggregate navigation fell back to the base (match={m}) — "
+                "the rewrite path is what this carrier grades"
+            )
+        out = out.select("priority", "n_orders",
+                         F.col("sum_price").cast("long").alias("sum_price"),
+                         "avg_price")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -15,6 +15,7 @@ swapped in for the file source; nothing else changes.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 
@@ -673,9 +674,27 @@ def refresh_view_changelog(
         else:
             cur = src.read(spark, snapshot_id=head.snapshot_id)
             refreshed = ivm.apply_minmax_delta(base, cl, cur, keys, minmax_cols)
+    kind, vcols = next(
+        (kn, vc)
+        for kn, vc in (
+            ("sum", sum_cols), ("minmax", minmax_cols),
+            ("moments", moment_cols),
+            ("distinct", [distinct_col] if distinct_col is not None else None),
+        )
+        if vc is not None
+    )
     catalog.write(
         view_database, view_table, refreshed, mode="overwrite",
-        summary_extra={"ivm.src_snapshot_id": str(head.snapshot_id)},
+        summary_extra={
+            "ivm.src_snapshot_id": str(head.snapshot_id),
+            # view DEFINITION metadata: lets the aggregate-navigation
+            # rewriter (plans/rewriter.py) discover this view and
+            # prove a query can be answered from it
+            "ivm.src": f"{src_database}.{src_table}",
+            "ivm.keys": json.dumps(keys),
+            "ivm.kind": kind,
+            "ivm.cols": json.dumps(vcols),
+        },
     )
     return head.snapshot_id
 
