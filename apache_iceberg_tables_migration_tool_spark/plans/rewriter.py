@@ -176,6 +176,209 @@ def _base_exprs(aggs) -> list:
     return exprs
 
 
+def _join_view_fresh(catalog, s: dict, tables: list[tuple[str, str]]) -> bool:
+    """A join/chain view is fresh iff EVERY member table's stored
+    watermark equals that table's current head. The 2-way refresher
+    names its watermarks ``ivm.src_a/b_snapshot_id``; the chain
+    refresher ``ivm.src_{i}_snapshot_id`` — positional either way."""
+    if "ivm.src_a_snapshot_id" in s:
+        names = ["ivm.src_a_snapshot_id", "ivm.src_b_snapshot_id"]
+    else:
+        names = [f"ivm.src_{i}_snapshot_id" for i in range(len(tables))]
+    for (db, t), nm in zip(tables, names):
+        head = catalog.table(db, t).current_snapshot()
+        if head is None or s.get(nm) != str(head.snapshot_id):
+            return False
+    return True
+
+
+def find_join_rewrite(
+    catalog,
+    tables: list[tuple[str, str]],
+    ons: list[list[str]],
+    keys: list[str],
+    aggs,
+    search_databases: list[str] | None = None,
+) -> ViewMatch | None:
+    """Join-view twin of :func:`find_rewrite`: the query's join
+    SIGNATURE (member tables in order + per-step keys) must equal the
+    view's stamped ``ivm.srcs``/``ivm.ons`` exactly — join-structure
+    containment is undecidable from metadata alone, equality is the
+    honest contract — then the same subset-keys / derivable-aggs /
+    per-table-freshness rules apply."""
+    aggs = _normalize_aggs(aggs)
+    want_srcs = [f"{db}.{t}" for db, t in tables]
+    best: ViewMatch | None = None
+    dbs = search_databases or sorted({db for db, _ in tables})
+    for db in dbs:
+        for name in catalog.list_tables(db):
+            vt = catalog.table(db, name)
+            cur = vt.current_snapshot()
+            if cur is None:
+                continue
+            s = cur.summary
+            if (
+                json.loads(s.get("ivm.srcs", "null")) != want_srcs
+                or json.loads(s.get("ivm.ons", "null")) != ons
+            ):
+                continue
+            kind = s.get("ivm.kind")
+            vkeys = json.loads(s.get("ivm.keys", "[]"))
+            vcols = json.loads(s.get("ivm.cols", "[]"))
+            if kind not in _SERVES or not set(keys) <= set(vkeys):
+                continue
+            if not all(
+                fn in _SERVES[kind] and (fn == "count" or col in vcols)
+                for fn, col, _ in aggs
+            ):
+                continue
+            if not _join_view_fresh(catalog, s, tables):
+                continue
+            if best is None or len(vkeys) < len(best.keys):
+                best = ViewMatch(db, name, vkeys, kind, vcols)
+    return best
+
+
+def answer_join_aggregate(
+    spark: SparkSession,
+    catalog,
+    tables: list[tuple[str, str]],
+    ons: list[list[str]],
+    keys: list[str],
+    aggs,
+    search_databases: list[str] | None = None,
+) -> tuple[DataFrame, ViewMatch | None]:
+    """``SELECT keys, aggs FROM T0 ⋈ T1 ⋈ … GROUP BY keys`` — routed
+    through a matched join/chain view when fresh and sufficient, else
+    recomputed by actually joining the member tables. At 100 TB the
+    difference is a view read vs an N-way fact join."""
+    norm = _normalize_aggs(aggs)
+    m = find_join_rewrite(catalog, tables, ons, keys, aggs, search_databases)
+    if m is not None:
+        view = catalog.table(m.database, m.table).read(spark)
+        return view.groupBy(*keys).agg(*_reagg_exprs(m.kind, norm)), m
+    joined = catalog.table(*tables[0]).read(spark)
+    for (db, t), on in zip(tables[1:], ons):
+        joined = joined.join(catalog.table(db, t).read(spark), on)
+    return joined.groupBy(*keys).agg(*_base_exprs(norm)), None
+
+
+def _find_topk(
+    catalog,
+    keys: list[str],
+    metric_col: str,
+    id_cols: list[str],
+    k: int,
+    dbs: list[str],
+    match_single: str | None,
+    match_srcs: list[str] | None,
+    match_ons: list[list[str]] | None,
+    tables: list[tuple[str, str]] | None,
+) -> ViewMatch | None:
+    for db in dbs:
+        for name in catalog.list_tables(db):
+            vt = catalog.table(db, name)
+            cur = vt.current_snapshot()
+            if cur is None:
+                continue
+            s = cur.summary
+            if s.get("ivm.kind") != "topk":
+                continue
+            if match_single is not None:
+                if s.get("ivm.src") != match_single:
+                    continue
+            elif (
+                json.loads(s.get("ivm.srcs", "null")) != match_srcs
+                or json.loads(s.get("ivm.ons", "null")) != match_ons
+            ):
+                continue
+            # a leaderboard is reusable only at the SAME partition
+            # (any other key set changes every rank), same metric and
+            # the same deterministic tie-break order; k may shrink
+            if (
+                set(json.loads(s.get("ivm.keys", "[]"))) != set(keys)
+                or s.get("ivm.metric") != metric_col
+                or json.loads(s.get("ivm.ids", "[]")) != id_cols
+                or int(s.get("ivm.k", "0")) < k
+            ):
+                continue
+            if match_single is not None:
+                src_db, src_t = match_single.split(".", 1)
+                head = catalog.table(src_db, src_t).current_snapshot()
+                if head is None or s.get("ivm.src_snapshot_id") != str(
+                    head.snapshot_id
+                ):
+                    continue
+            elif not _join_view_fresh(catalog, s, tables):
+                continue
+            return ViewMatch(db, name, json.loads(s["ivm.keys"]), "topk", [])
+    return None
+
+
+def answer_topk(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    keys: list[str],
+    metric_col: str,
+    id_cols: str | list[str],
+    k: int,
+    search_databases: list[str] | None = None,
+) -> tuple[DataFrame, ViewMatch | None]:
+    """Top-k-per-group query routed through a maintained leaderboard:
+    usable iff the view partitions by the SAME keys, ranks by the
+    same metric with the same id tie-break, is fresh, and stores
+    ``k' ≥ k`` rows — then the answer is ``rk <= k`` over the
+    aggregate-sized view (the stored ranking is deterministic, so the
+    prefix IS the smaller leaderboard). Falls back to
+    ``ivm.grouped_topk`` over the base."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    m = _find_topk(
+        catalog, keys, metric_col, ids, k,
+        search_databases or [src_database],
+        f"{src_database}.{src_table}", None, None, None,
+    )
+    if m is not None:
+        view = catalog.table(m.database, m.table).read(spark)
+        return view.where(F.col("rk") <= k), m
+    base = catalog.table(src_database, src_table).read(spark)
+    return ivm.grouped_topk(base, keys, metric_col, ids, k), None
+
+
+def answer_topk_join(
+    spark: SparkSession,
+    catalog,
+    tables: list[tuple[str, str]],
+    ons: list[list[str]],
+    keys: list[str],
+    metric_col: str,
+    id_cols: str | list[str],
+    k: int,
+    search_databases: list[str] | None = None,
+) -> tuple[DataFrame, ViewMatch | None]:
+    """Joined-leaderboard twin of :func:`answer_topk` (exact join
+    signature match, as :func:`find_join_rewrite`); falls back to
+    ranking the actual join."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    m = _find_topk(
+        catalog, keys, metric_col, ids, k,
+        search_databases or sorted({db for db, _ in tables}),
+        None, [f"{db}.{t}" for db, t in tables], ons, tables,
+    )
+    if m is not None:
+        view = catalog.table(m.database, m.table).read(spark)
+        return view.where(F.col("rk") <= k), m
+    joined = catalog.table(*tables[0]).read(spark)
+    for (db, t), on in zip(tables[1:], ons):
+        joined = joined.join(catalog.table(db, t).read(spark), on)
+    return ivm.grouped_topk(joined, keys, metric_col, ids, k), None
+
+
 def answer_aggregate(
     spark: SparkSession,
     catalog,

@@ -100,9 +100,10 @@ _DRIVER_PRIORITY = [
     # together with the late-round-8 registrations
     # incremental_distinct_view, dedup_image_ingest_index,
     # incremental_topk_view, incremental_quantile_view,
-    # incremental_topk_join_view, incremental_join_chain_view and
-    # view_rewrite_navigation (built after this window was set;
-    # sweep- and pytest-verified, register past the cap).
+    # incremental_topk_join_view, incremental_join_chain_view,
+    # view_rewrite_navigation and view_rewrite_join_navigation (built
+    # after this window was set; sweep- and pytest-verified, register
+    # past the cap).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
     # bpe_train_merges stays out by the rows-only policy (window
     # keeps 100%-hash-checked).

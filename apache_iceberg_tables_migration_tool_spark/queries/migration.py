@@ -2107,3 +2107,75 @@ def view_rewrite_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "view_rewrite_join_navigation",
+    tags=("migration", "cdc", "agg", "join"),
+    oracle="""
+WITH a AS (SELECT o_orderkey AS ok, o_orderpriority AS priority FROM orders),
+b AS (SELECT l_orderkey AS ok, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+SELECT priority, COUNT(*) AS n_items, CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM a JOIN b USING (ok)
+WHERE qty < 30
+GROUP BY priority
+""",
+)
+def view_rewrite_join_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation over a JOIN (r8, `plans/rewriter.py`): a
+    rollup over ``orders ⋈ lineitem`` is answered from the maintained
+    join view — `answer_join_aggregate` requires the EXACT join
+    signature (member tables + per-step keys, stamped as
+    ``ivm.srcs``/``ivm.ons`` by `refresh_join_view`), per-side
+    freshness against both heads, subset keys and derivable
+    aggregates; the rollup then reads the aggregate-sized view
+    instead of re-joining the fact table. A MOR delete on the fact
+    side between refreshes exercises staleness: the carrier first
+    proves the STALE view is refused (falls back), then refreshes and
+    RAISES unless the routed path answers. Oracle recomputes from the
+    final base states."""
+    from apache_iceberg_tables_migration_tool_spark.plans.rewriter import (
+        answer_join_aggregate,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_vrj_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        cat.write("db", "orders_vrj", o, committed_at=_T[0])
+        cat.write("db", "items_vrj", li, committed_at=_T[0])
+        tables = [("db", "orders_vrj"), ("db", "items_vrj")]
+        kw = dict(on=["ok"], keys=["priority"], sum_cols=["qty"])
+        refresh_join_view(spark, cat, "db", "orders_vrj", "db", "items_vrj",
+                          "db", "vrj_view", **kw)
+        cat.delete_where("db", "items_vrj", F.col("qty") >= 30,
+                         mode="merge-on-read", committed_at=_T[1])
+        req = (["priority"],
+               [("count", None, "n_items"), ("sum", "qty", "sum_qty")])
+        _, m = answer_join_aggregate(spark, cat, tables, [["ok"]], *req)
+        if m is not None:
+            raise RuntimeError(
+                "stale join view must not answer (items changed after refresh)"
+            )
+        refresh_join_view(spark, cat, "db", "orders_vrj", "db", "items_vrj",
+                          "db", "vrj_view", **kw)
+        out, m = answer_join_aggregate(spark, cat, tables, [["ok"]], *req)
+        if m is None or m.table != "vrj_view":
+            raise RuntimeError(
+                f"aggregate navigation fell back to the base join (match={m})"
+            )
+        out = out.select("priority", "n_items",
+                         F.col("sum_qty").cast("long").alias("sum_qty"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -800,7 +800,17 @@ def refresh_topk_view(
         )
     catalog.write(
         view_database, view_table, refreshed, mode="overwrite",
-        summary_extra={"ivm.src_snapshot_id": str(head.snapshot_id)},
+        summary_extra={
+            "ivm.src_snapshot_id": str(head.snapshot_id),
+            "ivm.src": f"{src_database}.{src_table}",
+            "ivm.keys": json.dumps(keys),
+            "ivm.kind": "topk",
+            "ivm.metric": metric_col,
+            "ivm.ids": json.dumps(
+                [id_col] if isinstance(id_col, str) else list(id_col)
+            ),
+            "ivm.k": str(k),
+        },
     )
     return head.snapshot_id
 
@@ -1013,11 +1023,27 @@ def refresh_join_view(
             refreshed = ivm.apply_minmax_delta(
                 base, jd, a_new.join(b_new, on), keys, minmax_cols
             )
+    kind, kcols = next(
+        (kn, vc)
+        for kn, vc in (
+            ("sum", sum_cols), ("moments", moment_cols),
+            ("minmax", minmax_cols),
+            ("distinct", [distinct_col] if distinct_col is not None else None),
+        )
+        if vc is not None
+    )
     catalog.write(
         view_database, view_table, refreshed, mode="overwrite",
         summary_extra={
             "ivm.src_a_snapshot_id": str(ha.snapshot_id),
             "ivm.src_b_snapshot_id": str(hb.snapshot_id),
+            "ivm.srcs": json.dumps(
+                [f"{a_database}.{a_table}", f"{b_database}.{b_table}"]
+            ),
+            "ivm.ons": json.dumps([on]),
+            "ivm.keys": json.dumps(keys),
+            "ivm.kind": kind,
+            "ivm.cols": json.dumps(kcols),
         },
     )
     return (ha.snapshot_id, hb.snapshot_id)
@@ -1172,6 +1198,15 @@ def refresh_topk_join_view(
         summary_extra={
             "ivm.src_a_snapshot_id": str(ha.snapshot_id),
             "ivm.src_b_snapshot_id": str(hb.snapshot_id),
+            "ivm.srcs": json.dumps(
+                [f"{a_database}.{a_table}", f"{b_database}.{b_table}"]
+            ),
+            "ivm.ons": json.dumps([on]),
+            "ivm.keys": json.dumps(keys),
+            "ivm.kind": "topk",
+            "ivm.metric": metric_col,
+            "ivm.ids": json.dumps(ids),
+            "ivm.k": str(k),
         },
     )
     return (ha.snapshot_id, hb.snapshot_id)
@@ -1379,12 +1414,28 @@ def refresh_join_chain_view(
             for s_i in range(1, n):
                 cur = cur.join(new_state(s_i), ons[s_i - 1])
             refreshed = ivm.apply_minmax_delta(base, l_cl, cur, keys, minmax_cols)
+    kind = next(
+        kn
+        for kn, vc in (
+            ("sum", sum_cols), ("moments", moment_cols),
+            ("minmax", minmax_cols),
+            ("distinct", [distinct_col] if distinct_col is not None else None),
+        )
+        if vc is not None
+    )
+    summary = {
+        f"ivm.src_{i}_snapshot_id": str(heads[i].snapshot_id) for i in range(n)
+    }
+    summary.update({
+        "ivm.srcs": json.dumps([f"{db}.{t}" for db, t in tables]),
+        "ivm.ons": json.dumps(ons),
+        "ivm.keys": json.dumps(keys),
+        "ivm.kind": kind,
+        "ivm.cols": json.dumps(vcols),
+    })
     catalog.write(
         view_database, view_table, refreshed, mode="overwrite",
-        summary_extra={
-            f"ivm.src_{i}_snapshot_id": str(heads[i].snapshot_id)
-            for i in range(n)
-        },
+        summary_extra=summary,
     )
     return tuple(h.snapshot_id for h in heads)
 

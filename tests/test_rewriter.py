@@ -126,3 +126,109 @@ def test_rewrite_kind_capabilities(spark, tmp_path):
     )
     assert m.table == "mo"
     assert {r["p"]: r["sv"] for r in out.collect()} == {"a": 35, "b": 8}
+
+
+def test_join_rewrite_exact_signature_and_freshness(spark, tmp_path):
+    """A join rollup routes through the maintained join view only for
+    the EXACT join signature; a commit on either side staledates it;
+    both paths agree."""
+    from apache_iceberg_tables_migration_tool_spark.plans.rewriter import (
+        answer_join_aggregate,
+        find_join_rewrite,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "ok long, p string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "ok long, qty long").coalesce(1))
+    refresh_join_view(
+        spark, cat, "db", "a", "db", "b", "db", "jv",
+        on=["ok"], keys=["p"], sum_cols=["qty"],
+    )
+    tables = [("db", "a"), ("db", "b")]
+    aggs = [("count", None, "n"), ("sum", "qty", "sq")]
+    out, m = answer_join_aggregate(spark, cat, tables, [["ok"]], ["p"], aggs)
+    assert m is not None and m.table == "jv"
+    got = {r["p"]: (r["n"], r["sq"]) for r in out.collect()}
+    assert got == {"x": (2, 15), "y": (1, 7)}
+    # different signature (reversed tables) matches nothing
+    assert find_join_rewrite(
+        cat, [("db", "b"), ("db", "a")], [["ok"]], ["p"], aggs
+    ) is None
+    # a commit on side B staledates the view → base-join fallback
+    cat.write("db", "b", spark.createDataFrame([(2, 100)], "ok long, qty long"))
+    out, m = answer_join_aggregate(spark, cat, tables, [["ok"]], ["p"], aggs)
+    assert m is None
+    got = {r["p"]: (r["n"], r["sq"]) for r in out.collect()}
+    assert got == {"x": (2, 15), "y": (2, 107)}
+    # refresh → routable again, same values
+    refresh_join_view(
+        spark, cat, "db", "a", "db", "b", "db", "jv",
+        on=["ok"], keys=["p"], sum_cols=["qty"],
+    )
+    out, m = answer_join_aggregate(spark, cat, tables, [["ok"]], ["p"], aggs)
+    assert m is not None
+    assert {r["p"]: (r["n"], r["sq"]) for r in out.collect()} == got
+
+
+def test_chain_rewrite_routes_through_chain_view(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.plans.rewriter import (
+        answer_join_aggregate,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "cust", spark.createDataFrame(
+        [(1, "x")], "ck long, nat string"))
+    cat.write("db", "ords", spark.createDataFrame(
+        [(1, 10), (1, 11)], "ck long, ok long").coalesce(1))
+    cat.write("db", "items", spark.createDataFrame(
+        [(10, 3), (11, 5)], "ok long, qty long").coalesce(1))
+    tables = [("db", "cust"), ("db", "ords"), ("db", "items")]
+    refresh_join_chain_view(
+        spark, cat, tables, "db", "cv",
+        ons=[["ck"], ["ok"]], keys=["nat"], sum_cols=["qty"],
+    )
+    out, m = answer_join_aggregate(
+        spark, cat, tables, [["ck"], ["ok"]], ["nat"],
+        [("sum", "qty", "sq")],
+    )
+    assert m is not None and m.table == "cv"
+    assert {r["nat"]: r["sq"] for r in out.collect()} == {"x": 8}
+
+
+def test_topk_rewrite_prefix_and_fallback(spark, tmp_path):
+    """A smaller-k query is answered from a bigger-k leaderboard as
+    the rk ≤ k prefix; a different partition or metric falls back."""
+    from apache_iceberg_tables_migration_tool_spark.plans.rewriter import (
+        answer_topk,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 4, 5)],
+        "g string, id long, m long").coalesce(1))
+    refresh_topk_view(
+        spark, cat, "db", "src", "db", "board",
+        keys=["g"], metric_col="m", id_col="id", k=3,
+    )
+    out, m = answer_topk(spark, cat, "db", "src", ["g"], "m", "id", 2)
+    assert m is not None and m.table == "board"
+    got = {(r["g"], r["id"]): r["rk"] for r in out.collect()}
+    assert got == {("a", 3): 1, ("a", 2): 2, ("b", 4): 1}
+    # k larger than stored → fallback computes from the base
+    out, m = answer_topk(spark, cat, "db", "src", ["g"], "m", "id", 4)
+    assert m is None
+    assert len(out.collect()) == 4
+    # different partition keys → fallback
+    out, m = answer_topk(spark, cat, "db", "src", [], "m", "id", 2)
+    assert m is None
