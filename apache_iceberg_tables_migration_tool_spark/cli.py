@@ -673,6 +673,58 @@ def cmd_topk_join_view_refresh(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query_aggregate(args: argparse.Namespace) -> int:
+    """Aggregate navigation from the command line: answer a grouped
+    aggregate (or exact grouped quantiles) over a catalog table — or
+    a join chain with --tables/--on — routed through a maintained
+    materialized view when one is fresh and sufficient
+    (`plans/rewriter.py`), else computed from the base; prints which
+    path answered."""
+    from apache_iceberg_tables_migration_tool_spark.plans import rewriter
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    keys = args.keys.split(",") if args.keys else []
+    if args.quantiles:
+        if not args.col:
+            print("-- --quantiles needs --col")
+            return 2
+        qs = [float(x) for x in args.quantiles.split(",")]
+        out, m = rewriter.answer_quantile(
+            spark, cat, args.database, args.table, keys, args.col, qs
+        )
+    else:
+        aggs = []
+        for spec in args.aggs.split(","):
+            parts = spec.split(":")
+            if len(parts) != 3:
+                print(f"-- bad agg spec {spec!r} (want fn:col:alias)")
+                return 2
+            fn, col, alias = parts
+            aggs.append((fn, None if col == "*" else col, alias))
+        if args.tables:
+            tables = [
+                tuple(t.split(".", 1)) if "." in t else (args.database, t)
+                for t in args.tables.split(",")
+            ]
+            ons = [o.split(",") for o in (args.on or [])]
+            out, m = rewriter.answer_join_aggregate(
+                spark, cat, tables, ons, keys, aggs
+            )
+        else:
+            out, m = rewriter.answer_aggregate(
+                spark, cat, args.database, args.table, keys, aggs
+            )
+    if m is None:
+        print("-- computed from the base (no usable fresh view)")
+    else:
+        print(f"-- answered from materialized view {m.database}.{m.table}")
+    for r in out.limit(args.limit).collect():
+        print(r)
+    return 0
+
+
 def cmd_corpus_build(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans.corpus import build_corpus
     from apache_iceberg_tables_migration_tool_spark.sources.fixtures import load
@@ -1059,6 +1111,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_topk_join_view_refresh)
+
+    sp = sub.add_parser(
+        "query-aggregate",
+        help="answer a grouped aggregate (or exact quantiles) with "
+        "AGGREGATE NAVIGATION: routed through a fresh maintained view "
+        "when one matches, else computed from the base",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", default=None, help="base table (single-table)")
+    sp.add_argument("--tables", default=None,
+                    help="comma-separated chain tables for a JOIN query")
+    sp.add_argument("--on", action="append", default=None,
+                    help="join keys per chain step (repeat; with --tables)")
+    sp.add_argument("--keys", default="", help="comma-separated group keys")
+    sp.add_argument("--aggs", default="count:*:n",
+                    help="comma-separated fn:col:alias "
+                    "(fn: count sum min max avg count_distinct; col * for count)")
+    sp.add_argument("--quantiles", default=None,
+                    help="comma-separated fractions — exact grouped quantiles "
+                    "of --col instead of --aggs")
+    sp.add_argument("--col", default=None, help="value column for --quantiles")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_query_aggregate)
 
     sp = sub.add_parser(
         "corpus-build",

@@ -379,6 +379,42 @@ def answer_topk_join(
     return ivm.grouped_topk(joined, keys, metric_col, ids, k), None
 
 
+def answer_quantile(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    keys: list[str],
+    col: str,
+    qs: list[float],
+    search_databases: list[str] | None = None,
+) -> tuple[DataFrame, ViewMatch | None]:
+    """EXACT grouped quantiles routed through a maintained counted
+    auxiliary (``distinct`` kind view): order statistics re-aggregate
+    to any COARSER grouping by first merging the per-(group, value)
+    multiplicities down to the requested keys — the aux stores
+    VALUES, not a sketch, so the rule stays exact (`ivm.
+    derive_quantiles`: smallest value whose cumulative multiplicity
+    reaches ceil(q·n)). Falls back to building the auxiliary from the
+    base with the same derivation, so both paths agree exactly."""
+    from apache_iceberg_tables_migration_tool_spark.operators import ivm
+
+    m = find_rewrite(
+        catalog, src_database, src_table, keys,
+        [("count_distinct", col, "_probe")], search_databases,
+    )
+    if m is not None:
+        aux = catalog.table(m.database, m.table).read(spark)
+        if set(m.keys) != set(keys):  # coarsen the aux first
+            aux = aux.groupBy(*keys, col).agg(
+                F.sum("group_count").alias("group_count")
+            )
+        return ivm.derive_quantiles(aux, keys, col, qs), m
+    base = catalog.table(src_database, src_table).read(spark)
+    aux = ivm.grouped_distinct_aux(base, keys, col)
+    return ivm.derive_quantiles(aux, keys, col, qs), None
+
+
 def answer_aggregate(
     spark: SparkSession,
     catalog,

@@ -612,3 +612,35 @@ def test_cli_join_chain_view_refresh(spark, tmp_path, capsys):
     got = {r["nat"]: (r["group_count"], r["sum_qty"])
            for r in cat.table("db", "cv").read(spark).collect()}
     assert got == {"x": (3, 8)}
+
+
+def test_cli_query_aggregate_navigation(spark, tmp_path, capsys):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 7)], "p string, v long").coalesce(1))
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "rollup", keys=["p"], sum_cols=["v"]
+    )
+    base = ["query-aggregate", "--warehouse", wh, "--database", "db",
+            "--table", "src", "--keys", "p", "--aggs", "count:*:n,sum:v:sv"]
+    assert main(base) == 0
+    out = capsys.readouterr().out
+    assert "answered from materialized view db.rollup" in out
+    # stale → base path, announced as such
+    cat.write("db", "src", spark.createDataFrame([("b", 1)], "p string, v long"))
+    assert main(base) == 0
+    assert "computed from the base" in capsys.readouterr().out
+    # quantile mode through the distinct aux
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "aux", keys=["p"], distinct_col="v"
+    )
+    assert main(["query-aggregate", "--warehouse", wh, "--database", "db",
+                 "--table", "src", "--keys", "p", "--quantiles", "0.5",
+                 "--col", "v"]) == 0
+    out = capsys.readouterr().out
+    assert "answered from materialized view db.aux" in out and "p50_v" in out

@@ -232,3 +232,29 @@ def test_topk_rewrite_prefix_and_fallback(spark, tmp_path):
     # different partition keys → fallback
     out, m = answer_topk(spark, cat, "db", "src", [], "m", "id", 2)
     assert m is None
+
+
+def test_answer_quantile_from_coarsened_aux(spark, tmp_path):
+    """Exact grouped quantiles route through the counted aux even at
+    COARSER keys (multiplicities merge first); fallback agrees."""
+    from apache_iceberg_tables_migration_tool_spark.plans.rewriter import (
+        answer_quantile,
+    )
+
+    cat = _mk(spark, tmp_path)
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "dv", keys=["p", "b"], distinct_col="v"
+    )
+    out, m = answer_quantile(
+        spark, cat, "db", "src", ["p"], "v", [0.5]
+    )
+    assert m is not None and m.table == "dv"
+    got = {r["p"]: r["p50_v"] for r in out.collect()}
+    # a: values {5,10,20} → median 10; b: {1,7} → ceil(.5*2)=1st → 1
+    assert got == {"a": 10, "b": 1}
+    # fallback (stale after a new commit) gives identical values
+    cat.write("db", "src", spark.createDataFrame(
+        [("b", 0, 100)], "p string, b int, v long"))
+    out, m = answer_quantile(spark, cat, "db", "src", ["p"], "v", [0.5])
+    assert m is None
+    assert {r["p"]: r["p50_v"] for r in out.collect()} == {"a": 10, "b": 7}
