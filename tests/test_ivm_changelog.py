@@ -1236,3 +1236,46 @@ def test_maintain_join_chain_view_changelog_stream(spark, tmp_path):
     got = {r["nat"]: (r["group_count"], r["sum_qty"])
            for r in vt.read(spark).collect()}
     assert got == {"x": (2, 8)}
+
+
+def test_join_chain_view_tracked_rename_fails_loud(spark, tmp_path):
+    """Renaming a TRACKED column on a chain member between refreshes
+    must fail the fold loudly (names the column), leaving the view
+    untouched — never a silently wrong chain view."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, [("db", "a"), ("db", "b")], "db", "cv")
+    kw = dict(ons=[["k"]], keys=["g"], sum_cols=["v"])
+    cat.write("db", "a", spark.createDataFrame([(1, "x")], "k long, g string"))
+    cat.write("db", "b", spark.createDataFrame([(1, 5)], "k long, v long"))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    vt = cat.table("db", "cv")
+    before = _view_rows(vt.read(spark))
+    cat.alter_table("db", "b", rename_columns={"v": "val"})
+    cat.write("db", "b", spark.createDataFrame([(1, 7)], "k long, val long"))
+    with pytest.raises(Exception) as ei:
+        refresh_join_chain_view(*args, **kw)
+    assert "v" in str(ei.value)
+    assert _view_rows(vt.read(spark)) == before  # view untouched
+
+
+def test_topk_join_view_refuses_foreign_table(spark, tmp_path):
+    """The watermark protocol refuses to overwrite a table that is
+    not a join-maintained view."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_topk_join_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", spark.createDataFrame([(1, "x")], "k long, g string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 10, 5)], "k long, id long, m long"))
+    cat.write("db", "board", spark.createDataFrame([(1,)], "x long"))  # foreign
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        refresh_topk_join_view(
+            spark, cat, "db", "a", "db", "b", "db", "board",
+            on=["k"], keys=["g"], metric_col="m", id_cols=["k", "id"], k=1,
+        )
