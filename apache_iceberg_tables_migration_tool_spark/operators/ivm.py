@@ -331,6 +331,12 @@ def apply_topk_delta(
         )
     else:
         raise ValueError(f"collapse must be 'last' or 'net', got {collapse!r}")
+    # the collapsed slice is delta-sized but consumed by FOUR plans
+    # (insert candidates, stored-row match, the affected-key probe and
+    # the clean re-rank); without a checkpoint each consumer replays
+    # the upstream — for a join delta that is the whole bilinearity
+    # join, measured 2× end-to-end on the sf0.1 carrier
+    last = last.localCheckpoint(eager=False)
     ins = last.where(F.col("_change_type") == "insert").select(
         *keys, *ids, metric_col
     )
