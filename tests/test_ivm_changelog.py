@@ -1279,3 +1279,75 @@ def test_topk_join_view_refuses_foreign_table(spark, tmp_path):
             spark, cat, "db", "a", "db", "b", "db", "board",
             on=["k"], keys=["g"], metric_col="m", id_cols=["k", "id"], k=1,
         )
+
+
+def test_stacked_view_maintenance_composes(spark, tmp_path):
+    """Views of views: a maintained view is itself a catalog table
+    with a changelog, so a COARSE rollup maintained FROM the fine
+    view's changelog (summing the fine view's group_count/sum columns
+    as plain value columns) stays exact through base mutations — the
+    fine refresh rewrites aggregate rows, the coarse fold nets the
+    old aggregate out and the new one in. Read the coarse count as
+    sum_group_count."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    base_rows = [("a", 0, 10), ("a", 1, 20), ("b", 0, 7), ("b", 1, 1)]
+    cat.write("db", "src", spark.createDataFrame(
+        base_rows, "p string, b int, v long").coalesce(1))
+    fine = (spark, cat, "db", "src", "db", "fine")
+    coarse = (spark, cat, "db", "fine", "db", "coarse")
+
+    def refresh_both():
+        refresh_view_changelog(*fine, keys=["p", "b"], sum_cols=["v"])
+        refresh_view_changelog(*coarse, keys=["p"],
+                               sum_cols=["group_count", "sum_v"])
+
+    def check():
+        src = cat.table("db", "src").read(spark)
+        want = {
+            r["p"]: (r["n"], r["sv"])
+            for r in src.groupBy("p").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+            ).collect()
+        }
+        got = {
+            r["p"]: (r["sum_group_count"], r["sum_sum_v"])
+            for r in cat.table("db", "coarse").read(spark).collect()
+        }
+        assert got == want, (got, want)
+
+    refresh_both()
+    check()
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 0, 100), ("c", 2, 9)], "p string, b int, v long"))
+    refresh_both()
+    check()
+    cat.delete_where("db", "src", F.col("v") >= 20)  # kills groups
+    refresh_both()
+    check()
+
+
+def test_join_chain_composite_step_key(spark, tmp_path):
+    """A chain step joining on a COMPOSITE key (two columns) stays
+    exact — the manifest/key pruning falls back to plain reads but
+    the fold algebra is key-arity-agnostic."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, [("db", "a"), ("db", "b")], "db", "cv")
+    kw = dict(ons=[["k1", "k2"]], keys=["g"], sum_cols=["v"])
+    cat.write("db", "a", spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y")], "k1 long, k2 long, g string"))
+    cat.write("db", "b", spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 7), (2, 1, 100)], "k1 long, k2 long, v long"))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    vt = cat.table("db", "cv")
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"x": (1, 5), "y": (1, 7)}
+    cat.delete_where("db", "b", (F.col("k1") == 1) & (F.col("k2") == 1))
+    cat.write("db", "a", spark.createDataFrame(
+        [(2, 1, "x")], "k1 long, k2 long, g string"))
+    assert refresh_join_chain_view(*args, **kw) is not None
+    got = {r["g"]: (r["group_count"], r["sum_v"]) for r in vt.read(spark).collect()}
+    assert got == {"x": (1, 100), "y": (1, 7)}
