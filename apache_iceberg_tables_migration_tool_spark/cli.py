@@ -692,7 +692,8 @@ def cmd_query_aggregate(args: argparse.Namespace) -> int:
             return 2
         qs = [float(x) for x in args.quantiles.split(",")]
         out, m = rewriter.answer_quantile(
-            spark, cat, args.database, args.table, keys, args.col, qs
+            spark, cat, args.database, args.table, keys, args.col, qs,
+            refresh_stale=args.refresh_stale,
         )
     else:
         aggs = []
@@ -710,11 +711,13 @@ def cmd_query_aggregate(args: argparse.Namespace) -> int:
             ]
             ons = [o.split(",") for o in (args.on or [])]
             out, m = rewriter.answer_join_aggregate(
-                spark, cat, tables, ons, keys, aggs
+                spark, cat, tables, ons, keys, aggs,
+                refresh_stale=args.refresh_stale,
             )
         else:
             out, m = rewriter.answer_aggregate(
-                spark, cat, args.database, args.table, keys, aggs
+                spark, cat, args.database, args.table, keys, aggs,
+                refresh_stale=args.refresh_stale,
             )
     if m is None:
         print("-- computed from the base (no usable fresh view)")
@@ -722,6 +725,24 @@ def cmd_query_aggregate(args: argparse.Namespace) -> int:
         print(f"-- answered from materialized view {m.database}.{m.table}")
     for r in out.limit(args.limit).collect():
         print(r)
+    return 0
+
+
+def cmd_view_refresh_auto(args: argparse.Namespace) -> int:
+    """Self-describing view refresh — the operable face of
+    `streaming/pipelines.refresh_view_auto`."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_auto,
+    )
+
+    spark = _spark(args.cpus)
+    cat = SnapCatalog(args.warehouse)
+    folded = refresh_view_auto(spark, cat, args.database, args.view)
+    if folded is None:
+        print("-- view already current (nothing to fold)")
+    else:
+        print(f"-- folded to source snapshot(s) {folded}")
     return 0
 
 
@@ -1133,9 +1154,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated fractions — exact grouped quantiles "
                     "of --col instead of --aggs")
     sp.add_argument("--col", default=None, help="value column for --quantiles")
+    sp.add_argument("--refresh-stale", action="store_true",
+                    help="bring a matching-but-stale view to head first "
+                    "(O(delta) fold via its stamped definition) instead of "
+                    "falling back to the base")
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_query_aggregate)
+
+    sp = sub.add_parser(
+        "view-refresh-auto",
+        help="refresh ANY maintained view from its own stamped "
+        "definition metadata (single-table, join, chain or top-k) — "
+        "the cron-job shape needs only the view's name",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True, help="view namespace")
+    sp.add_argument("--view", required=True, help="view table name")
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_view_refresh_auto)
 
     sp = sub.add_parser(
         "corpus-build",

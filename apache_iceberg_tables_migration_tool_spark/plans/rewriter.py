@@ -90,6 +90,7 @@ def find_rewrite(
     keys: list[str],
     aggs,
     search_databases: list[str] | None = None,
+    require_fresh: bool = True,
 ) -> ViewMatch | None:
     """Find the CHEAPEST fresh materialized view that can answer the
     query, or None. Pure metadata: scans table summaries in
@@ -113,7 +114,9 @@ def find_rewrite(
             s = cur.summary
             if s.get("ivm.src") != want_src:
                 continue
-            if s.get("ivm.src_snapshot_id") != str(head.snapshot_id):
+            if require_fresh and s.get("ivm.src_snapshot_id") != str(
+                head.snapshot_id
+            ):
                 continue  # stale: must not answer
             kind = s.get("ivm.kind")
             vkeys = json.loads(s.get("ivm.keys", "[]"))
@@ -199,6 +202,7 @@ def find_join_rewrite(
     keys: list[str],
     aggs,
     search_databases: list[str] | None = None,
+    require_fresh: bool = True,
 ) -> ViewMatch | None:
     """Join-view twin of :func:`find_rewrite`: the query's join
     SIGNATURE (member tables in order + per-step keys) must equal the
@@ -232,7 +236,7 @@ def find_join_rewrite(
                 for fn, col, _ in aggs
             ):
                 continue
-            if not _join_view_fresh(catalog, s, tables):
+            if require_fresh and not _join_view_fresh(catalog, s, tables):
                 continue
             if best is None or len(vkeys) < len(best.keys):
                 best = ViewMatch(db, name, vkeys, kind, vcols)
@@ -247,13 +251,29 @@ def answer_join_aggregate(
     keys: list[str],
     aggs,
     search_databases: list[str] | None = None,
+    refresh_stale: bool = False,
 ) -> tuple[DataFrame, ViewMatch | None]:
     """``SELECT keys, aggs FROM T0 ⋈ T1 ⋈ … GROUP BY keys`` — routed
     through a matched join/chain view when fresh and sufficient, else
-    recomputed by actually joining the member tables. At 100 TB the
+    recomputed by actually joining the member tables
+    (``refresh_stale`` as in :func:`answer_aggregate`). At 100 TB the
     difference is a view read vs an N-way fact join."""
     norm = _normalize_aggs(aggs)
     m = find_join_rewrite(catalog, tables, ons, keys, aggs, search_databases)
+    if m is None and refresh_stale:
+        stale = find_join_rewrite(
+            catalog, tables, ons, keys, aggs, search_databases,
+            require_fresh=False,
+        )
+        if stale is not None:
+            from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+                refresh_view_auto,
+            )
+
+            refresh_view_auto(spark, catalog, stale.database, stale.table)
+            m = find_join_rewrite(
+                catalog, tables, ons, keys, aggs, search_databases
+            )
     if m is not None:
         view = catalog.table(m.database, m.table).read(spark)
         return view.groupBy(*keys).agg(*_reagg_exprs(m.kind, norm)), m
@@ -388,6 +408,7 @@ def answer_quantile(
     col: str,
     qs: list[float],
     search_databases: list[str] | None = None,
+    refresh_stale: bool = False,
 ) -> tuple[DataFrame, ViewMatch | None]:
     """EXACT grouped quantiles routed through a maintained counted
     auxiliary (``distinct`` kind view): order statistics re-aggregate
@@ -399,10 +420,24 @@ def answer_quantile(
     base with the same derivation, so both paths agree exactly."""
     from apache_iceberg_tables_migration_tool_spark.operators import ivm
 
+    probe = [("count_distinct", col, "_probe")]
     m = find_rewrite(
-        catalog, src_database, src_table, keys,
-        [("count_distinct", col, "_probe")], search_databases,
+        catalog, src_database, src_table, keys, probe, search_databases
     )
+    if m is None and refresh_stale:
+        stale = find_rewrite(
+            catalog, src_database, src_table, keys, probe, search_databases,
+            require_fresh=False,
+        )
+        if stale is not None:
+            from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+                refresh_view_auto,
+            )
+
+            refresh_view_auto(spark, catalog, stale.database, stale.table)
+            m = find_rewrite(
+                catalog, src_database, src_table, keys, probe, search_databases
+            )
     if m is not None:
         aux = catalog.table(m.database, m.table).read(spark)
         if set(m.keys) != set(keys):  # coarsen the aux first
@@ -423,6 +458,7 @@ def answer_aggregate(
     keys: list[str],
     aggs,
     search_databases: list[str] | None = None,
+    refresh_stale: bool = False,
 ) -> tuple[DataFrame, ViewMatch | None]:
     """``SELECT keys, aggs FROM src GROUP BY keys`` — routed through a
     matched materialized view when one is fresh and sufficient
@@ -431,13 +467,30 @@ def answer_aggregate(
     ``avg`` expression tree); the second element reports which view
     answered, if any. ``aggs`` is a list of ``(fn, col, alias)``
     with fn ∈ count/sum/min/max/avg/count_distinct (col ignored for
-    count). The view path reads the AGGREGATE-sized view — at 100 TB
-    that is the difference between a dashboard query and a table
-    scan."""
+    count). With ``refresh_stale`` a matching-but-stale view is
+    brought to head first via its stamped definition
+    (`pipelines.refresh_view_auto`) — an O(delta) fold — and then
+    answers; the default routes around staleness instead. The view
+    path reads the AGGREGATE-sized view — at 100 TB that is the
+    difference between a dashboard query and a table scan."""
     norm = _normalize_aggs(aggs)
     m = find_rewrite(
         catalog, src_database, src_table, keys, aggs, search_databases
     )
+    if m is None and refresh_stale:
+        stale = find_rewrite(
+            catalog, src_database, src_table, keys, aggs, search_databases,
+            require_fresh=False,
+        )
+        if stale is not None:
+            from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+                refresh_view_auto,
+            )
+
+            refresh_view_auto(spark, catalog, stale.database, stale.table)
+            m = find_rewrite(
+                catalog, src_database, src_table, keys, aggs, search_databases
+            )
     if m is not None:
         view = catalog.table(m.database, m.table).read(spark)
         out = view.groupBy(*keys).agg(*_reagg_exprs(m.kind, norm))

@@ -1515,6 +1515,74 @@ def maintain_topk_join_view_changelog(
     )
 
 
+def refresh_view_auto(spark: SparkSession, catalog, view_database: str,
+                      view_table: str):
+    """Refresh ANY maintained view from its own stamped definition —
+    every refresh protocol records the view's source(s), join keys,
+    group keys, kind and columns in the view's commit summary, so a
+    scheduler (or `query-aggregate --refresh-stale`) needs only the
+    view's name: read the metadata, dispatch to the matching
+    refresher. Raises ``ValueError`` for tables that carry no
+    definition (pre-metadata views or non-view tables — never guess).
+    Returns whatever the dispatched refresher returns."""
+    vt = catalog.table(view_database, view_table)
+    cur = vt.current_snapshot() if vt.exists() else None
+    s = cur.summary if cur is not None else {}
+    kind = s.get("ivm.kind")
+    if kind is None:
+        raise ValueError(
+            f"{view_database}.{view_table} carries no ivm.* definition "
+            "metadata — not an auto-refreshable maintained view"
+        )
+    keys = json.loads(s["ivm.keys"])
+    if "ivm.srcs" in s:
+        srcs = [tuple(x.split(".", 1)) for x in json.loads(s["ivm.srcs"])]
+        ons = json.loads(s["ivm.ons"])
+        if kind == "topk":
+            if len(srcs) != 2:
+                raise ValueError("top-k join views are two-table")
+            return refresh_topk_join_view(
+                spark, catalog, *srcs[0], *srcs[1], view_database, view_table,
+                on=ons[0], keys=keys, metric_col=s["ivm.metric"],
+                id_cols=json.loads(s["ivm.ids"]), k=int(s["ivm.k"]),
+            )
+        cols = json.loads(s["ivm.cols"])
+        kinds = {
+            "sum": dict(sum_cols=cols), "moments": dict(moment_cols=cols),
+            "minmax": dict(minmax_cols=cols),
+            "distinct": dict(distinct_col=cols[0]),
+        }[kind]
+        # two-table views use the a/b watermark protocol; longer
+        # chains (or 2-chains built by the chain refresher) the
+        # positional one — the stamped watermark names disambiguate
+        if len(srcs) == 2 and "ivm.src_a_snapshot_id" in s:
+            return refresh_join_view(
+                spark, catalog, *srcs[0], *srcs[1], view_database, view_table,
+                on=ons[0], keys=keys, **kinds,
+            )
+        return refresh_join_chain_view(
+            spark, catalog, list(srcs), view_database, view_table,
+            ons=ons, keys=keys, **kinds,
+        )
+    src_db, src_tbl = s["ivm.src"].split(".", 1)
+    if kind == "topk":
+        return refresh_topk_view(
+            spark, catalog, src_db, src_tbl, view_database, view_table,
+            keys=keys, metric_col=s["ivm.metric"],
+            id_col=json.loads(s["ivm.ids"]), k=int(s["ivm.k"]),
+        )
+    cols = json.loads(s["ivm.cols"])
+    kinds = {
+        "sum": dict(sum_cols=cols), "moments": dict(moment_cols=cols),
+        "minmax": dict(minmax_cols=cols),
+        "distinct": dict(distinct_col=cols[0]),
+    }[kind]
+    return refresh_view_changelog(
+        spark, catalog, src_db, src_tbl, view_database, view_table,
+        keys=keys, **kinds,
+    )
+
+
 def maintain_topk_view_changelog(
     spark: SparkSession,
     catalog,

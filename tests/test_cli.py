@@ -644,3 +644,31 @@ def test_cli_query_aggregate_navigation(spark, tmp_path, capsys):
                  "--col", "v"]) == 0
     out = capsys.readouterr().out
     assert "answered from materialized view db.aux" in out and "p50_v" in out
+
+
+def test_cli_view_refresh_auto_and_refresh_stale(spark, tmp_path, capsys):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    wh = str(tmp_path / "wh")
+    cat = SnapCatalog(wh)
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 10), ("b", 7)], "p string, v long").coalesce(1))
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "rollup", keys=["p"], sum_cols=["v"]
+    )
+    cat.write("db", "src", spark.createDataFrame([("a", 5)], "p string, v long"))
+    # auto-refresh from the stamped definition alone
+    assert main(["view-refresh-auto", "--warehouse", wh, "--database", "db",
+                 "--view", "rollup"]) == 0
+    assert "folded" in capsys.readouterr().out
+    got = {r["p"]: r["sum_v"]
+           for r in cat.table("db", "rollup").read(spark).collect()}
+    assert got == {"a": 15, "b": 7}
+    # --refresh-stale folds before answering instead of base fallback
+    cat.write("db", "src", spark.createDataFrame([("b", 1)], "p string, v long"))
+    assert main(["query-aggregate", "--warehouse", wh, "--database", "db",
+                 "--table", "src", "--keys", "p", "--aggs", "sum:v:sv",
+                 "--refresh-stale"]) == 0
+    assert "answered from materialized view db.rollup" in capsys.readouterr().out

@@ -258,3 +258,79 @@ def test_answer_quantile_from_coarsened_aux(spark, tmp_path):
     out, m = answer_quantile(spark, cat, "db", "src", ["p"], "v", [0.5])
     assert m is None
     assert {r["p"]: r["p50_v"] for r in out.collect()} == {"a": 10, "b": 7}
+
+
+def test_refresh_view_auto_dispatches_every_kind(spark, tmp_path):
+    """refresh_view_auto re-folds any maintained view from its own
+    stamped definition: single-table sum/distinct, a join view, a
+    chain view and both leaderboards — and refuses undecorated
+    tables."""
+    import pytest as _pytest
+
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_join_chain_view,
+        refresh_join_view,
+        refresh_topk_join_view,
+        refresh_topk_view,
+        refresh_view_auto,
+    )
+
+    cat = _mk(spark, tmp_path)
+    cat.write("db", "b2", spark.createDataFrame(
+        [(0, 10, 7), (1, 11, 9)], "b int, id long, w long").coalesce(1))
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "v_sum", keys=["p"], sum_cols=["v"]
+    )
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "v_dv", keys=["p"], distinct_col="v"
+    )
+    refresh_topk_view(
+        spark, cat, "db", "src", "db", "v_tk",
+        keys=["p"], metric_col="v", id_col="b", k=1,
+    )
+    refresh_join_view(
+        spark, cat, "db", "src", "db", "b2", "db", "v_jv",
+        on=["b"], keys=["p"], sum_cols=["w"],
+    )
+    refresh_join_chain_view(
+        spark, cat, [("db", "src"), ("db", "b2")], "db", "v_cv",
+        ons=[["b"]], keys=["p"], sum_cols=["w"],
+    )
+    refresh_topk_join_view(
+        spark, cat, "db", "src", "db", "b2", "db", "v_tj",
+        on=["b"], keys=["p"], metric_col="w", id_cols=["b", "id"], k=1,
+    )
+    # all current → every auto-refresh no-ops
+    for v in ("v_sum", "v_dv", "v_tk", "v_jv", "v_cv", "v_tj"):
+        assert refresh_view_auto(spark, cat, "db", v) is None, v
+    # mutate both sources → every auto-refresh folds and is exact
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 1, 999)], "p string, b int, v long"))
+    cat.write("db", "b2", spark.createDataFrame(
+        [(1, 12, 100)], "b int, id long, w long"))
+    for v in ("v_sum", "v_dv", "v_tk", "v_jv", "v_cv", "v_tj"):
+        assert refresh_view_auto(spark, cat, "db", v) is not None, v
+        assert refresh_view_auto(spark, cat, "db", v) is None, v  # now current
+    got = {r["p"]: r["sum_v"]
+           for r in cat.table("db", "v_sum").read(spark).collect()}
+    assert got == {"a": 1034, "b": 8}
+    tk = {r["p"]: r["b"] for r in cat.table("db", "v_tk").read(spark).collect()}
+    assert tk == {"a": 1, "b": 0}  # v=999 promoted b=1 to a's top slot
+    with _pytest.raises(ValueError, match="no ivm"):
+        refresh_view_auto(spark, cat, "db", "src")
+
+
+def test_answer_aggregate_refresh_stale_folds_then_routes(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    refresh_view_changelog(
+        spark, cat, "db", "src", "db", "fine", keys=["p", "b"], sum_cols=["v"]
+    )
+    cat.write("db", "src", spark.createDataFrame(
+        [("a", 1, 100)], "p string, b int, v long"))
+    aggs = [("count", None, "n"), ("sum", "v", "sv")]
+    out, m = answer_aggregate(
+        spark, cat, "db", "src", ["p"], aggs, refresh_stale=True
+    )
+    assert m is not None and m.table == "fine"  # folded to head, then routed
+    got = {r["p"]: (r["n"], r["sv"]) for r in out.collect()}
+    assert got == {"a": (4, 135), "b": (2, 8)}
