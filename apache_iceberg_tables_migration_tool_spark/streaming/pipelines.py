@@ -1583,6 +1583,44 @@ def refresh_view_auto(spark: SparkSession, catalog, view_database: str,
     )
 
 
+def maintain_view_auto(
+    spark: SparkSession,
+    catalog,
+    view_database: str,
+    view_table: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming maintenance for ANY maintained view from its own
+    stamped definition: the source tables come out of the view's
+    ``ivm.src``/``ivm.srcs`` metadata, their commit-marker feeds
+    drive discovery, and every micro-batch re-runs
+    :func:`refresh_view_auto` — one maintainer for every view kind
+    the engine can define. The view must already exist (one
+    synchronous refresh created it and stamped the definition)."""
+    vt = catalog.table(view_database, view_table)
+    cur = vt.current_snapshot() if vt.exists() else None
+    s = cur.summary if cur is not None else {}
+    if "ivm.kind" not in s:
+        raise ValueError(
+            f"{view_database}.{view_table} carries no ivm.* definition "
+            "metadata — create it with a refresh_* call first"
+        )
+    srcs = (
+        json.loads(s["ivm.srcs"]) if "ivm.srcs" in s else [s["ivm.src"]]
+    )
+    tables = [catalog.table(*x.split(".", 1)) for x in srcs]
+
+    def do_refresh():
+        return refresh_view_auto(spark, catalog, view_database, view_table)
+
+    return _marker_feed_maintainer(
+        spark, catalog, tables, do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
+    )
+
+
 def maintain_topk_view_changelog(
     spark: SparkSession,
     catalog,

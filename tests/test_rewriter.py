@@ -334,3 +334,42 @@ def test_answer_aggregate_refresh_stale_folds_then_routes(spark, tmp_path):
     assert m is not None and m.table == "fine"  # folded to head, then routed
     got = {r["p"]: (r["n"], r["sv"]) for r in out.collect()}
     assert got == {"a": (4, 135), "b": (2, 8)}
+
+
+def test_maintain_view_auto_streams_any_kind(spark, tmp_path):
+    """One streaming maintainer for any stamped view: sources come
+    from the metadata; a commit on either join side wakes a fold."""
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_view_auto,
+        refresh_join_view,
+    )
+
+    cat = _mk(spark, tmp_path)
+    cat.write("db", "b2", spark.createDataFrame(
+        [(0, 7)], "b int, w long"))
+    refresh_join_view(
+        spark, cat, "db", "src", "db", "b2", "db", "jv",
+        on=["b"], keys=["p"], sum_cols=["w"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        maintain_view_auto(
+            spark, cat, "db", "jv", checkpoint_dir=ckpt
+        ).awaitTermination()
+
+    drain()
+    cat.write("db", "b2", spark.createDataFrame([(1, 100)], "b int, w long"))
+    drain()
+    got = {r["p"]: r["sum_w"] for r in cat.table("db", "jv").read(spark).collect()}
+    # src: a rows at b∈{0,1}, b at b∈{0,1} → a: 7+7(two b=0 rows? see _ROWS)
+    want = {
+        r["p"]: r["sw"]
+        for r in cat.table("db", "src").read(spark)
+        .join(cat.table("db", "b2").read(spark), ["b"])
+        .groupBy("p").agg(F.sum("w").alias("sw")).collect()
+    }
+    assert got == want
+    drain()  # idempotent
+    got2 = {r["p"]: r["sum_w"] for r in cat.table("db", "jv").read(spark).collect()}
+    assert got2 == got
