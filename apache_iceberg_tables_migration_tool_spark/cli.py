@@ -683,12 +683,18 @@ def cmd_query_aggregate(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans import rewriter
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
 
+    if not args.table and not args.tables:
+        print("-- provide --table (single-table) or --tables/--on (join)")
+        return 2
     spark = _spark(args.cpus)
     cat = SnapCatalog(args.warehouse)
     keys = args.keys.split(",") if args.keys else []
     if args.quantiles:
         if not args.col:
             print("-- --quantiles needs --col")
+            return 2
+        if not args.table:
+            print("-- --quantiles is single-table: provide --table")
             return 2
         qs = [float(x) for x in args.quantiles.split(",")]
         out, m = rewriter.answer_quantile(
