@@ -910,3 +910,51 @@ def knn_pq(
         exact_scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def assign_cells(
+    emb: DataFrame,
+    cent: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest coarse-quantizer cell (max dot
+    product on unit vectors) in one distributed Arrow pass against the
+    broadcast centroid matrix — the assignment half of
+    :func:`ivf_index`, exposed standalone so an incrementally
+    maintained index (``pipelines.refresh_ann_index``) can fold a
+    changelog slice's INSERTED vectors against a FROZEN persisted
+    quantizer without retraining: assigning the same vector to the
+    same centroids is pure arithmetic, so a delta assignment is
+    bit-identical to what a full re-assignment would produce.
+    Returns (vec_id, cell)."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(cent, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": (m @ c.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id bigint, cell int"
+    )
+
+
+def centroid_matrix(centroids: DataFrame) -> np.ndarray:
+    """Collect a persisted ``(cell, centroid)`` quantizer table back
+    into the dense ndarray the Arrow kernels broadcast — nlist rows,
+    driver-safe by construction. Cells must be 0..nlist-1 (the
+    ``ivf_index`` contract)."""
+    rows = centroids.orderBy("cell").collect()
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroid table cells must be contiguous 0..nlist-1")
+    return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])

@@ -2179,3 +2179,95 @@ def view_rewrite_join_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ann_index_maintenance",
+    tags=("migration", "cdc", "vector", "approx"),
+    oracle="""
+WITH live AS (
+  SELECT vec_id FROM embeddings
+  WHERE (vec_id % 4 = 3) OR (vec_id % 10 NOT IN (3, 7))
+)
+SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok,
+       TRUE AS cells_exact
+FROM live WHERE vec_id < 10
+""",
+)
+def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A persisted IVF ANN index kept fresh INCREMENTALLY while its
+    embedding corpus mutates — the index as a maintained view
+    (`pipelines.refresh_ann_index`): the initial build trains the
+    seeded quantizer and assigns every vector; an append folds by
+    assigning ONLY the new vectors against the frozen quantizer; a
+    copy-on-write delete, a merge-on-read position delete and a final
+    append all fold in ONE refresh from the index's own watermark
+    (deleted ids anti-join out of the cells table, inserted vectors
+    get one Arrow assignment pass — never a re-cluster, never a
+    corpus rescan). Validated in-query two ways: (a) the maintained
+    cells table is EXACTLY a fresh re-assignment of the final corpus
+    against the same centroids (assignment is deterministic
+    arithmetic, so incremental ≡ recompute — `cells_exact`); (b)
+    searching THROUGH the maintained index finds ≥4 of the true
+    top-5 per query (`recall_ok`, the knn_ivf bar). The oracle pins
+    these derived facts per surviving query id."""
+    from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_ann_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_annx_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding",
+            F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("band"),
+        )
+        args = (spark, cat, "vec", "emb_annx", "vec", "annx_cells", "annx_cent")
+        kw = dict(nlist=8, id_col="vec_id", vec_col="embedding")
+        for b in range(2):
+            cat.write("vec", "emb_annx", emb.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+        refresh_ann_index(*args, **kw)  # initial build: train + assign
+        cat.write("vec", "emb_annx", emb.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[2])
+        refresh_ann_index(*args, **kw)  # insert-only fold
+        cat.delete_where("vec", "emb_annx", F.pmod(F.col("vec_id"), F.lit(10)) == 3,
+                         committed_at=_T[3])
+        cat.delete_where("vec", "emb_annx", F.pmod(F.col("vec_id"), F.lit(10)) == 7,
+                         committed_at=_T[4], mode="merge-on-read")
+        cat.write("vec", "emb_annx", emb.where(F.col("band") == 3).drop("band"),
+                  committed_at=_T[5])
+        refresh_ann_index(*args, **kw)  # COW + MOR + append in one fold
+
+        final = cat.table("vec", "emb_annx").read(spark)
+        cells = cat.table("vec", "annx_cells").read(spark).select("vec_id", "cell")
+        cent_df = cat.table("vec", "annx_cent").read(spark)
+        cent = S.centroid_matrix(cent_df)
+        expected = S.assign_cells(final, cent)
+        n_diff = (
+            expected.exceptAll(cells).count() + cells.exceptAll(expected).count()
+        )
+        cells_exact = n_diff == 0
+
+        queries = final.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        approx = S.knn_ivf_search(
+            cells, cent_df, final, queries, k=5, nprobe=7
+        ).select("qid", "vec_id")
+        exact = S.cosine_topk(final, queries, k=5).select(
+            "qid", "vec_id", F.lit(True).alias("__true_top5")
+        )
+        out = (
+            approx.join(exact, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count(F.lit(1)).alias("n_results"),
+                (F.count(F.col("__true_top5")) >= 4).alias("recall_ok"),
+            )
+            .withColumn("cells_exact", F.lit(cells_exact))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

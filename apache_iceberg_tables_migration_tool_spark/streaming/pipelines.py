@@ -1571,6 +1571,12 @@ def refresh_view_auto(spark: SparkSession, catalog, view_database: str,
             keys=keys, metric_col=s["ivm.metric"],
             id_col=json.loads(s["ivm.ids"]), k=int(s["ivm.k"]),
         )
+    if kind == "ann_cells":
+        return refresh_ann_index(
+            spark, catalog, src_db, src_tbl, view_database, view_table,
+            s["ann.centroids"], id_col=s["ann.id_col"],
+            vec_col=s["ann.vec_col"],
+        )
     cols = json.loads(s["ivm.cols"])
     kinds = {
         "sum": dict(sum_cols=cols), "moments": dict(moment_cols=cols),
@@ -1705,5 +1711,159 @@ def maintain_view_changelog(
     return _marker_feed_maintainer(
         spark, catalog, [catalog.table(src_database, src_table)],
         do_refresh, view_database, view_table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last,
+    )
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    index_database: str,
+    cells_table: str,
+    centroids_table: str,
+    nlist: int = 64,
+    train_sample: int = 100_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int | None:
+    """One incremental refresh of a persisted IVF ANN index
+    (`similarity.ivf_index` shape: a ``cells`` assignment table
+    partitioned by cell plus a frozen ``centroids`` quantizer) driven
+    by the embedding table's row-level changelog — the vector twin of
+    :func:`refresh_view_changelog`: the index is just another
+    maintained view, so a mutating corpus keeps its ANN index fresh in
+    O(changed vectors) instead of re-clustering 100 TB of embeddings
+    per batch.
+
+    First call builds the index from the source's current state
+    (trains the seeded spherical k-means quantizer once). Every later
+    call folds the changelog slice from the index's own watermark:
+    deleted/updated ids drop out of ``cells`` by anti-join, inserted
+    vectors are assigned against the FROZEN persisted quantizer in one
+    Arrow pass (`similarity.assign_cells`) — assignment is pure
+    arithmetic, so the maintained table is bit-identical to a full
+    re-assignment of the final state against the same centroids
+    (pinned by the `ann_index_maintenance` carrier). Freezing the
+    quantizer is standard IVF practice: cell QUALITY can drift as the
+    corpus distribution shifts (recall, not correctness); retrain by
+    dropping the index tables and rebuilding.
+
+    Exactly-once via the same protocol as every other maintained view:
+    the watermark (``ivm.src_snapshot_id``) rides in the cells table's
+    own commit summary, together with an ``ivm.kind="ann_cells"``
+    definition stamp so :func:`refresh_view_auto` /
+    :func:`maintain_view_auto` can drive it by name. Returns the
+    source snapshot id the index now reflects, or None if current.
+    """
+    from apache_iceberg_tables_migration_tool_spark.operators import similarity
+
+    src = catalog.table(src_database, src_table)
+    head = src.current_snapshot()
+    if head is None:
+        return None
+    ct = catalog.table(index_database, cells_table)
+    from_id = None
+    if ct.exists() and ct.current_snapshot() is not None:
+        s = ct.current_snapshot().summary
+        wm = s.get("ivm.src_snapshot_id")
+        if wm is None or s.get("ivm.kind") != "ann_cells":
+            raise ValueError(
+                f"{index_database}.{cells_table} exists but carries no "
+                "ann_cells definition stamp — not a maintained ANN index; "
+                "refusing to overwrite it"
+            )
+        from_id = int(wm)
+        if from_id == head.snapshot_id:
+            return None  # already current
+    stamp = {
+        "ivm.src_snapshot_id": str(head.snapshot_id),
+        "ivm.src": f"{src_database}.{src_table}",
+        "ivm.kind": "ann_cells",
+        "ivm.keys": json.dumps([id_col]),
+        "ivm.cols": json.dumps([vec_col]),
+        "ann.centroids": centroids_table,
+        "ann.id_col": id_col,
+        "ann.vec_col": vec_col,
+    }
+    if from_id is None:
+        cur = src.read(spark, snapshot_id=head.snapshot_id)
+        cells, centroids = similarity.ivf_index(
+            cur, nlist, train_sample, iters, seed, id_col, vec_col
+        )
+        # centroids first: a crash between the writes leaves a
+        # quantizer without cells, and the next refresh (cells absent)
+        # simply rebuilds both — never a stamped-but-stale index
+        catalog.write(index_database, centroids_table, centroids)
+        catalog.write(
+            index_database, cells_table, cells,
+            partition_by=["cell"], summary_extra=stamp,
+        )
+        return head.snapshot_id
+    cl = src.changelog(spark, from_id, head.snapshot_id, net_changes=True)
+    cent_df = catalog.table(index_database, centroids_table).read(spark)
+    cent = similarity.centroid_matrix(cent_df)
+    changed = cl.select(F.col(id_col).alias("vec_id")).distinct()
+    survivors = ct.read(spark).join(changed, "vec_id", "left_anti")
+    # collapse intra-slice churn to each id's LAST change (commit order,
+    # insert outranking delete within one commit, the apply_topk_delta
+    # rule): a vector born AND killed inside the slice nets to two
+    # changelog rows — folding its insert would resurrect a dead id in
+    # the index forever (caught by test_maintain_ann_index_stream)
+    from pyspark.sql import Window as _W
+
+    last = cl.withColumn(
+        "__rn",
+        F.row_number().over(
+            _W.partitionBy(id_col).orderBy(
+                F.col("_commit_order").desc(), F.col("_change_type").desc()
+            )
+        ),
+    ).where(F.col("__rn") == 1)
+    ins = last.where(F.col("_change_type") == "insert").select(id_col, vec_col)
+    assigned = similarity.assign_cells(ins, cent, id_col, vec_col)
+    refreshed = survivors.select("vec_id", "cell").unionByName(assigned)
+    catalog.write(
+        index_database, cells_table, refreshed,
+        mode="overwrite", partition_by=["cell"], summary_extra=stamp,
+    )
+    return head.snapshot_id
+
+
+def maintain_ann_index(
+    spark: SparkSession,
+    catalog,
+    src_database: str,
+    src_table: str,
+    index_database: str,
+    cells_table: str,
+    centroids_table: str,
+    checkpoint_dir: str,
+    nlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    view_keep_last: int = 50,
+):
+    """Streaming wrapper around :func:`refresh_ann_index`: the ANN
+    index stays fresh off the embedding table's commit-marker feed
+    with the same fold-to-head / replay-no-op semantics as the other
+    changelog maintainers — appends, COW upserts/deletes and MOR
+    deletes all keep the persisted index exact in O(changed vectors)
+    per micro-batch."""
+
+    def do_refresh():
+        return refresh_ann_index(
+            spark, catalog, src_database, src_table,
+            index_database, cells_table, centroids_table,
+            nlist=nlist, id_col=id_col, vec_col=vec_col,
+        )
+
+    return _marker_feed_maintainer(
+        spark, catalog, [catalog.table(src_database, src_table)],
+        do_refresh, index_database, cells_table,
         checkpoint_dir, max_files_per_trigger, view_keep_last,
     )

@@ -1,0 +1,158 @@
+"""Incrementally maintained IVF ANN index (`pipelines.refresh_ann_index`
+/ `maintain_ann_index`): the persisted (cells, centroids) index of
+`similarity.ivf_index` treated as a maintained view of the embedding
+table — deletes anti-join out, inserts assign against the frozen
+quantizer, and the result must be EXACTLY what a fresh re-assignment
+of the final corpus against the same centroids produces."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.operators import similarity as S
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+    maintain_ann_index,
+    refresh_ann_index,
+    refresh_view_auto,
+)
+
+
+def _vec(rng: np.random.Generator, dim: int = 8) -> list[float]:
+    return [float(x) for x in rng.normal(size=dim)]
+
+
+def _emb_df(spark, ids, seed=7):
+    rng = np.random.default_rng(seed)
+    all_ids = sorted(set(ids))
+    vecs = {}
+    r = np.random.default_rng(seed)
+    for i in range(max(all_ids) + 1):
+        v = _vec(r)
+        if i in set(all_ids):
+            vecs[i] = v
+    return spark.createDataFrame(
+        [(i, vecs[i]) for i in all_ids],
+        schema="vec_id bigint, embedding array<double>",
+    )
+
+
+def _expected_cells(spark, cat, db, tbl, cent_df):
+    final = cat.table(db, tbl).read(spark)
+    return S.assign_cells(final, S.centroid_matrix(cent_df))
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_refresh_ann_index_exact_under_mutation(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, "v", "emb", "v", "cells", "cent")
+    kw = dict(nlist=4, id_col="vec_id", vec_col="embedding")
+
+    cat.write("v", "emb", _emb_df(spark, range(0, 40)))
+    assert refresh_ann_index(*args, **kw) is not None  # initial build
+    cent_df = cat.table("v", "cent").read(spark)
+    assert cat.table("v", "cells").read(spark).count() == 40
+
+    # idempotent when current
+    assert refresh_ann_index(*args, **kw) is None
+
+    # append-only fold
+    cat.write("v", "emb", _emb_df(spark, range(40, 60)))
+    assert refresh_ann_index(*args, **kw) is not None
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+
+    # COW delete + MOR delete + append folded in ONE refresh
+    cat.delete_where("v", "emb", F.col("vec_id") % 7 == 0)
+    cat.delete_where("v", "emb", F.col("vec_id") % 11 == 3, mode="merge-on-read")
+    cat.write("v", "emb", _emb_df(spark, range(60, 70)))
+    assert refresh_ann_index(*args, **kw) is not None
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    expected = _expected_cells(spark, cat, "v", "emb", cent_df)
+    assert _same_rows(cells, expected)
+    # deleted ids are really gone from the index
+    gone = cells.where((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 60))
+    assert gone.count() == 0
+
+    # the quantizer is frozen across folds (same table, same rows)
+    cent_after = cat.table("v", "cent").read(spark)
+    assert _same_rows(cent_df, cent_after)
+
+    # a vector born AND killed inside one slice must not resurrect
+    cat.write("v", "emb", _emb_df(spark, range(70, 75)))
+    cat.delete_where("v", "emb", F.col("vec_id") >= 72)
+    assert refresh_ann_index(*args, **kw) is not None
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+    assert cells.where(F.col("vec_id") >= 72).count() == 0
+
+
+def test_refresh_ann_index_upsert_reassigns(spark, tmp_path):
+    """An upserted (changed) vector must land in the cell of its NEW
+    value — delete+insert of the same id through the changelog."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, "v", "emb", "v", "cells", "cent")
+    kw = dict(nlist=4, id_col="vec_id", vec_col="embedding")
+    cat.write("v", "emb", _emb_df(spark, range(0, 30), seed=1))
+    refresh_ann_index(*args, **kw)
+    # upsert: flip vec 5's embedding to vec 20's (different seed slice)
+    newv = _emb_df(spark, [20], seed=1).select(
+        F.lit(5).cast("bigint").alias("vec_id"), "embedding"
+    )
+    cat.upsert("v", "emb", newv, key_cols=["vec_id"])
+    refresh_ann_index(*args, **kw)
+    cent_df = cat.table("v", "cent").read(spark)
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+    c5 = cells.where(F.col("vec_id") == 5).collect()[0]["cell"]
+    c20 = cells.where(F.col("vec_id") == 20).collect()[0]["cell"]
+    assert c5 == c20
+
+
+def test_refresh_ann_index_guards(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    # source missing → no-op
+    assert refresh_ann_index(
+        spark, cat, "v", "emb", "v", "cells", "cent", nlist=4
+    ) is None
+    # an unstamped table at the cells name is refused
+    cat.write("v", "emb", _emb_df(spark, range(0, 10)))
+    cat.write("v", "cells", _emb_df(spark, range(0, 3)))
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        refresh_ann_index(spark, cat, "v", "emb", "v", "cells", "cent", nlist=4)
+
+
+def test_refresh_view_auto_dispatches_ann(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, "v", "emb", "v", "cells", "cent")
+    cat.write("v", "emb", _emb_df(spark, range(0, 30)))
+    refresh_ann_index(*args, nlist=4)
+    cat.write("v", "emb", _emb_df(spark, range(30, 40)))
+    assert refresh_view_auto(spark, cat, "v", "cells") is not None
+    cent_df = cat.table("v", "cent").read(spark)
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+
+
+def test_maintain_ann_index_stream(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("v", "emb", _emb_df(spark, range(0, 30)))
+
+    def drain():
+        maintain_ann_index(
+            spark, cat, "v", "emb", "v", "cells", "cent",
+            checkpoint_dir=str(tmp_path / "ckpt"), nlist=4,
+        ).awaitTermination()
+
+    drain()  # initial build via the synchronous pre-refresh
+    cat.write("v", "emb", _emb_df(spark, range(30, 45)))
+    cat.delete_where("v", "emb", F.col("vec_id") % 5 == 1)
+    drain()
+    cent_df = cat.table("v", "cent").read(spark)
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
