@@ -476,3 +476,107 @@ def hash_split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
         cum += fractions[nm]
         out.append((nm, format(min(65535, int(cum * 65536)), "04x")))
     return out
+
+
+def chunk_words(
+    df: DataFrame,
+    max_words: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's word sequence into OVERLAPPING fixed-size
+    chunks — the context-window preparation step of every embedding /
+    retrieval / long-doc training pipeline: chunk ``i`` covers words
+    ``[i·stride, i·stride + max_words)`` with ``stride = max_words −
+    overlap``, so consecutive chunks share ``overlap`` words and the
+    final (possibly short) chunk always covers the document tail.
+    Emits ``(id, chunk_id, chunk_text, n_words)``.
+
+    All built-ins (split → sequence → explode → slice → array_join),
+    so chunking runs inside whole-stage codegen with no Python in the
+    hot path, parallelism is row-wise, and nothing shuffles — the
+    100 TB shape is "one map stage". Chunk count uses pure integer
+    arithmetic (``1 + ⌈max(0, n−max_words)/stride⌉``), making the
+    layout bit-reproducible across engines (the carrier's DuckDB twin
+    replays it exactly)."""
+    if not 0 <= overlap < max_words:
+        raise ValueError(f"need 0 <= overlap < max_words, got {overlap}/{max_words}")
+    stride = max_words - overlap
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    ).withColumn(
+        "__nc",
+        (
+            F.lit(1)
+            + F.floor(
+                (F.greatest(F.size("__ws") - max_words, F.lit(0)) + (stride - 1))
+                / stride
+            )
+        ).cast("int"),
+    )
+    chunk = F.slice(F.col("__ws"), F.col("chunk_id") * stride + 1, max_words)
+    return (
+        base.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("int").alias("n_words"),
+        )
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    n: int = 4,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-n-gram profile per document — the
+    RefinedWeb/MassiveText boilerplate filter that catches what
+    WITHIN-doc repetition metrics (`repetition_metrics`) cannot: a
+    doc whose n-grams are each used once locally but shared with many
+    OTHER documents (mirrors, templates, licence blurbs). For every
+    n-gram POSITION (not distinct shingles — a doc that repeats a
+    shared phrase is more duplicated, not less) the n-gram's document
+    frequency decides whether the position counts as duplicated
+    (``df >= min_df``); emits ``(id, n_grams, dup_grams,
+    dup_fraction)`` for docs with ≥ n words.
+
+    Scale shape: one shuffle to count each gram's distinct-doc
+    frequency (partial aggregation collapses repeats map-side), one
+    shuffle to join frequencies back and re-group per doc — both keyed
+    on values with corpus-bounded cardinality. ``dup_fraction`` is a
+    single int/int IEEE division, so it hash-matches any engine
+    computing the same two integers."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).where(F.size("__toks") >= n)
+    gram = F.explode(
+        F.expr(
+            f"transform(sequence(0, size(__toks) - {n}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+        )
+    )
+    grams = toks.select(F.col(id_col), gram.alias("gram"))
+    dfreq = grams.groupBy("gram").agg(
+        F.countDistinct(F.col(id_col)).alias("__df")
+    )
+    per_doc = (
+        grams.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dup_grams"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_fraction",
+        F.col("dup_grams").cast("double") / F.col("n_grams").cast("double"),
+    )

@@ -700,3 +700,64 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("split") == "train"),
         docs.where(F.col("split") == "heldout"),
     )
+
+
+@query(
+    "chunk_documents_overlap",
+    tags=("curation", "text"),
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+c AS (SELECT doc_id, ws, nw,
+             1 + (GREATEST(nw - 40, 0) + 29) // 30 AS nc FROM n)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(ws[(i*30+1):(i*30+40)], ' ') AS chunk_text,
+       CAST(LEAST(40, nw - i*30) AS INT) AS n_words
+FROM c, LATERAL (SELECT unnest(range(0, nc)) AS i) t
+""",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (`curation.chunk_words`):
+    every document split into 40-word chunks with a 10-word overlap
+    (stride 30), the retrieval/embedding-pipeline preparation step.
+    Pure codegen built-ins (split → sequence → explode → slice), no
+    shuffle, no Python — a single map stage at any scale. The oracle
+    replays the integer chunk-count rule and the slice bounds exactly,
+    so chunk ids, texts and word counts all hash-match."""
+    docs = load(spark, sf_dir, "documents")
+    return C.chunk_words(docs, max_words=40, overlap=10)
+
+
+@query(
+    "dup_ngram_doc_filter",
+    tags=("curation", "dedup", "text"),
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) t
+      WHERE len(ws) >= 4),
+d AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+f AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+      FROM g JOIN d USING (gram) GROUP BY 1)
+SELECT doc_id, n_grams, dup_grams,
+       CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction,
+       (dup_grams * 2 <= n_grams) AS keep
+FROM f
+""",
+)
+def dup_ngram_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate filter
+    (`curation.dup_ngram_fraction`): per document, the fraction of its
+    4-gram positions whose 4-gram also appears in at least one OTHER
+    document (df ≥ 2); docs with more than half their positions
+    duplicated corpus-wide are flagged (``keep = false``) — the
+    RefinedWeb-style complement to the within-doc Gopher repetition
+    metrics. The keep decision compares integers (``2·dup ≤ n``), so
+    no float threshold can drift across engines; the fraction itself
+    is one int/int IEEE division."""
+    docs = load(spark, sf_dir, "documents")
+    prof = C.dup_ngram_fraction(docs, n=4, min_df=2)
+    return prof.withColumn(
+        "keep", F.col("dup_grams") * 2 <= F.col("n_grams")
+    )

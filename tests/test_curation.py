@@ -204,3 +204,94 @@ def test_quality_weighted_sample_rates_and_determinism(spark):
     a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# chunk_words / dup_ngram_fraction (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_words_bounds_and_tail(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import chunk_words
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "p q r s")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_words(df, max_words=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 7 words, stride 3 -> chunks at 0,3: [a b c d], [d e f g]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == ["a b c d", "d e f g"]
+    assert [r["n_words"] for r in c1] == [4, 4]
+    # doc 2: shorter than max_words -> one whole chunk
+    assert [(r["chunk_text"], r["n_words"]) for r in by_doc[2]] == [("x y", 2)]
+    # doc 3: exactly max_words -> one chunk
+    assert [(r["chunk_text"], r["n_words"]) for r in by_doc[3]] == [("p q r s", 4)]
+
+
+def test_chunk_words_tail_shorter_and_overlap_coverage(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import chunk_words
+
+    words = [f"w{i}" for i in range(11)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_words(df, max_words=5, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 3, 11 words -> nc = 1 + ceil(6/3) = 3: starts 0,3,6
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["chunk_text"] == "w6 w7 w8 w9 w10"
+    # every word is covered, consecutive chunks share exactly 2 words
+    seen = set()
+    for r in rows:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == set(words)
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"].split(" ")[-2:] == b["chunk_text"].split(" ")[:2]
+
+
+def test_chunk_words_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import chunk_words
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        chunk_words(df, max_words=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_words(df, max_words=4, overlap=-1)
+
+
+def test_dup_ngram_fraction_counts_positions(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.curation import (
+        dup_ngram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown" with 2
+            (2, "the quick brown cat sleeps"),  # shares with 1
+            (3, "entirely different words here"),
+            (4, "ab cd"),                        # too short for 3-grams: no row
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(df, n=3, min_df=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # docs 1/2: 3 gram positions each, exactly one duplicated
+    for d in (1, 2):
+        assert out[d]["n_grams"] == 3 and out[d]["dup_grams"] == 1
+        assert abs(out[d]["dup_fraction"] - 1 / 3) < 1e-15
+    assert out[3]["dup_grams"] == 0
+
+    # a doc REPEATING a shared phrase counts each position (not distinct)
+    df2 = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y z only once")],
+        "doc_id bigint, text string",
+    )
+    out2 = {r["doc_id"]: r for r in dup_ngram_fraction(df2, n=3, min_df=2).collect()}
+    assert out2[1]["n_grams"] == 4
+    assert out2[1]["dup_grams"] == 2  # positions 0 and 3 both carry "x y z"
