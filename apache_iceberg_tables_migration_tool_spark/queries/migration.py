@@ -2271,3 +2271,87 @@ def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "multi_table_transaction",
+    tags=("migration", "txn"),
+    oracle="""
+WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 < 2),
+     l AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey % 3 < 2)
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, TRUE AS txn_clean
+FROM o
+UNION ALL
+SELECT 'lineitem', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT), TRUE
+FROM l
+""",
+)
+def multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MULTI-TABLE commit (`sources/transactions.py`) — the
+    cross-table guarantee the reference's per-table migration loop
+    lacks: a fact+dim ingest batch lands on BOTH tables or neither.
+    History: seed commits on orders+lineitem (band 0); one transaction
+    appends band 1 to both (staged WAP writes → one atomic intent-file
+    rename → per-table publish roll-forward); a second transaction
+    stages band 2 on both and ABORTS — its rows must never surface
+    (staged snapshots stay unpublished). The result rolls up both
+    tables' final live states plus the no-pending-transactions flag;
+    the oracle recomputes from the band predicates, so a leaked abort,
+    a half-published commit or a stranded intent file all flip the
+    hash. Crash-mid-publish recovery is pinned separately in
+    tests/test_transactions.py."""
+    from apache_iceberg_tables_migration_tool_spark.sources.transactions import (
+        MultiTableTransaction,
+        pending_transactions,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_txn_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", F.pmod(F.col("o_orderkey"), F.lit(3)).alias("band")
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", F.pmod(F.col("l_orderkey"), F.lit(3)).alias("band")
+        )
+        cat.write("db", "orders_txn", o.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        cat.write("db", "lineitem_txn", li.where(F.col("band") == 0).drop("band"),
+                  committed_at=_T[0])
+        with MultiTableTransaction(cat) as txn:
+            txn.write("db", "orders_txn",
+                      o.where(F.col("band") == 1).drop("band"), committed_at=_T[1])
+            txn.write("db", "lineitem_txn",
+                      li.where(F.col("band") == 1).drop("band"), committed_at=_T[1])
+        try:
+            with MultiTableTransaction(cat) as txn:
+                txn.write("db", "orders_txn",
+                          o.where(F.col("band") == 2).drop("band"),
+                          committed_at=_T[2])
+                txn.write("db", "lineitem_txn",
+                          li.where(F.col("band") == 2).drop("band"),
+                          committed_at=_T[2])
+                raise RuntimeError("audit failed — abort the batch")
+        except RuntimeError:
+            pass
+        clean = not pending_transactions(cat)
+        oo = cat.table("db", "orders_txn").read(spark)
+        ll = cat.table("db", "lineitem_txn").read(spark)
+        out = (
+            oo.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .select(F.lit("orders").alias("table_name"), "n_rows", "key_sum")
+            .unionByName(
+                ll.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("l_orderkey").cast("long").alias("key_sum"),
+                ).select(F.lit("lineitem").alias("table_name"), "n_rows", "key_sum")
+            )
+            .withColumn("txn_clean", F.lit(clean))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

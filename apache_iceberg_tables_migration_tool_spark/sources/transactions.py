@@ -1,0 +1,250 @@
+"""Multi-table ATOMIC transactions over a SnapCatalog.
+
+The reference migrates tables one by one with no cross-table
+consistency (each of `5_migrate_tables_data.py`'s per-table writes
+commits independently; a crash mid-run leaves the target half
+migrated with nothing recording the fact). Real warehouses need the
+batch-spanning guarantee — fact and dim land together or not at all —
+which per-table Iceberg itself cannot give (Glue/Hive catalogs commit
+one table at a time; Nessie adds catalog-level commits for exactly
+this reason). This module adds it on top of the engine's existing
+write-audit-publish machinery:
+
+1. Every write inside the transaction executes EAGERLY as a STAGED
+   (WAP) commit — full data plane, invisible to readers (`SnapCatalog
+   .write(staged=True)`). A transaction that never commits costs
+   nothing to abort: staged snapshots stay in the log as unpublished
+   forensics, the same contract failed WAP audits already follow.
+2. ``commit()`` writes ONE catalog-level intent file
+   (``<warehouse>/_txns/txn-<id>.json``, tmp + atomic rename) naming
+   every (table, staged snapshot). That rename is THE commit point.
+3. The staged snapshots are then PUBLISHED one table at a time
+   (roll-forward). A crash anywhere in phase 3 leaves the intent
+   file behind, and :func:`recover_transactions` — run explicitly or
+   by the next transaction on the same catalog — finishes the
+   remaining publishes idempotently (a snapshot already on the
+   published lineage, or cherry-picked into it via its
+   ``published-from`` stamp, is skipped).
+
+Atomicity story, stated honestly: the commit DECISION is atomic (one
+rename), and afterwards the transaction is guaranteed to roll forward
+to fully-published; but per-table pointers flip one at a time, so a
+reader racing phase 3 can observe a committed-but-not-yet-published
+table (bounded staleness, resolved by recovery — the standard 2PC
+visibility window; removing it entirely would need every reader to
+resolve through a catalog-level pointer). Concurrency: appends
+staged by a transaction cherry-pick cleanly over commits that land
+in between (the `publish` fast path / replay rule); a staged
+OVERWRITE whose base moved is refused at preflight — before the
+commit point — so the transaction aborts atomically rather than
+half-publishing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+    CommitConflictError,
+    SnapCatalog,
+    Snapshot,
+    SnapTable,
+)
+
+__all__ = [
+    "MultiTableTransaction",
+    "TransactionRollForwardError",
+    "recover_transactions",
+    "pending_transactions",
+]
+
+
+class TransactionRollForwardError(RuntimeError):
+    """A committed transaction could not finish publishing. The intent
+    file remains; :func:`recover_transactions` retries the remaining
+    publishes."""
+
+
+def _txn_dir(catalog: SnapCatalog) -> str:
+    return os.path.join(catalog.warehouse, "_txns")
+
+
+def _published_ids(tbl: SnapTable) -> set[int]:
+    """Snapshot ids visible on the table's published lineage,
+    including staged snapshots that were cherry-picked in (their new
+    snapshot carries ``published-from``)."""
+    cur = tbl.current_snapshot()
+    if cur is None:
+        return set()
+    by_id = {s.snapshot_id: s for s in tbl.snapshots()}
+    out: set[int] = set()
+    cid: int | None = cur.snapshot_id
+    while cid is not None and cid in by_id:
+        s = by_id[cid]
+        out.add(cid)
+        pf = s.summary.get("published-from")
+        if pf is not None:
+            out.add(int(pf))
+        cid = s.parent_id
+    return out
+
+
+def pending_transactions(catalog: SnapCatalog) -> list[str]:
+    """Transaction ids with a committed intent file awaiting (or mid)
+    roll-forward."""
+    d = _txn_dir(catalog)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        f[len("txn-"):-len(".json")]
+        for f in os.listdir(d)
+        if f.startswith("txn-") and f.endswith(".json")
+    )
+
+
+def _roll_forward(catalog: SnapCatalog, path: str) -> None:
+    """Publish every not-yet-published entry of one intent file, then
+    remove it. Idempotent: safe to re-run after any crash."""
+    with open(path) as fh:
+        intent = json.load(fh)
+    for e in intent["entries"]:
+        tbl = catalog.table(e["database"], e["table"])
+        if e["snapshot_id"] in _published_ids(tbl):
+            continue  # already rolled forward before a crash
+        try:
+            catalog.publish(e["database"], e["table"], e["snapshot_id"])
+        except CommitConflictError as exc:
+            raise TransactionRollForwardError(
+                f"transaction {intent['txn_id']}: publishing staged snapshot "
+                f"{e['snapshot_id']} of {e['database']}.{e['table']} conflicts "
+                f"with a commit that landed after the transaction committed "
+                f"({exc}). The intent file remains at {path}; resolve the "
+                "conflict (rollback the conflicting commit or drop the "
+                "transaction file) and re-run recover_transactions."
+            ) from exc
+    os.remove(path)
+
+
+def recover_transactions(catalog: SnapCatalog) -> list[str]:
+    """Finish the roll-forward of every committed-but-unfinished
+    transaction on this catalog (crash recovery). Returns the
+    recovered transaction ids."""
+    done = []
+    for txn_id in pending_transactions(catalog):
+        _roll_forward(catalog, os.path.join(_txn_dir(catalog), f"txn-{txn_id}.json"))
+        done.append(txn_id)
+    return done
+
+
+class MultiTableTransaction:
+    """Atomic multi-table write batch (see module docstring).
+
+    Usage::
+
+        with MultiTableTransaction(cat) as txn:
+            txn.write("db", "orders", new_orders)            # staged
+            txn.write("db", "lineitem", new_items)           # staged
+        # __exit__ commits: both published, or neither
+
+    Exiting on an exception ABORTS: nothing was published, the staged
+    snapshots remain in each table's log as unpublished forensics.
+    Supported operations: ``write`` with mode append/overwrite — the
+    staged-commit surface. Row-level deletes/upserts inside a
+    transaction: stage an overwrite of the final state, or run them
+    as ordinary single-table commits.
+    """
+
+    def __init__(self, catalog: SnapCatalog):
+        self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex[:12]
+        self.entries: list[dict] = []
+        self._done = False
+        # a new transaction first heals any crashed predecessor so its
+        # tables aren't stuck in the visibility window indefinitely
+        recover_transactions(catalog)
+
+    # -- staged operations -------------------------------------------------
+
+    def write(
+        self,
+        database: str,
+        table: str,
+        df: DataFrame,
+        mode: str = "append",
+        **kwargs,
+    ) -> Snapshot:
+        """Stage a write into the transaction. Data is written NOW
+        (full distributed write); visibility waits for commit."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        snap = self.catalog.write(
+            database, table, df, mode=mode, staged=True,
+            wap_id=f"txn-{self.txn_id}", **kwargs,
+        )
+        self.entries.append(
+            {
+                "database": database,
+                "table": table,
+                "snapshot_id": snap.snapshot_id,
+                "operation": snap.operation,
+            }
+        )
+        return snap
+
+    # -- outcome -----------------------------------------------------------
+
+    def commit(self) -> None:
+        """Make every staged write visible, atomically (see module
+        docstring for the exact guarantee)."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        self._done = True
+        if not self.entries:
+            return
+        # preflight: refuse the one unpublishable shape BEFORE the
+        # commit point — a staged overwrite whose base moved cannot be
+        # replayed over commits it never saw (publish would raise
+        # mid-roll-forward, stranding the transaction half applied)
+        for e in self.entries:
+            if e["operation"] == "append":
+                continue  # cherry-pickable over any interleaved commit
+            tbl = self.catalog.table(e["database"], e["table"])
+            by_id = {s.snapshot_id: s for s in tbl.snapshots()}
+            staged = by_id[e["snapshot_id"]]
+            cur = tbl.current_snapshot()
+            if staged.parent_id != (cur.snapshot_id if cur else None):
+                raise CommitConflictError(
+                    f"transaction {self.txn_id}: staged {e['operation']} on "
+                    f"{e['database']}.{e['table']} (snapshot "
+                    f"{e['snapshot_id']}) conflicts with a commit that landed "
+                    "since it was staged; transaction aborted, nothing "
+                    "published"
+                )
+        d = _txn_dir(self.catalog)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"txn-{self.txn_id}.json")
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"txn_id": self.txn_id, "entries": self.entries}, fh, indent=1)
+        os.replace(tmp, path)  # THE atomic commit point
+        _roll_forward(self.catalog, path)
+
+    def abort(self) -> None:
+        """Discard the transaction: nothing becomes visible. Already
+        idempotent/no-op after commit()."""
+        self._done = True
+
+    def __enter__(self) -> "MultiTableTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            if not self._done:
+                self.commit()
+        else:
+            self.abort()
+        return False

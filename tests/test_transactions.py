@@ -1,0 +1,162 @@
+"""Multi-table atomic transactions (`sources/transactions.py`):
+staged-write batches with a single atomic commit point and
+crash-recoverable roll-forward."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+    CommitConflictError,
+    SnapCatalog,
+)
+from apache_iceberg_tables_migration_tool_spark.sources.transactions import (
+    MultiTableTransaction,
+    TransactionRollForwardError,
+    pending_transactions,
+    recover_transactions,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _count(spark, cat, db, tbl):
+    t = cat.table(db, tbl)
+    if not t.exists() or t.current_snapshot() is None:
+        return 0
+    return t.read(spark).count()
+
+
+def test_txn_commit_publishes_all(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    cat.write("db", "b", _df(spark, 0, 7))
+    with MultiTableTransaction(cat) as txn:
+        txn.write("db", "a", _df(spark, 5, 10))
+        txn.write("db", "b", _df(spark, 7, 10))
+        # staged writes are invisible before commit
+        assert _count(spark, cat, "db", "a") == 5
+        assert _count(spark, cat, "db", "b") == 7
+    assert _count(spark, cat, "db", "a") == 10
+    assert _count(spark, cat, "db", "b") == 10
+    assert pending_transactions(cat) == []
+
+
+def test_txn_abort_on_exception_publishes_nothing(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    with pytest.raises(RuntimeError, match="boom"):
+        with MultiTableTransaction(cat) as txn:
+            txn.write("db", "a", _df(spark, 5, 10))
+            txn.write("db", "b", _df(spark, 0, 3))
+            raise RuntimeError("boom")
+    assert _count(spark, cat, "db", "a") == 5
+    # table b only ever had the staged commit: still unpublished
+    assert _count(spark, cat, "db", "b") == 0
+    assert pending_transactions(cat) == []
+
+
+def test_txn_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    cat.write("db", "b", _df(spark, 0, 5))
+    txn = MultiTableTransaction(cat)
+    txn.write("db", "a", _df(spark, 5, 10))
+    txn.write("db", "b", _df(spark, 5, 10))
+
+    real_publish = cat.publish
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise CommitConflictError("injected crash")
+        return real_publish(*a, **kw)
+
+    monkeypatch.setattr(cat, "publish", flaky)
+    with pytest.raises(TransactionRollForwardError):
+        txn.commit()
+    # commit point passed: intent file recorded, first table published
+    assert pending_transactions(cat) == [txn.txn_id]
+    assert _count(spark, cat, "db", "a") == 10
+    assert _count(spark, cat, "db", "b") == 5
+    monkeypatch.setattr(cat, "publish", real_publish)
+    assert recover_transactions(cat) == [txn.txn_id]
+    assert _count(spark, cat, "db", "b") == 10
+    assert pending_transactions(cat) == []
+    # recovery is idempotent
+    assert recover_transactions(cat) == []
+
+
+def test_new_txn_heals_crashed_predecessor(spark, tmp_path, monkeypatch):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    txn = MultiTableTransaction(cat)
+    txn.write("db", "a", _df(spark, 5, 10))
+    monkeypatch.setattr(
+        cat, "publish",
+        lambda *a, **kw: (_ for _ in ()).throw(CommitConflictError("crash")),
+    )
+    with pytest.raises(TransactionRollForwardError):
+        txn.commit()
+    monkeypatch.undo()
+    assert pending_transactions(cat) == [txn.txn_id]
+    # constructing the next transaction rolls the predecessor forward
+    MultiTableTransaction(cat)
+    assert pending_transactions(cat) == []
+    assert _count(spark, cat, "db", "a") == 10
+
+
+def test_txn_staged_append_cherry_picks_over_interleaved_commit(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    txn = MultiTableTransaction(cat)
+    txn.write("db", "a", _df(spark, 5, 10))
+    cat.write("db", "a", _df(spark, 100, 103))  # lands mid-transaction
+    txn.commit()
+    got = sorted(
+        r["id"] for r in cat.table("db", "a").read(spark).select("id").collect()
+    )
+    assert got == list(range(0, 10)) + [100, 101, 102]
+
+
+def test_txn_staged_overwrite_conflict_aborts_atomically(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    cat.write("db", "b", _df(spark, 0, 5))
+    txn = MultiTableTransaction(cat)
+    txn.write("db", "b", _df(spark, 50, 60), mode="overwrite")
+    txn.write("db", "a", _df(spark, 5, 10))
+    cat.write("db", "b", _df(spark, 100, 103))  # conflicts with the overwrite
+    with pytest.raises(CommitConflictError, match="nothing published"):
+        txn.commit()
+    # atomic abort: NEITHER entry visible, no intent file
+    assert _count(spark, cat, "db", "a") == 5
+    assert sorted(
+        r["id"] for r in cat.table("db", "b").read(spark).select("id").collect()
+    ) == [0, 1, 2, 3, 4, 100, 101, 102]
+    assert pending_transactions(cat) == []
+
+
+def test_empty_txn_commit_is_noop(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    with MultiTableTransaction(cat):
+        pass
+    assert pending_transactions(cat) == []
+
+
+def test_txn_rejects_use_after_commit(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    txn = MultiTableTransaction(cat)
+    txn.commit()
+    with pytest.raises(RuntimeError, match="already committed"):
+        txn.write("db", "a", _df(spark, 0, 1))
+    with pytest.raises(RuntimeError, match="already committed"):
+        txn.commit()
