@@ -103,7 +103,8 @@ _DRIVER_PRIORITY = [
     # incremental_topk_join_view, incremental_join_chain_view,
     # view_rewrite_navigation, view_rewrite_join_navigation and
     # ann_index_maintenance, chunk_documents_overlap and
-    # dup_ngram_doc_filter and multi_table_transaction (built
+    # dup_ngram_doc_filter, multi_table_transaction and
+    # bloom_point_lookup (built
     # after this window was set; sweep- and pytest-verified, register
     # past the cap).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).

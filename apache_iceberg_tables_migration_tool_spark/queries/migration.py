@@ -2355,3 +2355,50 @@ def multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "bloom_point_lookup",
+    tags=("migration", "metadata", "prune"),
+    oracle="""
+WITH f AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 25 = 0)
+SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey, TRUE AS bloom_pruned
+FROM f WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM f)
+""",
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level BLOOM-FILTER file skipping on a point lookup
+    (`bloom.columns` table property; ≙ Iceberg's parquet bloom-filter
+    columns lifted to manifest level so the DRIVER skips files before
+    Spark lists one): the table is written in two parity-interleaved,
+    round-robin-repartitioned commits, so every file's [min, max] key
+    bounds span ~the whole range and bounds pruning keeps everything —
+    only the per-file bloom (one xxhash64, four 13-bit probes, 1 KiB
+    per column per file) can prove absence. The query point-looks-up
+    the smallest key and asserts IN-QUERY that the planned file set is
+    strictly smaller than the snapshot's (``bloom_pruned`` — no false
+    negatives are possible by construction, so the looked-up row
+    itself is exact and the oracle recomputes it relationally)."""
+    root = tempfile.mkdtemp(prefix="snapcat_bloom_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").where(
+            F.pmod(F.col("o_orderkey"), F.lit(25)) == 0
+        ).select("o_orderkey", F.col("o_custkey").cast("long").alias("custkey"))
+        cat.create_table(
+            "db", "orders_bl", "o_orderkey bigint, custkey bigint",
+            properties={"bloom.columns": "o_orderkey"},
+        )
+        for par in range(2):  # parity-interleaved commits
+            part = o.where(F.pmod(F.col("o_orderkey") / 25, F.lit(2)) == par)
+            cat.write("db", "orders_bl", part.repartition(4), committed_at=_T[par])
+        tbl = cat.table("db", "orders_bl")
+        key = o.agg(F.min("o_orderkey")).collect()[0][0]
+        planned = tbl.plan_files([("o_orderkey", "=", key)])
+        pruned = len(planned) < len(tbl.current_snapshot().files)
+        out = tbl.read_where(spark, [("o_orderkey", "=", key)]).withColumn(
+            "bloom_pruned", F.lit(pruned)
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -83,6 +83,15 @@ class DataFile:
     #: "materialized" (a COW rewrite carried ``_row_id`` /
     #: ``_last_updated_seq`` as physical columns, Iceberg-v3 style)
     lineage: str | None = None
+    #: per-column bloom filters for point-lookup file skipping (≙
+    #: Iceberg's parquet bloom-filter columns surfaced at manifest
+    #: level): {col: {"m": bits, "k": hashes, "type": simpleString,
+    #: "bits": hex}} — opt-in via the ``bloom.columns`` table
+    #: property; absent means "can't prune", never wrong results.
+    #: The stored type guards probes across type evolution (xxhash64
+    #: is type-dependent, so a probe under a promoted type would be
+    #: garbage — mismatch skips the bloom, bounds still apply)
+    blooms: dict[str, dict] | None = None
 
 
 @dataclass
@@ -444,6 +453,22 @@ def _root_rel_col(root: str) -> Column:
         F.locate(rootu, F.col("__file")) + F.lit(len(rootu)),
         F.lit(1 << 30),
     )
+
+
+#: bloom geometry: 8192 bits (1 KiB per column per file in the
+#: manifest), 4 probes carved from disjoint 13-bit windows of the one
+#: xxhash64 — FPR ≈ 2% at 1k distinct values/file, ≈ 0.4% at 500
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+
+def _bloom_positions(h: int) -> list[int]:
+    """The k bit positions a value's xxhash64 sets/probes. Pure
+    int64-window arithmetic so the distributed builder (numpy uint64)
+    and the driver-side prober (`functions/xxh64.spark_xxhash64`)
+    agree bit for bit."""
+    u = h & 0xFFFFFFFFFFFFFFFF
+    return [(u >> (13 * i)) & (_BLOOM_M - 1) for i in range(_BLOOM_K)]
 
 
 def _translate_delete_key_cols(
@@ -1426,6 +1451,31 @@ class SnapTable:
                 ):
                     keep = False
                     break
+            if keep:
+                # bloom probe: a point predicate whose value sets a bit
+                # the file's filter lacks PROVES absence (no false
+                # negatives by construction — every written value set
+                # its bits). Guards: bloom stored under the file's
+                # WRITTEN column name (rename-safe via stats_key) and
+                # probed only when the stored type matches the current
+                # column type (xxhash64 is type-dependent; a probe
+                # across int→bigint promotion would be garbage)
+                for col, op, val in predicates:
+                    if op != "=" or val is None:
+                        continue
+                    entry = (f.blooms or {}).get(stats_key[col])
+                    if not entry or entry.get("type") != col_types.get(col):
+                        continue
+                    h = spark_xxhash64(val, col_types[col])
+                    if h is None:
+                        continue
+                    bits = bytes.fromhex(entry["bits"])
+                    if any(
+                        not (bits[p // 8] >> (p % 8)) & 1
+                        for p in _bloom_positions(h)
+                    ):
+                        keep = False
+                        break
             if keep and not _bucket_excludes(f):
                 out.append(f)
         return out
@@ -2697,7 +2747,79 @@ class SnapCatalog:
                         stats=stats or None,
                     )
                 )
+        bloom_cols = [
+            c.strip()
+            for c in tbl.properties().get("bloom.columns", "").split(",")
+            if c.strip() and c.strip() in types
+        ]
+        if bloom_cols and new_files:
+            blooms = self._compute_blooms(
+                tbl, commit_dir, bloom_cols, types, df.sparkSession
+            )
+            for f in new_files:
+                b = blooms.get(f.path)
+                if b:
+                    f.blooms = b
         return new_files
+
+    def _compute_blooms(
+        self,
+        tbl: SnapTable,
+        commit_dir: str,
+        cols: list[str],
+        types: dict,
+        spark: SparkSession,
+    ) -> dict[str, dict[str, dict]]:
+        """Per-file bloom filters for the just-written commit files —
+        one distributed pass: Spark's JVM ``xxhash64`` per value
+        (null-safe: NULL hashes to the seed, costing two harmless
+        bits), then an Arrow-grouped numpy fold into one m-bit set per
+        (file, column). The driver receives exactly one manifest-sized
+        row per file (1 KiB of bits per column), never values. Probes
+        replay the same hash on the driver via the bit-parity
+        pure-Python twin (`functions/xxh64.py`)."""
+        import numpy as np
+        import pandas as pd
+
+        sdf = spark.read.parquet(commit_dir)
+        present = [c for c in cols if c in sdf.columns]
+        if not present:
+            return {}
+        sel = [F.col("_metadata.file_path").alias("__file")]
+        sel += [F.xxhash64(F.col(c)).alias(f"__h_{i}") for i, c in enumerate(present)]
+        hdf = sdf.select(*sel).select(
+            _root_rel_col(tbl.root).alias("path"),
+            *[f"__h_{i}" for i in range(len(present))],
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"path": [pdf["path"].iloc[0]]}
+            for i in range(len(present)):
+                u = pdf[f"__h_{i}"].to_numpy(dtype=np.int64).view(np.uint64)
+                bits = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+                for j in range(_BLOOM_K):
+                    pos = (u >> np.uint64(13 * j)) & np.uint64(_BLOOM_M - 1)
+                    np.bitwise_or.at(
+                        bits, (pos // 8).astype(np.int64),
+                        np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)),
+                    )
+                out[f"b_{i}"] = [bytes(bits).hex()]
+            return pd.DataFrame(out)
+
+        schema = "path string" + "".join(f", b_{i} string" for i in range(len(present)))
+        rows = hdf.groupBy("path").applyInPandas(build, schema=schema).collect()
+        out: dict[str, dict[str, dict]] = {}
+        for r in rows:
+            out[r["path"]] = {
+                c: {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "type": types[c].simpleString(),
+                    "bits": r[f"b_{i}"],
+                }
+                for i, c in enumerate(present)
+            }
+        return out
 
     def _commit(
         self,

@@ -1,0 +1,106 @@
+"""Manifest-level bloom filters for point-lookup file skipping
+(`bloom.columns` table property): blooms prove ABSENCE for equality
+predicates where min/max bounds are useless (interleaved layouts),
+with zero false negatives by construction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+
+def _mk(spark, tmp_path, nfiles_per_commit=2):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_table(
+        "db", "t", "id bigint, name string",
+        properties={"bloom.columns": "id,name"},
+    )
+    # two appends with INTERLEAVED ids, round-robin repartitioned so
+    # every file's [min, max] spans ~the whole range — bounds pruning
+    # alone keeps everything, only the bloom can skip
+    even = spark.range(0, 200, 2).select(
+        "id", F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+    odd = spark.range(1, 200, 2).select(
+        "id", F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+    cat.write("db", "t", even.repartition(nfiles_per_commit))
+    cat.write("db", "t", odd.repartition(nfiles_per_commit))
+    return cat
+
+
+def test_bloom_prunes_where_bounds_cannot(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    tbl = cat.table("db", "t")
+    files = tbl.current_snapshot().files
+    assert all(f.blooms and set(f.blooms) == {"id", "name"} for f in files)
+
+    # bounds overlap across commits: a bounds-only plan keeps all
+    # files for a mid-range point; the bloom rules out the files of
+    # the other parity
+    planned = tbl.plan_files([("id", "=", 4)])
+    assert 0 < len(planned) < len(files)
+    rows = tbl.read_where(spark, [("id", "=", 4)]).collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(4, "u4")]
+
+    # string-typed probe works too
+    planned_s = tbl.plan_files([("name", "=", "u7")])
+    assert 0 < len(planned_s) < len(files)
+    rows_s = tbl.read_where(spark, [("name", "=", "u7")]).collect()
+    assert [(r["id"], r["name"]) for r in rows_s] == [(7, "u7")]
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    tbl = cat.table("db", "t")
+    for v in range(0, 200, 17):  # sample across both parities
+        rows = tbl.read_where(spark, [("id", "=", v)]).collect()
+        assert [r["id"] for r in rows] == [v], f"lost id {v} to a bloom"
+
+
+def test_bloom_survives_compaction(spark, tmp_path):
+    cat = _mk(spark, tmp_path, nfiles_per_commit=4)
+    cat.compact("db", "t", spark)
+    tbl = cat.table("db", "t")
+    files = tbl.current_snapshot().files
+    assert files and all(f.blooms and "id" in f.blooms for f in files)
+    rows = tbl.read_where(spark, [("id", "=", 42)]).collect()
+    assert [r["id"] for r in rows] == [42]
+
+
+def test_bloom_type_mismatch_is_skipped_not_wrong(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    tbl = cat.table("db", "t")
+    meta_path = os.path.join(tbl.root, "metadata", "table.json")
+
+    def _mutate(fn):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        for s in meta["snapshots"]:
+            for f in s["files"]:
+                if f.get("blooms"):
+                    fn(f)
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    # corrupt the stored type (simulating a type promotion the probe
+    # must not hash under): the bloom must be SKIPPED — the plan falls
+    # back to exactly what a bounds-only (no-bloom) plan keeps
+    _mutate(lambda f: f["blooms"]["id"].__setitem__("type", "int"))
+    planned_skipped = {f.path for f in tbl.plan_files([("id", "=", 4)])}
+    rows = tbl.read_where(spark, [("id", "=", 4)]).collect()
+    assert [r["id"] for r in rows] == [4]
+    _mutate(lambda f: f.__setitem__("blooms", None))
+    planned_none = {f.path for f in tbl.plan_files([("id", "=", 4)])}
+    assert planned_skipped == planned_none and planned_skipped
+
+
+def test_no_bloom_property_means_no_blooms(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "plain", spark.range(0, 10).select("id"))
+    files = cat.table("db", "plain").current_snapshot().files
+    assert all(f.blooms is None for f in files)
