@@ -1168,3 +1168,39 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@query(
+    "resample_daily_forward_fill",
+    tags=("window", "events", "timeseries"),
+    oracle="""
+WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+           FROM events),
+d AS (SELECT user_id, day, COUNT(*) AS n_events,
+             CAST(SUM(v) AS BIGINT) AS day_sum
+      FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+grid AS (SELECT user_id, CAST(gs AS DATE) AS day
+         FROM span, LATERAL (SELECT unnest(generate_series(d0, d1,
+                                           INTERVAL 1 DAY)) AS gs) g),
+j AS (SELECT g.user_id, g.day, COALESCE(d.n_events, 0) AS n_events, d.day_sum
+      FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day)
+SELECT user_id, day, n_events, day_sum,
+       LAST_VALUE(day_sum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM j
+""",
+)
+def resample_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill/resample (`windows.resample_forward_fill`): each
+    user's irregular event stream regularized onto a dense daily grid
+    over their active span — days with no events still emit a row
+    with ``n_events = 0`` and the last observed daily sum carried
+    forward (the warehouse step before any rolling metric over a
+    sparse series is honest). Values fold in integer micro-units so
+    the sums hash-match across engines; the oracle rebuilds the grid
+    with generate_series and replays the same forward fill."""
+    ev = load(spark, sf_dir, "events")
+    return W.resample_forward_fill(ev, "user_id", "ts", "value")

@@ -653,3 +653,37 @@ def test_cosine_pairs_single_upstream_execution(spark):
 
     assert run() == 40  # broadcast path
     assert run(max_broadcast_rows=10, target_block_rows=8) == 40  # blocked path
+
+
+def test_resample_forward_fill_gap_days(spark):
+    from apache_iceberg_tables_migration_tool_spark.operators.windows import (
+        resample_forward_fill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.5),
+            (1, "2024-01-01 12:00:00", 2.0),   # day 1: sum 3.5
+            (1, "2024-01-04 09:00:00", 10.0),  # days 2-3 are gaps
+            (2, "2024-01-02 00:00:00", 7.0),   # single-day span
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {
+        (r["user_id"], str(r["day"])): r
+        for r in resample_forward_fill(df).collect()
+    }
+    # user 1: dense grid 01-01..01-04
+    assert {k[1] for k in out if k[0] == 1} == {
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    }
+    d1 = out[(1, "2024-01-01")]
+    assert d1["n_events"] == 2 and d1["day_sum"] == 3_500_000
+    gap = out[(1, "2024-01-02")]
+    assert gap["n_events"] == 0 and gap["day_sum"] is None
+    assert gap["filled_sum"] == 3_500_000  # carried forward
+    assert out[(1, "2024-01-03")]["filled_sum"] == 3_500_000
+    d4 = out[(1, "2024-01-04")]
+    assert d4["day_sum"] == 10_000_000 and d4["filled_sum"] == 10_000_000
+    # user 2: one day, no gaps
+    assert {k[1] for k in out if k[0] == 2} == {"2024-01-02"}
