@@ -131,6 +131,130 @@ def migrate(
     return spark.createDataFrame(rows, RESULT_SCHEMA)
 
 
+def _replay_commits(
+    spark: SparkSession,
+    table,
+    dst: SnapCatalog,
+    database: str,
+    name: str,
+    snaps,
+    prev_id: int | None,
+    properties: dict | None,
+) -> tuple[int, int]:
+    """Replay source commits onto the target in order, each target
+    commit stamped ``replayed-from`` with its source snapshot id (the
+    resumable-sync watermark). Appends replay from the incremental
+    file delta (O(changed data)); anything else replays the full
+    snapshot state. Returns (commits replayed, target total records).
+    """
+    total = 0
+    n = 0
+    for s in snaps:
+        if s.operation == "create" and not s.files:
+            dst.create_table(
+                database, name, s.schema_ddl,
+                partition_by=s.partition_spec, properties=properties,
+                committed_at=s.committed_at,
+                summary_extra={"replayed-from": str(s.snapshot_id)},
+            )
+            prev_id = s.snapshot_id
+            n += 1
+            continue
+        if s.operation in ("append", "create"):
+            df = table.read_incremental(spark, prev_id, s.snapshot_id)
+            mode = "append"
+        else:  # overwrite/delete/merge/replace: replay full state at s
+            df = table.read(spark, snapshot_id=s.snapshot_id)
+            mode = "overwrite"
+        snap = dst.write(
+            database, name, df,
+            mode=mode, partition_by=s.partition_spec,
+            committed_at=s.committed_at, operation=s.operation,
+            summary_extra={"replayed-from": str(s.snapshot_id)},
+        )
+        total = snap.total_records
+        prev_id = s.snapshot_id
+        n += 1
+    return n, total
+
+
+def sync_history(
+    spark: SparkSession,
+    src: SnapCatalog,
+    dst: SnapCatalog,
+    database: str,
+    table_name: str,
+    upto_snapshot_id: int | None = None,
+) -> int:
+    """INCREMENTAL cross-catalog sync — the continuous-replication
+    capability the reference explicitly lacks (`README.md:136-138`
+    admits point-in-time only, no incremental sync): replay onto the
+    target ONLY the source commits that landed since the last sync,
+    and keep doing so as the source evolves. The watermark is the
+    ``replayed-from`` stamp every replicated commit already carries,
+    read from the TARGET's own history — no side state, so a crashed
+    sync resumes exactly after its last completed commit and a re-run
+    no-ops (each replayed commit lands atomically with its stamp).
+
+    First call on a missing target performs the full history replay;
+    later calls cost O(new commits) driver-side plus O(changed data)
+    per append (incremental file delta). Raises ``ValueError`` if the
+    target exists but is not a replica (no stamps) or has local
+    commits interleaved (a diverged mirror must not be silently
+    overwritten), and ``LookupError`` if the source has expired the
+    watermark commit from its log (keep the expire horizon longer
+    than the sync cadence). Returns the number of commits replayed."""
+    s_tbl = src.table(database, table_name)
+    chain = s_tbl.main_chain()
+    if upto_snapshot_id is not None:
+        chain = [s for s in chain if s.snapshot_id <= upto_snapshot_id]
+    d_tbl = dst.table(database, table_name)
+    wm: int | None = None
+    if d_tbl.exists() and d_tbl.snapshots():
+        d_chain = d_tbl.main_chain()
+        stamps = [
+            int(s.summary["replayed-from"])
+            for s in d_chain
+            if "replayed-from" in s.summary
+        ]
+        if not stamps:
+            raise ValueError(
+                f"target {database}.{table_name} exists but carries no "
+                "replayed-from stamps — not a sync replica; refusing to "
+                "write into it"
+            )
+        if len(stamps) != len(d_chain):
+            raise ValueError(
+                f"target {database}.{table_name} has local commits beyond "
+                "the replicated history — the mirror diverged; resolve "
+                "manually (rollback the local commits or re-mirror into a "
+                "fresh table)"
+            )
+        wm = max(stamps)
+        if wm not in {s.snapshot_id for s in chain}:
+            raise LookupError(
+                f"sync watermark {wm} of {database}.{table_name} is no "
+                "longer in the source history (expired or rolled back) — "
+                "cannot prove the incremental delta; re-mirror into a "
+                "fresh table"
+            )
+    pending = [s for s in chain if wm is None or s.snapshot_id > wm]
+    if not pending:
+        return 0
+    dst.create_namespace(database)
+    n, _total = _replay_commits(
+        spark, s_tbl, dst, database, table_name, pending, wm,
+        s_tbl.properties() or None,
+    )
+    sp, dp = s_tbl.properties(), d_tbl.properties()
+    if sp != dp:  # mirror properties exactly, including unsets
+        dst.set_properties(
+            database, table_name,
+            {**{k: None for k in dp if k not in sp}, **sp},
+        )
+    return n
+
+
 def _replay_one(
     spark: SparkSession,
     entry: TableMigration,
@@ -156,31 +280,10 @@ def _replay_one(
         # history and must not be replayed onto the target
         snaps = [s for s in table.main_chain() if s.snapshot_id <= entry.snapshot_id]
         dst.create_namespace(entry.database)
-        total = 0
-        prev_id: int | None = None
-        for s in snaps:
-            if s.operation == "create" and not s.files:
-                dst.create_table(
-                    entry.database, entry.table_name, s.schema_ddl,
-                    partition_by=s.partition_spec, properties=entry.properties,
-                    committed_at=s.committed_at,
-                )
-                prev_id = s.snapshot_id
-                continue
-            if s.operation in ("append", "create"):
-                df = table.read_incremental(spark, prev_id, s.snapshot_id)
-                mode = "append"
-            else:  # overwrite (or unknown): replay full state at s
-                df = table.read(spark, snapshot_id=s.snapshot_id)
-                mode = "overwrite"
-            snap = dst.write(
-                entry.database, entry.table_name, df,
-                mode=mode, partition_by=s.partition_spec,
-                committed_at=s.committed_at, operation=s.operation,
-                summary_extra={"replayed-from": str(s.snapshot_id)},
-            )
-            total = snap.total_records
-            prev_id = s.snapshot_id
+        _n, total = _replay_commits(
+            spark, table, dst, entry.database, entry.table_name,
+            snaps, None, entry.properties,
+        )
         if entry.properties:
             # histories that start with a data-bearing commit (no
             # explicit create snapshot) create the target inside

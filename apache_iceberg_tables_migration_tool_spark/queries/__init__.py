@@ -104,7 +104,8 @@ _DRIVER_PRIORITY = [
     # view_rewrite_navigation, view_rewrite_join_navigation and
     # ann_index_maintenance, chunk_documents_overlap and
     # dup_ngram_doc_filter, multi_table_transaction and
-    # bloom_point_lookup and resample_daily_forward_fill (built
+    # bloom_point_lookup, resample_daily_forward_fill and
+    # incremental_catalog_sync (built
     # after this window was set; sweep- and pytest-verified, register
     # past the cap).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).

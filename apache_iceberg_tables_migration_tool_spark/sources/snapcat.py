@@ -2100,6 +2100,7 @@ class SnapCatalog:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         committed_at: str | None = None,
+        summary_extra: dict[str, str] | None = None,
     ) -> SnapTable:
         """CREATE TABLE: an empty initial snapshot carrying schema +
         partition spec (G2 fix: the spec survives creation); table
@@ -2119,7 +2120,7 @@ class SnapCatalog:
             parent_id=None,
             committed_at=committed_at or _utcnow_iso(),
             operation="create",
-            summary={"engine": "snapcat"},
+            summary={"engine": "snapcat", **(summary_extra or {})},
             schema_ddl=ddl,
             partition_spec=list(partition_by or []),
             files=[],

@@ -246,3 +246,106 @@ def test_foreign_warehouse_entries_skipped_with_warning(spark, tmp_path, warehou
     # the full pipeline runs clean around the junk
     rep = migrate(spark, plan, src, dst, committed_at=T[5])
     assert {r["status"] for r in rep.collect()} == {"success"}
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-catalog sync (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _sync_fixture_catalogs(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    src = SnapCatalog(str(tmp_path / "src"))
+    dst = SnapCatalog(str(tmp_path / "dst"))
+    df = spark.range(0, 20).select("id", (F.col("id") * 2).alias("v"))
+    src.write("db", "t", df.where(F.col("id") < 10))
+    src.write("db", "t", df.where(F.col("id") >= 10))
+    return src, dst
+
+
+def test_sync_history_initial_and_incremental(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import table_checksum
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    assert sync_history(spark, src, dst, "db", "t") == 2  # full mirror
+    assert sync_history(spark, src, dst, "db", "t") == 0  # idempotent
+
+    # source evolves: append + COW delete + append → one incremental sync
+    more = spark.range(20, 30).select("id", (F.col("id") * 2).alias("v"))
+    src.write("db", "t", more)
+    src.delete_where("db", "t", F.col("id") % 5 == 0)
+    src.write("db", "t", spark.range(30, 35).select("id", (F.col("id") * 2).alias("v")))
+    assert sync_history(spark, src, dst, "db", "t") == 3
+    s_tbl, d_tbl = src.table("db", "t"), dst.table("db", "t")
+    assert table_checksum(s_tbl.read(spark)) == table_checksum(d_tbl.read(spark))
+    # history shape mirrors: operations and commit times line up
+    s_ops = [(s.operation, s.committed_at) for s in s_tbl.main_chain()]
+    d_ops = [(s.operation, s.committed_at) for s in d_tbl.main_chain()]
+    assert s_ops == d_ops
+    assert sync_history(spark, src, dst, "db", "t") == 0
+
+
+def test_sync_history_refuses_foreign_and_diverged_targets(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    # foreign target (no stamps)
+    dst.write("db", "t", spark.range(0, 3).select("id", F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="not a sync replica"):
+        sync_history(spark, src, dst, "db", "t")
+
+    # diverged replica (local commit on the mirror)
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    dst2 = SnapCatalog(str(tmp_path / "dst2"))
+    sync_history(spark, src, dst2, "db", "t")
+    dst2.write("db", "t", spark.range(50, 52).select("id", F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="diverged"):
+        sync_history(spark, src, dst2, "db", "t")
+
+
+def test_sync_history_watermark_expired_from_source(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    sync_history(spark, src, dst, "db", "t")
+    src.write("db", "t", spark.range(20, 25).select("id", F.col("id").alias("v")))
+    src.write("db", "t", spark.range(25, 28).select("id", F.col("id").alias("v")))
+    # expire drops the watermark commit from the source's log
+    src.expire_snapshots("db", "t", keep_last=1)
+    with pytest.raises(LookupError, match="no longer in the source history"):
+        sync_history(spark, src, dst, "db", "t")
+
+
+def test_sync_history_replays_rollback_as_state(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    sync_history(spark, src, dst, "db", "t")
+    first = src.table("db", "t").main_chain()[0].snapshot_id
+    src.write("db", "t", spark.range(20, 25).select("id", F.col("id").alias("v")))
+    src.rollback("db", "t", first)
+    # the rollback commit itself replays (as a full-state overwrite),
+    # so the mirror converges to the rolled-back state
+    assert sync_history(spark, src, dst, "db", "t") == 2
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
+
+
+def test_sync_history_properties_mirror(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    src.set_properties("db", "t", {"owner": "alice", "tier": "gold"})
+    sync_history(spark, src, dst, "db", "t")
+    assert dst.table("db", "t").properties() == {"owner": "alice", "tier": "gold"}
+    # property changes (including unset) mirror on the next sync
+    src.set_properties("db", "t", {"tier": None, "owner": "bob"})
+    src.write("db", "t", spark.range(20, 22).select("id", F.col("id").alias("v")))
+    sync_history(spark, src, dst, "db", "t")
+    assert dst.table("db", "t").properties() == {"owner": "bob"}
