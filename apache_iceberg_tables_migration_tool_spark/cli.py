@@ -83,6 +83,30 @@ def cmd_plan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sync(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.plans.migrator import sync_history
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    spark = _spark(args.cpus)
+    src = SnapCatalog(args.source)
+    dst = SnapCatalog(args.target)
+    targets: list[tuple[str, str]] = []
+    if args.tables:
+        targets = [tuple(t.split(".", 1)) for t in args.tables]
+    else:
+        for db in args.databases or src.list_namespaces():
+            targets += [(db, t) for t in src.list_tables(db)]
+    failed = 0
+    for db, name in targets:
+        try:
+            n = sync_history(spark, src, dst, db, name)
+            print(f"{db}.{name}: replayed {n} commit(s)")
+        except Exception as e:  # per-table isolation, like the reference
+            failed += 1
+            print(f"{db}.{name}: FAILED {type(e).__name__}: {e}")
+    return 1 if failed else 0
+
+
 def cmd_migrate(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans.migrator import (
         migrate,
@@ -843,6 +867,21 @@ def build_parser() -> argparse.ArgumentParser:
         "appends copy only the incremental file delta)",
     )
     sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser(
+        "sync",
+        help="incremental cross-catalog sync: replay only commits since "
+        "the last sync (continuous replication; the reference is "
+        "point-in-time only)",
+    )
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--databases", nargs="*", default=None,
+                    help="default: every namespace in the source")
+    sp.add_argument("--tables", nargs="*", default=None,
+                    help="db.table names; default: every table in scope")
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_sync)
 
     sp = sub.add_parser("verify", help="stages 4+6: schema diff + counts + checksum")
     sp.add_argument("--source", required=True)

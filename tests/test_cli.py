@@ -672,3 +672,26 @@ def test_cli_view_refresh_auto_and_refresh_stale(spark, tmp_path, capsys):
                  "--table", "src", "--keys", "p", "--aggs", "sum:v:sv",
                  "--refresh-stale"]) == 0
     assert "answered from materialized view db.rollup" in capsys.readouterr().out
+
+
+def test_cli_sync_incremental(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    src = SnapCatalog(str(tmp_path / "src"))
+    src.write("db", "t", spark.range(0, 10).select("id"))
+    src.write("db", "t", spark.range(10, 20).select("id"))
+    args = ["sync", "--source", str(tmp_path / "src"),
+            "--target", str(tmp_path / "dst")]
+    assert main(args) == 0
+    assert "replayed 2 commit(s)" in capsys.readouterr().out
+    # source evolves → only the delta replays
+    src.write("db", "t", spark.range(20, 25).select("id"))
+    src.delete_where("db", "t", F.col("id") % 3 == 0)
+    assert main(args) == 0
+    assert "replayed 2 commit(s)" in capsys.readouterr().out
+    dst = SnapCatalog(str(tmp_path / "dst"))
+    assert dst.table("db", "t").read(spark).count() == \
+        src.table("db", "t").read(spark).count()
+    # idempotent
+    assert main(args) == 0
+    assert "replayed 0 commit(s)" in capsys.readouterr().out
