@@ -1867,3 +1867,37 @@ def maintain_ann_index(
         do_refresh, index_database, cells_table,
         checkpoint_dir, max_files_per_trigger, view_keep_last,
     )
+
+
+def maintain_sync(
+    spark: SparkSession,
+    src_catalog,
+    dst_catalog,
+    database: str,
+    table: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """STREAMING continuous replication: tail the source table's
+    commit-marker feed and run :func:`plans.migrator.sync_history`
+    per micro-batch — every source commit (append, COW/MOR
+    delete, compaction, rollback, even metadata-only alters, since
+    markers fire for every commit kind) replicates onto the target
+    within a trigger interval, each replicated commit landing with
+    its ``replayed-from`` watermark so crash/replay semantics are the
+    sync's own (resume mid-history, re-runs no-op). One synchronous
+    sync runs before the stream starts (pre-marker history +
+    immediate convergence). The mirror's history is NEVER trimmed —
+    a replica must preserve the replayed timeline."""
+    from apache_iceberg_tables_migration_tool_spark.plans.migrator import (
+        sync_history,
+    )
+
+    def do_refresh():
+        return sync_history(spark, src_catalog, dst_catalog, database, table)
+
+    return _marker_feed_maintainer(
+        spark, dst_catalog, [src_catalog.table(database, table)],
+        do_refresh, database, table,
+        checkpoint_dir, max_files_per_trigger, view_keep_last=None,
+    )

@@ -349,3 +349,45 @@ def test_sync_history_properties_mirror(spark, tmp_path):
     src.write("db", "t", spark.range(20, 22).select("id", F.col("id").alias("v")))
     sync_history(spark, src, dst, "db", "t")
     assert dst.table("db", "t").properties() == {"owner": "bob"}
+
+
+def test_sync_history_replays_schema_evolution(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    sync_history(spark, src, dst, "db", "t")
+    # metadata-only rename + an append under the new schema
+    src.alter_table("db", "t", rename_columns={"v": "value"})
+    src.write(
+        "db", "t",
+        spark.range(20, 25).select("id", (F.col("id") * 2).alias("value")),
+    )
+    assert sync_history(spark, src, dst, "db", "t") == 2
+    d_tbl = dst.table("db", "t")
+    assert [f.name for f in d_tbl.schema().fields] == ["id", "value"]
+    assert d_tbl.read(spark).count() == 25
+
+
+def test_maintain_sync_stream(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_sync,
+    )
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+
+    def drain():
+        maintain_sync(
+            spark, src, dst, "db", "t", checkpoint_dir=str(tmp_path / "ckpt")
+        ).awaitTermination()
+
+    drain()  # initial mirror via the synchronous pre-sync
+    assert dst.table("db", "t").read(spark).count() == 20
+    src.write("db", "t", spark.range(20, 30).select("id", F.col("id").alias("v")))
+    src.delete_where("db", "t", F.col("id") % 4 == 2)
+    drain()
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
