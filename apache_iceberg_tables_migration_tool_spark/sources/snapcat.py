@@ -2748,10 +2748,16 @@ class SnapCatalog:
                         stats=stats or None,
                     )
                 )
+        # identity-partition sources are excluded: their values live in
+        # directory NAMES, so the read-back would hash a path-inferred
+        # (possibly re-typed) value — and path partition stats already
+        # prune them exactly, a bloom adds nothing but risk
+        identity_sources = {sf.source for sf in sfs if sf.kind == "identity"}
         bloom_cols = [
             c.strip()
             for c in tbl.properties().get("bloom.columns", "").split(",")
             if c.strip() and c.strip() in types
+            and c.strip() not in identity_sources
         ]
         if bloom_cols and new_files:
             blooms = self._compute_blooms(

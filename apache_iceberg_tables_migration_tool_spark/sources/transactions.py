@@ -164,7 +164,11 @@ class MultiTableTransaction:
         self.entries: list[dict] = []
         self._done = False
         # a new transaction first heals any crashed predecessor so its
-        # tables aren't stuck in the visibility window indefinitely
+        # tables aren't stuck in the visibility window indefinitely.
+        # Deliberately fail-loud: if a predecessor is STUCK (publish
+        # conflict), no new transaction starts on this catalog until a
+        # human resolves it — half-applied committed transactions are
+        # exactly the state this module exists to prevent compounding
         recover_transactions(catalog)
 
     # -- staged operations -------------------------------------------------

@@ -104,3 +104,29 @@ def test_no_bloom_property_means_no_blooms(spark, tmp_path):
     cat.write("db", "plain", spark.range(0, 10).select("id"))
     files = cat.table("db", "plain").current_snapshot().files
     assert all(f.blooms is None for f in files)
+
+
+def test_bloom_int_column_parity_and_partition_exclusion(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_table(
+        "db", "t", "id int, grp string, name string",
+        partition_by=["grp"],
+        properties={"bloom.columns": "id,grp"},
+    )
+    df = spark.range(0, 100).select(
+        F2.col("id").cast("int"),
+        F2.concat(F2.lit("g"), F2.pmod("id", F2.lit(3))).alias("grp"),
+        F2.concat(F2.lit("n"), F2.col("id")).alias("name"),
+    )
+    cat.write("db", "t", df.repartition(2))
+    tbl = cat.table("db", "t")
+    files = tbl.current_snapshot().files
+    # identity-partition source excluded; int column bloom present
+    assert all(f.blooms and set(f.blooms) == {"id"} for f in files)
+    assert all(f.blooms["id"]["type"] == "int" for f in files)
+    # int-typed probe parity: never a false negative across all values
+    for v in range(0, 100, 13):
+        rows = tbl.read_where(spark, [("id", "=", v)]).collect()
+        assert [r["id"] for r in rows] == [v]
