@@ -2839,6 +2839,7 @@ class SnapCatalog:
         summary_extra: dict[str, str] | None = None,
         sid: int | None = None,
         materialized_lineage: bool = False,
+        staged: bool = False,
     ) -> Snapshot:
         meta = tbl._load_meta()
         final_sid = sid if sid is not None else _next_id(meta)
@@ -2868,7 +2869,8 @@ class SnapCatalog:
             field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
         )
         meta["snapshots"].append(asdict(snap))
-        meta["current_id"] = snap.snapshot_id
+        if not staged:  # WAP: staged commits don't move the published head
+            meta["current_id"] = snap.snapshot_id
         tbl._save_meta(meta)
         return snap
 
@@ -2881,6 +2883,7 @@ class SnapCatalog:
         updates: DataFrame,
         key_cols: list[str],
         committed_at: str | None = None,
+        staged: bool = False,
     ) -> Snapshot:
         """MERGE with file-level copy-on-write (≙ Iceberg COW
         ``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -2897,7 +2900,7 @@ class SnapCatalog:
         if prev is None or not prev.files:
             return self.write(
                 database, name, updates, mode="append",
-                committed_at=committed_at, operation="merge",
+                committed_at=committed_at, operation="merge", staged=staged,
             )
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
@@ -2944,7 +2947,7 @@ class SnapCatalog:
             return self._commit(
                 tbl, prev, files, new_files, "merge", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
-                materialized_lineage=True,
+                materialized_lineage=True, staged=staged,
             )
 
     def delete_where(
@@ -2954,6 +2957,7 @@ class SnapCatalog:
         condition,
         committed_at: str | None = None,
         mode: str = "copy-on-write",
+        staged: bool = False,
     ) -> Snapshot:
         """Row-level DELETE by predicate. ``condition`` is a Column or
         SQL string.
@@ -3023,7 +3027,8 @@ class SnapCatalog:
                 )
                 _record_commit_schema(meta, sid, prev)
                 meta["snapshots"].append(asdict(snap))
-                meta["current_id"] = sid
+                if not staged:  # WAP: staged MOR delete stays unpublished
+                    meta["current_id"] = sid
                 tbl._save_meta(meta)
                 return snap
         with _commit_lock(tbl.root):
@@ -3039,7 +3044,7 @@ class SnapCatalog:
             if not affected_rel:  # no-op delete still commits (audit trail)
                 return self._commit(
                     tbl, prev, list(prev.files), [], "delete", committed_at,
-                    {"rewritten-data-files": "0"},
+                    {"rewritten-data-files": "0"}, staged=staged,
                 )
             # survivors carry their lineage into the rewrite (carry-over
             # rows keep id AND last-updated commit, Iceberg v3 rule).
@@ -3058,7 +3063,7 @@ class SnapCatalog:
             return self._commit(
                 tbl, prev, files, new_files, "delete", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
-                materialized_lineage=True,
+                materialized_lineage=True, staged=staged,
             )
 
     def _write_delete_files(
@@ -3242,6 +3247,7 @@ class SnapCatalog:
         condition,
         assignments: dict[str, "str | object"],
         committed_at: str | None = None,
+        staged: bool = False,
     ) -> Snapshot:
         """Row-level UPDATE with file-level copy-on-write (≙ Iceberg
         COW ``UPDATE t SET … WHERE …``): only files containing at least
@@ -3276,7 +3282,7 @@ class SnapCatalog:
             if not affected_rel:  # no-op update still commits (audit trail)
                 return self._commit(
                     tbl, prev, list(prev.files), [], "update", committed_at,
-                    {"rewritten-data-files": "0"},
+                    {"rewritten-data-files": "0"}, staged=staged,
                 )
             sid = _next_id(tbl._load_meta())
             # updated rows keep their _row_id but bump _last_updated_seq
@@ -3300,7 +3306,7 @@ class SnapCatalog:
             return self._commit(
                 tbl, prev, files, new_files, "update", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
-                materialized_lineage=True,
+                materialized_lineage=True, staged=staged,
             )
 
     # ---- refs & write-audit-publish -------------------------------------

@@ -152,10 +152,16 @@ class MultiTableTransaction:
 
     Exiting on an exception ABORTS: nothing was published, the staged
     snapshots remain in each table's log as unpublished forensics.
-    Supported operations: ``write`` with mode append/overwrite — the
-    staged-commit surface. Row-level deletes/upserts inside a
-    transaction: stage an overwrite of the final state, or run them
-    as ordinary single-table commits.
+    Supported operations: ``write`` (append/overwrite), ``delete_where``
+    (COW or merge-on-read), ``upsert`` and ``update_where`` — every
+    mutating verb the catalog has. Base-dependent operations
+    (overwrite/delete/merge/update) are computed against the table's
+    PUBLISHED state, so each must be its table's FIRST entry in the
+    transaction; appends may follow (they cherry-pick over the
+    published base-dependent commit). The ordering guard raises at
+    staging time, and the preflight re-checks every base-dependent
+    entry against the live head at commit time — both BEFORE the
+    commit point, so a violated transaction aborts atomically.
     """
 
     def __init__(self, catalog: SnapCatalog):
@@ -182,13 +188,83 @@ class MultiTableTransaction:
         **kwargs,
     ) -> Snapshot:
         """Stage a write into the transaction. Data is written NOW
-        (full distributed write); visibility waits for commit."""
+        (full distributed write); visibility waits for commit. An
+        ``overwrite`` is base-dependent and must be the table's first
+        entry in this transaction (appends may follow it)."""
         if self._done:
             raise RuntimeError("transaction already committed or aborted")
+        if mode != "append":
+            self._guard_base_dependent(database, table, mode)
         snap = self.catalog.write(
             database, table, df, mode=mode, staged=True,
             wap_id=f"txn-{self.txn_id}", **kwargs,
         )
+        self._record(database, table, snap)
+        return snap
+
+    def delete_where(
+        self, database: str, table: str, condition, **kwargs
+    ) -> Snapshot:
+        """Stage a row-level DELETE (copy-on-write or merge-on-read per
+        ``mode=``) into the transaction. Computed against the table's
+        CURRENT PUBLISHED state, so it must be the table's first entry
+        (see :meth:`_guard_base_dependent`)."""
+        self._guard_base_dependent(database, table, "delete")
+        snap = self.catalog.delete_where(
+            database, table, condition, staged=True, **kwargs
+        )
+        self._record(database, table, snap)
+        return snap
+
+    def upsert(
+        self, database: str, table: str, updates: DataFrame,
+        key_cols: list[str], **kwargs,
+    ) -> Snapshot:
+        """Stage a MERGE (upsert) into the transaction. Base-dependent:
+        must be the table's first entry."""
+        self._guard_base_dependent(database, table, "merge")
+        snap = self.catalog.upsert(
+            database, table, updates, key_cols, staged=True, **kwargs
+        )
+        self._record(database, table, snap)
+        return snap
+
+    def update_where(
+        self, database: str, table: str, condition, assignments, **kwargs
+    ) -> Snapshot:
+        """Stage a row-level UPDATE into the transaction.
+        Base-dependent: must be the table's first entry."""
+        self._guard_base_dependent(database, table, "update")
+        snap = self.catalog.update_where(
+            database, table, condition, assignments, staged=True, **kwargs
+        )
+        self._record(database, table, snap)
+        return snap
+
+    def _guard_base_dependent(self, database: str, table: str, op: str) -> None:
+        """A base-dependent (non-append) operation reads the table's
+        published state when STAGED — it cannot see this transaction's
+        earlier staged entries on the same table, and its publish would
+        conflict with theirs (pointer moved). Refuse up front instead
+        of stranding the roll-forward. Appends after it are fine (they
+        cherry-pick); a second base-dependent entry is not."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        prior = [
+            e for e in self.entries
+            if (e["database"], e["table"]) == (database, table)
+        ]
+        if prior:
+            raise CommitConflictError(
+                f"transaction {self.txn_id}: staged {op} on "
+                f"{database}.{table} must be that table's FIRST entry — "
+                f"it is computed against the published state and cannot "
+                f"see the transaction's earlier staged entries "
+                f"({[e['operation'] for e in prior]}); reorder the "
+                "operations (base-dependent op first, appends after)"
+            )
+
+    def _record(self, database: str, table: str, snap: Snapshot) -> None:
         self.entries.append(
             {
                 "database": database,
@@ -197,7 +273,6 @@ class MultiTableTransaction:
                 "operation": snap.operation,
             }
         )
-        return snap
 
     # -- outcome -----------------------------------------------------------
 

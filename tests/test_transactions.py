@@ -160,3 +160,54 @@ def test_txn_rejects_use_after_commit(spark, tmp_path):
         txn.write("db", "a", _df(spark, 0, 1))
     with pytest.raises(RuntimeError, match="already committed"):
         txn.commit()
+
+
+def test_txn_row_level_ops_commit_atomically(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 10))
+    cat.write("db", "b", _df(spark, 0, 10))
+    with MultiTableTransaction(cat) as txn:
+        txn.delete_where("db", "a", F.col("id") % 2 == 0)
+        txn.upsert(
+            "db", "b",
+            spark.range(8, 12).select("id", (F.col("id") * 100).alias("v")),
+            key_cols=["id"],
+        )
+        # staged: nothing visible yet
+        assert _count(spark, cat, "db", "a") == 10
+        assert _count(spark, cat, "db", "b") == 10
+    a_rows = sorted(r["id"] for r in cat.table("db", "a").read(spark).collect())
+    assert a_rows == [1, 3, 5, 7, 9]
+    b = {r["id"]: r["v"] for r in cat.table("db", "b").read(spark).collect()}
+    assert len(b) == 12 and b[8] == 800 and b[11] == 1100 and b[3] == 30
+
+
+def test_txn_mor_delete_and_update_staged(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 10))
+    cat.write("db", "b", _df(spark, 0, 10))
+    with MultiTableTransaction(cat) as txn:
+        txn.delete_where("db", "a", F.col("id") >= 8, mode="merge-on-read")
+        txn.update_where("db", "b", F.col("id") < 2, {"v": F.lit(-1)})
+        assert _count(spark, cat, "db", "a") == 10
+    assert _count(spark, cat, "db", "a") == 8
+    b = {r["id"]: r["v"] for r in cat.table("db", "b").read(spark).collect()}
+    assert b[0] == -1 and b[1] == -1 and b[2] == 20
+
+
+def test_txn_base_dependent_must_be_first_entry(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 10))
+    txn = MultiTableTransaction(cat)
+    txn.write("db", "a", _df(spark, 10, 15))
+    with pytest.raises(CommitConflictError, match="FIRST entry"):
+        txn.delete_where("db", "a", F.col("id") < 2)
+    with pytest.raises(CommitConflictError, match="FIRST entry"):
+        txn.write("db", "a", _df(spark, 0, 1), mode="overwrite")
+    txn.abort()
+    # delete FIRST then append on the same table is the legal order
+    with MultiTableTransaction(cat) as txn2:
+        txn2.delete_where("db", "a", F.col("id") < 2)
+        txn2.write("db", "a", _df(spark, 10, 15))
+    got = sorted(r["id"] for r in cat.table("db", "a").read(spark).collect())
+    assert got == list(range(2, 15))
