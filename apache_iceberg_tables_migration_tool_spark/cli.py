@@ -83,6 +83,16 @@ def cmd_plan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_sql
+
+    spark = _spark(args.cpus)
+    df = snapcat_sql(spark, SnapCatalog(args.warehouse), args.query)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_sync(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans.migrator import sync_history
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
@@ -867,6 +877,17 @@ def build_parser() -> argparse.ArgumentParser:
         "appends copy only the incremental file delta)",
     )
     sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser(
+        "sql",
+        help="run Spark SQL over catalog tables (db.table, VERSION AS OF "
+        "id|'tag', TIMESTAMP AS OF 'ts', .snapshots/.files/... metadata)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--limit", type=int, default=50)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser(
         "sync",

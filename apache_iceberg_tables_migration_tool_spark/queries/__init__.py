@@ -105,7 +105,7 @@ _DRIVER_PRIORITY = [
     # ann_index_maintenance, chunk_documents_overlap and
     # dup_ngram_doc_filter, multi_table_transaction and
     # bloom_point_lookup, resample_daily_forward_fill and
-    # incremental_catalog_sync (built
+    # incremental_catalog_sync and sql_time_travel_catalog (built
     # after this window was set; sweep- and pytest-verified, register
     # past the cap).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).

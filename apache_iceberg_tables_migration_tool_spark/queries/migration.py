@@ -2480,3 +2480,53 @@ def incremental_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_time_travel_catalog",
+    tags=("migration", "sql", "timetravel"),
+    oracle="""
+WITH o AS (SELECT o_orderkey, o_orderkey % 3 AS band FROM orders)
+SELECT (SELECT COUNT(*) FROM o) AS n_now,
+       (SELECT COUNT(*) FROM o WHERE band < 2) AS n_mid,
+       CAST(3 AS BIGINT) AS n_commits
+""",
+)
+def sql_time_travel_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL FRONT-END over the snapshot catalog
+    (`sources/sqlfront.snapcat_sql`) — the reference's primary user
+    surface (it drives everything through ``spark.sql`` over catalog
+    tables and time-travel read options) re-expressed for this
+    engine: one SQL text combines the CURRENT table, a ``VERSION AS
+    OF 'tag'`` time-travel read, and the ``.snapshots`` metadata
+    table; the front-end binds each reference through the catalog
+    (same resolution rules as the API) and hands the rewritten query
+    to Catalyst. The oracle recomputes all three scalars from the
+    band predicates."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_sqlf_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", F.pmod(F.col("o_orderkey"), F.lit(3)).alias("band")
+        )
+        for b in range(2):
+            cat.write("db", "o_sql", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+        cat.tag("db", "o_sql", "mid")
+        cat.write("db", "o_sql", o.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[2])
+        out = snapcat_sql(
+            spark, cat,
+            """
+            SELECT (SELECT COUNT(*) FROM db.o_sql) AS n_now,
+                   (SELECT COUNT(*) FROM db.o_sql VERSION AS OF 'mid') AS n_mid,
+                   (SELECT COUNT(*) FROM db.o_sql.snapshots) AS n_commits
+            """,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

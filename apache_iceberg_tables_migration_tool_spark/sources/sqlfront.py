@@ -1,0 +1,100 @@
+"""SQL front-end over a SnapCatalog: run Spark SQL against
+``db.table`` references with Iceberg's time-travel syntax.
+
+The reference drives everything through ``spark.sql`` over catalog
+tables — ``SHOW TABLES IN {cat}.{db}`` (`1_collect_src_snapshots.py:52`),
+time-travel reads by snapshot id (`5_migrate_tables_data.py:72-74`),
+metadata tables (`1_collect_src_snapshots.py:61-62`) — so a user
+switching to this engine needs the same surface: write a query naming
+``db.table`` (optionally ``VERSION AS OF <id|'tag'>`` / ``TIMESTAMP
+AS OF '<ts>'`` / a ``.snapshots``-style metadata suffix) and get a
+DataFrame back.
+
+Mechanics: references are resolved AGAINST THE CATALOG first — only
+identifiers that name an existing table are rewritten (an alias like
+``o.col`` or a genuine temp view is left alone), each resolved
+DataFrame registers as a uniquely-named temp view, and the rewritten
+text runs through ``spark.sql`` — so Catalyst still does all parsing,
+analysis and optimization; this layer only binds names the way an
+Iceberg Spark catalog plugin would. Time travel resolves through the
+same `resolve_snapshot` rules as the API (id, tag ref, or latest
+committed_at ≤ timestamp).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_META = "snapshots|files|history|manifests|partitions|refs"
+#: table references are recognized in relation position only (after
+#: FROM / JOIN / a FROM-list comma) — a bare ``alias.column`` in an
+#: expression is never touched, and the existence check against the
+#: catalog filters the rest
+_REF_RE = re.compile(
+    rf"(?P<kw>\b(?:FROM|JOIN)\s+|,\s*)"
+    rf"(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})(?:\.(?P<meta>{_META})\b)?"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>'[^']*'|\d+)"
+    rf"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'))?",
+    re.IGNORECASE,
+)
+
+
+def snapcat_sql(spark: SparkSession, catalog, query: str) -> DataFrame:
+    """Run ``query`` with every ``db.table`` reference bound to
+    ``catalog`` (see module docstring). Supports::
+
+        SELECT * FROM db.t
+        SELECT * FROM db.t VERSION AS OF 3          -- snapshot id
+        SELECT * FROM db.t VERSION AS OF 'release'  -- tag ref
+        SELECT * FROM db.t TIMESTAMP AS OF '2024-06-02T00:00:00+00:00'
+        SELECT * FROM db.t.snapshots                -- metadata tables
+        ... any join/CTE/subquery combining them ...
+
+    Only identifiers naming an EXISTING catalog table are rewritten;
+    everything else (aliases, temp views, column refs) passes through
+    to Catalyst untouched.
+    """
+    tables: dict[str, set[str]] = {}
+
+    def _is_table(db: str, tbl: str) -> bool:
+        if db not in tables:
+            tables[db] = set(catalog.list_tables(db))
+        return tbl in tables[db]
+
+    n = 0
+
+    def _bind(m: re.Match) -> str:
+        nonlocal n
+        db, tbl = m.group("db"), m.group("tbl")
+        if not _is_table(db, tbl):
+            return m.group(0)
+        t = catalog.table(db, tbl)
+        meta, ver, ts = m.group("meta"), m.group("ver"), m.group("ts")
+        if meta:
+            df = {
+                "snapshots": t.snapshots_df,
+                "files": t.files_df,
+                "history": t.history_df,
+                "manifests": t.manifests_df,
+                "partitions": t.partitions_df,
+                "refs": t.refs_df,
+            }[meta.lower()](spark)
+        else:
+            kw: dict = {}
+            if ver is not None:
+                if ver.startswith("'"):
+                    kw["ref"] = ver[1:-1]  # named tag/branch
+                else:
+                    kw["snapshot_id"] = int(ver)
+            elif ts is not None:
+                kw["as_of"] = ts[1:-1]
+            df = t.read(spark, **kw)
+        n += 1
+        view = f"__snapcat_{db}_{tbl}_{meta or 'data'}_{n}"
+        df.createOrReplaceTempView(view)
+        return f"{m.group('kw')}{view}"
+
+    return spark.sql(_REF_RE.sub(_bind, query))

@@ -695,3 +695,15 @@ def test_cli_sync_incremental(spark, tmp_path, capsys):
     # idempotent
     assert main(args) == 0
     assert "replayed 0 commit(s)" in capsys.readouterr().out
+
+
+def test_cli_sql_time_travel(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "t", spark.range(0, 10).select("id"))
+    cat.write("db", "t", spark.range(10, 20).select("id"))
+    assert main([
+        "sql", "--warehouse", str(tmp_path / "wh"),
+        "--query", "SELECT COUNT(*) AS n FROM db.t VERSION AS OF 1",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "10" in out
