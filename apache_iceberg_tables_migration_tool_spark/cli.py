@@ -183,6 +183,17 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         return 2
     spark = _spark(args.cpus)
     cat = SnapCatalog(args.warehouse)
+    if getattr(args, "auto", False):
+        from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+            auto_maintain,
+        )
+
+        report = auto_maintain(cat, spark, databases=args.databases)
+        for r in report:
+            print(f"{r['database']}.{r['table']}: {r['action']} — {r['detail']}")
+        if not report:
+            print("auto-maintain: nothing to do")
+        return 1 if any(r["action"] == "error" for r in report) else 0
     for db in args.databases or cat.list_namespaces():
         for name in cat.list_tables(db):
             if args.expire_keep_last:
@@ -914,6 +925,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("maintain", help="expire snapshots / compact files")
     sp.add_argument("--warehouse", required=True)
     sp.add_argument("--databases", nargs="*", default=None)
+    sp.add_argument(
+        "--auto", action="store_true",
+        help="policy-driven sweep: enforce each table's maintain.* "
+        "properties (expire keep-last/older-than, binpack small files, "
+        "orphan cleanup) with per-table error isolation",
+    )
     sp.add_argument("--expire-keep-last", type=int, default=None)
     sp.add_argument("--compact", action="store_true")
     sp.add_argument(

@@ -1356,6 +1356,7 @@ class SnapTable:
         self,
         predicates: list[tuple[str, str, object]],
         snapshot_id: int | None = None,
+        _decisions: bool = False,
     ) -> list[DataFile]:
         """Manifest-level scan planning (≙ Iceberg's manifest
         filtering): keep only the data files whose footer-derived
@@ -1417,7 +1418,7 @@ class SnapTable:
                         return True
             return False
 
-        out = []
+        decided: list[tuple[DataFile, str]] = []
         for f in snap.files:
             # footer stats are keyed by the column names the file was
             # WRITTEN under — translate each predicate column through
@@ -1430,7 +1431,7 @@ class SnapTable:
                     tid = snap.field_ids.get(c)
                     origin = by_id.get(tid) if tid is not None else c
                     stats_key[c] = origin if origin is not None else "\x00absent"
-            keep = True
+            verdict = "kept"
             for col, op, val in predicates:
                 b = (f.stats or {}).get(stats_key[col])
                 if b is None:
@@ -1449,9 +1450,9 @@ class SnapTable:
                     or (op == ">" and not (hi > val))
                     or (op == ">=" and not (hi >= val))
                 ):
-                    keep = False
+                    verdict = f"pruned:bounds:{col}"
                     break
-            if keep:
+            if verdict == "kept":
                 # bloom probe: a point predicate whose value sets a bit
                 # the file's filter lacks PROVES absence (no false
                 # negatives by construction — every written value set
@@ -1474,11 +1475,12 @@ class SnapTable:
                         not (bits[p // 8] >> (p % 8)) & 1
                         for p in _bloom_positions(h)
                     ):
-                        keep = False
+                        verdict = f"pruned:bloom:{col}"
                         break
-            if keep and not _bucket_excludes(f):
-                out.append(f)
-        return out
+            if verdict == "kept" and _bucket_excludes(f):
+                verdict = "pruned:bucket"
+            decided.append((f, verdict))
+        return [f for f, v in decided if v == "kept"] if not _decisions else decided
 
     def read_where(
         self,
@@ -1504,6 +1506,40 @@ class SnapTable:
         for col, op, val in predicates:
             df = df.where(ops[op](col, val))
         return df
+
+    def scan_report(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, str, object]],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Scan-planning EXPLAIN: the per-file pruning decisions
+        :meth:`plan_files` would make for ``predicates`` — which files
+        the scan reads and which were skipped by min/max bounds, a
+        bloom filter, or a bucket hidden partition (and on which
+        column). Pure driver-side metadata (nothing is read); the
+        observability half of the selective-scan path, so a user can
+        SEE that a point lookup skipped 9,990 of 10,000 files — and on
+        which stats — before paying for the scan. Returns one row per
+        data file: (file_path, records, bytes, decision, reason)."""
+        decided = self.plan_files(
+            predicates, snapshot_id=snapshot_id, _decisions=True
+        )
+        rows = [
+            (
+                f.path,
+                f.records,
+                f.bytes,
+                "read" if v == "kept" else "skipped",
+                None if v == "kept" else v.split(":", 1)[1],
+            )
+            for f, v in decided
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, records bigint, bytes bigint, "
+            "decision string, reason string",
+        )
 
     def _mor_parent_candidates(
         self, parent: "Snapshot", new_dels: list["DeleteFile"], end: "Snapshot"
@@ -3814,3 +3850,84 @@ class SnapCatalog:
         tbl = self.table(database, name)
         if os.path.exists(tbl.root):
             shutil.rmtree(tbl.root)
+
+
+def auto_maintain(
+    catalog: "SnapCatalog",
+    spark: SparkSession,
+    databases: list[str] | None = None,
+) -> list[dict]:
+    """Policy-driven TABLE SERVICES sweep (≙ the maintenance side of a
+    managed Iceberg catalog): every table declares its own maintenance
+    policy as table properties and one scheduler call enforces all of
+    them — the operational loop a 100 TB warehouse runs nightly
+    instead of hand-invoking `expire_snapshots`/`compact` per table.
+
+    Recognized properties (absent → that action is skipped):
+
+    - ``maintain.expire.keep-last`` — keep at most N snapshots
+    - ``maintain.expire.older-than-days`` — additionally retain
+      everything newer than the horizon (needs keep-last too)
+    - ``maintain.compact.min-file-bytes`` — binpack files smaller
+      than N bytes (only runs when ≥ 2 such files exist — a single
+      small file gains nothing from a rewrite commit)
+    - ``maintain.orphans`` = "true" — remove unreferenced files
+
+    Per-table error isolation like the reference's loops; returns one
+    dict per action performed: {database, table, action, detail}.
+    """
+    from datetime import timedelta
+
+    report: list[dict] = []
+    for db in databases or catalog.list_namespaces():
+        if db.startswith("_"):
+            continue  # catalog-internal (e.g. _txns intent files)
+        for name in catalog.list_tables(db):
+            tbl = catalog.table(db, name)
+            props = tbl.properties()
+            try:
+                keep = props.get("maintain.expire.keep-last")
+                if keep is not None:
+                    days = props.get("maintain.expire.older-than-days")
+                    horizon = None
+                    if days is not None:
+                        horizon = (
+                            datetime.now(timezone.utc)
+                            - timedelta(days=float(days))
+                        ).isoformat()
+                    expired = catalog.expire_snapshots(
+                        db, name, keep_last=int(keep), older_than=horizon
+                    )
+                    if expired:
+                        report.append({
+                            "database": db, "table": name, "action": "expire",
+                            "detail": f"expired {len(expired)} snapshot(s)",
+                        })
+                mfb = props.get("maintain.compact.min-file-bytes")
+                if mfb is not None:
+                    cur = tbl.current_snapshot()
+                    small = [
+                        f for f in (cur.files if cur else [])
+                        if f.bytes < int(mfb)
+                    ]
+                    if len(small) >= 2:
+                        catalog.compact(
+                            db, name, spark, min_file_bytes=int(mfb)
+                        )
+                        report.append({
+                            "database": db, "table": name, "action": "compact",
+                            "detail": f"binpacked {len(small)} small file(s)",
+                        })
+                if props.get("maintain.orphans") == "true":
+                    removed = catalog.remove_orphan_files(db, name)
+                    if removed:
+                        report.append({
+                            "database": db, "table": name, "action": "orphans",
+                            "detail": f"removed {len(removed)} orphan file(s)",
+                        })
+            except Exception as e:  # per-table isolation
+                report.append({
+                    "database": db, "table": name, "action": "error",
+                    "detail": f"{type(e).__name__}: {e}",
+                })
+    return report

@@ -130,3 +130,23 @@ def test_bloom_int_column_parity_and_partition_exclusion(spark, tmp_path):
     for v in range(0, 100, 13):
         rows = tbl.read_where(spark, [("id", "=", v)]).collect()
         assert [r["id"] for r in rows] == [v]
+
+
+def test_scan_report_names_pruning_reasons(spark, tmp_path):
+    cat = _mk(spark, tmp_path)
+    tbl = cat.table("db", "t")
+    rep = {r["file_path"]: r for r in tbl.scan_report(
+        spark, [("id", "=", 4)]
+    ).collect()}
+    assert len(rep) == len(tbl.current_snapshot().files)
+    decisions = {r["decision"] for r in rep.values()}
+    assert decisions == {"read", "skipped"}
+    reasons = {r["reason"] for r in rep.values() if r["decision"] == "skipped"}
+    assert reasons <= {"bloom:id", "bounds:id"} and reasons
+    # the report's read-set is exactly what plan_files keeps
+    kept = {f.path for f in tbl.plan_files([("id", "=", 4)])}
+    assert {p for p, r in rep.items() if r["decision"] == "read"} == kept
+    # out-of-range predicate: everything skipped by bounds
+    rep2 = tbl.scan_report(spark, [("id", "=", 10_000)]).collect()
+    assert all(r["decision"] == "skipped" for r in rep2)
+    assert {r["reason"] for r in rep2} == {"bounds:id"}

@@ -707,3 +707,13 @@ def test_cli_sql_time_travel(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "10" in out
+
+
+def test_cli_maintain_auto(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 5, (i + 1) * 5).select("id"))
+    cat.set_properties("db", "t", {"maintain.expire.keep-last": "1"})
+    assert main(["maintain", "--warehouse", str(tmp_path / "wh"), "--auto"]) == 0
+    assert "expire" in capsys.readouterr().out
+    assert len(cat.table("db", "t").snapshots()) == 1

@@ -1877,3 +1877,68 @@ def test_release_swap_is_counted_not_just_logged(cat, monkeypatch):
     import shutil as _shutil
 
     _shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# auto_maintain: policy-driven table services (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_maintain_enforces_per_table_policies(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        SnapCatalog,
+        auto_maintain,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    # table A: expire policy, 4 commits
+    for i in range(4):
+        cat.write("db", "a", spark.range(i * 10, (i + 1) * 10).select("id"))
+    cat.set_properties("db", "a", {"maintain.expire.keep-last": "2"})
+    # table B: compact policy, many tiny files
+    for i in range(3):
+        cat.write("db", "b", spark.range(i * 5, (i + 1) * 5).select("id"))
+    cat.set_properties(
+        "db", "b", {"maintain.compact.min-file-bytes": str(1 << 20)}
+    )
+    # table C: no policy — untouched
+    cat.write("db", "c", spark.range(0, 5).select("id"))
+    n_c_snaps = len(cat.table("db", "c").snapshots())
+
+    report = auto_maintain(cat, spark)
+    actions = {(r["database"], r["table"], r["action"]) for r in report}
+    assert ("db", "a", "expire") in actions
+    assert ("db", "b", "compact") in actions
+    assert not any(r["table"] == "c" for r in report)
+    assert len(cat.table("db", "a").snapshots()) == 2
+    assert cat.table("db", "b").read(spark).count() == 15  # rows preserved
+    assert len(cat.table("db", "c").snapshots()) == n_c_snaps
+    # idempotent second sweep: nothing (new) to do for a
+    report2 = auto_maintain(cat, spark)
+    assert not any(
+        r["table"] == "a" and r["action"] == "expire" for r in report2
+    )
+
+
+def test_auto_maintain_isolates_errors(spark, tmp_path, monkeypatch):
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as sc
+
+    cat = sc.SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "bad", spark.range(0, 5).select("id"))
+    cat.set_properties("db", "bad", {"maintain.expire.keep-last": "1"})
+    cat.write("db", "good", spark.range(0, 5).select("id"))
+    cat.write("db", "good", spark.range(5, 9).select("id"))
+    cat.set_properties("db", "good", {"maintain.expire.keep-last": "1"})
+
+    real = cat.expire_snapshots
+
+    def flaky(db, name, **kw):
+        if name == "bad":
+            raise RuntimeError("disk full")
+        return real(db, name, **kw)
+
+    monkeypatch.setattr(cat, "expire_snapshots", flaky)
+    report = sc.auto_maintain(cat, spark)
+    by = {(r["table"], r["action"]) for r in report}
+    assert ("bad", "error") in by
+    assert ("good", "expire") in by
