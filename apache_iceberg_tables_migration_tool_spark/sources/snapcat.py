@@ -2667,6 +2667,31 @@ class SnapCatalog:
                     if distribution == "hash"
                     else df.repartitionByRange(*exprs)
                 )
+            # write.sort-by table property (≙ Iceberg's write sort
+            # order): range-cluster incoming rows on the declared
+            # columns so each FRESH file lands with tight, near-disjoint
+            # [min, max] bounds — range predicates on the sort key then
+            # manifest-prune new data immediately, without waiting for a
+            # sort compaction. Skipped when an explicit distribution was
+            # requested (that caller already chose the layout).
+            props = tbl.properties()
+            sort_cols = [
+                c.strip()
+                for c in props.get("write.sort-by", "").split(",")
+                if c.strip() and c.strip() in df.columns
+            ]
+            if sort_cols and not distribution:
+                # write.sort-partitions pins the range-exchange width
+                # (AQE honors an explicit count and will otherwise
+                # size-coalesce — correct at scale, where partitions
+                # track the advisory size, but a pinned width lets
+                # small tables still produce a clustered multi-file
+                # layout when the user asks for one)
+                npart = props.get("write.sort-partitions")
+                args = ([int(npart)] if npart else []) + sort_cols
+                df = df.repartitionByRange(*args).sortWithinPartitions(
+                    *sort_cols
+                )
             new_files = self._write_data_files(tbl, sid, df, spec)
             _assign_row_ids(meta, new_files, materialized)
 

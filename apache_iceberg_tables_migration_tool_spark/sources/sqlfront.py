@@ -42,7 +42,12 @@ _REF_RE = re.compile(
 )
 
 
-def snapcat_sql(spark: SparkSession, catalog, query: str) -> DataFrame:
+def snapcat_sql(
+    spark: SparkSession,
+    catalog,
+    query: str,
+    pins: dict[str, int] | None = None,
+) -> DataFrame:
     """Run ``query`` with every ``db.table`` reference bound to
     ``catalog`` (see module docstring). Supports::
 
@@ -91,6 +96,11 @@ def snapcat_sql(spark: SparkSession, catalog, query: str) -> DataFrame:
                     kw["snapshot_id"] = int(ver)
             elif ts is not None:
                 kw["as_of"] = ts[1:-1]
+            elif pins and f"{db}.{tbl}" in pins:
+                # snapshot-isolation pin (ConsistentReader): bare
+                # references resolve at the pinned snapshot; an
+                # explicit VERSION/TIMESTAMP AS OF above overrides
+                kw["snapshot_id"] = pins[f"{db}.{tbl}"]
             df = t.read(spark, **kw)
         n += 1
         view = f"__snapcat_{db}_{tbl}_{meta or 'data'}_{n}"

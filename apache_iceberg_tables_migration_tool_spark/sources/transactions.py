@@ -327,3 +327,53 @@ class MultiTableTransaction:
         else:
             self.abort()
         return False
+
+
+class ConsistentReader:
+    """SNAPSHOT-ISOLATION reads across tables — the read-side
+    counterpart of :class:`MultiTableTransaction`: pin every table's
+    current snapshot id at construction, then every read (DataFrame or
+    SQL) resolves at the pinned versions no matter how many commits
+    land in between. A dashboard that joins fact and dim twice gets
+    the SAME answer twice; without pinning, a commit between the two
+    queries makes them silently inconsistent. Pure metadata — pinning
+    costs one ``current_snapshot()`` per table, nothing is copied, and
+    pinned snapshots stay readable until ``expire_snapshots`` ages
+    them out (keep the expire horizon longer than reader lifetimes).
+
+    ``tables`` limits the pin set (``[(db, table), ...]``); default is
+    every table in the catalog. Explicit ``VERSION AS OF`` /
+    ``TIMESTAMP AS OF`` clauses in :meth:`sql` override the pin for
+    that reference."""
+
+    def __init__(self, catalog: SnapCatalog, tables=None):
+        self.catalog = catalog
+        self.pins: dict[str, int] = {}
+        if tables is None:
+            tables = [
+                (db, t)
+                for db in catalog.list_namespaces()
+                if not db.startswith("_")
+                for t in catalog.list_tables(db)
+            ]
+        for db, t in tables:
+            cur = catalog.table(db, t).current_snapshot()
+            if cur is not None:
+                self.pins[f"{db}.{t}"] = cur.snapshot_id
+
+    def read(self, spark, database: str, table: str) -> DataFrame:
+        key = f"{database}.{table}"
+        if key not in self.pins:
+            raise LookupError(
+                f"{key} was not pinned (missing at construction or empty)"
+            )
+        return self.catalog.table(database, table).read(
+            spark, snapshot_id=self.pins[key]
+        )
+
+    def sql(self, spark, query: str) -> DataFrame:
+        from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+            snapcat_sql,
+        )
+
+        return snapcat_sql(spark, self.catalog, query, pins=self.pins)

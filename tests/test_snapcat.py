@@ -1942,3 +1942,32 @@ def test_auto_maintain_isolates_errors(spark, tmp_path, monkeypatch):
     by = {(r["table"], r["action"]) for r in report}
     assert ("bad", "error") in by
     assert ("good", "expire") in by
+
+
+def test_write_sort_by_property_clusters_fresh_files(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_table(
+        "db", "t", "id bigint, v bigint",
+        properties={"write.sort-by": "id", "write.sort-partitions": "4"},
+    )
+    # shuffle the input so only the write-side clustering can order it
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartition(8)
+    )
+    cat.write("db", "t", df)
+    tbl = cat.table("db", "t")
+    files = [f for f in tbl.current_snapshot().files if f.records]
+    assert len(files) >= 2
+    bounds = sorted((f.stats["id"][0], f.stats["id"][1]) for f in files)
+    # near-disjoint ranges: each file's min is past the previous max
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(bounds, bounds[1:]):
+        assert hi_a < lo_b
+    # a range predicate manifest-prunes to a strict subset of files
+    planned = tbl.plan_files([("id", "<", 50)])
+    assert 0 < len(planned) < len(files)
+    # rows intact
+    assert tbl.read(spark).count() == 400

@@ -211,3 +211,36 @@ def test_txn_base_dependent_must_be_first_entry(spark, tmp_path):
         txn2.write("db", "a", _df(spark, 10, 15))
     got = sorted(r["id"] for r in cat.table("db", "a").read(spark).collect())
     assert got == list(range(2, 15))
+
+
+def test_consistent_reader_snapshot_isolation(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.transactions import (
+        ConsistentReader,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "fact", _df(spark, 0, 10))
+    cat.write("db", "dim", _df(spark, 0, 3))
+    reader = ConsistentReader(cat)
+    # commits land after pinning — the reader must not see them
+    cat.write("db", "fact", _df(spark, 10, 20))
+    cat.delete_where("db", "dim", F.col("id") == 0)
+    assert reader.read(spark, "db", "fact").count() == 10
+    assert reader.read(spark, "db", "dim").count() == 3
+    out = reader.sql(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM db.fact) AS nf, "
+        "(SELECT COUNT(*) FROM db.dim) AS nd",
+    ).collect()[0]
+    assert (out["nf"], out["nd"]) == (10, 3)
+    # explicit time travel overrides the pin
+    n_now = reader.sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM db.fact VERSION AS OF "
+        f"{cat.table('db', 'fact').current_snapshot().snapshot_id}",
+    ).collect()[0]["n"]
+    assert n_now == 20
+    # unpinned table → loud error
+    cat.write("db", "late", _df(spark, 0, 2))
+    with pytest.raises(LookupError, match="not pinned"):
+        reader.read(spark, "db", "late")
