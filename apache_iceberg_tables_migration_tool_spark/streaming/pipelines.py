@@ -1796,8 +1796,11 @@ def refresh_ann_index(
         )
         # centroids first: a crash between the writes leaves a
         # quantizer without cells, and the next refresh (cells absent)
-        # simply rebuilds both — never a stamped-but-stale index
-        catalog.write(index_database, centroids_table, centroids)
+        # simply rebuilds both — never a stamped-but-stale index. The
+        # rebuild OVERWRITES: an append onto the crashed attempt's
+        # centroids would leave duplicate cell rows and fail the
+        # contiguity check in centroid_matrix (self-review find)
+        catalog.write(index_database, centroids_table, centroids, mode="overwrite")
         catalog.write(
             index_database, cells_table, cells,
             partition_by=["cell"], summary_extra=stamp,

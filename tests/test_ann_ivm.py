@@ -156,3 +156,25 @@ def test_maintain_ann_index_stream(spark, tmp_path):
     cent_df = cat.table("v", "cent").read(spark)
     cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
     assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+
+
+def test_refresh_ann_index_rebuild_after_crashed_initial_build(spark, tmp_path):
+    """A crash between the centroids write and the cells write leaves
+    a quantizer with no cells table; the next refresh must rebuild
+    cleanly (overwriting the orphaned centroids, not appending)."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("v", "emb", _emb_df(spark, range(0, 30)))
+    # simulate the crashed first attempt: centroids landed, cells never did
+    from apache_iceberg_tables_migration_tool_spark.operators import similarity as S2
+
+    _cells, centroids = S2.ivf_index(
+        cat.table("v", "emb").read(spark), nlist=4
+    )
+    cat.write("v", "cent", centroids)
+    assert refresh_ann_index(
+        spark, cat, "v", "emb", "v", "cells", "cent", nlist=4
+    ) is not None
+    cent_df = cat.table("v", "cent").read(spark)
+    assert cent_df.count() == 4  # no duplicate cell rows
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
