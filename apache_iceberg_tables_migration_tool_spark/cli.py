@@ -85,10 +85,12 @@ def cmd_plan(args: argparse.Namespace) -> int:
 
 def cmd_sql(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
-    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_sql
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
 
     spark = _spark(args.cpus)
-    df = snapcat_sql(spark, SnapCatalog(args.warehouse), args.query)
+    df = snapcat_execute(spark, SnapCatalog(args.warehouse), args.query)
     df.show(args.limit, truncate=False)
     return 0
 
@@ -891,8 +893,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "sql",
-        help="run Spark SQL over catalog tables (db.table, VERSION AS OF "
-        "id|'tag', TIMESTAMP AS OF 'ts', .snapshots/.files/... metadata)",
+        help="run Spark SQL over catalog tables: reads (db.table, VERSION "
+        "AS OF id|'tag', TIMESTAMP AS OF 'ts', metadata tables) and DML "
+        "(INSERT INTO/OVERWRITE, CREATE TABLE AS, DELETE FROM, UPDATE)",
     )
     sp.add_argument("--warehouse", required=True)
     sp.add_argument("--query", required=True)

@@ -108,3 +108,114 @@ def snapcat_sql(
         return f"{m.group('kw')}{view}"
 
     return spark.sql(_REF_RE.sub(_bind, query))
+
+
+# ---------------------------------------------------------------------------
+# DML: the write half of the SQL surface, mapped onto the engine verbs
+# ---------------------------------------------------------------------------
+
+_DML_INSERT = re.compile(
+    rf"^\s*INSERT\s+(?P<how>INTO|OVERWRITE)\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_CTAS = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+AS\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+    rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero (SET lists contain
+    function calls with commas and quoted strings with anything)."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _dml_report(spark: SparkSession, op: str, db: str, tbl: str, snap) -> DataFrame:
+    return spark.createDataFrame(
+        [(op, f"{db}.{tbl}", snap.snapshot_id, snap.operation)],
+        "statement string, table string, snapshot_id bigint, operation string",
+    )
+
+
+def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
+    """Try ``query`` as a DML statement against the catalog; None if
+    it isn't one (callers then run it as a read). Supported — each
+    mapping 1:1 onto an engine verb, so all commit semantics
+    (snapshots, changelog, locks, WAP) are the engine's::
+
+        INSERT INTO db.t <select>        → write(mode="append")
+        INSERT OVERWRITE db.t <select>   → write(mode="overwrite")
+        CREATE TABLE db.t AS <select>    → write on a fresh table
+        DELETE FROM db.t [WHERE <cond>]  → delete_where (COW)
+        UPDATE db.t SET c = e, … [WHERE] → update_where (COW)
+
+    The <select> body may itself use every read feature (time travel,
+    metadata tables, catalog joins). Returns a one-row commit report.
+    """
+    m = _DML_INSERT.match(query) or _DML_CTAS.match(query)
+    if m:
+        db, tbl = m.group("db"), m.group("tbl")
+        is_ctas = m.re is _DML_CTAS
+        if is_ctas and catalog.table(db, tbl).exists():
+            raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
+        how = "append" if is_ctas else m.group("how").lower()
+        df = snapcat_sql(spark, catalog, m.group("rest"))
+        snap = catalog.write(
+            db, tbl, df, mode="overwrite" if how == "overwrite" else "append"
+        )
+        stmt = "CREATE TABLE AS" if is_ctas else f"INSERT {how.upper()}"
+        return _dml_report(spark, stmt, db, tbl, snap)
+    m = _DML_UPDATE.match(query)
+    if m:
+        sets = {}
+        for part in _split_top(m.group("sets")):
+            col, _, expr = part.partition("=")
+            if not _:
+                raise ValueError(f"UPDATE SET: cannot parse {part!r}")
+            sets[col.strip()] = expr.strip()
+        snap = catalog.update_where(
+            m.group("db"), m.group("tbl"), m.group("cond") or "true", sets
+        )
+        return _dml_report(spark, "UPDATE", m.group("db"), m.group("tbl"), snap)
+    m = _DML_DELETE.match(query)
+    if m:
+        snap = catalog.delete_where(
+            m.group("db"), m.group("tbl"), m.group("cond") or "true"
+        )
+        return _dml_report(spark, "DELETE", m.group("db"), m.group("tbl"), snap)
+    return None
+
+
+def snapcat_execute(spark: SparkSession, catalog, query: str) -> DataFrame:
+    """One entry point for both halves: DML statements commit through
+    the engine verbs, everything else runs as a catalog-bound read
+    (`snapcat_sql`)."""
+    out = snapcat_dml(spark, catalog, query)
+    return out if out is not None else snapcat_sql(spark, catalog, query)

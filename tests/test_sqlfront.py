@@ -87,3 +87,51 @@ def test_sql_cte_and_subquery(spark, cat):
         """,
     ).collect()
     assert out[0]["n"] == 10
+
+
+def test_sql_dml_insert_delete_update_ctas(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    # CTAS from a time-travel read
+    rep = snapcat_execute(
+        spark, cat, "CREATE TABLE db.t2 AS SELECT id, v FROM db.t VERSION AS OF 1"
+    ).collect()[0]
+    assert rep["statement"] == "CREATE TABLE AS"
+    assert cat.table("db", "t2").read(spark).count() == 10
+    # INSERT INTO with a catalog-bound select
+    snapcat_execute(
+        spark, cat, "INSERT INTO db.t2 SELECT id, v FROM db.t WHERE id >= 25"
+    )
+    assert cat.table("db", "t2").read(spark).count() == 15
+    # UPDATE with function-call expressions and WHERE
+    snapcat_execute(
+        spark, cat,
+        "UPDATE db.t2 SET v = v + coalesce(id, 0) * 100 WHERE id < 2",
+    )
+    got = {r["id"]: r["v"] for r in cat.table("db", "t2").read(spark).collect()}
+    assert got[0] == 0 and got[1] == 110 and got[2] == 20
+    # DELETE FROM
+    snapcat_execute(spark, cat, "DELETE FROM db.t2 WHERE id >= 25")
+    assert cat.table("db", "t2").read(spark).count() == 10
+    # history carries the engine operations
+    ops = [s.operation for s in cat.table("db", "t2").main_chain()]
+    assert ops == ["append", "append", "update", "delete"]
+    # CTAS refuses an existing table
+    with pytest.raises(ValueError, match="already exists"):
+        snapcat_execute(spark, cat, "CREATE TABLE db.t2 AS SELECT 1 AS x")
+    # a plain read still routes through the read half
+    n = snapcat_execute(spark, cat, "SELECT COUNT(*) AS n FROM db.t2").collect()
+    assert n[0]["n"] == 10
+
+
+def test_sql_dml_insert_overwrite(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    snapcat_execute(
+        spark, cat, "INSERT OVERWRITE db.t SELECT id, v FROM db.t WHERE id < 5"
+    )
+    assert cat.table("db", "t").read(spark).count() == 5
