@@ -101,13 +101,14 @@ _DRIVER_PRIORITY = [
     # incremental_distinct_view, dedup_image_ingest_index,
     # incremental_topk_view, incremental_quantile_view,
     # incremental_topk_join_view, incremental_join_chain_view,
-    # view_rewrite_navigation, view_rewrite_join_navigation and
-    # ann_index_maintenance, chunk_documents_overlap and
-    # dup_ngram_doc_filter, multi_table_transaction and
-    # bloom_point_lookup, resample_daily_forward_fill and
-    # incremental_catalog_sync and sql_time_travel_catalog (built
+    # view_rewrite_navigation, view_rewrite_join_navigation,
+    # ann_index_maintenance, chunk_documents_overlap,
+    # dup_ngram_doc_filter, multi_table_transaction,
+    # bloom_point_lookup, resample_daily_forward_fill,
+    # incremental_catalog_sync and sql_time_travel_catalog (all built
     # after this window was set; sweep- and pytest-verified, register
-    # past the cap).
+    # past the cap — 16 queued carriers, so the r9 rotation should
+    # grade them plus the four r4 doubles before re-greening anything).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
     # bpe_train_merges stays out by the rows-only policy (window
     # keeps 100%-hash-checked).
