@@ -24,6 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from apache_iceberg_tables_migration_tool_spark.plans.plan import MigrationPlan, TableMigration
@@ -163,7 +164,22 @@ def _replay_commits(
         if s.operation in ("append", "create"):
             df = table.read_incremental(spark, prev_id, s.snapshot_id)
             mode = "append"
-        else:  # overwrite/delete/merge/replace: replay full state at s
+        elif s.operation == "delete" and prev_id is not None:
+            # DELETE commits replay as an O(delta) equality-delete on
+            # the mirror when that is provably exact (see
+            # _replay_delete_delta) — a 10-row delete on a 100 TB
+            # source must not become a full-state rewrite downstream
+            snap = _replay_delete_delta(
+                spark, table, dst, database, name, prev_id, s
+            )
+            if snap is not None:
+                total = snap.total_records
+                prev_id = s.snapshot_id
+                n += 1
+                continue
+            df = table.read(spark, snapshot_id=s.snapshot_id)
+            mode = "overwrite"
+        else:  # overwrite/merge/update/replace: replay full state at s
             df = table.read(spark, snapshot_id=s.snapshot_id)
             mode = "overwrite"
         snap = dst.write(
@@ -176,6 +192,61 @@ def _replay_commits(
         prev_id = s.snapshot_id
         n += 1
     return n, total
+
+
+def _replay_delete_delta(
+    spark: SparkSession,
+    table,
+    dst: SnapCatalog,
+    database: str,
+    name: str,
+    prev_id: int,
+    s,
+):
+    """Replay one source DELETE commit onto the mirror as a
+    merge-on-read EQUALITY DELETE of the deleted rows — O(deleted
+    rows) written instead of a full-state overwrite — when that is
+    provably exact; returns None to signal the full-state fallback.
+
+    An equality delete hides EVERY row matching the key tuple
+    (null-safely), so the delta replay is exact iff (a) the deleted
+    multiset carries no duplicate full rows (two deleted copies of one
+    value would be one key — fine — but we cannot tell that case apart
+    from (b) cheaply, so duplicates fall back), and (b) no identical
+    row SURVIVES in the source's post-commit state (deleting 1 of 2
+    identical rows is not expressible as an equality delete). (a) is
+    an O(delta) aggregate; (b) is a null-safe semi-join of the
+    post-state against the deleted rowset — a read-only table pass,
+    strictly cheaper than the fallback's read+write. An empty delete
+    (audit no-op) replays as a no-op predicate delete, carrying files
+    by reference."""
+    cl = table.changelog(spark, prev_id, s.snapshot_id, net_changes=True)
+    data_cols = [c for c in cl.columns if not c.startswith("_")]
+    dels = cl.where(F.col("_change_type") == "delete").select(*data_cols)
+    dels = dels.localCheckpoint(eager=False)  # consumed by 3 plans
+    n_dels = dels.count()
+    stamp = {"replayed-from": str(s.snapshot_id)}
+    if n_dels == 0:
+        return dst.delete_where(
+            database, name, F.lit(False),
+            committed_at=s.committed_at, summary_extra=stamp,
+        )
+    if dels.distinct().count() != n_dels:
+        return None  # duplicate deleted rows — not equality-expressible
+    post = table.read(spark, snapshot_id=s.snapshot_id)
+    cond = None
+    for c in data_cols:
+        eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__d.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    survivor = (
+        post.alias("__p").join(dels.alias("__d"), cond, "left_semi").limit(1)
+    )
+    if survivor.count() > 0:
+        return None  # identical rows survive — equality would over-delete
+    return dst.delete_keys(
+        database, name, dels, key_cols=data_cols,
+        committed_at=s.committed_at, summary_extra=stamp,
+    )
 
 
 def sync_history(

@@ -2471,7 +2471,10 @@ def incremental_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist = [
             (s.operation, s.committed_at) for s in s_tbl.main_chain()
         ] == [(s.operation, s.committed_at) for s in d_tbl.main_chain()]
-        n_rows = d_tbl.current_snapshot().total_records
+        # LIVE rows, not manifest total_records: the COW delete now
+        # replays as a merge-on-read equality delete on the mirror
+        # (O(delta) write), whose hidden rows only a read subtracts
+        n_rows = d_tbl.read(spark).count()
         return spark.createDataFrame(
             [(n1, n2, n3, n_rows, chk, hist)],
             "first_sync_commits int, second_sync_commits int, "

@@ -3019,6 +3019,7 @@ class SnapCatalog:
         committed_at: str | None = None,
         mode: str = "copy-on-write",
         staged: bool = False,
+        summary_extra: dict[str, str] | None = None,
     ) -> Snapshot:
         """Row-level DELETE by predicate. ``condition`` is a Column or
         SQL string.
@@ -3077,6 +3078,7 @@ class SnapCatalog:
                         "added-delete-files": str(len(new_dels)),
                         "position-delete-rows": str(n_rows),
                         "total-data-files": str(len(prev.files)),
+                        **(summary_extra or {}),
                     },
                     schema_ddl=prev.schema_ddl,
                     partition_spec=prev.partition_spec,
@@ -3105,7 +3107,8 @@ class SnapCatalog:
             if not affected_rel:  # no-op delete still commits (audit trail)
                 return self._commit(
                     tbl, prev, list(prev.files), [], "delete", committed_at,
-                    {"rewritten-data-files": "0"}, staged=staged,
+                    {"rewritten-data-files": "0", **(summary_extra or {})},
+                    staged=staged,
                 )
             # survivors carry their lineage into the rewrite (carry-over
             # rows keep id AND last-updated commit, Iceberg v3 rule).
@@ -3123,7 +3126,8 @@ class SnapCatalog:
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
                 tbl, prev, files, new_files, "delete", committed_at,
-                {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
+                {"rewritten-data-files": str(len(affected_rel)),
+                 **(summary_extra or {})}, sid=sid,
                 materialized_lineage=True, staged=staged,
             )
 
@@ -3188,6 +3192,7 @@ class SnapCatalog:
         keys: DataFrame,
         key_cols: list[str] | None = None,
         committed_at: str | None = None,
+        summary_extra: dict[str, str] | None = None,
     ) -> Snapshot:
         """Row-level DELETE by key, MERGE-ON-READ (≙ Iceberg v2
         equality-delete files with ``write.delete.mode=merge-on-read``):
@@ -3232,6 +3237,7 @@ class SnapCatalog:
                     "added-delete-files": str(len(new_dels)),
                     "equality-delete-keys": str(n_keys),
                     "total-data-files": str(len(prev.files)),
+                    **(summary_extra or {}),
                 },
                 schema_ddl=prev.schema_ddl,
                 partition_spec=prev.partition_spec,

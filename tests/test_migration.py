@@ -391,3 +391,68 @@ def test_maintain_sync_stream(spark, tmp_path):
     assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
         dst.table("db", "t").read(spark)
     )
+
+
+def test_sync_replays_delete_as_equality_delta(spark, tmp_path):
+    """A pure COW delete on the source must reach the mirror as an
+    O(delta) merge-on-read equality delete — zero data files written —
+    not a full-state rewrite."""
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    sync_history(spark, src, dst, "db", "t")
+    src.delete_where("db", "t", F.col("id") % 4 == 1)
+    assert sync_history(spark, src, dst, "db", "t") == 1
+    d_head = dst.table("db", "t").current_snapshot()
+    assert d_head.operation == "delete"
+    assert d_head.summary.get("delete-mode") == "merge-on-read"
+    assert int(d_head.summary.get("added-data-files", "0")) == 0
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
+    # appends after the MOR delete still mirror exactly
+    src.write("db", "t", spark.range(40, 45).select("id", F.col("id").alias("v")))
+    sync_history(spark, src, dst, "db", "t")
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
+
+
+def test_sync_delete_with_duplicate_rows_falls_back_exact(spark, tmp_path):
+    """Deleting SOME copies of duplicated rows is not expressible as
+    an equality delete — the replay must fall back to full state and
+    stay exact."""
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src = SnapCatalog(str(tmp_path / "src"))
+    dst = SnapCatalog(str(tmp_path / "dst"))
+    dup = spark.createDataFrame(
+        [(1, 10)] * 3 + [(2, 20)] * 2 + [(3, 30)],
+        "id bigint, v bigint",
+    )
+    src.write("db", "t", dup)
+    sync_history(spark, src, dst, "db", "t")
+    # COW-delete only the rows in ONE file region: rewrite files so
+    # exactly one copy of (1, 10) dies — delete_where is by predicate,
+    # so delete (3, 30) plus an overwrite that drops one (1, 10) copy
+    keep = spark.createDataFrame(
+        [(1, 10)] * 2 + [(2, 20)] * 2, "id bigint, v bigint"
+    )
+    src.write("db", "t", keep, mode="overwrite")
+    sync_history(spark, src, dst, "db", "t")
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
+    # a delete whose victims leave identical survivors: guard must
+    # refuse the equality path (checksum equality proves exactness)
+    src.delete_where("db", "t", F.col("v") == 20)
+    sync_history(spark, src, dst, "db", "t")
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
