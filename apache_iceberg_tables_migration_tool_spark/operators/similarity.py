@@ -917,6 +917,7 @@ def assign_cells(
     cent: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Assign vectors to their nearest coarse-quantizer cell (max dot
     product on unit vectors) in one distributed Arrow pass against the
@@ -927,26 +928,89 @@ def assign_cells(
     quantizer without retraining: assigning the same vector to the
     same centroids is pure arithmetic, so a delta assignment is
     bit-identical to what a full re-assignment would produce.
-    Returns (vec_id, cell)."""
+    Returns (vec_id, cell) — one row per vector, or ``probes`` rows
+    per vector for MULTI-probe assignment (the vector's top-p nearest
+    cells), the candidate-widening knob a banded same-cell join uses
+    to catch near-duplicate pairs the hard quantizer boundary would
+    split."""
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(cent, dtype=np.float64))
+    p = max(1, int(probes))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
+        k = min(p, c.shape[0])
         for pdf in batches:
             if not len(pdf):
                 continue
             m = _normalize(_as_matrix(pdf[vec_col]))
+            sims = m @ c.T
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if k == 1:
+                yield pd.DataFrame(
+                    {"vec_id": ids, "cell": sims.argmax(axis=1).astype(np.int32)}
+                )
+                continue
+            top = np.argsort(-sims, axis=1)[:, :k]
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cell": (m @ c.T).argmax(axis=1).astype(np.int32),
+                    "vec_id": np.repeat(ids, k),
+                    "cell": top.ravel().astype(np.int32),
                 }
             )
 
     return emb.select(id_col, vec_col).mapInPandas(
         assign, schema="vec_id bigint, cell int"
     )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    nlist: int = 8,
+    probes: int = 2,
+    train_sample: int = 100_000,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC near-duplicate pairs (cosine ≥ ``threshold``) through
+    an IVF coarse quantizer — the embedding-space twin of the MinHash
+    band index: every vector lands in its ``probes`` nearest cells
+    (:func:`assign_cells` multi-probe), candidates are the same-cell
+    pairs (a banded equi-join, never the all-pairs cross product), and
+    only candidates get the exact similarity re-check. Cost is
+    O(Σ cell_size² · probes) candidate rows vs O(n²) brute force — the
+    100 TB dedup path where `cosine_pairs`' broadcast/blocked exact
+    scan is the ground-truth tool.
+
+    Recall contract: a pair is found iff the two vectors share ≥1 of
+    their ``probes`` nearest cells. High-threshold near-dups are
+    near-parallel vectors, so cell disagreement needs BOTH to straddle
+    a Voronoi boundary — multi-probe makes that exponentially
+    unlikely; carriers pin found ≡ exact on the fixtures and recall
+    bounds belong in tests, like the kNN ANN family."""
+    cells, _cent = ivf_index(
+        emb, nlist, train_sample, iters, seed, id_col, vec_col
+    )
+    if probes > 1:
+        cells = assign_cells(
+            emb, np.vstack([np.asarray(r["centroid"]) for r in
+                            _cent.orderBy("cell").collect()]),
+            id_col, vec_col, probes=probes,
+        )
+    cand = (
+        cells.alias("a")
+        .join(cells.alias("b"), "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    scored = _exact_pair_sims(cand, emb, id_col, vec_col)
+    return scored.where(F.col("sim") >= threshold).select("vec_a", "vec_b")
 
 
 def centroid_matrix(centroids: DataFrame) -> np.ndarray:

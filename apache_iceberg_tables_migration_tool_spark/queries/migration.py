@@ -2533,3 +2533,87 @@ def sql_time_travel_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_catalog_sync",
+    tags=("migration", "cdc", "sync", "streaming"),
+    oracle="""
+WITH o AS (SELECT o_orderkey, o_orderkey % 3 AS band FROM orders),
+final AS (
+  SELECT o_orderkey FROM o WHERE NOT (band < 2 AND o_orderkey % 7 = 2)
+)
+SELECT (SELECT COUNT(*) FROM final) AS mirror_rows,
+       TRUE AS checksum_match, TRUE AS history_match,
+       TRUE AS delete_was_delta
+""",
+)
+def streaming_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS replication as a stream (`pipelines.maintain_sync`):
+    the mirror follows the source's commit-marker feed — two seed
+    appends replicate in the first drain; then an append, a COW
+    delete and a MOR delete land on the source and ONE drain folds
+    all three, the delete replaying as an O(delta) merge-on-read
+    equality delete on the mirror (``delete_was_delta`` pins that the
+    mirror's delete commits wrote ZERO data files — no full-state
+    rewrite hid in the stream). Validated in-query: source↔mirror
+    whole-table checksum equality and commit-for-commit history
+    shape; the oracle recomputes the surviving row count from the
+    band/delete predicates."""
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        maintain_sync,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_ssync_")
+    try:
+        src = SnapCatalog(os.path.join(root, "src"))
+        dst = SnapCatalog(os.path.join(root, "dst"))
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", F.pmod(F.col("o_orderkey"), F.lit(3)).alias("band")
+        )
+
+        def drain():
+            maintain_sync(
+                spark, src, dst, "db", "orders_ss",
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            ).awaitTermination()
+
+        for b in range(2):
+            src.write("db", "orders_ss", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+        drain()
+        src.write("db", "orders_ss", o.where(F.col("band") == 2).drop("band"),
+                  committed_at=_T[2])
+        src.delete_where(
+            "db", "orders_ss",
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) == 0)
+            & (F.pmod(F.col("o_orderkey"), F.lit(7)) == 2),
+            committed_at=_T[3],
+        )
+        src.delete_where(
+            "db", "orders_ss",
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) == 1)
+            & (F.pmod(F.col("o_orderkey"), F.lit(7)) == 2),
+            committed_at=_T[4], mode="merge-on-read",
+        )
+        drain()
+        s_tbl = src.table("db", "orders_ss")
+        d_tbl = dst.table("db", "orders_ss")
+        chk = table_checksum(s_tbl.read(spark)) == table_checksum(d_tbl.read(spark))
+        hist = [
+            (s.operation, s.committed_at) for s in s_tbl.main_chain()
+        ] == [(s.operation, s.committed_at) for s in d_tbl.main_chain()]
+        delta = all(
+            int(s.summary.get("added-data-files", "0")) == 0
+            for s in d_tbl.main_chain() if s.operation == "delete"
+        )
+        return spark.createDataFrame(
+            [(d_tbl.read(spark).count(), chk, hist, delta)],
+            "mirror_rows bigint, checksum_match boolean, "
+            "history_match boolean, delete_was_delta boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

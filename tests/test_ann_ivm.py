@@ -178,3 +178,44 @@ def test_refresh_ann_index_rebuild_after_crashed_initial_build(spark, tmp_path):
     assert cent_df.count() == 4  # no duplicate cell rows
     cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
     assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+
+
+def test_assign_cells_multiprobe_and_semantic_pairs(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant two near-duplicate pairs (tiny perturbations)
+    rows += [(100, [float(x) for x in base[0] + 0.01 * rng.normal(size=8)])]
+    rows += [(101, [float(x) for x in base[7] + 0.01 * rng.normal(size=8)])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    from apache_iceberg_tables_migration_tool_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dup_pairs,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs(emb, threshold=0.95).select("vec_a", "vec_b").collect()
+    }
+    assert {(0, 100), (7, 101)} <= exact
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in semantic_dup_pairs(emb, 0.95, nlist=4, probes=2).collect()
+    }
+    # precision by construction (candidates are exact-rechecked)
+    assert found <= exact
+    # the planted near-parallel pairs must share a probed cell
+    assert {(0, 100), (7, 101)} <= found
+
+    # multi-probe assignment emits exactly `probes` rows per vector
+    from apache_iceberg_tables_migration_tool_spark.operators.similarity import (
+        assign_cells,
+        centroid_matrix,
+        ivf_index,
+    )
+
+    _cells, cent = ivf_index(emb, nlist=4)
+    multi = assign_cells(emb, centroid_matrix(cent), probes=2)
+    per = multi.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per)

@@ -456,3 +456,24 @@ def test_sync_delete_with_duplicate_rows_falls_back_exact(spark, tmp_path):
     assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
         dst.table("db", "t").read(spark)
     )
+
+
+def test_sync_replays_source_mor_delete(spark, tmp_path):
+    """A source MERGE-ON-READ delete (no data files written) must
+    still replicate — the changelog surfaces its hidden rows and the
+    mirror gets the same O(delta) equality-delete shape."""
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+
+    src, dst = _sync_fixture_catalogs(spark, tmp_path)
+    sync_history(spark, src, dst, "db", "t")
+    src.delete_where("db", "t", F.col("id") % 3 == 0, mode="merge-on-read")
+    assert sync_history(spark, src, dst, "db", "t") == 1
+    d_head = dst.table("db", "t").current_snapshot()
+    assert d_head.operation == "delete"
+    assert int(d_head.summary.get("added-data-files", "0")) == 0
+    assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
+        dst.table("db", "t").read(spark)
+    )
