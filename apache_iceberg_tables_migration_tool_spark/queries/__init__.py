@@ -106,9 +106,10 @@ _DRIVER_PRIORITY = [
     # dup_ngram_doc_filter, multi_table_transaction,
     # bloom_point_lookup, resample_daily_forward_fill,
     # incremental_catalog_sync, sql_time_travel_catalog,
-    # streaming_catalog_sync and dedup_semantic_ann (all built
+    # streaming_catalog_sync, dedup_semantic_ann and
+    # rolling_zscore_anomalies (all built
     # after this window was set; sweep- and pytest-verified, register
-    # past the cap — 18 queued carriers, so the r9 rotation should
+    # past the cap — 19 queued carriers, so the r9 rotation should
     # grade them plus the four r4 doubles before re-greening anything).
     # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
     # bpe_train_merges stays out by the rows-only policy (window

@@ -1242,3 +1242,74 @@ def dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_found == n_found_true, n_found_true * 100 >= n_exact * 95)],
         "n_exact bigint, precision_ok boolean, recall_ok boolean",
     )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    tags=("window", "events", "timeseries"),
+    oracle="""
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_sum_c
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT user_id, day, day_sum_c,
+         COUNT(*) OVER win AS n_days,
+         CAST(SUM(day_sum_c) OVER win AS BIGINT) AS s,
+         CAST(SUM(day_sum_c * day_sum_c) OVER win AS BIGINT) AS q
+  FROM d
+  WINDOW win AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, day, day_sum_c, n_days,
+       CASE WHEN n_days >= 3 AND (CAST(q AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / CAST(n_days AS DOUBLE) > 0
+            THEN (CAST(day_sum_c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / SQRT((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                        / CAST(n_days AS DOUBLE))
+       END AS z
+FROM w
+""",
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over each user's daily spend
+    series — the alerting primitive on top of the gap-fill/rollup
+    family: a 7-observed-day trailing window carries exact integer
+    moments (Σv, Σv² in centi-units — overflow-safe by fixture value
+    range) and the z-score derives with ONE fixed IEEE expression
+    tree (mean = s/n, varp = (q − s²/n)/n, z = (x − mean)/√varp,
+    emitted only at ≥3 days and positive variance), so the doubles
+    hash-match an engine replaying the same tree — the same
+    portability contract as the moments IVM. One shuffle (day rollup)
+    plus one entity-partitioned window pass."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("__v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("__v").alias("day_sum_c"))
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    w = d.select(
+        "user_id", "day", "day_sum_c",
+        F.count(F.lit(1)).over(win).alias("n_days"),
+        F.sum("day_sum_c").over(win).alias("s"),
+        F.sum(F.col("day_sum_c") * F.col("day_sum_c")).over(win).alias("q"),
+    )
+    n = F.col("n_days").cast("double")
+    s = F.col("s").cast("double")
+    q = F.col("q").cast("double")
+    varp = (q - s * s / n) / n
+    z = (F.col("day_sum_c").cast("double") - s / n) / F.sqrt(varp)
+    return w.select(
+        "user_id", "day", "day_sum_c", "n_days",
+        F.when((F.col("n_days") >= 3) & (varp > 0), z).alias("z"),
+    )

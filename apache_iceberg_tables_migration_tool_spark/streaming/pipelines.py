@@ -1904,3 +1904,43 @@ def maintain_sync(
         do_refresh, database, table,
         checkpoint_dir, max_files_per_trigger, view_keep_last=None,
     )
+
+
+def ann_index_report(
+    spark: SparkSession,
+    catalog,
+    index_database: str,
+    cells_table: str,
+) -> DataFrame:
+    """Health report for a maintained ANN index — the observability
+    twin of ``scan_report``: per-cell vector counts plus, repeated on
+    every row for one-DataFrame ergonomics, the quantizer's balance
+    factor (max cell share × nlist — 1.0 is perfectly balanced; a
+    frozen quantizer drifts as the corpus shifts, and a high factor
+    means candidate buckets are going quadratic) and the index's
+    staleness in SOURCE COMMITS behind the current head (0 = fresh).
+    Drives the retrain/refresh decision a production vector store
+    automates: refresh when stale, rebuild when imbalanced."""
+    ct = catalog.table(index_database, cells_table)
+    cur = ct.current_snapshot() if ct.exists() else None
+    s = cur.summary if cur is not None else {}
+    if s.get("ivm.kind") != "ann_cells":
+        raise ValueError(
+            f"{index_database}.{cells_table} is not a maintained ANN index"
+        )
+    src_db, src_tbl = s["ivm.src"].split(".", 1)
+    src = catalog.table(src_db, src_tbl)
+    wm = int(s["ivm.src_snapshot_id"])
+    behind = len([x for x in src.main_chain() if x.snapshot_id > wm])
+    cells = ct.read(spark)
+    per = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = cells.count()
+    nlist = per.count()
+    top = per.agg(F.max("n_vectors")).collect()[0][0] or 0
+    balance = (top / total * nlist) if total else 0.0
+    return (
+        per.withColumn("share", F.col("n_vectors") / F.lit(total))
+        .withColumn("balance_factor", F.lit(float(balance)))
+        .withColumn("stale_commits", F.lit(behind))
+        .orderBy("cell")
+    )

@@ -219,3 +219,29 @@ def test_assign_cells_multiprobe_and_semantic_pairs(spark):
     multi = assign_cells(emb, centroid_matrix(cent), probes=2)
     per = multi.groupBy("vec_id").count().collect()
     assert all(r["count"] == 2 for r in per)
+
+
+def test_ann_index_report_staleness_and_balance(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        ann_index_report,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("v", "emb", _emb_df(spark, range(0, 40)))
+    refresh_ann_index(spark, cat, "v", "emb", "v", "cells", "cent", nlist=4)
+    rep = ann_index_report(spark, cat, "v", "cells").collect()
+    assert sum(r["n_vectors"] for r in rep) == 40
+    assert all(r["stale_commits"] == 0 for r in rep)
+    assert all(r["balance_factor"] >= 1.0 for r in rep)
+    # two source commits later the report shows the lag; refresh clears it
+    cat.write("v", "emb", _emb_df(spark, range(40, 50)))
+    cat.delete_where("v", "emb", F.col("vec_id") < 3)
+    rep2 = ann_index_report(spark, cat, "v", "cells").collect()
+    assert all(r["stale_commits"] == 2 for r in rep2)
+    refresh_ann_index(spark, cat, "v", "emb", "v", "cells", "cent", nlist=4)
+    rep3 = ann_index_report(spark, cat, "v", "cells").collect()
+    assert all(r["stale_commits"] == 0 for r in rep3)
+    assert sum(r["n_vectors"] for r in rep3) == 47
+    # not-an-index tables are refused
+    with pytest.raises(ValueError, match="not a maintained ANN index"):
+        ann_index_report(spark, cat, "v", "emb")
