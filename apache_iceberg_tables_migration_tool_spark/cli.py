@@ -95,6 +95,39 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scan_report(args: argparse.Namespace) -> int:
+    import re as _re
+
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    preds = []
+    for w in args.where:
+        m = _re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", w)
+        if not m:
+            print(f"scan-report: cannot parse predicate {w!r}", file=sys.stderr)
+            return 2
+        col, op, raw = m.groups()
+        try:
+            val: object = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        preds.append((col, op, val))
+    spark = _spark(args.cpus)
+    rep = SnapCatalog(args.warehouse).table(args.database, args.table).scan_report(
+        spark, preds
+    )
+    rep.persist()
+    rep.orderBy("decision", "file_path").show(1000, truncate=False)
+    kept = rep.where("decision = 'read'").count()
+    total = rep.count()
+    rep.unpersist()
+    print(f"reads {kept} of {total} file(s); skipped {total - kept}")
+    return 0
+
+
 def cmd_sync(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.plans.migrator import sync_history
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
@@ -902,6 +935,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_sql)
+
+    sp = sub.add_parser(
+        "scan-report",
+        help="per-file pruning explain for a point/range predicate: which "
+        "files a scan reads vs skips (bounds/bloom/bucket, and why)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument(
+        "--where", required=True, action="append",
+        help="predicate as col<op>value, e.g. --where 'id=42' "
+        "--where 'ts>=2024-01-01' (repeatable, ANDed)",
+    )
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_scan_report)
 
     sp = sub.add_parser(
         "sync",

@@ -717,3 +717,21 @@ def test_cli_maintain_auto(spark, tmp_path, capsys):
     assert main(["maintain", "--warehouse", str(tmp_path / "wh"), "--auto"]) == 0
     assert "expire" in capsys.readouterr().out
     assert len(cat.table("db", "t").snapshots()) == 1
+
+
+def test_cli_scan_report(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F2
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_table("db", "t", "id bigint, name string",
+                     properties={"bloom.columns": "id"})
+    cat.write("db", "t", spark.range(0, 100, 2).select(
+        "id", F2.concat(F2.lit("u"), "id").alias("name")).repartition(2))
+    cat.write("db", "t", spark.range(1, 100, 2).select(
+        "id", F2.concat(F2.lit("u"), "id").alias("name")).repartition(2))
+    assert main([
+        "scan-report", "--warehouse", str(tmp_path / "wh"),
+        "--database", "db", "--table", "t", "--where", "id=4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "skipped" in out and "bloom:id" in out

@@ -578,3 +578,94 @@ def test_join_chain_ivm_equals_recompute_on_random_tapes(spark, tape):
             key=repr,
         )
         assert sorted((tuple(r) for r in view_rows), key=repr) == want
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions: atomicity under arbitrary crash points
+# ---------------------------------------------------------------------------
+
+# a tape of transactions; each is (ops, outcome) where ops is a list of
+# (table_idx, lo, hi) appends and outcome ∈ {commit, abort, crash_at_j}
+_txn_tape = st.lists(
+    st.tuples(
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 3)), min_size=1,
+                 max_size=3),
+        st.integers(-2, 3),  # -2 abort, -1 clean commit, ≥0 crash after j
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(tape=_txn_tape)
+@settings(**_SETTINGS)
+def test_txn_atomicity_under_random_crash_points(spark, tmp_path_factory, tape):
+    """For ANY sequence of multi-table transactions with crashes
+    injected after arbitrary publish counts: after recovery, every
+    COMMITTED transaction is fully visible, every aborted or
+    never-committed one fully invisible — no interleaving or crash
+    point can produce a half-applied batch."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.transactions import (
+        MultiTableTransaction,
+        TransactionRollForwardError,
+        pending_transactions,
+        recover_transactions,
+    )
+
+    root = tmp_path_factory.mktemp("txn_tape")
+    cat = SnapCatalog(str(root / "wh"))
+    model = {0: [], 1: [], 2: []}  # expected visible rows per table
+    next_lo = [0]
+
+    def _rows(tbl_idx, n):
+        lo = next_lo[0]
+        next_lo[0] += n + 1
+        return list(range(lo, lo + n + 1))
+
+    for ops, outcome in tape:
+        txn = MultiTableTransaction(cat)
+        staged: dict[int, list[int]] = {}
+        for t_idx, n in ops:
+            rows = _rows(t_idx, n)
+            staged.setdefault(t_idx, []).extend(rows)
+            txn.write(
+                "db", f"t{t_idx}",
+                spark.createDataFrame([(r,) for r in rows], "id bigint"),
+            )
+        if outcome == -2:
+            txn.abort()
+            continue
+        if outcome == -1:
+            txn.commit()
+        else:
+            real = cat.publish
+            calls = {"n": 0}
+
+            def flaky(*a, _real=real, _calls=calls, _stop=outcome, **kw):
+                if _calls["n"] >= _stop:
+                    raise RuntimeError("injected crash")
+                _calls["n"] += 1
+                return _real(*a, **kw)
+
+            cat.publish = flaky
+            try:
+                txn.commit()
+            except (TransactionRollForwardError, RuntimeError):
+                pass
+            finally:
+                cat.publish = real
+        # committed (cleanly or crashed mid-publish): the model gains
+        # the rows; recovery must finish any crashed roll-forward
+        recover_transactions(cat)
+        for t_idx, rows in staged.items():
+            model[t_idx].extend(rows)
+
+    assert pending_transactions(cat) == []
+    for t_idx, expected in model.items():
+        tbl = cat.table("db", f"t{t_idx}")
+        got = (
+            sorted(r["id"] for r in tbl.read(spark).collect())
+            if tbl.exists() and tbl.current_snapshot() is not None
+            else []
+        )
+        assert got == sorted(expected), f"table t{t_idx}"
