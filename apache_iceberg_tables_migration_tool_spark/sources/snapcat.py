@@ -3882,6 +3882,26 @@ class SnapCatalog:
         if os.path.exists(tbl.root):
             shutil.rmtree(tbl.root)
 
+    def rename_table(
+        self, database: str, name: str, new_database: str, new_name: str
+    ) -> None:
+        """≙ ``ALTER TABLE … RENAME TO``: one directory rename —
+        metadata-only and atomic on a same-filesystem warehouse. Data
+        file paths are table-root-RELATIVE throughout the manifests
+        (the path convention every reader uses), so snapshots, time
+        travel, delete files, markers and blooms all survive the move
+        untouched. Refuses to clobber an existing target."""
+        src = self.table(database, name)
+        if not src.exists():
+            raise LookupError(f"table {database}.{name} does not exist")
+        dst = self.table(new_database, new_name)
+        if os.path.exists(dst.root):
+            raise ValueError(
+                f"rename target {new_database}.{new_name} already exists"
+            )
+        self.create_namespace(new_database)
+        os.rename(src.root, dst.root)
+
 
 def auto_maintain(
     catalog: "SnapCatalog",

@@ -135,6 +135,17 @@ _DML_UPDATE = re.compile(
 )
 
 
+_DML_DROP = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*$",
+    re.IGNORECASE,
+)
+_DML_RENAME = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+RENAME\s+TO\s+"
+    rf"(?P<db2>{_IDENT})\.(?P<tbl2>{_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero (SET lists contain
     function calls with commas and quoted strings with anything)."""
@@ -210,6 +221,28 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             m.group("db"), m.group("tbl"), m.group("cond") or "true"
         )
         return _dml_report(spark, "DELETE", m.group("db"), m.group("tbl"), snap)
+    m = _DML_DROP.match(query)
+    if m:
+        if not catalog.table(m.group("db"), m.group("tbl")).exists():
+            raise LookupError(
+                f"DROP TABLE: {m.group('db')}.{m.group('tbl')} does not exist"
+            )
+        catalog.drop_table(m.group("db"), m.group("tbl"))
+        return spark.createDataFrame(
+            [("DROP TABLE", f"{m.group('db')}.{m.group('tbl')}")],
+            "statement string, table string",
+        )
+    m = _DML_RENAME.match(query)
+    if m:
+        catalog.rename_table(
+            m.group("db"), m.group("tbl"), m.group("db2"), m.group("tbl2")
+        )
+        return spark.createDataFrame(
+            [("RENAME TABLE",
+              f"{m.group('db')}.{m.group('tbl')} -> "
+              f"{m.group('db2')}.{m.group('tbl2')}")],
+            "statement string, table string",
+        )
     return None
 
 

@@ -135,3 +135,29 @@ def test_sql_dml_insert_overwrite(spark, cat):
         spark, cat, "INSERT OVERWRITE db.t SELECT id, v FROM db.t WHERE id < 5"
     )
     assert cat.table("db", "t").read(spark).count() == 5
+
+
+def test_sql_dml_drop_and_rename(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    # rename: metadata-only, history and time travel survive the move
+    snapcat_execute(spark, cat, "ALTER TABLE db.t RENAME TO db.t_renamed")
+    assert not cat.table("db", "t").exists()
+    tbl = cat.table("db", "t_renamed")
+    assert tbl.read(spark).count() == 30
+    assert tbl.read(spark, snapshot_id=1).count() == 10
+    assert len(tbl.snapshots()) == 3
+    n = snapcat_execute(
+        spark, cat, "SELECT COUNT(*) AS n FROM db.t_renamed VERSION AS OF 'mid'"
+    ).collect()[0]["n"]
+    assert n == 20
+    # refuse clobbering
+    with pytest.raises(ValueError, match="already exists"):
+        snapcat_execute(spark, cat, "ALTER TABLE db.dim RENAME TO db.t_renamed")
+    # drop
+    snapcat_execute(spark, cat, "DROP TABLE db.t_renamed")
+    assert not cat.table("db", "t_renamed").exists()
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_execute(spark, cat, "DROP TABLE db.t_renamed")
