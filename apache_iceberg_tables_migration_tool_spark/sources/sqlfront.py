@@ -146,6 +146,16 @@ _DML_RENAME = re.compile(
 )
 
 
+_DML_SHOW_TABLES = re.compile(
+    rf"^\s*SHOW\s+TABLES\s+IN\s+(?P<db>{_IDENT})\s*$", re.IGNORECASE
+)
+_DML_SHOW_NS = re.compile(r"^\s*SHOW\s+NAMESPACES\s*$", re.IGNORECASE)
+_DML_DESCRIBE = re.compile(
+    rf"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero (SET lists contain
     function calls with commas and quoted strings with anything)."""
@@ -231,6 +241,33 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         return spark.createDataFrame(
             [("DROP TABLE", f"{m.group('db')}.{m.group('tbl')}")],
             "statement string, table string",
+        )
+    m = _DML_SHOW_TABLES.match(query)
+    if m:
+        return spark.createDataFrame(
+            [(m.group("db"), t) for t in catalog.list_tables(m.group("db"))]
+            or spark.sparkContext.emptyRDD(),
+            "namespace string, tableName string",
+        )
+    if _DML_SHOW_NS.match(query):
+        return spark.createDataFrame(
+            [(ns,) for ns in catalog.list_namespaces() if not ns.startswith("_")],
+            "namespace string",
+        )
+    m = _DML_DESCRIBE.match(query)
+    if m:
+        t = catalog.table(m.group("db"), m.group("tbl"))
+        if not t.exists():
+            raise LookupError(
+                f"DESCRIBE: {m.group('db')}.{m.group('tbl')} does not exist"
+            )
+        spec = t.partition_spec()
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), f.name in spec)
+                for f in t.schema().fields
+            ],
+            "col_name string, data_type string, is_partition boolean",
         )
     m = _DML_RENAME.match(query)
     if m:

@@ -161,3 +161,20 @@ def test_sql_dml_drop_and_rename(spark, cat):
     assert not cat.table("db", "t_renamed").exists()
     with pytest.raises(LookupError, match="does not exist"):
         snapcat_execute(spark, cat, "DROP TABLE db.t_renamed")
+
+
+def test_sql_show_and_describe(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    rows = snapcat_execute(spark, cat, "SHOW TABLES IN db").collect()
+    assert {r["tableName"] for r in rows} == {"t", "dim"}
+    ns = snapcat_execute(spark, cat, "SHOW NAMESPACES").collect()
+    assert {r["namespace"] for r in ns} == {"db"}
+    d = snapcat_execute(spark, cat, "DESCRIBE TABLE db.t").collect()
+    assert [(r["col_name"], r["data_type"]) for r in d] == [
+        ("id", "bigint"), ("v", "bigint")
+    ]
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_execute(spark, cat, "DESCRIBE db.nope")
