@@ -95,6 +95,21 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        SnapCatalog,
+        export_snapshot,
+    )
+
+    spark = _spark(args.cpus)
+    m = export_snapshot(
+        SnapCatalog(args.warehouse), spark, args.database, args.table,
+        args.out, snapshot_id=args.snapshot_id, as_of=args.as_of,
+    )
+    print(json.dumps(m, indent=1))
+    return 0
+
+
 def cmd_scan_report(args: argparse.Namespace) -> int:
     import re as _re
 
@@ -935,6 +950,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_sql)
+
+    sp = sub.add_parser(
+        "export",
+        help="point-in-time export to plain parquet + provenance "
+        "manifest (the escape hatch: any engine can read it)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--database", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--snapshot-id", type=int, default=None)
+    sp.add_argument("--as-of", default=None)
+    sp.add_argument("--cpus", default=None)
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser(
         "scan-report",

@@ -3982,3 +3982,43 @@ def auto_maintain(
                     "detail": f"{type(e).__name__}: {e}",
                 })
     return report
+
+
+def export_snapshot(
+    catalog: "SnapCatalog",
+    spark: SparkSession,
+    database: str,
+    name: str,
+    out_dir: str,
+    snapshot_id: int | None = None,
+    as_of: str | None = None,
+) -> dict:
+    """Point-in-time EXPORT to plain parquet — the escape hatch a
+    real migration story needs in BOTH directions: one directory any
+    engine can read (`spark.read.parquet`, DuckDB ``read_parquet``)
+    holding the table's state at a snapshot, plus an
+    ``_export_manifest.json`` recording provenance (source table,
+    snapshot id, commit time, schema DDL, partition spec, properties,
+    row count). The data plane is one distributed write of the
+    time-travel read — merge-on-read deletes are materialized away by
+    the read itself, so the export is self-contained. Returns the
+    manifest dict."""
+    tbl = catalog.table(database, name)
+    snap = tbl.resolve_snapshot(snapshot_id=snapshot_id, as_of=as_of)
+    df = tbl.read(spark, snapshot_id=snap.snapshot_id)
+    df.write.mode("error").parquet(os.path.join(out_dir, "data"))
+    n = spark.read.parquet(os.path.join(out_dir, "data")).count()
+    manifest = {
+        "source": f"{database}.{name}",
+        "snapshot_id": snap.snapshot_id,
+        "committed_at": snap.committed_at,
+        "schema_ddl": snap.schema_ddl,
+        "partition_spec": list(snap.partition_spec),
+        "properties": tbl.properties(),
+        "records": n,
+    }
+    tmp = os.path.join(out_dir, f"_export_manifest.json.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_export_manifest.json"))
+    return manifest

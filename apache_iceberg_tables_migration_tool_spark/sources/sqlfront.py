@@ -286,6 +286,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
 def snapcat_execute(spark: SparkSession, catalog, query: str) -> DataFrame:
     """One entry point for both halves: DML statements commit through
     the engine verbs, everything else runs as a catalog-bound read
-    (`snapcat_sql`)."""
+    (`snapcat_sql`). Trailing semicolons are tolerated (shell users
+    type them reflexively; the DML regexes anchor on end-of-string)."""
+    query = query.strip().rstrip(";").strip()
     out = snapcat_dml(spark, catalog, query)
     return out if out is not None else snapcat_sql(spark, catalog, query)

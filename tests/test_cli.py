@@ -735,3 +735,15 @@ def test_cli_scan_report(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "skipped" in out and "bloom:id" in out
+
+
+def test_cli_export(spark, tmp_path, capsys):
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "t", spark.range(0, 12).select("id"))
+    assert main([
+        "export", "--warehouse", str(tmp_path / "wh"),
+        "--database", "db", "--table", "t", "--out", str(tmp_path / "exp"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"records": 12' in out
+    assert spark.read.parquet(str(tmp_path / "exp" / "data")).count() == 12

@@ -1971,3 +1971,34 @@ def test_write_sort_by_property_clusters_fresh_files(spark, tmp_path):
     assert 0 < len(planned) < len(files)
     # rows intact
     assert tbl.read(spark).count() == 400
+
+
+def test_export_snapshot_plain_parquet_escape_hatch(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    import duckdb
+
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        SnapCatalog,
+        export_snapshot,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "t", spark.range(0, 30).select("id"))
+    cat.write("db", "t", spark.range(30, 50).select("id"))
+    cat.delete_where("db", "t", F.col("id") % 5 == 0, mode="merge-on-read")
+    out = str(tmp_path / "export")
+    m = export_snapshot(cat, spark, "db", "t", out)
+    assert m["records"] == 40  # MOR deletes materialized away
+    # any engine can read it: DuckDB sees the same live rows
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/data/*.parquet')"
+    ).fetchone()[0]
+    assert n == 40
+    mf = _json.load(open(_os.path.join(out, "_export_manifest.json")))
+    assert mf["source"] == "db.t" and mf["schema_ddl"].startswith("id")
+    # historical export by snapshot id
+    out1 = str(tmp_path / "export1")
+    m1 = export_snapshot(cat, spark, "db", "t", out1, snapshot_id=1)
+    assert m1["records"] == 30

@@ -178,3 +178,17 @@ def test_sql_show_and_describe(spark, cat):
     ]
     with pytest.raises(LookupError, match="does not exist"):
         snapcat_execute(spark, cat, "DESCRIBE db.nope")
+
+
+def test_sql_tolerates_trailing_semicolon(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    n = snapcat_execute(spark, cat, "SELECT COUNT(*) AS n FROM db.t;").collect()
+    assert n[0]["n"] == 30
+    rep = snapcat_execute(
+        spark, cat, "DELETE FROM db.t WHERE id >= 25; "
+    ).collect()[0]
+    assert rep["statement"] == "DELETE"
+    assert cat.table("db", "t").read(spark).count() == 25
