@@ -208,6 +208,19 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
         how = "append" if is_ctas else m.group("how").lower()
         df = snapcat_sql(spark, catalog, m.group("rest"))
+        t = catalog.table(db, tbl)
+        if not is_ctas and t.exists() and t.current_snapshot() is not None:
+            # ANSI INSERT maps the select list POSITIONALLY onto the
+            # target schema (a bare VALUES clause arrives as colN
+            # names; a by-name merge would silently append new
+            # columns instead — found by a VALUES round-trip test)
+            tgt = [f.name for f in t.schema().fields]
+            if len(df.columns) != len(tgt):
+                raise ValueError(
+                    f"INSERT {how.upper()} {db}.{tbl}: select list has "
+                    f"{len(df.columns)} column(s), target has {len(tgt)}"
+                )
+            df = df.toDF(*tgt)
         snap = catalog.write(
             db, tbl, df, mode="overwrite" if how == "overwrite" else "append"
         )

@@ -192,3 +192,21 @@ def test_sql_tolerates_trailing_semicolon(spark, cat):
     ).collect()[0]
     assert rep["statement"] == "DELETE"
     assert cat.table("db", "t").read(spark).count() == 25
+
+
+def test_sql_insert_values_is_positional(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    snapcat_execute(spark, cat, "CREATE TABLE db.pv AS SELECT 1 AS id, 10 AS v")
+    # VALUES arrive as colN names: ANSI positional mapping, not by-name
+    snapcat_execute(spark, cat, "INSERT INTO db.pv VALUES (2, 20), (3, 30)")
+    got = sorted(
+        tuple(r) for r in cat.table("db", "pv").read(spark).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    assert [f.name for f in cat.table("db", "pv").schema().fields] == ["id", "v"]
+    # arity mismatch is refused loudly
+    with pytest.raises(ValueError, match="column"):
+        snapcat_execute(spark, cat, "INSERT INTO db.pv VALUES (4, 40, 400)")
