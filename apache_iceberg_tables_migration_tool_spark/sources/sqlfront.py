@@ -209,7 +209,14 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         how = "append" if is_ctas else m.group("how").lower()
         df = snapcat_sql(spark, catalog, m.group("rest"))
         t = catalog.table(db, tbl)
-        if not is_ctas and t.exists() and t.current_snapshot() is not None:
+        if not is_ctas and not t.exists():
+            # ANSI: INSERT never creates — a typo'd name must fail
+            # loud, not silently materialize a new table
+            raise LookupError(
+                f"INSERT {how.upper()}: {db}.{tbl} does not exist "
+                "(use CREATE TABLE ... AS to create)"
+            )
+        if not is_ctas and t.current_snapshot() is not None:
             # ANSI INSERT maps the select list POSITIONALLY onto the
             # target schema (a bare VALUES clause arrives as colN
             # names; a by-name merge would silently append new

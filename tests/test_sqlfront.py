@@ -210,3 +210,12 @@ def test_sql_insert_values_is_positional(spark, cat):
     # arity mismatch is refused loudly
     with pytest.raises(ValueError, match="column"):
         snapcat_execute(spark, cat, "INSERT INTO db.pv VALUES (4, 40, 400)")
+
+
+def test_sql_insert_requires_existing_target(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_execute(spark, cat, "INSERT INTO db.typo SELECT 1 AS x")
