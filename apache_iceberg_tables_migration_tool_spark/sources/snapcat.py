@@ -3768,6 +3768,7 @@ class SnapCatalog:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         min_file_bytes: int | None = None,
+        summary_extra: dict[str, str] | None = None,
     ) -> Snapshot:
         """Rewrite the current snapshot's data into fewer, larger
         files (≙ Iceberg ``rewrite_data_files``): small-file compaction
@@ -3830,7 +3831,8 @@ class SnapCatalog:
                     return self._commit(
                         tbl, base, big + new_files, new_files, "replace", None,
                         {"binpack-rewritten-files": str(len(small)),
-                         "binpack-min-bytes": str(min_file_bytes)},
+                         "binpack-min-bytes": str(min_file_bytes),
+                         **(summary_extra or {})},
                         sid=sid, materialized_lineage=True,
                     )
             # carry row lineage through the rewrite (≙ Iceberg v3:
@@ -3872,6 +3874,7 @@ class SnapCatalog:
                 return self.write(
                     database, name, df, mode="overwrite", operation="replace",
                     expect_parent_id=base.snapshot_id,
+                    summary_extra=summary_extra,
                 )
             except CommitConflictError as e:
                 last_err = e
@@ -3968,6 +3971,36 @@ def auto_maintain(
                         report.append({
                             "database": db, "table": name, "action": "compact",
                             "detail": f"binpacked {len(small)} small file(s)",
+                        })
+                # clustering rewrites: re-sort / re-z-order the table
+                # when commits since the last clustering pass exceed
+                # the staleness bound (every rewrite is a full-table
+                # job — the bound keeps the nightly sweep from paying
+                # it when nothing meaningful changed)
+                sort_by = props.get("maintain.compact.sort-by")
+                zorder_by = props.get("maintain.compact.zorder-by")
+                if sort_by or zorder_by:
+                    every = int(props.get("maintain.compact.every-commits", "1"))
+                    chain = tbl.main_chain()
+                    since = 0
+                    for snap_ in reversed(chain):
+                        if snap_.summary.get("maintain.clustered") == "true":
+                            break
+                        if snap_.operation != "replace":
+                            since += 1
+                    if since >= every:
+                        cols = (sort_by or zorder_by).split(",")
+                        catalog.compact(
+                            db, name, spark,
+                            sort_by=cols if sort_by else None,
+                            zorder_by=cols if zorder_by else None,
+                            summary_extra={"maintain.clustered": "true"},
+                        )
+                        how = "sorted" if sort_by else "z-ordered"
+                        report.append({
+                            "database": db, "table": name, "action": "cluster",
+                            "detail": f"{how} by {cols} "
+                                      f"({since} commit(s) since last pass)",
                         })
                 if props.get("maintain.orphans") == "true":
                     removed = catalog.remove_orphan_files(db, name)

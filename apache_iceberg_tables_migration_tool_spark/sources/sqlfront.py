@@ -33,13 +33,20 @@ _META = "snapshots|files|history|manifests|partitions|refs"
 #: FROM / JOIN / a FROM-list comma) — a bare ``alias.column`` in an
 #: expression is never touched, and the existence check against the
 #: catalog filters the rest
+#: identifiers may be bare or backtick-quoted — the reference's F3
+#: case (dashed database names need quoting everywhere)
+_QIDENT = rf"(?:{_IDENT}|`[^`]+`)"
 _REF_RE = re.compile(
     rf"(?P<kw>\b(?:FROM|JOIN)\s+|,\s*)"
-    rf"(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})(?:\.(?P<meta>{_META})\b)?"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})(?:\.(?P<meta>{_META})\b)?"
     rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>'[^']*'|\d+)"
     rf"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'))?",
     re.IGNORECASE,
 )
+
+
+def _unquote(ident: str) -> str:
+    return ident[1:-1] if ident.startswith("`") else ident
 
 
 def snapcat_sql(
@@ -73,7 +80,7 @@ def snapcat_sql(
 
     def _bind(m: re.Match) -> str:
         nonlocal n
-        db, tbl = m.group("db"), m.group("tbl")
+        db, tbl = _unquote(m.group("db")), _unquote(m.group("tbl"))
         if not _is_table(db, tbl):
             return m.group(0)
         t = catalog.table(db, tbl)
@@ -103,7 +110,7 @@ def snapcat_sql(
                 kw["snapshot_id"] = pins[f"{db}.{tbl}"]
             df = t.read(spark, **kw)
         n += 1
-        view = f"__snapcat_{db}_{tbl}_{meta or 'data'}_{n}"
+        view = re.sub(r"[^A-Za-z0-9_]", "_", f"__snapcat_{db}_{tbl}_{meta or 'data'}_{n}")
         df.createOrReplaceTempView(view)
         return f"{m.group('kw')}{view}"
 

@@ -2002,3 +2002,39 @@ def test_export_snapshot_plain_parquet_escape_hatch(spark, tmp_path):
     out1 = str(tmp_path / "export1")
     m1 = export_snapshot(cat, spark, "db", "t", out1, snapshot_id=1)
     assert m1["records"] == 30
+
+
+def test_auto_maintain_clustering_policy(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        SnapCatalog,
+        auto_maintain,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    for i in range(3):
+        cat.write("db", "t", spark.range(i * 50, (i + 1) * 50).select(
+            "id", (F.col("id") % 7).alias("k")))
+    cat.set_properties("db", "t", {
+        "maintain.compact.sort-by": "id",
+        "maintain.compact.every-commits": "2",
+    })
+    rep = auto_maintain(cat, spark)
+    assert any(r["action"] == "cluster" and r["table"] == "t" for r in rep)
+    tbl = cat.table("db", "t")
+    head = tbl.current_snapshot()
+    assert head.operation == "replace"
+    assert head.summary.get("maintain.clustered") == "true"
+    assert tbl.read(spark).count() == 150
+    # immediately re-sweeping does nothing (0 commits since the pass)
+    rep2 = auto_maintain(cat, spark)
+    assert not any(r["action"] == "cluster" for r in rep2)
+    # one more commit: still under the every-commits=2 bound
+    cat.write("db", "t", spark.range(150, 160).select(
+        "id", (F.col("id") % 7).alias("k")))
+    rep3 = auto_maintain(cat, spark)
+    assert not any(r["action"] == "cluster" for r in rep3)
+    # a second commit crosses the bound → clustering fires again
+    cat.write("db", "t", spark.range(160, 170).select(
+        "id", (F.col("id") % 7).alias("k")))
+    rep4 = auto_maintain(cat, spark)
+    assert any(r["action"] == "cluster" for r in rep4)

@@ -219,3 +219,25 @@ def test_sql_insert_requires_existing_target(spark, cat):
 
     with pytest.raises(LookupError, match="does not exist"):
         snapcat_execute(spark, cat, "INSERT INTO db.typo SELECT 1 AS x")
+
+
+def test_sql_backtick_quoted_dashed_names(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        SnapCatalog as _SC,
+    )
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+    from pyspark.sql import functions as F2
+
+    c = _SC(str(tmp_path / "wh"))
+    c.write("my-db", "my-table", spark.range(0, 9).select("id"))
+    n = snapcat_execute(
+        spark, c, "SELECT COUNT(*) AS n FROM `my-db`.`my-table`"
+    ).collect()[0]["n"]
+    assert n == 9
+    n2 = snapcat_execute(
+        spark, c,
+        "SELECT COUNT(*) AS n FROM `my-db`.`my-table` VERSION AS OF 1",
+    ).collect()[0]["n"]
+    assert n2 == 9
