@@ -95,6 +95,26 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_list_views(args: argparse.Namespace) -> int:
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        list_views,
+    )
+
+    views = list_views(SnapCatalog(args.warehouse), databases=args.databases)
+    if not views:
+        print("no maintained views")
+        return 0
+    for v in views:
+        srcs = ", ".join(v["sources"])
+        state = "fresh" if v["fresh"] else "STALE"
+        print(
+            f"{v['database']}.{v['view']}: kind={v['kind']} over [{srcs}] "
+            f"keys={v['keys']} — {state}"
+        )
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
         SnapCatalog,
@@ -950,6 +970,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50)
     sp.add_argument("--cpus", default=None)
     sp.set_defaults(fn=cmd_sql)
+
+    sp = sub.add_parser(
+        "list-views",
+        help="inventory maintained views (kind, sources, keys, fresh?)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--databases", nargs="*", default=None)
+    sp.set_defaults(fn=cmd_list_views)
 
     sp = sub.add_parser(
         "export",

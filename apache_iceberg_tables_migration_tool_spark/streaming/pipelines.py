@@ -1944,3 +1944,58 @@ def ann_index_report(
         .withColumn("stale_commits", F.lit(behind))
         .orderBy("cell")
     )
+
+
+def list_views(catalog, databases: list[str] | None = None) -> list[dict]:
+    """Inventory every MAINTAINED VIEW in the catalog from the
+    definition stamps its refreshes carry — kind, source(s), group
+    keys, and whether it is FRESH (all stored watermarks equal their
+    sources' current heads) — the operational overview behind
+    `view-refresh-auto`/`query-aggregate --refresh-stale`: which
+    views exist, which can answer queries right now, which need a
+    refresh. Pure metadata; one dict per view."""
+    out: list[dict] = []
+    for db in databases or catalog.list_namespaces():
+        if db.startswith("_"):
+            continue
+        for name in catalog.list_tables(db):
+            vt = catalog.table(db, name)
+            cur = vt.current_snapshot() if vt.exists() else None
+            s = cur.summary if cur is not None else {}
+            kind = s.get("ivm.kind")
+            if kind is None:
+                continue
+            srcs = (
+                json.loads(s["ivm.srcs"]) if "ivm.srcs" in s
+                else [s.get("ivm.src", "?")]
+            )
+            if "ivm.srcs" in s:
+                tabs = [tuple(x.split(".", 1)) for x in srcs]
+                fresh = _join_view_fresh_meta(catalog, s, tabs)
+            else:
+                src_db, src_t = s["ivm.src"].split(".", 1)
+                head = catalog.table(src_db, src_t).current_snapshot()
+                fresh = head is not None and s.get(
+                    "ivm.src_snapshot_id"
+                ) == str(head.snapshot_id)
+            out.append({
+                "database": db, "view": name, "kind": kind,
+                "sources": srcs,
+                "keys": json.loads(s.get("ivm.keys", "[]")),
+                "fresh": bool(fresh),
+            })
+    return out
+
+
+def _join_view_fresh_meta(catalog, s: dict, tables) -> bool:
+    """Freshness of a multi-source view from its stamped watermarks
+    (same rule as the rewriter's `_join_view_fresh`)."""
+    if "ivm.src_a_snapshot_id" in s:
+        names = ["ivm.src_a_snapshot_id", "ivm.src_b_snapshot_id"]
+    else:
+        names = [f"ivm.src_{i}_snapshot_id" for i in range(len(tables))]
+    for (db, t), nm in zip(tables, names):
+        head = catalog.table(db, t).current_snapshot()
+        if head is None or s.get(nm) != str(head.snapshot_id):
+            return False
+    return True

@@ -747,3 +747,26 @@ def test_cli_export(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"records": 12' in out
     assert spark.read.parquet(str(tmp_path / "exp" / "data")).count() == 12
+
+
+def test_cli_list_views(spark, tmp_path, capsys):
+    from apache_iceberg_tables_migration_tool_spark.streaming.pipelines import (
+        refresh_view_changelog,
+    )
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    from pyspark.sql import functions as F2
+
+    cat.write("db", "t", spark.range(0, 20).select(
+        "id", (F2.col("id") % 3).alias("k")))
+    refresh_view_changelog(
+        spark, cat, "db", "t", "db", "t_rollup", keys=["k"], sum_cols=["id"]
+    )
+    assert main(["list-views", "--warehouse", str(tmp_path / "wh")]) == 0
+    out = capsys.readouterr().out
+    assert "db.t_rollup: kind=sum over [db.t]" in out and "fresh" in out
+    # source moves → the view shows STALE
+    cat.write("db", "t", spark.range(20, 25).select(
+        "id", (F2.col("id") % 3).alias("k")))
+    main(["list-views", "--warehouse", str(tmp_path / "wh")])
+    assert "STALE" in capsys.readouterr().out
