@@ -138,3 +138,22 @@ def test_no_broadcast_hint_on_sf_proportional_tables(spark, name, spec):
                 f"{name}: explicit broadcast hint over an SF-proportional "
                 f"table scan ({hit}) — honored unconditionally, OOMs at scale"
             )
+
+
+def test_driver_window_composition_is_pinned():
+    """The driver grades the FIRST 50 registered queries. Guard the
+    window's composition: it must be exactly the head of the explicit
+    rotation list (no import-order leak can displace a chosen
+    carrier), and every windowed query must carry a full value-hash
+    oracle (the window keeps its 100%-hash-checked discipline)."""
+    from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
+    from apache_iceberg_tables_migration_tool_spark.queries import (
+        _DRIVER_PRIORITY,
+    )
+
+    names = list(QUERIES)
+    head = names[: len(_DRIVER_PRIORITY)]
+    assert head == _DRIVER_PRIORITY
+    window = names[:50]
+    missing_oracle = [n for n in window if QUERIES[n].oracle is None]
+    assert not missing_oracle, missing_oracle
