@@ -82,38 +82,33 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-8 ROTATION (verdict r7 action #4, standing longest-
+    # ROUND-9 ROTATION (verdict r8 action #1, standing longest-
     # ungraded-first policy). Kept for continuity: the flagship + the
     # two bench watch-list dedups + the two bench second carriers.
-    # Rotated IN: the 2 queries BUILT this round (join-view IVM,
-    # gradient-hash image dedup) + the late-r7 registration
-    # incremental_moments_view (never graded), then the entire
-    # longest-ungraded tier by last-graded round: all 27 rows last
-    # graded in ROUND 2, all 6 last graded in round 3, and 9 of the
-    # 13 last graded in round 4 — including the four singles the r7
-    # verdict queued by name (lang_confusion_matrix,
-    # supplier_variety_q16, excess_shipping_q20,
-    # sole_return_supplier_q21). Left out of the r4 tier (double-
-    # green r3+r4, secondary carriers of multiply-graded shapes):
-    # bracket_revenue_q19, small_quantity_revenue_q17,
-    # top_supplier_q15, session_window_events — they queue for r9,
-    # together with the late-round-8 registrations
-    # incremental_distinct_view, dedup_image_ingest_index,
-    # incremental_topk_view, incremental_quantile_view,
-    # incremental_topk_join_view, incremental_join_chain_view,
-    # view_rewrite_navigation, view_rewrite_join_navigation,
-    # ann_index_maintenance, chunk_documents_overlap,
-    # dup_ngram_doc_filter, multi_table_transaction,
-    # bloom_point_lookup, resample_daily_forward_fill,
-    # incremental_catalog_sync, sql_time_travel_catalog,
-    # streaming_catalog_sync, dedup_semantic_ann and
-    # rolling_zscore_anomalies (all built
-    # after this window was set; sweep- and pytest-verified, register
-    # past the cap — 19 queued carriers, so the r9 rotation should
-    # grade them plus the four r4 doubles before re-greening anything).
-    # Rotated OUT: the 45 rows graded in round 7 (all now ≥2 greens).
-    # bpe_train_merges stays out by the rows-only policy (window
-    # keeps 100%-hash-checked).
+    # Rotated IN: all 19 queued late-r8 registrations the r8 rotation
+    # comment named (transactions, SQL front-end, blooms, ANN
+    # maintenance, semantic dedup, catalog sync, the new incremental
+    # view kinds, chunking, gap-fill, anomalies, image ingest index)
+    # — none had a driver-graded row; the 4 r4 doubles the r8 comment
+    # queued (bracket_revenue_q19, small_quantity_revenue_q17,
+    # top_supplier_q15, session_window_events); and 22 of the 45 rows
+    # last graded in ROUND 6 — the whole snapshot-catalog lifecycle
+    # tier plus the two r8 perf-watch carriers (corpus_build_e2e,
+    # changelog_cdc_stream) so the driver re-grades them alongside the
+    # commit-path profiling work this round. Left in the r6 tier,
+    # queued FIRST for r10: dedup_duplicate_spans, knn_graph_neighbors,
+    # embedding_outliers, knn_int8_quantized, audio_spectral_profile,
+    # dedup_embedding_clusters, video_frame_sample, top_bigrams_per_lang,
+    # clean_text_stats, profit_by_nation_year_q9,
+    # large_volume_customers_q18, min_cost_supplier_q2,
+    # shipping_priority_q3, repetition_profile, mixture_weighted_sample,
+    # sample_fixed_per_lang, source_overlap_matrix,
+    # quality_weighted_sample, dataset_split_report, oov_rate_report,
+    # inverted_index_terms, unigram_surprisal_quality,
+    # bigram_surprisal_quality (23 rows, all driver-green in r6 and
+    # sweep-green since). Rotated OUT: the 45 non-continuity rows
+    # graded in round 8 (all now >=2 greens). bpe_train_merges stays
+    # out by the rows-only policy (window keeps 100%-hash-checked).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
     "flagship_topk_revenue",
@@ -121,55 +116,54 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # built this round / never graded
-    "incremental_join_view",
-    "dedup_image_dhash",
-    "incremental_moments_view",
-    # last graded round 2 (all 27)
-    "antijoin_orders_without_items",
-    "argmax_customer_per_nation",
-    "asof_join_click_purchase",
-    "correlated_exists_late_orders",
-    "dedup_embedding_cosine",
-    "dedup_exact_documents",
-    "dedup_keep_latest_events",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "filter_sum_revenue",
-    "integrity_fingerprint",
-    "json_extract_events",
-    "knn_lsh_bucketed",
-    "knn_topk_cosine",
-    "lag_order_gap_days",
-    "lang_id_rulebased",
-    "multimodal_metadata",
-    "pricing_summary",
-    "rollup_order_stats",
-    "scalar_functions_showcase",
-    "semijoin_customers_with_open_orders",
-    "table_counts",
-    "text_quality_features",
-    "text_stats_by_lang",
-    "unpivot_lineitem_metrics",
-    "vector_sql_arith",
-    "year_over_year_orders",
-    # last graded round 3 (all 6)
-    "churned_buyers_1998",
-    "except_en_not_es_texts",
-    "intersect_active_users",
-    "median_value_by_type",
-    "nation_customer_share",
-    "promo_revenue_share",
-    # last graded round 4 (9 of 13)
-    "lang_confusion_matrix",
-    "supplier_variety_q16",
-    "excess_shipping_q20",
-    "sole_return_supplier_q21",
-    "volume_shipping_q7",
-    "market_share_q8",
-    "asof_snapshot_resolution",
-    "tumbling_window_events",
-    "stateful_user_totals",
+    # late-r8 registrations, never graded (19)
+    "incremental_distinct_view",
+    "incremental_topk_view",
+    "incremental_quantile_view",
+    "incremental_topk_join_view",
+    "incremental_join_chain_view",
+    "view_rewrite_navigation",
+    "view_rewrite_join_navigation",
+    "ann_index_maintenance",
+    "dedup_semantic_ann",
+    "dedup_image_ingest_index",
+    "multi_table_transaction",
+    "bloom_point_lookup",
+    "incremental_catalog_sync",
+    "streaming_catalog_sync",
+    "sql_time_travel_catalog",
+    "chunk_documents_overlap",
+    "dup_ngram_doc_filter",
+    "resample_daily_forward_fill",
+    "rolling_zscore_anomalies",
+    # r4 doubles queued by the r8 comment (4)
+    "bracket_revenue_q19",
+    "small_quantity_revenue_q17",
+    "top_supplier_q15",
+    "session_window_events",
+    # last graded round 6 — snapshot-catalog lifecycle + perf watch (22)
+    "branch_write_fast_forward",
+    "partition_stats_metadata",
+    "rollback_and_orphan_cleanup",
+    "merge_on_read_lifecycle",
+    "changelog_cdc_stream",
+    "schema_evolution_lifecycle",
+    "partition_evolution_scan",
+    "position_delete_scan",
+    "row_lineage_audit",
+    "streaming_catalog_tail",
+    "table_column_stats",
+    "hidden_partition_scan",
+    "incremental_view_maintenance",
+    "streaming_view_maintenance",
+    "knn_ivf_persisted",
+    "streaming_dedup_counts",
+    "stream_stream_join_events",
+    "knn_pq_adc",
+    "corpus_build_e2e",
+    "curation_pipeline_e2e",
+    "data_quality_report",
+    "source_reputation_gate",
 ]
 # Standing invariants of the window policy: every out-of-window query
 # keeps at least one driver-graded green row and stays pinned by

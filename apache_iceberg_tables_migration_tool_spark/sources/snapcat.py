@@ -3499,6 +3499,23 @@ class SnapCatalog:
                 raise LookupError(f"snapshot {snapshot_id} not found in {database}.{name}")
             staged = by_id[snapshot_id]
             cur_id = _current_id(meta)
+            # Idempotency (checked UNDER the commit lock): if this
+            # snapshot is already on the published lineage — it IS a
+            # chain entry, or a chain entry cherry-picked it in
+            # (carries ``published-from``) — a second publish is a
+            # no-op. Without this, two racing roll-forwards of the
+            # same transaction intent both pass the caller's
+            # published check, the first flips the pointer, and the
+            # second would take the cherry-pick path below and
+            # re-append the staged files (duplicated rows).
+            walk = cur_id
+            while walk is not None and walk in by_id:
+                s = by_id[walk]
+                if walk == snapshot_id:
+                    return _snap_from_dict(staged)
+                if s["summary"].get("published-from") == str(snapshot_id):
+                    return _snap_from_dict(s)
+                walk = s["parent_id"]
             if staged["parent_id"] == (cur_id or None):
                 meta["current_id"] = snapshot_id
                 tbl._save_meta(meta)
@@ -3536,7 +3553,15 @@ class SnapCatalog:
                 if staged["parent_id"] is not None and staged["parent_id"] in by_id
                 else set()
             )
-            added = [f for f in staged["files"] if f["path"] not in parent_files]
+            # belt-and-braces vs the race above: never re-append a
+            # file the current head already carries, wherever it
+            # came from (file paths are unique per write — the
+            # sequence number is baked into the path)
+            cur_files = {f["path"] for f in cur["files"]}
+            added = [
+                f for f in staged["files"]
+                if f["path"] not in parent_files and f["path"] not in cur_files
+            ]
             files = list(cur["files"]) + added
             sid = _next_id(meta)
             snap = Snapshot(
@@ -3989,7 +4014,14 @@ def auto_maintain(
                         if snap_.operation != "replace":
                             since += 1
                     if since >= every:
-                        cols = (sort_by or zorder_by).split(",")
+                        # strip whitespace like the write.sort-by
+                        # parser does — 'a, b' must mean column 'b',
+                        # not ' b'
+                        cols = [
+                            c.strip()
+                            for c in (sort_by or zorder_by).split(",")
+                            if c.strip()
+                        ]
                         catalog.compact(
                             db, name, spark,
                             sort_by=cols if sort_by else None,

@@ -49,6 +49,49 @@ def _unquote(ident: str) -> str:
     return ident[1:-1] if ident.startswith("`") else ident
 
 
+def _mask_literals(query: str) -> str:
+    """Return ``query`` with the CONTENTS of string literals
+    (``'…'``, ``''``-escaped), ``--`` line comments and ``/* */``
+    block comments replaced by ``\\x01`` (same length, so every
+    character position outside a literal is identical to the
+    original). ``_REF_RE`` cannot match inside masked spans —
+    ``\\x01`` is neither an identifier character nor a comma — so a
+    literal containing ``FROM db.t`` is never rewritten. Callers run
+    the regex over the MASKED text and splice replacements into the
+    ORIGINAL, restoring literals for free."""
+    out = list(query)
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if j + 1 < n and query[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x01"
+            i = j + 1
+        elif ch == "-" and query[i:i + 2] == "--":
+            j = query.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = "\x01"
+            i = j
+        elif ch == "/" and query[i:i + 2] == "/*":
+            j = query.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for k in range(i, j):
+                out[k] = "\x01"
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 def snapcat_sql(
     spark: SparkSession,
     catalog,
@@ -76,15 +119,30 @@ def snapcat_sql(
             tables[db] = set(catalog.list_tables(db))
         return tbl in tables[db]
 
-    n = 0
+    views: dict[tuple, str] = {}
 
-    def _bind(m: re.Match) -> str:
-        nonlocal n
-        db, tbl = _unquote(m.group("db")), _unquote(m.group("tbl"))
+    def _bind(m: re.Match, query: str) -> str:
+        # group text is read from the ORIGINAL query by span (masking
+        # preserves length, so positions align): the match itself runs
+        # over masked text, where a VERSION/TIMESTAMP AS OF literal's
+        # content is \x01s
+        def g(name: str) -> str | None:
+            return query[m.start(name):m.end(name)] if m.start(name) != -1 else None
+
+        db, tbl = _unquote(g("db")), _unquote(g("tbl"))
         if not _is_table(db, tbl):
-            return m.group(0)
+            return query[m.start():m.end()]
+        meta, ver, ts = g("meta"), g("ver"), g("ts")
+        # ONE view per (db, table, meta, version): duplicate
+        # references — including a fully-qualified ``db.t.col`` in a
+        # select list, whose ``db.t`` prefix this regex's comma
+        # branch also rewrites — all resolve to the same name, so
+        # the qualified column still binds against the FROM clause's
+        # view instead of a fresh unresolvable one (ADVICE r8)
+        key = (db, tbl, meta, ver, ts)
+        if key in views:
+            return f"{g('kw')}{views[key]}"
         t = catalog.table(db, tbl)
-        meta, ver, ts = m.group("meta"), m.group("ver"), m.group("ts")
         if meta:
             df = {
                 "snapshots": t.snapshots_df,
@@ -109,12 +167,56 @@ def snapcat_sql(
                 # explicit VERSION/TIMESTAMP AS OF above overrides
                 kw["snapshot_id"] = pins[f"{db}.{tbl}"]
             df = t.read(spark, **kw)
-        n += 1
-        view = re.sub(r"[^A-Za-z0-9_]", "_", f"__snapcat_{db}_{tbl}_{meta or 'data'}_{n}")
+        view = re.sub(
+            r"[^A-Za-z0-9_]", "_",
+            f"__snapcat_{db}_{tbl}_{meta or 'data'}_{len(views) + 1}",
+        )
+        views[key] = view
         df.createOrReplaceTempView(view)
-        return f"{m.group('kw')}{view}"
+        return f"{g('kw')}{view}"
 
-    return spark.sql(_REF_RE.sub(_bind, query))
+    # rewrite over the MASKED text (literals/comments cannot match),
+    # splicing replacements into the ORIGINAL text — unmatched spans
+    # come from the original, so masked literals are restored verbatim
+    masked = _mask_literals(query)
+    parts, pos = [], 0
+    for m in _REF_RE.finditer(masked):
+        parts.append(query[pos:m.start()])
+        parts.append(_bind(m, query))
+        pos = m.end()
+    parts.append(query[pos:])
+    rewritten = "".join(parts)
+
+    # second pass: fully-qualified COLUMN references (``db.t.col``)
+    # outside relation position — e.g. the first item of a select
+    # list — rewrite their ``db.t`` prefix to the view the relation
+    # pass bound, so they resolve exactly like ``alias.col`` would.
+    # Only when the table was bound UNVERSIONED exactly once (two
+    # versions of the same table in one query make a bare qualified
+    # column genuinely ambiguous — leave it for Catalyst to reject).
+    data_views: dict[tuple[str, str], list[str]] = {}
+    for (db, tbl, meta, ver, ts), v in views.items():
+        if meta is None and ver is None and ts is None:
+            data_views.setdefault((db, tbl), []).append(v)
+    unique = {k: vs[0] for k, vs in data_views.items() if len(vs) == 1}
+    if unique:
+        col_re = re.compile(
+            rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})(?=\.(?:{_IDENT}|`))"
+        )
+        masked2 = _mask_literals(rewritten)
+        out, pos = [], 0
+        for m in col_re.finditer(masked2):
+            key = (
+                _unquote(rewritten[m.start("db"):m.end("db")]),
+                _unquote(rewritten[m.start("tbl"):m.end("tbl")]),
+            )
+            if key in unique:
+                out.append(rewritten[pos:m.start()])
+                out.append(unique[key])
+                pos = m.end()
+        out.append(rewritten[pos:])
+        rewritten = "".join(out)
+    return spark.sql(rewritten)
 
 
 # ---------------------------------------------------------------------------

@@ -108,9 +108,17 @@ def pending_transactions(catalog: SnapCatalog) -> list[str]:
 
 def _roll_forward(catalog: SnapCatalog, path: str) -> None:
     """Publish every not-yet-published entry of one intent file, then
-    remove it. Idempotent: safe to re-run after any crash."""
-    with open(path) as fh:
-        intent = json.load(fh)
+    remove it. Idempotent AND race-safe: ``SnapCatalog.publish`` is a
+    no-op (under the table commit lock) for a snapshot already on the
+    published lineage, so a recovering process racing the original
+    committer on the same intent cannot double-apply an entry — the
+    ``_published_ids`` check here is just a cheap skip, not the
+    correctness guard."""
+    try:
+        with open(path) as fh:
+            intent = json.load(fh)
+    except FileNotFoundError:
+        return  # a concurrent recoverer finished this intent first
     for e in intent["entries"]:
         tbl = catalog.table(e["database"], e["table"])
         if e["snapshot_id"] in _published_ids(tbl):
@@ -126,7 +134,10 @@ def _roll_forward(catalog: SnapCatalog, path: str) -> None:
                 "conflict (rollback the conflicting commit or drop the "
                 "transaction file) and re-run recover_transactions."
             ) from exc
-    os.remove(path)
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass  # concurrent recoverer won the removal — same outcome
 
 
 def recover_transactions(catalog: SnapCatalog) -> list[str]:

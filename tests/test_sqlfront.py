@@ -241,3 +241,70 @@ def test_sql_backtick_quoted_dashed_names(spark, tmp_path):
         "SELECT COUNT(*) AS n FROM `my-db`.`my-table` VERSION AS OF 1",
     ).collect()[0]["n"]
     assert n2 == 9
+
+
+def test_sql_literal_containing_from_is_not_rewritten(spark, cat):
+    """ADVICE r8: a string literal containing 'from db.t' must
+    round-trip unmodified while the real reference still binds."""
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT 'data from db.t rocks' AS note, count(*) AS n FROM db.t",
+    ).collect()
+    assert out[0]["note"] == "data from db.t rocks"
+    assert out[0]["n"] == 30
+
+
+def test_sql_comment_containing_from_is_not_rewritten(spark, cat):
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n -- reads from db.missing\nFROM db.t",
+    ).collect()
+    assert out[0]["n"] == 30
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT /* join db.t, db.dim */ count(*) AS n FROM db.t",
+    ).collect()
+    assert out[0]["n"] == 30
+
+
+def test_sql_escaped_quote_literal(spark, cat):
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT 'it''s from db.t' AS note, count(*) AS n FROM db.t",
+    ).collect()
+    assert out[0]["note"] == "it's from db.t"
+    assert out[0]["n"] == 30
+
+
+def test_sql_qualified_column_after_comma_resolves(spark, cat):
+    """ADVICE r8: 'SELECT x, db.t.col FROM db.t' — the comma branch
+    rewrites the select-list prefix too, but view reuse makes both
+    references bind to the same view."""
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT db.t.id, db.t.v FROM db.t WHERE db.t.id = 3",
+    ).collect()
+    assert out[0]["id"] == 3 and out[0]["v"] == 30
+
+
+def test_sql_duplicate_reference_single_view(spark, cat):
+    # self-join: both sides same (table, version) → same view, two aliases
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT a.id FROM db.t a JOIN db.t b ON a.id = b.id WHERE a.id < 5",
+    ).collect()
+    assert len(out) == 5
+
+
+def test_sql_version_as_of_still_binds_with_masking(spark, cat):
+    # the tag literal itself is masked; group text must come from the
+    # original query
+    out = snapcat_sql(
+        spark, cat, "SELECT count(*) AS n FROM db.t VERSION AS OF 'mid'"
+    ).collect()
+    assert out[0]["n"] == 20
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM db.t TIMESTAMP AS OF '2024-06-01T12:00:00+00:00'",
+    ).collect()
+    assert out[0]["n"] == 10

@@ -244,3 +244,47 @@ def test_consistent_reader_snapshot_isolation(spark, tmp_path):
     cat.write("db", "late", _df(spark, 0, 2))
     with pytest.raises(LookupError, match="not pinned"):
         reader.read(spark, "db", "late")
+
+
+def test_double_publish_is_idempotent_no_duplicate_rows(spark, tmp_path):
+    """ADVICE r8 (medium): a recovering process racing the original
+    committer can call publish twice for the same staged snapshot.
+    The second call used to take the cherry-pick path with 'added'
+    computed against the STAGED parent, duplicating rows. publish is
+    now a lineage-checked no-op the second time."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    snap = cat.write("db", "a", _df(spark, 5, 10), staged=True)
+    # first publish: pointer fast path
+    cat.publish("db", "a", snap.snapshot_id)
+    assert _count(spark, cat, "db", "a") == 10
+    # second publish of the SAME staged snapshot (the race's loser):
+    # must be a no-op, not a duplicate-appending cherry-pick
+    again = cat.publish("db", "a", snap.snapshot_id)
+    assert again.snapshot_id == snap.snapshot_id
+    assert _count(spark, cat, "db", "a") == 10
+
+
+def test_double_publish_after_cherry_pick_is_idempotent(spark, tmp_path):
+    """Same race, cherry-pick flavor: an interleaved commit forces the
+    first publish through the cherry-pick path; the loser's retry must
+    find the published-from stamp and no-op."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("db", "a", _df(spark, 0, 5))
+    snap = cat.write("db", "a", _df(spark, 5, 10), staged=True)
+    cat.write("db", "a", _df(spark, 100, 103), mode="append")  # interleaved
+    first = cat.publish("db", "a", snap.snapshot_id)
+    assert first.summary["published-from"] == str(snap.snapshot_id)
+    assert _count(spark, cat, "db", "a") == 13
+    second = cat.publish("db", "a", snap.snapshot_id)
+    assert second.snapshot_id == first.snapshot_id
+    assert _count(spark, cat, "db", "a") == 13
+
+
+def test_roll_forward_tolerates_missing_intent_file(spark, tmp_path):
+    """A concurrent recoverer that finished (and removed) the intent
+    first must not crash the loser."""
+    from apache_iceberg_tables_migration_tool_spark.sources import transactions as T
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    T._roll_forward(cat, str(tmp_path / "wh" / "_txns" / "txn-gone.json"))
