@@ -654,11 +654,55 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def cap_blocks(
+    blocks: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+    order_col: str,
+    what: str,
+) -> DataFrame:
+    """Hot-bucket guard for banded candidate generation: keep at most
+    ``max_bucket`` members per bucket (deterministic — lowest
+    ``order_col`` first, so reruns keep the same representatives) and
+    LOG how much was dropped — never a silent cap. An adversarial
+    bucket (a flood of near-constant images, one hot Voronoi cell)
+    otherwise yields a quadratic candidate set that stalls the stage;
+    capping bounds it at max_bucket² per bucket. Dropped members lose
+    only the pairs *within this bucket* — multi-band/multi-probe
+    schemes still find them through their other buckets. The drop
+    count costs one small aggregate job over the block rows (already
+    materialized by the caller's checkpoint)."""
+    import logging
+
+    w = Window.partitionBy(*bucket_cols).orderBy(order_col)
+    ranked = blocks.withColumn("__rk", F.row_number().over(w))
+    stats = (
+        ranked.groupBy(*bucket_cols).count()
+        .where(F.col("count") > max_bucket)
+        .agg(
+            F.count("*").alias("hot"),
+            F.sum(F.col("count") - max_bucket).alias("dropped"),
+            F.max("count").alias("biggest"),
+        )
+        .first()
+    )
+    if stats and stats["hot"]:
+        logging.getLogger(__name__).warning(
+            "%s: capped %d hot bucket(s) at %d members "
+            "(largest had %d; %d member rows dropped) — pairs confined "
+            "to a capped bucket are NOT emitted; run exact dedup first "
+            "to collapse identical payloads",
+            what, stats["hot"], max_bucket, stats["biggest"], stats["dropped"],
+        )
+    return ranked.where(F.col("__rk") <= max_bucket).drop("__rk")
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     band_cols: list[str],
     max_hamming: int,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs within ``max_hamming`` bits over a signature split
     into per-band integer columns — the multi-column generalization of
@@ -687,7 +731,11 @@ def banded_hamming_pairs(
     for. The scalable composition is exact dedup FIRST (hash the
     payload bytes, keep one representative per identical image —
     `exact_dedup`), then band the surviving distinct images; near-dup
-    clusters of distinct images are small, so buckets stay small."""
+    clusters of distinct images are small, so buckets stay small.
+    When the input may be adversarial anyway, ``max_bucket`` bounds
+    each (band, value) bucket via :func:`cap_blocks` (logged, never
+    silent): candidates become ≤ max_bucket² per bucket at the
+    documented cost of pairs confined to a capped bucket."""
     if max_hamming >= len(band_cols):
         raise ValueError(
             f"max_hamming={max_hamming} needs more bands than distance "
@@ -699,6 +747,11 @@ def banded_hamming_pairs(
     blocks = sig.select(
         F.col(id_col), *band_cols, F.posexplode(arr).alias("band", "blk")
     )
+    if max_bucket is not None:
+        blocks = cap_blocks(
+            blocks, ["band", "blk"], max_bucket, id_col,
+            "banded_hamming_pairs",
+        )
     a = blocks.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"__a_{c}") for c in band_cols],

@@ -974,6 +974,7 @@ def semantic_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SEMANTIC near-duplicate pairs (cosine ≥ ``threshold``) through
     an IVF coarse quantizer — the embedding-space twin of the MinHash
@@ -990,7 +991,14 @@ def semantic_dup_pairs(
     near-parallel vectors, so cell disagreement needs BOTH to straddle
     a Voronoi boundary — multi-probe makes that exponentially
     unlikely; carriers pin found ≡ exact on the fixtures and recall
-    bounds belong in tests, like the kNN ANN family."""
+    bounds belong in tests, like the kNN ANN family.
+
+    ``max_bucket`` (optional) guards the degenerate corpus — one hot
+    Voronoi cell holding most vectors makes the same-cell join
+    quadratic in the flood size; the cap bounds each cell's
+    contribution at max_bucket² candidates via ``dedup.cap_blocks``
+    (logged, never silent), losing only pairs confined to a capped
+    cell (multi-probe keeps a second chance alive elsewhere)."""
     cells, _cent = ivf_index(
         emb, nlist, train_sample, iters, seed, id_col, vec_col
     )
@@ -999,6 +1007,13 @@ def semantic_dup_pairs(
             emb, np.vstack([np.asarray(r["centroid"]) for r in
                             _cent.orderBy("cell").collect()]),
             id_col, vec_col, probes=probes,
+        )
+    if max_bucket is not None:
+        from apache_iceberg_tables_migration_tool_spark.operators.dedup import cap_blocks
+
+        cells = cap_blocks(
+            cells.localCheckpoint(eager=True), ["cell"], max_bucket,
+            "vec_id", "semantic_dup_pairs",
         )
     cand = (
         cells.alias("a")

@@ -288,19 +288,47 @@ def sync_history(
             for s in d_chain
             if "replayed-from" in s.summary
         ]
+        unstamped = [s for s in d_chain if "replayed-from" not in s.summary]
+        # Mirrors created by migrate_history BEFORE replayed-from
+        # stamping landed have one unstamped snapshot: the leading,
+        # file-less CREATE. That is provably not a local data commit —
+        # tolerate it iff it is the chain head, carries no files, and
+        # its schema appears in the source history (ADVICE r8); map it
+        # to the source's own leading create for watermark purposes.
+        benign_lead = False
+        if unstamped:
+            lead = d_chain[0]
+            benign_lead = (
+                len(unstamped) == 1
+                and unstamped[0].snapshot_id == lead.snapshot_id
+                and lead.operation == "create"
+                and not lead.files
+                and lead.schema_ddl in {s.schema_ddl for s in chain}
+            )
+            if not benign_lead:
+                if not stamps:
+                    raise ValueError(
+                        f"target {database}.{table_name} exists but "
+                        "carries no replayed-from stamps — not a sync "
+                        "replica; refusing to write into it"
+                    )
+                ids = [s.snapshot_id for s in unstamped]
+                raise ValueError(
+                    f"target {database}.{table_name} has {len(unstamped)} "
+                    f"local commit(s) beyond the replicated history "
+                    f"(snapshot ids {ids}) — the mirror diverged; resolve "
+                    "manually (rollback the local commits or re-mirror "
+                    "into a fresh table)"
+                )
         if not stamps:
-            raise ValueError(
-                f"target {database}.{table_name} exists but carries no "
-                "replayed-from stamps — not a sync replica; refusing to "
-                "write into it"
-            )
-        if len(stamps) != len(d_chain):
-            raise ValueError(
-                f"target {database}.{table_name} has local commits beyond "
-                "the replicated history — the mirror diverged; resolve "
-                "manually (rollback the local commits or re-mirror into a "
-                "fresh table)"
-            )
+            if not (benign_lead and chain and chain[0].operation == "create"):
+                raise ValueError(
+                    f"target {database}.{table_name} exists but carries no "
+                    "replayed-from stamps — not a sync replica; refusing to "
+                    "write into it"
+                )
+            # create-only pre-stamp mirror: resume after the source create
+            stamps = [chain[0].snapshot_id]
         wm = max(stamps)
         if wm not in {s.snapshot_id for s in chain}:
             raise LookupError(

@@ -1810,7 +1810,6 @@ def refresh_ann_index(
     cent_df = catalog.table(index_database, centroids_table).read(spark)
     cent = similarity.centroid_matrix(cent_df)
     changed = cl.select(F.col(id_col).alias("vec_id")).distinct()
-    survivors = ct.read(spark).join(changed, "vec_id", "left_anti")
     # collapse intra-slice churn to each id's LAST change (commit order,
     # insert outranking delete within one commit, the apply_topk_delta
     # rule): a vector born AND killed inside the slice nets to two
@@ -1828,10 +1827,26 @@ def refresh_ann_index(
     ).where(F.col("__rn") == 1)
     ins = last.where(F.col("_change_type") == "insert").select(id_col, vec_col)
     assigned = similarity.assign_cells(ins, cent, id_col, vec_col)
-    refreshed = survivors.select("vec_id", "cell").unionByName(assigned)
+    # Fold the delta as MOR equality-delete(changed ids) + append(new
+    # assignments): the data plane writes O(changed vectors), not
+    # O(index size) — a small delta into a billion-vector index costs
+    # the delta (ADVICE r8; the same append+delete_keys pattern the
+    # other maintained views use). Two commits, crash-exact: the
+    # delete commit carries the OLD watermark, so a crash before the
+    # append replays the same slice — re-deleting absent ids is a
+    # no-op and the re-append lands the identical rows. Read side is
+    # unchanged (anti-join semantics ≡ the old full overwrite, pinned
+    # by ann_index_maintenance); equality-delete files accumulate
+    # until compact() — schedule it via maintain.* policies like any
+    # MOR table.
+    if not changed.isEmpty():
+        catalog.delete_keys(
+            index_database, cells_table, changed, key_cols=["vec_id"],
+            summary_extra={**stamp, "ivm.src_snapshot_id": str(from_id)},
+        )
     catalog.write(
-        index_database, cells_table, refreshed,
-        mode="overwrite", partition_by=["cell"], summary_extra=stamp,
+        index_database, cells_table, assigned.select("vec_id", "cell"),
+        mode="append", partition_by=["cell"], summary_extra=stamp,
     )
     return head.snapshot_id
 

@@ -150,3 +150,76 @@ def test_scan_report_names_pruning_reasons(spark, tmp_path):
     rep2 = tbl.scan_report(spark, [("id", "=", 10_000)]).collect()
     assert all(r["decision"] == "skipped" for r in rep2)
     assert {r["reason"] for r in rep2} == {"bounds:id"}
+
+
+def test_plan_files_dist_matches_driver(spark, tmp_path):
+    """Verdict r8 #7: the distributed planning path must reproduce
+    the driver walk's decisions exactly — bounds, bloom, and bucket
+    pruning — on a real table with all three stat kinds."""
+    cat = _mk(spark, tmp_path)
+    tbl = cat.table("db", "t")
+    for preds in [
+        [("id", "=", 4)],
+        [("name", "=", "u7")],
+        [("id", "<", 10)],
+        [("id", ">=", 150), ("name", "=", "u151")],
+        [("id", "=", 99999)],  # absent everywhere
+        [("id", ">", 0)],      # keeps everything
+    ]:
+        drv = {f.path for f in tbl.plan_files(preds)}
+        dist = {f.path for f in tbl.plan_files_dist(spark, preds)}
+        assert dist == drv, f"mismatch for {preds}: {dist ^ drv}"
+
+
+def test_plan_files_dist_matches_on_bucketed_table(spark, tmp_path):
+    cat = SnapCatalog(str(tmp_path / "whb"))
+    cat.create_table("db", "b", "id bigint, v bigint", partition_by=["bucket(8, id)"])
+    df = spark.range(0, 400).select("id", (F.col("id") * 3).alias("v"))
+    cat.write("db", "b", df)
+    tbl = cat.table("db", "b")
+    for v in [0, 7, 123, 399]:
+        preds = [("id", "=", v)]
+        drv = {f.path for f in tbl.plan_files(preds)}
+        dist = {f.path for f in tbl.plan_files_dist(spark, preds)}
+        assert dist == drv
+
+
+def test_plan_files_dist_many_files_synthetic(spark, tmp_path):
+    """Equivalence + threshold routing at ≥10⁴ files: fabricate a
+    10,000-file manifest (planning touches only metadata, no data
+    files needed) and check the distributed plan picks the same file
+    set the driver walk does."""
+    import time
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    cat = SnapCatalog(str(tmp_path / "whm"))
+    cat.create_table("db", "m", "id bigint, v bigint")
+    cat.write("db", "m", spark.range(0, 10).select("id", F.col("id").alias("v")))
+    tbl = cat.table("db", "m")
+    meta = tbl._load_meta()
+    snap = meta["snapshots"][-1]
+    tmpl = snap["files"][0]
+    files = []
+    for i in range(10_000):
+        f = dict(tmpl)
+        f["path"] = f"data/{snap['snapshot_id']:08d}/part-{i:05d}.parquet"
+        f["stats"] = {"id": [i * 100, i * 100 + 99], "v": [0, 10**9]}
+        files.append(f)
+    snap["files"] = files
+    tbl._save_meta(meta)
+
+    preds = [("id", ">=", 500_000), ("id", "<", 500_300)]
+    t0 = time.monotonic()
+    drv = {f.path for f in tbl.plan_files(preds)}
+    t_drv = time.monotonic() - t0
+    t0 = time.monotonic()
+    dist = {f.path for f in tbl.plan_files_dist(spark, preds)}
+    t_dist = time.monotonic() - t0
+    assert dist == drv
+    assert len(drv) == 3  # 500_000..500_299 spans files 5000..5002
+    print(f"plan 10k files: driver={t_drv:.3f}s dist={t_dist:.3f}s")
+
+    # threshold is calibrated from this measurement (see PERFORMANCE.md):
+    # dist carries ~3 s of fixed job overhead, so the switch sits at 10^5
+    assert SC.SnapTable.PLAN_DIST_THRESHOLD == 100_000

@@ -477,3 +477,46 @@ def test_sync_replays_source_mor_delete(spark, tmp_path):
     assert table_checksum(src.table("db", "t").read(spark)) == table_checksum(
         dst.table("db", "t").read(spark)
     )
+
+
+def test_sync_history_tolerates_prestamp_mirror_create(spark, tmp_path):
+    """ADVICE r8: mirrors built before replayed-from stamping landed
+    have an unstamped leading CREATE snapshot. The first sync onto
+    such a mirror must proceed, not be refused as 'diverged'."""
+    from apache_iceberg_tables_migration_tool_spark.plans import sync_history
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    src = SnapCatalog(str(tmp_path / "src"))
+    dst = SnapCatalog(str(tmp_path / "dst"))
+    src.create_table("db", "t", "id BIGINT, v BIGINT")
+    src.write("db", "t", spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
+    sync_history(spark, src, dst, "db", "t")
+
+    # simulate the pre-stamp era: strip the stamp off the mirror's create
+    d_tbl = dst.table("db", "t")
+    meta = d_tbl._load_meta()
+    assert meta["snapshots"][0]["operation"] == "create"
+    meta["snapshots"][0]["summary"].pop("replayed-from")
+    d_tbl._save_meta(meta)
+
+    src.write("db", "t", spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")))
+    assert sync_history(spark, src, dst, "db", "t") == 1
+    assert d_tbl.read(spark).count() == 15
+
+    # a mirror whose ONLY snapshot is the unstamped create also syncs
+    dst2 = SnapCatalog(str(tmp_path / "dst2"))
+    src2 = SnapCatalog(str(tmp_path / "src2"))
+    src2.create_table("db", "t", "id BIGINT, v BIGINT")
+    sync_history(spark, src2, dst2, "db", "t")
+    d2 = dst2.table("db", "t")
+    meta2 = d2._load_meta()
+    meta2["snapshots"][0]["summary"].pop("replayed-from")
+    d2._save_meta(meta2)
+    src2.write("db", "t", spark.range(0, 4).select("id", (F.col("id") * 2).alias("v")))
+    assert sync_history(spark, src2, dst2, "db", "t") == 1
+    assert d2.read(spark).count() == 4
+
+    # a genuinely diverged mirror (local DATA commit) is still refused
+    dst.write("db", "t", spark.range(99, 100).select("id", F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="diverged"):
+        sync_history(spark, src, dst, "db", "t")

@@ -2038,3 +2038,62 @@ def test_auto_maintain_clustering_policy(spark, tmp_path):
         "id", (F.col("id") % 7).alias("k")))
     rep4 = auto_maintain(cat, spark)
     assert any(r["action"] == "cluster" for r in rep4)
+
+
+def test_stale_breaker_fresh_lock_counted_and_waiter_survives(cat, monkeypatch):
+    """Verdict r8 #6: the stale-breaker race — a breaker renames away a
+    lock that turns out heartbeat-fresh, and the restore loses to a new
+    waiter — must bump LOCK_STATS and must NOT rmtree the new waiter's
+    live lock state."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import pytest as _pytest
+
+    from apache_iceberg_tables_migration_tool_spark.sources import snapcat as SC
+
+    root = _os.path.join(cat.warehouse, "db", "stale_t")
+    meta = _os.path.join(root, "metadata")
+    lock_dir = _os.path.join(meta, ".commit_lock")
+    _os.makedirs(meta, exist_ok=True)
+    # a lock whose heartbeat looks silent (mtime 900s ago)
+    _os.mkdir(lock_dir)
+    with open(_os.path.join(lock_dir, "owner"), "w") as fh:
+        fh.write("original-owner")
+    old = _time.time() - 900
+    _os.utime(lock_dir, (old, old))
+
+    real_rename = _os.rename
+    fired = []
+
+    def racy_rename(src, dst):
+        if src == lock_dir and ".stale." in str(dst) and not fired:
+            fired.append(1)
+            real_rename(src, dst)
+            # the owner's heartbeat lands inside the stat→rename window…
+            _os.utime(dst, None)
+            # …and a new waiter claims the path before the restore
+            _os.mkdir(lock_dir)
+            with open(_os.path.join(lock_dir, "owner"), "w") as fh:
+                fh.write("new-waiter")
+            return
+        return real_rename(src, dst)
+
+    before = dict(SC.LOCK_STATS)
+    monkeypatch.setattr(SC.os, "rename", racy_rename)
+    with _pytest.raises(TimeoutError):
+        with SC._commit_lock(root, timeout_sec=2, stale_after_sec=5):
+            pass  # pragma: no cover
+    monkeypatch.undo()
+    assert (
+        SC.LOCK_STATS["stolen_fresh_lock_discarded"]
+        == before["stolen_fresh_lock_discarded"] + 1
+    )
+    # the new waiter's live lock state was NOT rmtree'd
+    with open(_os.path.join(lock_dir, "owner")) as fh:
+        assert fh.read() == "new-waiter"
+    # the stolen trash dir did not leak
+    litter = [e for e in _os.listdir(meta) if ".stale." in e]
+    assert litter == []
+    _shutil.rmtree(root, ignore_errors=True)

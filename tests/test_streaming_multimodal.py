@@ -865,3 +865,77 @@ def test_banded_hamming_pairs_single_upstream_execution(spark):
     )
     banded_hamming_pairs(M.phash64(payloads), ["p0", "p1", "p2", "p3"], 3).collect()
     assert acc.value == 60
+
+
+def test_banded_hamming_hot_bucket_cap(spark, caplog):
+    """Verdict r8 #5: a flood of near-constant signatures collapses
+    into one (band, value) bucket; max_bucket bounds the candidate
+    set and LOGS the drop, while pairs outside the flood survive."""
+    import logging
+
+    from apache_iceberg_tables_migration_tool_spark.operators.dedup import (
+        banded_hamming_pairs,
+        cap_blocks,
+    )
+    from pyspark.sql import functions as F
+
+    # 60 identical signatures (the flood) + one near-dup pair far away
+    flood = [(i, 7, 7, 7, 7) for i in range(60)]
+    pair = [(100, 900, 901, 902, 903), (101, 900, 901, 902, 999)]
+    sig = spark.createDataFrame(
+        flood + pair, "doc_id long, p0 long, p1 long, p2 long, p3 long"
+    )
+    with caplog.at_level(logging.WARNING):
+        got = banded_hamming_pairs(
+            sig, ["p0", "p1", "p2", "p3"], max_hamming=3, max_bucket=10
+        ).collect()
+    assert any("capped" in r.message for r in caplog.records)
+    # bounded: ≤ bands * C(max_bucket, 2) flood pairs, not C(60, 2)
+    flood_pairs = [r for r in got if r["id_a"] < 100]
+    assert 0 < len(flood_pairs) <= 4 * 45
+    # the distinct near-dup pair outside the flood is still found
+    assert any(r["id_a"] == 100 and r["id_b"] == 101 for r in got)
+
+    # cap_blocks is deterministic: survivors are the lowest ids
+    blocks = sig.select(
+        "doc_id", F.posexplode(F.array("p0", "p1", "p2", "p3")).alias("band", "blk")
+    )
+    kept = cap_blocks(blocks, ["band", "blk"], 10, "doc_id", "t")
+    kept_flood = kept.where(F.col("blk") == 7).select("doc_id").distinct().collect()
+    assert sorted(r["doc_id"] for r in kept_flood) == list(range(10))
+
+
+def test_semantic_dup_hot_cell_cap(spark, caplog):
+    import logging
+
+    import numpy as np
+
+    from apache_iceberg_tables_migration_tool_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    rows = []
+    # hot cell: 50 near-copies of one vector
+    for i in range(50):
+        v = base + rng.normal(scale=1e-3, size=8)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # a separate near-dup pair pointing the other way
+    other = -base + rng.normal(scale=1e-3, size=8)
+    other /= np.linalg.norm(other)
+    o2 = other + rng.normal(scale=1e-3, size=8)
+    rows.append((100, other.tolist()))
+    rows.append((101, (o2 / np.linalg.norm(o2)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING):
+        got = semantic_dup_pairs(
+            emb, 0.99, nlist=4, probes=2, max_bucket=8
+        ).collect()
+    assert any("capped" in r.message for r in caplog.records)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (100, 101) in pairs
+    flood = [p for p in pairs if p[0] < 100]
+    # bounded well below C(50,2)=1225: ≤ probes * C(8,2)-ish per cell
+    assert 0 < len(flood) <= 2 * 28 * 4
