@@ -30,6 +30,7 @@ touching data (the reference instead re-scanned:
 
 from __future__ import annotations
 
+import bisect
 import contextlib
 import json
 import logging
@@ -1066,8 +1067,20 @@ class SnapTable:
             if apply_deletes and snap.delete_files
             else []
         )
-        dels = [d for d in all_dels if d.kind == "equality"]
+        eq_dels = [d for d in all_dels if d.kind == "equality"]
         pos_dels = [d for d in all_dels if d.kind == "position"]
+        # ONE key set per delete COMMIT, not per parquet part: a
+        # distributed delete_keys write emits many part files, and
+        # anti-joining each part separately multiplied the join count
+        # by the writer's partitioning (profiled r9: 3 delete commits
+        # → ~20 chained anti-joins). Same sequence + key_cols ⇒ same
+        # commit ⇒ one multi-path read, one broadcast, one anti-join.
+        by_commit: dict[tuple, list[DeleteFile]] = {}
+        for d in eq_dels:
+            by_commit.setdefault((d.sequence, tuple(d.key_cols)), []).append(d)
+        dels: list[tuple[int, list[DeleteFile]]] = sorted(
+            (seq, ds) for (seq, _kc), ds in by_commit.items()
+        )
         # position deletes and lineage need rows stamped with file + pos
         need_file = with_file_path or bool(pos_dels) or with_lineage
         need_pos = with_pos or bool(pos_dels) or with_lineage
@@ -1084,33 +1097,44 @@ class SnapTable:
         def _rel_expr() -> Column:
             return _root_rel_col(self.root)
 
-        key_df_cache: dict[str, tuple[DataFrame, list[str]]] = {}
+        if not hasattr(self, "_delete_key_cache"):
+            # instance-level, not per-scan: a changelog replays many
+            # _read_files calls over the SAME delete files — re-reading
+            # each key parquet per call cost a JVM roundtrip + footer
+            # schema inference every time (124 reads for a 13-commit
+            # replay; profiled r9)
+            self._delete_key_cache: dict[tuple, tuple[DataFrame, list[str]]] = {}
 
-        def _delete_keys_df(d: DeleteFile) -> tuple[DataFrame, list[str]]:
-            """The delete file's key set, renamed to THIS snapshot's
-            column names (field-id translation: the keys were written
-            under the names in force at the delete's commit, which a
-            later rename may have changed). Cached per scan — one read
-            + one broadcast per delete file, however many commit
-            groups it applies to."""
-            hit = key_df_cache.get(d.path)
+        def _delete_keys_df(ds: list[DeleteFile]) -> tuple[DataFrame, list[str]]:
+            """One commit's delete-key set (all its part files in one
+            multi-path read), renamed to THIS snapshot's column names
+            (field-id translation: the keys were written under the
+            names in force at the delete's commit, which a later
+            rename may have changed). Cached on the table instance —
+            one read + one broadcast per (commit, translation),
+            however many scans replay it."""
+            d = ds[0]
+            tcols = _translate_delete_key_cols(d, snap.field_ids, commit_schemas)
+            ck = (tuple(x.path for x in ds), tuple(tcols))
+            hit = self._delete_key_cache.get(ck)
             if hit is not None:
                 return hit
-            tcols = _translate_delete_key_cols(d, snap.field_ids, commit_schemas)
             keys = (
-                spark.read.parquet(os.path.join(self.root, d.path))
+                spark.read.parquet(
+                    *[os.path.join(self.root, x.path) for x in ds]
+                )
                 .select(*d.key_cols)
                 .distinct()
             )
             if tcols != list(d.key_cols):
                 keys = keys.toDF(*tcols)
-            key_df_cache[d.path] = (keys, tcols)
+            self._delete_key_cache[ck] = (keys, tcols)
             return keys, tcols
 
         def _minus_deletes(df: DataFrame, data_sid: int) -> DataFrame:
-            for d in dels:
-                if d.sequence > data_sid:
-                    keys, tcols = _delete_keys_df(d)
+            for seq, ds in dels:
+                if seq > data_sid:
+                    keys, tcols = _delete_keys_df(ds)
                     # Iceberg equality-delete semantics: NULL matches
                     # NULL (a USING join's plain equality would silently
                     # make NULL-keyed rows undeletable — ADVICE r4).
@@ -1190,6 +1214,17 @@ class SnapTable:
             groups.setdefault(_origin_sid(rel), []).append(rel)
         plain: list[str] = []
         parts: list[DataFrame] = []
+        # (sid, df) rows needing equality deletes — collected, then
+        # bucketed by APPLICABLE DELETE SUFFIX and unioned before the
+        # anti-joins: every commit group older than all deletes shares
+        # one delete set, so an append-heavy history anti-joins ONCE
+        # per delete instead of once per (group, delete). Equivalent
+        # row-wise (anti-join distributes over union); the logical
+        # plan shrinks from O(groups × deletes) joins to
+        # O(distinct suffixes × deletes) ≤ O(deletes²) — the
+        # difference between a 126 s and a ~10 s changelog count on a
+        # 13-commit MOR history (profiled r9).
+        deferred: list[tuple[int, DataFrame]] = []
         for sid, paths in sorted(groups.items()):
             entry = commit_schemas.get(str(sid))
             mapping = (
@@ -1199,12 +1234,12 @@ class SnapTable:
             )
             if mapping is None:
                 if dels:
-                    parts.append(
-                        _minus_deletes(
+                    deferred.append(
+                        (
+                            sid,
                             self._read_paths(
                                 spark, read_target, paths, need_file, need_pos
                             ),
-                            sid,
                         )
                     )
                 else:
@@ -1243,7 +1278,26 @@ class SnapTable:
             if need_pos:
                 cols.append(F.col("__pos"))
             mapped = src.select(*cols)
-            parts.append(_minus_deletes(mapped, sid) if dels else mapped)
+            if dels:
+                deferred.append((sid, mapped))
+            else:
+                parts.append(mapped)
+        if deferred:
+            seqs = [seq for seq, _ in dels]
+            by_suffix: dict[int, list[DataFrame]] = {}
+            for sid, df in deferred:
+                start = bisect.bisect_right(seqs, sid)
+                by_suffix.setdefault(start, []).append(df)
+            for start, dfs in sorted(by_suffix.items()):
+                u = dfs[0]
+                for df in dfs[1:]:
+                    u = u.unionByName(df)
+                # sid below every remaining delete's sequence → the
+                # suffix applies in full
+                parts.append(
+                    _minus_deletes(u, seqs[start] - 1 if start < len(seqs) else
+                                   seqs[-1] + 1)
+                )
         if plain:
             parts.insert(
                 0, self._read_paths(spark, read_target, plain, need_file, need_pos)
@@ -1953,10 +2007,21 @@ class SnapTable:
                     if end.field_ids is not None
                     else {}
                 )
+                # one semi-join per delete COMMIT's kind/key set, not
+                # per parquet part (same merge rule as _read_files):
+                # a distributed delete write's N part files are ONE
+                # logical key set
+                del_batches: dict[tuple, list[DeleteFile]] = {}
                 for d in new_dels:
-                    if d.kind == "position":
+                    del_batches.setdefault(
+                        (d.kind, d.sequence, tuple(d.key_cols)), []
+                    ).append(d)
+                for (kind, _seq, _kc), ds in sorted(del_batches.items()):
+                    d = ds[0]
+                    paths = [os.path.join(self.root, x.path) for x in ds]
+                    if kind == "position":
                         pdel = (
-                            spark.read.parquet(os.path.join(self.root, d.path))
+                            spark.read.parquet(*paths)
                             .select(
                                 F.col("file_path").alias("__rel"),
                                 F.col("pos").alias("__pos"),
@@ -1973,7 +2038,7 @@ class SnapTable:
                         # later alter renamed the keyed column
                         tcols = _translate_delete_key_cols(d, end.field_ids, cl_schemas)
                         keys = (
-                            spark.read.parquet(os.path.join(self.root, d.path))
+                            spark.read.parquet(*paths)
                             .select(*d.key_cols)
                             .distinct()
                         )
