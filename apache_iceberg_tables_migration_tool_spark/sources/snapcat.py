@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import bisect
 import contextlib
+import hashlib
 import json
 import logging
 import os
@@ -826,6 +827,11 @@ def _commit_lock(
                         shutil.rmtree(trash, ignore_errors=True)
 
 
+#: process-wide parsed-manifest-chunk cache (chunks are immutable and
+#: content-addressed, so a path's content never changes)
+_CHUNK_CACHE: dict[str, list] = {}
+
+
 class SnapTable:
     """Handle to one snapshot-versioned table."""
 
@@ -844,15 +850,128 @@ class SnapTable:
     def exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
+    # ---- manifest chunks -------------------------------------------------
+    #
+    # File lists do NOT live in table.json. Each snapshot's list is
+    # split into runs of consecutive files sharing an origin commit
+    # (the natural Iceberg manifest boundary — an append's list is its
+    # parent's runs + one new run) and each run is stored ONCE as an
+    # immutable, content-addressed chunk under metadata/manifests/.
+    # table.json holds only the per-snapshot chunk refs, so:
+    #   - a commit WRITES O(delta): its new chunk(s) plus a small
+    #     table.json — not the entire history's file lists re-dumped
+    #     (the old format's per-commit cost grew with history × files:
+    #     quadratic over a table's life, the single biggest metadata
+    #     scale-killer at 10⁶ files);
+    #   - a load PARSES each chunk once per process (immutable →
+    #     cacheable), handing out shallow per-file copies.
+    # Loaded snapshots carry their refs plus a (len, first, last)
+    # fingerprint; save trusts the refs only while the fingerprint
+    # still matches, so replacing a file list (the supported mutation
+    # pattern — package code never edits one in place) forces a
+    # rechunk. Chunk writes are tmp+rename and content-addressed:
+    # concurrent writers of the same content collide harmlessly.
+    # expire_snapshots reaps chunks the pruned history no longer
+    # references, same contract as expired data files.
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "metadata", "manifests")
+
+    def _write_chunk(self, entries: list) -> str:
+        text = json.dumps(entries, separators=(",", ":"))
+        sha = hashlib.sha1(text.encode()).hexdigest()
+        path = os.path.join(self._manifest_dir, f"{sha}.json")
+        if not os.path.exists(path):
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        return sha
+
+    def _read_chunk(self, sha: str) -> list:
+        path = os.path.join(self._manifest_dir, f"{sha}.json")
+        hit = _CHUNK_CACHE.get(path)
+        if hit is None:
+            with open(path) as f:
+                hit = json.load(f)
+            if len(_CHUNK_CACHE) >= 4096:
+                _CHUNK_CACHE.clear()
+            _CHUNK_CACHE[path] = hit
+        # shallow per-entry copies: callers may replace top-level
+        # values without corrupting the shared cache
+        return [dict(e) for e in hit]
+
+    @staticmethod
+    def _fingerprint(entries: list) -> list:
+        return [
+            len(entries),
+            entries[0]["path"] if entries else None,
+            entries[-1]["path"] if entries else None,
+        ]
+
+    @staticmethod
+    def _chunk_runs(files: list) -> list[list]:
+        runs: list[list] = []
+        cur: list = []
+        cur_sid = None
+        for f in files:
+            sid = _origin_sid(f["path"])
+            if cur and sid != cur_sid:
+                runs.append(cur)
+                cur = []
+            cur.append(f)
+            cur_sid = sid
+        if cur:
+            runs.append(cur)
+        return runs
+
     def _load_meta(self) -> dict:
         with open(self._meta_path) as f:
-            return json.load(f)
+            meta = json.load(f)
+        for s in meta.get("snapshots") or []:
+            if "files_ref" in s:
+                files: list = []
+                for sha in s["files_ref"]:
+                    files.extend(self._read_chunk(sha))
+                s["files"] = files
+                s["_files_fp"] = self._fingerprint(files)
+            if "delete_files_ref" in s:
+                s["delete_files"] = (
+                    self._read_chunk(s["delete_files_ref"])
+                    if s["delete_files_ref"]
+                    else []
+                )
+                s["_dels_fp"] = self._fingerprint(s["delete_files"])
+        return meta
 
     def _save_meta(self, meta: dict) -> None:
         os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
+        stored = dict(meta)
+        out_snaps = []
+        for s in meta.get("snapshots") or []:
+            s2 = {
+                k: v
+                for k, v in s.items()
+                if k not in ("files", "delete_files", "_files_fp", "_dels_fp")
+            }
+            files = s.get("files") or []
+            if not ("files_ref" in s and s.get("_files_fp") == self._fingerprint(files)):
+                s2["files_ref"] = [
+                    self._write_chunk(run) for run in self._chunk_runs(files)
+                ]
+            dels = s.get("delete_files") or []
+            if not (
+                "delete_files_ref" in s
+                and s.get("_dels_fp") == self._fingerprint(dels)
+            ):
+                s2["delete_files_ref"] = self._write_chunk(dels) if dels else None
+            out_snaps.append(s2)
+        stored["snapshots"] = out_snaps
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
+            json.dump(stored, f, indent=1)
         os.replace(tmp, self._meta_path)  # atomic commit swap
         self._write_commit_marker(meta)
 
@@ -1462,7 +1581,7 @@ class SnapTable:
                 if sf.kind != "bucket":
                     continue
                 for c, v in eq_preds:
-                    if sf.source != c:
+                    if sf.source != c or v is None:
                         continue
                     b = f.stats.get(sf.partition_name)
                     h = spark_xxhash64(v, col_types.get(c, ""))
@@ -1547,6 +1666,147 @@ class SnapTable:
     #: past the sandbox scale and well before the 10⁶-file cliff.
     PLAN_DIST_THRESHOLD = 100_000
 
+    def _plan_files_manifests(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, str, object]],
+        snapshot_id: int | None = None,
+    ) -> list[DataFile] | None:
+        """Manifest-chunk fast path of :meth:`plan_files_dist` (see
+        its docstring): executors read and evaluate the chunk files;
+        the driver receives only kept entries. Returns None when the
+        snapshot isn't chunk-backed (legacy inline metadata) so the
+        caller can fall back."""
+        from apache_iceberg_tables_migration_tool_spark.functions.xxh64 import (
+            spark_xxhash64,
+        )
+
+        with open(self._meta_path) as f:
+            raw = json.load(f)
+        sid = snapshot_id if snapshot_id is not None else _current_id(raw)
+        sref = next(
+            (
+                s for s in raw.get("snapshots") or []
+                if s["snapshot_id"] == sid and "files_ref" in s
+            ),
+            None,
+        )
+        if sref is None:
+            return None
+        if not sref["files_ref"]:
+            return []
+        field_ids = sref.get("field_ids")
+        commit_schemas = (
+            raw.get("commit_schemas", {}) if field_ids is not None else {}
+        )
+        col_types = {
+            fld.name: fld.dataType.simpleString()
+            for fld in T._parse_datatype_string(sref["schema_ddl"]).fields
+        }
+        pred_cols = [c for c, _, _ in predicates]
+        preds = [(c, op, _json_stat(v)) for c, op, v in predicates]
+        eq_hash = {
+            c: spark_xxhash64(v, col_types.get(c, ""))
+            for c, op, v in predicates
+            if op == "=" and v is not None
+        }
+        # small per-origin contexts, precomputed from the raw snapshot
+        # summaries (no file lists touched)
+        key_maps: dict[int, dict[str, str]] = {}
+        bkt_maps: dict[int, list[tuple[str, int]]] = {}
+        for s in raw.get("snapshots") or []:
+            osid = s["snapshot_id"]
+            keys = {c: c for c in pred_cols}
+            entry = commit_schemas.get(str(osid))
+            if entry is not None and field_ids is not None:
+                by_id = {v: k for k, v in (entry.get("field_ids") or {}).items()}
+                for c in pred_cols:
+                    tid = field_ids.get(c)
+                    origin = by_id.get(tid) if tid is not None else c
+                    keys[c] = origin if origin is not None else "\x00absent"
+            key_maps[osid] = keys
+            bkt = []
+            for sf in spec_fields(s.get("partition_spec") or []):
+                if sf.kind != "bucket":
+                    continue
+                h = eq_hash.get(sf.source)
+                if h is not None:
+                    bkt.append((sf.partition_name, h % sf.param))
+            if bkt:
+                bkt_maps[osid] = bkt
+        chunk_paths = [
+            os.path.join(self._manifest_dir, f"{sha}.json")
+            for sha in sref["files_ref"]
+        ]
+        eqh = dict(eq_hash)
+
+        def kernel(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            for b in batches:
+                kept: list[str] = []
+                for line in b["value"]:
+                    for e in json.loads(line):
+                        osid = _origin_sid(e["path"])
+                        sk = key_maps.get(osid) or {c: c for c in pred_cols}
+                        stats = e.get("stats") or {}
+                        ok = True
+                        for col, op, val in preds:
+                            bnd = stats.get(sk.get(col, col))
+                            if bnd is None:
+                                continue
+                            lo, hi = bnd
+                            if not isinstance(val, type(lo)) and not (
+                                isinstance(val, (int, float))
+                                and isinstance(lo, (int, float))
+                            ):
+                                continue
+                            if (
+                                (op == "=" and not (lo <= val <= hi))
+                                or (op == "<" and not (lo < val))
+                                or (op == "<=" and not (lo <= val))
+                                or (op == ">" and not (hi > val))
+                                or (op == ">=" and not (hi >= val))
+                            ):
+                                ok = False
+                                break
+                        if ok and e.get("blooms"):
+                            for col, h in eqh.items():
+                                if h is None:
+                                    continue
+                                entry = e["blooms"].get(sk.get(col, col))
+                                if not entry or entry.get("type") != col_types.get(col):
+                                    continue
+                                m, k = entry["m"], entry["k"]
+                                bits = bytes.fromhex(entry["bits"])
+                                u = h & 0xFFFFFFFFFFFFFFFF
+                                if any(
+                                    not (
+                                        bits[((u >> (13 * j)) & (m - 1)) // 8]
+                                        >> (((u >> (13 * j)) & (m - 1)) % 8)
+                                    )
+                                    & 1
+                                    for j in range(k)
+                                ):
+                                    ok = False
+                                    break
+                        if ok and osid in bkt_maps and stats:
+                            for pname, tgt in bkt_maps[osid]:
+                                bnd = stats.get(pname)
+                                if bnd is not None and not (bnd[0] <= tgt <= bnd[1]):
+                                    ok = False
+                                    break
+                        if ok:
+                            kept.append(json.dumps(e))
+                yield pd.DataFrame({"e": kept}, dtype=object)
+
+        rows = (
+            spark.read.text(chunk_paths)
+            .mapInPandas(kernel, "e string")
+            .collect()
+        )
+        return [DataFile(**json.loads(r["e"])) for r in rows]
+
     def plan_files_dist(
         self,
         spark: SparkSession,
@@ -1569,11 +1829,24 @@ class SnapTable:
         range checks — runs in a ``mapInPandas`` Arrow kernel over
         those rows; the driver gets back only the kept paths. At 10⁶
         files the driver cost is building ~100-byte payloads, not
-        probing 10⁶ blooms serially."""
+        probing 10⁶ blooms serially.
+
+        MANIFEST FAST PATH (default with the chunked metadata
+        format): when the snapshot's file list lives in manifest
+        chunks on disk, Spark reads the chunk FILES directly
+        (``spark.read.text`` — executors parse the manifests, the
+        Iceberg distributed-planning shape) and the driver never
+        materializes an entry it doesn't keep: the kernel evaluates
+        every pruning rule — including the field-id stats-key
+        translation — and ships back only the kept entries. End to
+        end the driver cost is O(kept files), not O(table files)."""
         from apache_iceberg_tables_migration_tool_spark.functions.xxh64 import (
             spark_xxhash64,
         )
 
+        fast = self._plan_files_manifests(spark, predicates, snapshot_id)
+        if fast is not None:
+            return fast
         snap = self.resolve_snapshot(snapshot_id)
         meta = self._load_meta()
         commit_schemas = (
@@ -1590,7 +1863,9 @@ class SnapTable:
         pred_cols = [c for c, _, _ in predicates]
         eq_preds = [(c, v) for c, op, v in predicates if op == "="]
         eq_hash = {
-            c: spark_xxhash64(v, col_types.get(c, "")) for c, v in eq_preds
+            c: spark_xxhash64(v, col_types.get(c, ""))
+            for c, v in eq_preds
+            if v is not None
         }
         # per-origin translation and bucket context (≤ #snapshots keys)
         key_cache: dict[int, dict[str, str]] = {}
@@ -4034,6 +4309,21 @@ class SnapCatalog:
                     os.remove(
                         os.path.join(mdir, f"s{s['snapshot_id']:06d}.pub.json")
                     )
+            # reap manifest chunks the pruned history no longer
+            # references (same contract as expired data files; the
+            # just-saved table.json is the reference set of record)
+            if os.path.isdir(tbl._manifest_dir):
+                with open(tbl._meta_path) as fh:
+                    stored = json.load(fh)
+                live_refs: set[str] = set()
+                for s in stored.get("snapshots") or []:
+                    live_refs.update(s.get("files_ref") or [])
+                    if s.get("delete_files_ref"):
+                        live_refs.add(s["delete_files_ref"])
+                for fn in os.listdir(tbl._manifest_dir):
+                    if fn.endswith(".json") and fn[:-5] not in live_refs:
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(tbl._manifest_dir, fn))
             return [s["snapshot_id"] for s in expired]
 
     def compact(

@@ -245,3 +245,28 @@ def test_ann_index_report_staleness_and_balance(spark, tmp_path):
     # not-an-index tables are refused
     with pytest.raises(ValueError, match="not a maintained ANN index"):
         ann_index_report(spark, cat, "v", "emb")
+
+
+def test_refresh_ann_index_delete_only_slice(spark, tmp_path):
+    """A changelog slice containing ONLY deletes must still advance
+    the watermark (empty append) and fold as an O(delta) MOR delete —
+    the r9 append+delete_keys incremental path."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.write("v", "emb", _emb_df(spark, range(0, 40)))
+    kw = dict(nlist=4, train_sample=1000, iters=3, seed=1)
+    args = (spark, cat, "v", "emb", "v", "cells", "cent")
+    assert refresh_ann_index(*args, **kw) is not None
+    cent_df = cat.table("v", "cent").read(spark)
+
+    cat.delete_where("v", "emb", F.col("vec_id") < 10)  # deletes, no inserts
+    head = refresh_ann_index(*args, **kw)
+    assert head is not None
+    cells_tbl = cat.table("v", "cells")
+    # watermark advanced: a re-run is a no-op
+    assert refresh_ann_index(*args, **kw) is None
+    cells = cells_tbl.read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+    assert cells.where(F.col("vec_id") < 10).count() == 0
+    # and the fold was MOR: the cells table's delete commit is merge-on-read
+    ops = [s.operation for s in cells_tbl.main_chain()]
+    assert "delete" in ops

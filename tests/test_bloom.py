@@ -75,17 +75,18 @@ def test_bloom_survives_compaction(spark, tmp_path):
 def test_bloom_type_mismatch_is_skipped_not_wrong(spark, tmp_path):
     cat = _mk(spark, tmp_path)
     tbl = cat.table("db", "t")
-    meta_path = os.path.join(tbl.root, "metadata", "table.json")
-
     def _mutate(fn):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
+        meta = tbl._load_meta()
         for s in meta["snapshots"]:
             for f in s["files"]:
                 if f.get("blooms"):
                     fn(f)
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
+            # in-place file edits must drop the load-time chunk refs
+            # (the supported pattern is replace-not-mutate; this test
+            # deliberately reaches inside)
+            s.pop("files_ref", None)
+            s.pop("_files_fp", None)
+        tbl._save_meta(meta)
 
     # corrupt the stored type (simulating a type promotion the probe
     # must not hash under): the bloom must be SKIPPED — the plan falls

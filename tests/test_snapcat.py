@@ -2097,3 +2097,69 @@ def test_stale_breaker_fresh_lock_counted_and_waiter_survives(cat, monkeypatch):
     litter = [e for e in _os.listdir(meta) if ".stale." in e]
     assert litter == []
     _shutil.rmtree(root, ignore_errors=True)
+
+
+def test_manifest_chunked_metadata_write_amplification(spark, cat):
+    """table.json must stay O(history) — file lists live in immutable
+    content-addressed manifest chunks, and an append writes exactly
+    one new chunk (its added-files run), reusing the parent's."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 500).select("id", (F2.col("id") * 2).alias("v"))
+    cat.write("db", "chunked", df)
+    tbl = cat.table("db", "chunked")
+    mdir = tbl._manifest_dir
+
+    def chunks():
+        return {f for f in _os.listdir(mdir) if f.endswith(".json")}
+
+    c1 = chunks()
+    cat.write("db", "chunked", df, mode="append")
+    c2 = chunks()
+    assert c1 <= c2
+    # one new data chunk for the append (append-only history: parent
+    # runs are reused byte-identically)
+    assert len(c2 - c1) == 1
+    # table.json itself carries refs, never file paths
+    with open(tbl._meta_path) as fh:
+        stored = _json.load(fh)
+    for s in stored["snapshots"]:
+        assert "files" not in s and "files_ref" in s
+        assert all(len(r) == 40 for r in s["files_ref"])
+    # reconstruction round-trips exactly
+    snaps = tbl.snapshots()
+    assert snaps[-1].files and len(snaps[-1].files) == len(snaps[-2].files) * 2
+    assert tbl.read(spark).count() == 1000
+
+
+def test_manifest_chunks_reaped_on_expire(spark, cat):
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 100).select("id", (F2.col("id") * 2).alias("v"))
+    cat.write("db", "reap", df)
+    for _ in range(3):
+        cat.write("db", "reap", df, mode="overwrite")
+    tbl = cat.table("db", "reap")
+    before = {f for f in _os.listdir(tbl._manifest_dir) if f.endswith(".json")}
+    # overwrites of IDENTICAL data share content-addressed chunks; at
+    # least the distinct run layouts exist
+    expired = cat.expire_snapshots("db", "reap", keep_last=1)
+    assert expired
+    after = {f for f in _os.listdir(tbl._manifest_dir) if f.endswith(".json")}
+    assert after <= before
+    # every surviving chunk is referenced by the kept history
+    import json as _json
+    with open(tbl._meta_path) as fh:
+        stored = _json.load(fh)
+    live = set()
+    for s in stored["snapshots"]:
+        live.update(s.get("files_ref") or [])
+        if s.get("delete_files_ref"):
+            live.add(s["delete_files_ref"])
+    assert {f[:-5] for f in after} == live
+    assert tbl.read(spark).count() == 100
