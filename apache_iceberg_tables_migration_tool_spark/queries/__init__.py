@@ -171,6 +171,12 @@ _DRIVER_PRIORITY = [
 # (.claude/skills/verify/run_verify.py, run each round); new carriers
 # registered after a round's window is set queue for the next one and
 # are named in the rotation comment above.
+#
+# LATE-R9 REGISTRATION queued for the r10 window:
+# scan_planning_report (r9's manifest-chunk planning observability +
+# plan_files_dist parity carrier; sweep- and oracle-verified at
+# registration). The r10 rotation should grade it together with the
+# 23 r6-tier rows named above.
 
 
 def _apply_driver_priority() -> None:

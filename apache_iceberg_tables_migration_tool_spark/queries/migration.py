@@ -2617,3 +2617,75 @@ def streaming_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "scan_planning_report",
+    tags=("migration", "metadata", "planning"),
+    oracle="""
+WITH k AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders
+),
+ext AS (SELECT MIN(id) AS mn, MAX(id) AS mx FROM k),
+banded AS (
+  SELECT id,
+         LEAST(7, CAST(FLOOR((id - mn) * 8.0 / (mx - mn + 1)) AS BIGINT)) AS band
+  FROM k, ext
+),
+per_file AS (
+  SELECT band, MIN(id) AS lo, MAX(id) AS hi FROM banded GROUP BY band
+),
+probe AS (SELECT MIN(id) AS p FROM k)
+SELECT
+  CAST(SUM(CASE WHEN p BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_read,
+  CAST(SUM(CASE WHEN p BETWEEN lo AND hi THEN 0 ELSE 1 END) AS BIGINT)
+    AS files_skipped,
+  CAST((SELECT COUNT(*) FROM per_file) AS BIGINT) AS files_total,
+  TRUE AS dist_matches_driver
+FROM per_file, probe
+""",
+)
+def scan_planning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-planning observability + distributed-planning parity in
+    one carrier (r9): write orders keys into a catalog table banded by
+    a DETERMINISTIC range formula (least(7, floor((id-min)*8/span)) —
+    identical in Spark and the DuckDB oracle, unlike
+    repartitionByRange's sampled boundaries), one file per band, then
+    point-look-up the minimum key and report how many files the
+    manifest planner reads vs skips — plus a flag proving
+    :meth:`plan_files_dist` (the executor-side manifest-chunk kernel)
+    picked EXACTLY the driver walk's file set. Mirrors Iceberg's
+    planned-vs-scanned metrics surface; the reference has no planning
+    observability at all (every read is a full-table SELECT,
+    `5_migrate_tables_data.py:72-80`)."""
+    root = tempfile.mkdtemp(prefix="snapcat_spr_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        ids = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("id")
+        )
+        lo, hi = ids.agg(F.min("id"), F.max("id")).first()
+        banded = ids.withColumn(
+            "band",
+            F.least(
+                F.lit(7),
+                F.floor((F.col("id") - F.lit(lo)) * 8.0 / F.lit(hi - lo + 1)),
+            ).cast("long"),
+        ).repartition(8, "band")
+        cat.write("db", "keys", banded, partition_by=["band"], committed_at=_T[0])
+        tbl = cat.table("db", "keys")
+        preds = [("id", "=", int(lo))]
+        rep = tbl.scan_report(spark, preds)
+        drv = {f.path for f in tbl.plan_files(preds)}
+        dist = {f.path for f in tbl.plan_files_dist(spark, preds)}
+        agg = rep.agg(
+            F.sum((F.col("decision") == "read").cast("long")).alias("files_read"),
+            F.sum((F.col("decision") == "skipped").cast("long")).alias(
+                "files_skipped"
+            ),
+            F.count("*").alias("files_total"),
+        ).withColumn("dist_matches_driver", F.lit(dist == drv))
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

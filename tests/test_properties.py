@@ -669,3 +669,83 @@ def test_txn_atomicity_under_random_crash_points(spark, tmp_path_factory, tape):
             else []
         )
         assert got == sorted(expected), f"table t{t_idx}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    snaps=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=40),   # origin sid
+                st.integers(min_value=0, max_value=10**6),  # file #
+                st.one_of(
+                    st.none(),
+                    st.dictionaries(
+                        st.sampled_from(["id", "v", "name"]),
+                        st.tuples(
+                            st.integers(-10**9, 10**9),
+                            st.integers(-10**9, 10**9),
+                        ).map(list),
+                        max_size=3,
+                    ),
+                ),
+            ),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_manifest_chunk_roundtrip(tmp_path_factory, snaps):
+    """The chunked metadata store must round-trip ARBITRARY snapshot
+    file lists exactly — order, stats, every field — through
+    _save_meta → _load_meta, including re-saves that trust refs."""
+    import json as _json
+    import os as _os
+
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+        SnapCatalog,
+    )
+
+    root = tmp_path_factory.mktemp("chunkprop")
+    cat = SnapCatalog(str(root / "wh"))
+    tbl = cat.table("db", "t")
+    _os.makedirs(_os.path.dirname(tbl._meta_path), exist_ok=True)
+    meta = {"current_id": len(snaps), "snapshots": []}
+    for i, files in enumerate(snaps, start=1):
+        meta["snapshots"].append(
+            {
+                "snapshot_id": i,
+                "parent_id": i - 1 or None,
+                "committed_at": f"2024-06-{i:02d}T00:00:00+00:00",
+                "operation": "append",
+                "summary": {},
+                "schema_ddl": "id BIGINT",
+                "partition_spec": [],
+                "files": [
+                    {
+                        "path": f"data/s{sid:06d}/part-{n:07d}.parquet",
+                        "records": n,
+                        "bytes": n * 10,
+                        "stats": stats,
+                    }
+                    for sid, n, stats in files
+                ],
+                "delete_files": [],
+            }
+        )
+    expected = _json.loads(_json.dumps(meta))  # deep copy
+    tbl._save_meta(meta)
+    got = tbl._load_meta()
+    for s_exp, s_got in zip(expected["snapshots"], got["snapshots"]):
+        # loaded entries may carry extra default-None DataFile keys; compare
+        # on the expected keys exactly, including order of the list
+        assert len(s_got["files"]) == len(s_exp["files"])
+        for fe, fg in zip(s_exp["files"], s_got["files"]):
+            for k, v in fe.items():
+                assert fg.get(k) == v, (k, fe, fg)
+    # second save (refs trusted) then load must be identical again
+    tbl._save_meta(got)
+    got2 = tbl._load_meta()
+    for s1, s2 in zip(got["snapshots"], got2["snapshots"]):
+        assert s1["files"] == s2["files"]
