@@ -2163,3 +2163,43 @@ def test_manifest_chunks_reaped_on_expire(spark, cat):
             live.add(s["delete_files_ref"])
     assert {f[:-5] for f in after} == live
     assert tbl.read(spark).count() == 100
+
+
+def test_inline_legacy_metadata_upgrades_on_next_commit(spark, cat):
+    """Tables written by the pre-chunk format (file lists inline in
+    table.json) must read unchanged and upgrade to chunk refs on
+    their next commit."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 50).select("id", (F2.col("id") * 2).alias("v"))
+    cat.write("db", "legacy", df)
+    tbl = cat.table("db", "legacy")
+    # rewrite table.json to the OLD inline format
+    meta = tbl._load_meta()
+    for s in meta["snapshots"]:
+        s.pop("files_ref", None)
+        s.pop("_files_fp", None)
+        s.pop("delete_files_ref", None)
+        s.pop("_dels_fp", None)
+    with open(tbl._meta_path, "w") as fh:
+        _json.dump(meta, fh)
+    import shutil as _shutil
+
+    _shutil.rmtree(tbl._manifest_dir, ignore_errors=True)
+
+    # reads work straight off the inline format
+    assert tbl.read(spark).count() == 50
+    assert {f.path for f in tbl.plan_files([("id", "<", 10)])}
+    # dist planning falls back (no chunks) and still matches
+    drv = {f.path for f in tbl.plan_files([("id", "<", 10)])}
+    assert {f.path for f in tbl.plan_files_dist(spark, [("id", "<", 10)])} == drv
+
+    # next commit upgrades the whole log to chunk refs
+    cat.write("db", "legacy", df, mode="append")
+    with open(tbl._meta_path) as fh:
+        stored = _json.load(fh)
+    assert all("files_ref" in s and "files" not in s for s in stored["snapshots"])
+    assert tbl.read(spark).count() == 100
