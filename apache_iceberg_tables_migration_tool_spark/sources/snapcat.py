@@ -927,23 +927,36 @@ class SnapTable:
             runs.append(cur)
         return runs
 
-    def _load_meta(self) -> dict:
+    def _expand_snapshot(self, s: dict) -> dict:
+        """Materialize one snapshot dict's file lists from its chunk
+        refs, in place (idempotent)."""
+        if "files_ref" in s and "files" not in s:
+            files: list = []
+            for sha in s["files_ref"]:
+                files.extend(self._read_chunk(sha))
+            s["files"] = files
+            s["_files_fp"] = self._fingerprint(files)
+        if "delete_files_ref" in s and "delete_files" not in s:
+            s["delete_files"] = (
+                self._read_chunk(s["delete_files_ref"])
+                if s["delete_files_ref"]
+                else []
+            )
+            s["_dels_fp"] = self._fingerprint(s["delete_files"])
+        return s
+
+    def _load_meta(self, expand: bool = True) -> dict:
+        """Load table.json. ``expand=True`` (default) materializes
+        every snapshot's file lists; ``expand=False`` leaves chunk
+        refs unexpanded — O(log size), not O(table files) — for paths
+        that only touch summaries/pointers (expand the snapshots they
+        DO read via :meth:`_expand_snapshot`). Saving a partially
+        expanded meta is safe: :meth:`_save_meta` trusts intact refs."""
         with open(self._meta_path) as f:
             meta = json.load(f)
-        for s in meta.get("snapshots") or []:
-            if "files_ref" in s:
-                files: list = []
-                for sha in s["files_ref"]:
-                    files.extend(self._read_chunk(sha))
-                s["files"] = files
-                s["_files_fp"] = self._fingerprint(files)
-            if "delete_files_ref" in s:
-                s["delete_files"] = (
-                    self._read_chunk(s["delete_files_ref"])
-                    if s["delete_files_ref"]
-                    else []
-                )
-                s["_dels_fp"] = self._fingerprint(s["delete_files"])
+        if expand:
+            for s in meta.get("snapshots") or []:
+                self._expand_snapshot(s)
         return meta
 
     def _save_meta(self, meta: dict) -> None:
@@ -956,17 +969,28 @@ class SnapTable:
                 for k, v in s.items()
                 if k not in ("files", "delete_files", "_files_fp", "_dels_fp")
             }
-            files = s.get("files") or []
-            if not ("files_ref" in s and s.get("_files_fp") == self._fingerprint(files)):
-                s2["files_ref"] = [
-                    self._write_chunk(run) for run in self._chunk_runs(files)
-                ]
-            dels = s.get("delete_files") or []
-            if not (
-                "delete_files_ref" in s
-                and s.get("_dels_fp") == self._fingerprint(dels)
-            ):
-                s2["delete_files_ref"] = self._write_chunk(dels) if dels else None
+            if "files" not in s and "files_ref" in s:
+                pass  # never expanded — refs are authoritative
+            else:
+                files = s.get("files") or []
+                if not (
+                    "files_ref" in s
+                    and s.get("_files_fp") == self._fingerprint(files)
+                ):
+                    s2["files_ref"] = [
+                        self._write_chunk(run) for run in self._chunk_runs(files)
+                    ]
+            if "delete_files" not in s and "delete_files_ref" in s:
+                pass  # never expanded — refs are authoritative
+            else:
+                dels = s.get("delete_files") or []
+                if not (
+                    "delete_files_ref" in s
+                    and s.get("_dels_fp") == self._fingerprint(dels)
+                ):
+                    s2["delete_files_ref"] = (
+                        self._write_chunk(dels) if dels else None
+                    )
             out_snaps.append(s2)
         stored["snapshots"] = out_snaps
         tmp = self._meta_path + ".tmp"
@@ -1038,7 +1062,10 @@ class SnapTable:
         until :meth:`SnapCatalog.publish` flips the pointer."""
         if not self.exists():
             return None
-        meta = self._load_meta()
+        # raw load + single-snapshot expansion: the head lookup is the
+        # hottest metadata call and must not pay O(table files) to
+        # materialize every historical file list (r9)
+        meta = self._load_meta(expand=False)
         snaps = meta["snapshots"]
         if not snaps:
             return None
@@ -1047,7 +1074,7 @@ class SnapTable:
             return None
         for s in snaps:
             if s["snapshot_id"] == cid:
-                return _snap_from_dict(s)
+                return _snap_from_dict(self._expand_snapshot(s))
         raise LookupError(
             f"current snapshot {cid} missing from {self.database}.{self.name} metadata"
         )
@@ -1056,7 +1083,7 @@ class SnapTable:
         """Named refs (≙ Iceberg tags): name → {snapshot_id, type}."""
         if not self.exists():
             return {}
-        return dict(self._load_meta().get("refs", {}))
+        return dict(self._load_meta(expand=False).get("refs", {}))
 
     def main_chain(self) -> list[Snapshot]:
         """Published lineage, oldest → current, following parent_id
@@ -1080,7 +1107,7 @@ class SnapTable:
         (comments, format hints, owners) and survive every commit."""
         if not self.exists():
             return {}
-        return dict(self._load_meta().get("properties", {}))
+        return dict(self._load_meta(expand=False).get("properties", {}))
 
     def resolve_snapshot(
         self,
@@ -1093,30 +1120,47 @@ class SnapTable:
         (2_collect_database_schema_info.py:34-55) plus Iceberg's
         ``VERSION AS OF 'tag'``. By-id resolution is global (staged
         WAP snapshots are readable for audit); ``as_of`` and the
-        default resolve against the PUBLISHED lineage only."""
-        snaps = self.snapshots()
-        if not snaps:
+        default resolve against the PUBLISHED lineage only.
+
+        Resolution walks RAW snapshot summaries (ids, parents,
+        timestamps) and expands exactly ONE snapshot's file list —
+        never O(table files) for a point lookup (r9)."""
+        if not self.exists():
+            raise LookupError(f"table {self.database}.{self.name} has no snapshots")
+        meta = self._load_meta(expand=False)
+        raw = meta.get("snapshots") or []
+        if not raw:
             raise LookupError(f"table {self.database}.{self.name} has no snapshots")
         if ref is not None:
-            r = self.refs().get(ref)
+            r = meta.get("refs", {}).get(ref)
             if r is None:
                 raise LookupError(f"ref {ref!r} not found in {self.database}.{self.name}")
             snapshot_id = r["snapshot_id"]
         if snapshot_id is not None:
-            for s in snaps:
-                if s.snapshot_id == snapshot_id:
-                    return s
+            for s in raw:
+                if s["snapshot_id"] == snapshot_id:
+                    return _snap_from_dict(self._expand_snapshot(s))
             raise LookupError(f"snapshot {snapshot_id} not found in {self.database}.{self.name}")
+        by_id = {s["snapshot_id"]: s for s in raw}
+        cid = _current_id(meta)
         if as_of is not None:
             ts = _parse_iso(as_of) if isinstance(as_of, str) else as_of
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
-            valid = [s for s in self.main_chain() if _parse_iso(s.committed_at) <= ts]
-            if not valid:
+            walk = cid or None
+            best = None
+            while walk is not None and walk in by_id:
+                s = by_id[walk]
+                if _parse_iso(s["committed_at"]) <= ts and (
+                    best is None or s["snapshot_id"] > best["snapshot_id"]
+                ):
+                    best = s
+                walk = s.get("parent_id")
+            if best is None:
                 raise LookupError(
                     f"no snapshot of {self.database}.{self.name} at or before {ts.isoformat()}"
                 )
-            return valid[-1]
+            return _snap_from_dict(self._expand_snapshot(best))
         cur = self.current_snapshot()
         assert cur is not None  # snaps is non-empty
         return cur
