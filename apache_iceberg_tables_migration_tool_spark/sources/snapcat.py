@@ -1365,7 +1365,7 @@ class SnapTable:
         if snap.field_ids is None and not all_dels and not with_lineage:
             return self._read_paths(spark, target, rel_paths, with_file_path, with_pos)
         commit_schemas = (
-            self._load_meta().get("commit_schemas", {})
+            self._load_meta(expand=False).get("commit_schemas", {})
             if snap.field_ids is not None
             else {}
         )
@@ -1601,7 +1601,7 @@ class SnapTable:
         )
 
         snap = self.resolve_snapshot(snapshot_id)
-        meta = self._load_meta()
+        meta = self._load_meta(expand=False)
         commit_schemas = (
             meta.get("commit_schemas", {}) if snap.field_ids is not None else {}
         )
@@ -1892,7 +1892,7 @@ class SnapTable:
         if fast is not None:
             return fast
         snap = self.resolve_snapshot(snapshot_id)
-        meta = self._load_meta()
+        meta = self._load_meta(expand=False)
         commit_schemas = (
             meta.get("commit_schemas", {}) if snap.field_ids is not None else {}
         )
@@ -2121,7 +2121,7 @@ class SnapTable:
         Files without stats are conservatively kept."""
         keep: set[str] = set()
         commit_schemas = (
-            self._load_meta().get("commit_schemas", {})
+            self._load_meta(expand=False).get("commit_schemas", {})
             if end.field_ids is not None
             else {}
         )
@@ -2322,7 +2322,7 @@ class SnapTable:
                     c for c in parent_state.columns if c not in ("__file", "__pos")
                 ]
                 cl_schemas = (
-                    self._load_meta().get("commit_schemas", {})
+                    self._load_meta(expand=False).get("commit_schemas", {})
                     if end.field_ids is not None
                     else {}
                 )
@@ -2532,7 +2532,7 @@ class SnapTable:
         :meth:`SnapCatalog.analyze` (≙ Iceberg puffin NDV blobs) —
         metadata-only fetch, plus the snapshot they describe so
         callers can detect staleness."""
-        return self._load_meta().get("column_stats")
+        return self._load_meta(expand=False).get("column_stats")
 
     def stats_df(self, spark: SparkSession) -> DataFrame:
         """:meth:`column_stats` as a metadata table: one row per
@@ -2752,7 +2752,7 @@ class SnapCatalog:
         if not tbl.exists():
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             props = dict(meta.get("properties", {}))
             for k, v in updates.items():
                 if v is None:
@@ -2815,7 +2815,7 @@ class SnapCatalog:
             for c in cols
         }
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             meta["column_stats"] = {
                 "snapshot_id": snap.snapshot_id,
                 "row_count": n,
@@ -3053,7 +3053,7 @@ class SnapCatalog:
         if not tbl.exists():
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             cid = _current_id(meta)
             prev_dict = next(
                 (s for s in meta["snapshots"] if s["snapshot_id"] == cid), None
@@ -3062,7 +3062,7 @@ class SnapCatalog:
                 raise LookupError(
                     f"table {database}.{name} has no published snapshot"
                 )
-            prev = _snap_from_dict(prev_dict)
+            prev = _snap_from_dict(tbl._expand_snapshot(prev_dict))
             names = {f.name for f in T._parse_datatype_string(prev.schema_ddl).fields}
             new_sfs = spec_fields(partition_by)  # validates transform syntax
             _validate_spec_against_schema(new_sfs, names, f"{database}.{name}")
@@ -3170,15 +3170,15 @@ class SnapCatalog:
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
             if branch is not None:
-                bmeta = tbl._load_meta() if tbl.exists() else {}
+                bmeta = tbl._load_meta(expand=False) if tbl.exists() else {}
                 bref = bmeta.get("refs", {}).get(branch)
                 if bref is None or bref.get("type") != "branch":
                     raise LookupError(f"branch {branch!r} not found in {database}.{name}")
                 prev = _snap_from_dict(
-                    next(
+                    tbl._expand_snapshot(next(
                         s for s in bmeta["snapshots"]
                         if s["snapshot_id"] == bref["snapshot_id"]
-                    )
+                    ))
                 )
             else:
                 prev = tbl.current_snapshot()
@@ -3194,7 +3194,7 @@ class SnapCatalog:
                 if partition_by is not None
                 else (prev.partition_spec if prev else [])
             )
-            meta = tbl._load_meta() if tbl.exists() else {"format_version": 1, "snapshots": []}
+            meta = tbl._load_meta(expand=False) if tbl.exists() else {"format_version": 1, "snapshots": []}
             sid = _next_id(meta)
             # a rewrite carrying materialized lineage columns keeps them
             # physical-only: excluded from the logical schema / field ids
@@ -3473,7 +3473,7 @@ class SnapCatalog:
         materialized_lineage: bool = False,
         staged: bool = False,
     ) -> Snapshot:
-        meta = tbl._load_meta()
+        meta = tbl._load_meta(expand=False)
         final_sid = sid if sid is not None else _next_id(meta)
         _assign_row_ids(meta, new_files, materialized_lineage)
         if "next_field_id" in meta and new_files:
@@ -3546,7 +3546,7 @@ class SnapCatalog:
                 for r in cur.join(keys, key_cols, "left_semi").select("__file").distinct().collect()
             ]  # O(matched files) driver rows — manifest-scale, not data-scale
             affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
-            sid = _next_id(tbl._load_meta())
+            sid = _next_id(tbl._load_meta(expand=False))
             if affected_rel:
                 touched = cur.where(F.col("__file").isin(list(affected_abs)))
                 # matched update rows INHERIT the replaced row's _row_id
@@ -3629,7 +3629,7 @@ class SnapCatalog:
                     _root_rel_col(tbl.root).alias("file_path"),
                     F.col("__pos").alias("pos"),
                 )
-                meta = tbl._load_meta()
+                meta = tbl._load_meta(expand=False)
                 sid = _next_id(meta)
                 new_dels = self._write_position_delete_files(tbl, sid, matched)
                 n_rows = sum(d.records for d in new_dels)
@@ -3692,7 +3692,7 @@ class SnapCatalog:
                 .where(~F.coalesce(cond, F.lit(False)))
                 .drop("__file")
             )
-            sid = _next_id(tbl._load_meta())
+            sid = _next_id(tbl._load_meta(expand=False))
             new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
             files = [f for f in prev.files if f.path not in affected_rel] + new_files
             return self._commit(
@@ -3789,7 +3789,7 @@ class SnapCatalog:
                 raise ValueError(
                     f"delete key columns {missing} not in {database}.{name} schema"
                 )
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)
             new_dels = self._write_delete_files(tbl, sid, keys, kc)
             if not new_dels:  # empty key set: audit commit, no dead files
@@ -3846,7 +3846,7 @@ class SnapCatalog:
             )
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)
             new_files = self._write_data_files(tbl, sid, updates, prev.partition_spec)
             # new row versions get fresh virtual row ids (v3: MOR merge
@@ -3922,7 +3922,7 @@ class SnapCatalog:
                     tbl, prev, list(prev.files), [], "update", committed_at,
                     {"rewritten-data-files": "0"}, staged=staged,
                 )
-            sid = _next_id(tbl._load_meta())
+            sid = _next_id(tbl._load_meta(expand=False))
             # updated rows keep their _row_id but bump _last_updated_seq
             # to this commit; carried rows keep both (Iceberg v3)
             rewritten = cur.where(F.col("__file").isin(list(affected_abs))).select(
@@ -3960,7 +3960,7 @@ class SnapCatalog:
         if not tbl.exists():
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             sid = snapshot_id if snapshot_id is not None else _current_id(meta)
             if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
                 raise LookupError(f"snapshot {sid} not found in {database}.{name}")
@@ -3984,7 +3984,7 @@ class SnapCatalog:
         if not tbl.exists():
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             sid = snapshot_id if snapshot_id is not None else _current_id(meta)
             if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
                 raise LookupError(f"snapshot {sid} not found in {database}.{name}")
@@ -4010,7 +4010,7 @@ class SnapCatalog:
         if not tbl.exists():
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             bref = meta.get("refs", {}).get(branch)
             if bref is None or bref.get("type") != "branch":
                 raise LookupError(f"branch {branch!r} not found in {database}.{name}")
@@ -4039,7 +4039,7 @@ class SnapCatalog:
         snapshot itself stays until expiration."""
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             refs = meta.get("refs", {})
             if ref_name not in refs:
                 raise LookupError(f"ref {ref_name!r} not found in {database}.{name}")
@@ -4064,7 +4064,10 @@ class SnapCatalog:
         if not tbl.exists():
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            # raw load: publish touches at most three snapshots' file
+            # lists (staged, head, staged's parent) — expand exactly
+            # those, never the whole history (r9)
+            meta = tbl._load_meta(expand=False)
             by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
             if snapshot_id not in by_id:
                 raise LookupError(f"snapshot {snapshot_id} not found in {database}.{name}")
@@ -4083,23 +4086,24 @@ class SnapCatalog:
             while walk is not None and walk in by_id:
                 s = by_id[walk]
                 if walk == snapshot_id:
-                    return _snap_from_dict(staged)
+                    return _snap_from_dict(tbl._expand_snapshot(staged))
                 if s["summary"].get("published-from") == str(snapshot_id):
-                    return _snap_from_dict(s)
+                    return _snap_from_dict(tbl._expand_snapshot(s))
                 walk = s["parent_id"]
             if staged["parent_id"] == (cur_id or None):
                 meta["current_id"] = snapshot_id
                 tbl._save_meta(meta)
                 # pointer-only commit: wake the marker feed explicitly
                 tbl._write_publish_marker(snapshot_id)
-                return _snap_from_dict(staged)
+                return _snap_from_dict(tbl._expand_snapshot(staged))
             if staged["operation"] != "append":
                 raise CommitConflictError(
                     f"cannot publish staged {staged['operation']!r} snapshot "
                     f"{snapshot_id} of {database}.{name}: base moved from "
                     f"{staged['parent_id']} to {cur_id}"
                 )
-            cur = by_id[cur_id]
+            cur = tbl._expand_snapshot(by_id[cur_id])
+            tbl._expand_snapshot(staged)
             if any(
                 d.get("sequence", 0) > snapshot_id
                 and d.get("kind", "equality") == "equality"
@@ -4120,7 +4124,10 @@ class SnapCatalog:
                     "landed after it was staged"
                 )
             parent_files = (
-                {f["path"] for f in by_id[staged["parent_id"]]["files"]}
+                {
+                    f["path"]
+                    for f in tbl._expand_snapshot(by_id[staged["parent_id"]])["files"]
+                }
                 if staged["parent_id"] is not None and staged["parent_id"] in by_id
                 else set()
             )
@@ -4179,13 +4186,13 @@ class SnapCatalog:
         the table was rolled back."""
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
-            meta = tbl._load_meta()
+            meta = tbl._load_meta(expand=False)
             by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
             if snapshot_id not in by_id:
                 raise LookupError(
                     f"snapshot {snapshot_id} not found in {database}.{name}"
                 )
-            target = by_id[snapshot_id]
+            target = tbl._expand_snapshot(by_id[snapshot_id])
             cur = _current_id(meta)
             sid = _next_id(meta)
             snap = Snapshot(
@@ -4435,7 +4442,7 @@ class SnapCatalog:
                             f"concurrent commit on {database}.{name} during binpack"
                         )
                         continue
-                    sid = _next_id(tbl._load_meta())
+                    sid = _next_id(tbl._load_meta(expand=False))
                     new_files = self._write_data_files(
                         tbl, sid, sdf, base.partition_spec
                     )
