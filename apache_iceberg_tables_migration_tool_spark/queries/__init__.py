@@ -82,33 +82,34 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-9 ROTATION (verdict r8 action #1, standing longest-
+    # ROUND-10 ROTATION (verdict r9 action #1, standing longest-
     # ungraded-first policy). Kept for continuity: the flagship + the
     # two bench watch-list dedups + the two bench second carriers.
-    # Rotated IN: all 19 queued late-r8 registrations the r8 rotation
-    # comment named (transactions, SQL front-end, blooms, ANN
-    # maintenance, semantic dedup, catalog sync, the new incremental
-    # view kinds, chunking, gap-fill, anomalies, image ingest index)
-    # — none had a driver-graded row; the 4 r4 doubles the r8 comment
-    # queued (bracket_revenue_q19, small_quantity_revenue_q17,
-    # top_supplier_q15, session_window_events); and 22 of the 45 rows
-    # last graded in ROUND 6 — the whole snapshot-catalog lifecycle
-    # tier plus the two r8 perf-watch carriers (corpus_build_e2e,
-    # changelog_cdc_stream) so the driver re-grades them alongside the
-    # commit-path profiling work this round. Left in the r6 tier,
-    # queued FIRST for r10: dedup_duplicate_spans, knn_graph_neighbors,
-    # embedding_outliers, knn_int8_quantized, audio_spectral_profile,
-    # dedup_embedding_clusters, video_frame_sample, top_bigrams_per_lang,
-    # clean_text_stats, profit_by_nation_year_q9,
-    # large_volume_customers_q18, min_cost_supplier_q2,
-    # shipping_priority_q3, repetition_profile, mixture_weighted_sample,
-    # sample_fixed_per_lang, source_overlap_matrix,
-    # quality_weighted_sample, dataset_split_report, oov_rate_report,
-    # inverted_index_terms, unigram_surprisal_quality,
-    # bigram_surprisal_quality (23 rows, all driver-green in r6 and
-    # sweep-green since). Rotated OUT: the 45 non-continuity rows
-    # graded in round 8 (all now >=2 greens). bpe_train_merges stays
-    # out by the rows-only policy (window keeps 100%-hash-checked).
+    # Rotated IN: the 23 r6-tier rows the r9 rotation comment queued
+    # FIRST for this round (all driver-green in r6 and sweep-green
+    # every round since); scan_planning_report — the late-r9
+    # registration that hard-verifies the manifest-chunk planning
+    # plane (never graded); and 21 of the 45 rows last graded in
+    # ROUND 7, chosen to re-grade exactly the planes this round's
+    # engineering touches — the history-walk consumers
+    # (snapshot_history_ops, migration_history_replay,
+    # wap_audit_publish, rowlevel_merge_delete,
+    # streaming_changelog_view, migration_e2e_report) for the
+    # summary-only snapshots() work, the maintained-index /
+    # ingest family (dedup_incremental_ingest, incremental_minmax_view,
+    # knn_ivf) for the delete-compaction policy, plus the sole
+    # carriers of search (bm25_search_topk), clustering
+    # (dedup_clusters), multimodal (multimodal_decode_image,
+    # dedup_image_phash, multimodal_feature_knn), curation
+    # (contamination_benchmark_overlap, pii_redaction,
+    # stratified_sample_langs, pack_training_sequences),
+    # token_count_bpe, window_topk_orders_per_customer and
+    # sql_api_top_spenders. Rotated OUT: the 45 non-continuity rows
+    # graded in round 9 (all now >=2 greens) and 24 r7-tier
+    # multi-green relational/window secondary carriers.
+    # bpe_train_merges stays out by the rows-only policy (the window
+    # keeps its 100%-hash-checked discipline; exactness is
+    # pytest-pinned against a sequential reference).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
     "flagship_topk_revenue",
@@ -116,54 +117,54 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # late-r8 registrations, never graded (19)
-    "incremental_distinct_view",
-    "incremental_topk_view",
-    "incremental_quantile_view",
-    "incremental_topk_join_view",
-    "incremental_join_chain_view",
-    "view_rewrite_navigation",
-    "view_rewrite_join_navigation",
-    "ann_index_maintenance",
-    "dedup_semantic_ann",
-    "dedup_image_ingest_index",
-    "multi_table_transaction",
-    "bloom_point_lookup",
-    "incremental_catalog_sync",
-    "streaming_catalog_sync",
-    "sql_time_travel_catalog",
-    "chunk_documents_overlap",
-    "dup_ngram_doc_filter",
-    "resample_daily_forward_fill",
-    "rolling_zscore_anomalies",
-    # r4 doubles queued by the r8 comment (4)
-    "bracket_revenue_q19",
-    "small_quantity_revenue_q17",
-    "top_supplier_q15",
-    "session_window_events",
-    # last graded round 6 — snapshot-catalog lifecycle + perf watch (22)
-    "branch_write_fast_forward",
-    "partition_stats_metadata",
-    "rollback_and_orphan_cleanup",
-    "merge_on_read_lifecycle",
-    "changelog_cdc_stream",
-    "schema_evolution_lifecycle",
-    "partition_evolution_scan",
-    "position_delete_scan",
-    "row_lineage_audit",
-    "streaming_catalog_tail",
-    "table_column_stats",
-    "hidden_partition_scan",
-    "incremental_view_maintenance",
-    "streaming_view_maintenance",
-    "knn_ivf_persisted",
-    "streaming_dedup_counts",
-    "stream_stream_join_events",
-    "knn_pq_adc",
-    "corpus_build_e2e",
-    "curation_pipeline_e2e",
-    "data_quality_report",
-    "source_reputation_gate",
+    # the 23 r6-tier rows queued by the r9 rotation comment
+    "dedup_duplicate_spans",
+    "knn_graph_neighbors",
+    "embedding_outliers",
+    "knn_int8_quantized",
+    "audio_spectral_profile",
+    "dedup_embedding_clusters",
+    "video_frame_sample",
+    "top_bigrams_per_lang",
+    "clean_text_stats",
+    "profit_by_nation_year_q9",
+    "large_volume_customers_q18",
+    "min_cost_supplier_q2",
+    "shipping_priority_q3",
+    "repetition_profile",
+    "mixture_weighted_sample",
+    "sample_fixed_per_lang",
+    "source_overlap_matrix",
+    "quality_weighted_sample",
+    "dataset_split_report",
+    "oov_rate_report",
+    "inverted_index_terms",
+    "unigram_surprisal_quality",
+    "bigram_surprisal_quality",
+    # late-r9 registration, never graded — r9's biggest engineering
+    "scan_planning_report",
+    # last graded round 7 (21): this round's touched planes + sole carriers
+    "snapshot_history_ops",
+    "migration_history_replay",
+    "migration_e2e_report",
+    "wap_audit_publish",
+    "rowlevel_merge_delete",
+    "streaming_changelog_view",
+    "incremental_minmax_view",
+    "dedup_incremental_ingest",
+    "knn_ivf",
+    "bm25_search_topk",
+    "dedup_clusters",
+    "multimodal_decode_image",
+    "dedup_image_phash",
+    "multimodal_feature_knn",
+    "token_count_bpe",
+    "contamination_benchmark_overlap",
+    "pii_redaction",
+    "stratified_sample_langs",
+    "pack_training_sequences",
+    "window_topk_orders_per_customer",
+    "sql_api_top_spenders",
 ]
 # Standing invariants of the window policy: every out-of-window query
 # keeps at least one driver-graded green row and stays pinned by
@@ -172,11 +173,19 @@ _DRIVER_PRIORITY = [
 # registered after a round's window is set queue for the next one and
 # are named in the rotation comment above.
 #
-# LATE-R9 REGISTRATION queued for the r10 window:
-# scan_planning_report (r9's manifest-chunk planning observability +
-# plan_files_dist parity carrier; sweep- and oracle-verified at
-# registration). The r10 rotation should grade it together with the
-# 23 r6-tier rows named above.
+# Queued FIRST for the r11 window: the 24 r7-tier rows left out of
+# the r10 rotation (distinct_counts, cube_lineitem_flags,
+# pivot_status_priority, running_total_per_customer,
+# having_popular_parts, ntile_price_quartiles, grouping_sets_flags,
+# min_price_item_per_order, window_rank_metrics,
+# sliding_window_events, snapshot_row_diff, approx_distinct_users,
+# range_join_value_buckets, skew_salted_agg, portable_corr_stats,
+# user_event_type_sets, orders_by_weekday,
+# rolling_30d_customer_spend, funnel_conversion,
+# weekly_cohort_retention, approx_percentile_quality, zorder_values,
+# order_count_distribution_q13, idle_balance_by_nation_q22 — all
+# multi-green secondary carriers of already-covered shapes), plus
+# any carriers registered during round 10 (named below if any).
 
 
 def _apply_driver_priority() -> None:

@@ -49,29 +49,46 @@ def _unquote(ident: str) -> str:
     return ident[1:-1] if ident.startswith("`") else ident
 
 
+def _scan_string(s: str, i: int) -> int:
+    """``s[i]`` opens a string literal (``'`` or ``"``); return the
+    index of its closing quote (or ``len(s)`` if unterminated).
+    Honors BOTH escape forms Spark's default parser accepts
+    (``escapedStringLiterals=false``): a doubled quote (``''`` /
+    ``""``) and a backslash escape (``\\'`` / ``\\"`` / ``\\\\``)."""
+    quote, j, n = s[i], i + 1, len(s)
+    while j < n:
+        ch = s[j]
+        if ch == "\\":
+            j += 2
+            continue
+        if ch == quote:
+            if j + 1 < n and s[j + 1] == quote:  # doubled-quote escape
+                j += 2
+                continue
+            return j
+        j += 1
+    return n
+
+
 def _mask_literals(query: str) -> str:
     """Return ``query`` with the CONTENTS of string literals
-    (``'…'``, ``''``-escaped), ``--`` line comments and ``/* */``
-    block comments replaced by ``\\x01`` (same length, so every
-    character position outside a literal is identical to the
-    original). ``_REF_RE`` cannot match inside masked spans —
-    ``\\x01`` is neither an identifier character nor a comma — so a
-    literal containing ``FROM db.t`` is never rewritten. Callers run
-    the regex over the MASKED text and splice replacements into the
+    (``'…'`` and ``"…"`` — Spark's ANSI defaults keep
+    ``doubleQuotedIdentifiers=false``, so a double-quoted span is a
+    string literal, not an identifier — with ``''``/``""`` and
+    backslash escapes), ``--`` line comments and ``/* */`` block
+    comments replaced by ``\\x01`` (same length, so every character
+    position outside a literal is identical to the original).
+    ``_REF_RE`` cannot match inside masked spans — ``\\x01`` is
+    neither an identifier character nor a comma — so a literal
+    containing ``FROM db.t`` is never rewritten. Callers run the
+    regex over the MASKED text and splice replacements into the
     ORIGINAL, restoring literals for free."""
     out = list(query)
     i, n = 0, len(query)
     while i < n:
         ch = query[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if query[j] == "'":
-                    if j + 1 < n and query[j + 1] == "'":  # '' escape
-                        j += 2
-                        continue
-                    break
-                j += 1
+        if ch in ("'", '"'):
+            j = _scan_string(query, i)
             for k in range(i + 1, min(j, n)):
                 out[k] = "\x01"
             i = j + 1
@@ -267,22 +284,23 @@ _DML_DESCRIBE = re.compile(
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero (SET lists contain
-    function calls with commas and quoted strings with anything)."""
-    parts, depth, quote, start = [], 0, None, 0
-    for i, ch in enumerate(s):
-        if quote:
-            if ch == quote:
-                quote = None
-            continue
+    function calls with commas and quoted strings with anything).
+    String spans use the same escape-aware scanner as the masker, so
+    a ``''``/``\\'``-escaped quote inside a literal doesn't end it."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
         if ch in ("'", '"'):
-            quote = ch
-        elif ch == "(":
+            i = _scan_string(s, i) + 1
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == sep and depth == 0:
             parts.append(s[start:i])
             start = i + 1
+        i += 1
     parts.append(s[start:])
     return parts
 
@@ -342,18 +360,25 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         )
         stmt = "CREATE TABLE AS" if is_ctas else f"INSERT {how.upper()}"
         return _dml_report(spark, stmt, db, tbl, snap)
-    m = _DML_UPDATE.match(query)
+    # UPDATE is the one statement with free text BEFORE its WHERE: the
+    # lazy SET-list group would otherwise stop at a ``' WHERE '`` inside
+    # a string literal. Match over the MASKED text (same length) and
+    # read every group's span from the original, like snapcat_sql does.
+    m = _DML_UPDATE.match(_mask_literals(query))
     if m:
+        def orig(name: str) -> str | None:
+            return query[m.start(name):m.end(name)] if m.start(name) != -1 else None
+
         sets = {}
-        for part in _split_top(m.group("sets")):
+        for part in _split_top(orig("sets")):
             col, _, expr = part.partition("=")
             if not _:
                 raise ValueError(f"UPDATE SET: cannot parse {part!r}")
             sets[col.strip()] = expr.strip()
         snap = catalog.update_where(
-            m.group("db"), m.group("tbl"), m.group("cond") or "true", sets
+            orig("db"), orig("tbl"), orig("cond") or "true", sets
         )
-        return _dml_report(spark, "UPDATE", m.group("db"), m.group("tbl"), snap)
+        return _dml_report(spark, "UPDATE", orig("db"), orig("tbl"), snap)
     m = _DML_DELETE.match(query)
     if m:
         snap = catalog.delete_where(
