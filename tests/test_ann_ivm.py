@@ -270,3 +270,81 @@ def test_refresh_ann_index_delete_only_slice(spark, tmp_path):
     # and the fold was MOR: the cells table's delete commit is merge-on-read
     ops = [s.operation for s in cells_tbl.main_chain()]
     assert "delete" in ops
+
+
+def test_refresh_ann_index_bounded_delete_files(spark, tmp_path):
+    """VERDICT r9 #4: a long-running maintained index must not
+    accumulate equality-delete files without bound. ~20 refresh
+    cycles, each with churn; the live delete-file count stays under
+    the self-compaction bound, the ivm/ann stamps survive every
+    compaction (later refreshes keep folding), and the final index is
+    exactly a fresh re-assignment of the final corpus."""
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    args = (spark, cat, "v", "emb", "v", "cells", "cent")
+    kw = dict(nlist=4, compact_after_deletes=4)
+
+    cat.write("v", "emb", _emb_df(spark, range(0, 30)))
+    assert refresh_ann_index(*args, **kw) is not None
+    cent_df = cat.table("v", "cent").read(spark)
+
+    max_dels = 0
+    nxt = 30
+    for cycle in range(20):
+        # churn: delete a stripe (guaranteed delete commit) + append
+        cat.delete_where("v", "emb", F.col("vec_id") % 5 == cycle % 5)
+        cat.write("v", "emb", _emb_df(spark, range(nxt, nxt + 4)))
+        nxt += 4
+        assert refresh_ann_index(*args, **kw) is not None, f"cycle {cycle}"
+        head = cat.table("v", "cells").current_snapshot()
+        max_dels = max(max_dels, len(head.delete_files))
+        # bound: the compaction fires at >=4, so between refreshes the
+        # live count can never exceed the bound itself
+        assert len(head.delete_files) < 4 + 1, f"cycle {cycle}"
+    assert max_dels <= 4
+    # at least one compaction actually happened
+    ops = [s.operation for s in cat.table("v", "cells").main_chain()]
+    assert "replace" in ops
+    # stamps survived: the head still reads as a maintained ANN index
+    assert (
+        cat.table("v", "cells").current_snapshot().summary.get("ivm.kind")
+        == "ann_cells"
+    )
+    # and the index is still exact
+    cells = cat.table("v", "cells").read(spark).select("vec_id", "cell")
+    assert _same_rows(cells, _expected_cells(spark, cat, "v", "emb", cent_df))
+
+
+def test_auto_maintain_max_delete_files_policy(spark, tmp_path):
+    """maintain.compact.max-delete-files: the nightly sweep
+    materializes MOR deletes once the live delete-file count reaches
+    the bound, and copies ivm./ann. stamps forward."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import auto_maintain
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id bigint, k bigint"
+    )
+    # a maintainer stamps EVERY commit (that is where the watermark
+    # lives) — auto_maintain copies the stamps from the head summary
+    stamp = {"ivm.kind": "probe", "ivm.src": "x"}
+    cat.write("v", "t", df, summary_extra=stamp)
+    cat.set_properties("v", "t", {"maintain.compact.max-delete-files": "3"})
+    for i in range(3):
+        cat.delete_where(
+            "v", "t", f"id = {i}", mode="merge-on-read", summary_extra=stamp
+        )
+    tbl = cat.table("v", "t")
+    assert len(tbl.current_snapshot().delete_files) == 3
+    report = auto_maintain(cat, spark, databases=["v"])
+    actions = [(r["action"], r["table"]) for r in report]
+    assert ("compact", "t") in actions, report
+    head = tbl.current_snapshot()
+    assert head.delete_files == []
+    assert head.summary.get("ivm.kind") == "probe"  # stamp carried
+    assert tbl.read(spark).count() == 97
+    # under the bound: sweep is a no-op
+    cat.delete_where(
+        "v", "t", "id = 50", mode="merge-on-read", summary_extra=stamp
+    )
+    report2 = auto_maintain(cat, spark, databases=["v"])
+    assert ("compact", "t") not in [(r["action"], r["table"]) for r in report2]
