@@ -185,7 +185,10 @@ _DRIVER_PRIORITY = [
 # weekly_cohort_retention, approx_percentile_quality, zorder_values,
 # order_count_distribution_q13, idle_balance_by_nation_q22 — all
 # multi-green secondary carriers of already-covered shapes), plus
-# any carriers registered during round 10 (named below if any).
+# the carriers registered during round 10:
+#   sql_merge_upsert — SQL MERGE INTO (COW + MOR strategies +
+#   delete-matched) through the front-end; oracle- and sweep-
+#   verified at registration.
 
 
 def _apply_driver_priority() -> None:

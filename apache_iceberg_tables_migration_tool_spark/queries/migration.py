@@ -2689,3 +2689,92 @@ def scan_planning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_merge_upsert",
+    tags=("migration", "sql", "dml", "merge"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey % 97 AS INT) AS v
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+s AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey % 89 AS INT) + 1000 AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+),
+final AS (SELECT * FROM merged WHERE k % 10 <> 4)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(CASE WHEN v >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       TRUE AS modes_match
+FROM final
+""",
+)
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``MERGE INTO`` through the front-end
+    (`sources/sqlfront.snapcat_dml`, r10): the canonical
+    ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    upsert runs against TWO targets holding identical data — one
+    copy-on-write, one with ``write.merge.mode=merge-on-read`` (the
+    Iceberg property that selects the engine's `upsert` vs
+    `upsert_mor` verb) — followed by a ``WHEN MATCHED THEN DELETE``
+    against a third key set. In-query validation pins that both
+    strategies produce checksum-identical tables (COW rewrites
+    matched files; MOR writes one append + equality-delete commit —
+    same logical result, pinned here end-to-end through the SQL
+    surface); the oracle recomputes the final state relationally
+    (full outer join + delete predicate)."""
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_merge_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders")
+        t = o.where(F.col("o_orderkey") % 3 != 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 97).cast("int").alias("v"),
+        )
+        s = o.where(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            ((F.col("o_orderkey") % 89).cast("int") + 1000).alias("v"),
+        )
+        dels = o.where(F.col("o_orderkey") % 10 == 4).select(
+            F.col("o_orderkey").alias("k"), F.lit(0).cast("int").alias("v")
+        )
+        cat.write("db", "t_cow", t, committed_at=_T[0])
+        cat.write("db", "t_mor", t, committed_at=_T[0])
+        cat.set_properties("db", "t_mor", {"write.merge.mode": "merge-on-read"})
+        cat.write("db", "src", s, committed_at=_T[0])
+        cat.write("db", "del_keys", dels, committed_at=_T[0])
+        upsert_sql = (
+            "MERGE INTO db.{tgt} USING db.src ON {tgt}.k = src.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        delete_sql = (
+            "MERGE INTO db.{tgt} USING db.del_keys ON {tgt}.k = del_keys.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+        for tgt in ("t_cow", "t_mor"):
+            snapcat_dml(spark, cat, upsert_sql.format(tgt=tgt))
+            snapcat_dml(spark, cat, delete_sql.format(tgt=tgt))
+        cow = cat.table("db", "t_cow").read(spark)
+        mor = cat.table("db", "t_mor").read(spark)
+        modes_match = table_checksum(cow) == table_checksum(mor)
+        out = cow.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum((F.col("v") >= 1000).cast("long")).alias("n_updated"),
+        ).withColumn("modes_match", F.lit(modes_match))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

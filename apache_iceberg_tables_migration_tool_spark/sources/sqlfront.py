@@ -249,6 +249,11 @@ _DML_CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+AS\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_MERGE_HEAD = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+USING\s+",
+    re.IGNORECASE,
+)
 _DML_DELETE = re.compile(
     rf"^\s*DELETE\s+FROM\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
     rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
@@ -305,6 +310,54 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _find_top_kw(masked: str, start: int, kw: str) -> int:
+    """Index of the first occurrence of keyword ``kw`` in ``masked``
+    at paren depth 0, case-insensitive, bounded by non-identifier
+    chars; -1 if absent. ``masked`` comes from :func:`_mask_literals`,
+    so string literals can never match."""
+    up, k, depth, n = masked.upper(), kw.upper(), 0, len(masked)
+    i = start
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith(k, i):
+            before_ok = i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+            j = i + len(k)
+            after_ok = j >= n or not (masked[j].isalnum() or masked[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _merge_key_cols(cond: str, target_names: set[str]) -> list[str]:
+    """Extract the equi-join key columns from a MERGE ON condition:
+    a conjunction of ``t.col = s.col`` terms where both sides name the
+    SAME column (the upsert-key shape the engine verbs take). Anything
+    else is rejected loudly rather than silently mis-merged."""
+    keys: list[str] = []
+    for term in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        m = re.match(
+            rf"^\s*(?:{_IDENT}\.)?(?P<l>{_IDENT})\s*=\s*(?:{_IDENT}\.)?(?P<r>{_IDENT})\s*$",
+            term,
+        )
+        if not m or m.group("l") != m.group("r"):
+            raise ValueError(
+                f"MERGE ON: unsupported term {term.strip()!r} — expected a "
+                "conjunction of `target.col = source.col` equalities on "
+                "identically-named key columns"
+            )
+        if m.group("l") not in target_names:
+            raise ValueError(
+                f"MERGE ON: key column {m.group('l')!r} not in target schema"
+            )
+        keys.append(m.group("l"))
+    return keys
+
+
 def _dml_report(spark: SparkSession, op: str, db: str, tbl: str, snap) -> DataFrame:
     return spark.createDataFrame(
         [(op, f"{db}.{tbl}", snap.snapshot_id, snap.operation)],
@@ -323,6 +376,13 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         CREATE TABLE db.t AS <select>    → write on a fresh table
         DELETE FROM db.t [WHERE <cond>]  → delete_where (COW)
         UPDATE db.t SET c = e, … [WHERE] → update_where (COW)
+        MERGE INTO db.t USING <src> ON <t.k = s.k [AND …]>
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT * → upsert / upsert_mor
+          (strategy from the target's ``write.merge.mode`` property;
+          insert-only, update-only and WHEN MATCHED THEN DELETE
+          variants map to append-after-anti-join / filtered upsert /
+          delete_keys)
 
     The <select> body may itself use every read feature (time travel,
     metadata tables, catalog joins). Returns a one-row commit report.
@@ -360,6 +420,75 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         )
         stmt = "CREATE TABLE AS" if is_ctas else f"INSERT {how.upper()}"
         return _dml_report(spark, stmt, db, tbl, snap)
+    masked_q = _mask_literals(query)
+    m = _DML_MERGE_HEAD.match(masked_q)
+    if m:
+        # MERGE INTO db.t [AS a] USING <relation|(subquery)> [AS s]
+        #   ON t.k = s.k [AND ...]
+        #   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        #   | WHEN NOT MATCHED THEN INSERT *     (insert-only)
+        #   | WHEN MATCHED THEN UPDATE SET *     (update-only)
+        #   | WHEN MATCHED THEN DELETE           (delete-matched)
+        # Row-level strategy follows the target's `write.merge.mode`
+        # table property (Iceberg's own switch): copy-on-write →
+        # file-level COW upsert; merge-on-read → one append+equality-
+        # delete commit. Free-text sections are located over the
+        # MASKED text at paren depth 0, spans read from the original.
+        db, tbl = m.group("db"), m.group("tbl")
+        on_at = _find_top_kw(masked_q, m.end(), "ON")
+        if on_at < 0:
+            raise ValueError("MERGE: missing ON clause")
+        when_at = _find_top_kw(masked_q, on_at, "WHEN")
+        if when_at < 0:
+            raise ValueError("MERGE: missing WHEN clause(s)")
+        src_text = query[m.end():on_at].strip()
+        cond = query[on_at + 2:when_at].strip()
+        clauses = re.sub(r"\s+", " ", query[when_at:]).strip().upper().rstrip(";").rstrip()
+
+        t = catalog.table(db, tbl)
+        if not t.exists():
+            raise LookupError(f"MERGE INTO: {db}.{tbl} does not exist")
+        tgt = [f.name for f in t.schema().fields]
+        keys = _merge_key_cols(cond, set(tgt))
+        src_df = snapcat_sql(spark, catalog, f"SELECT * FROM {src_text}")
+        mode = t.properties().get("write.merge.mode", "copy-on-write")
+
+        if clauses == "WHEN MATCHED THEN DELETE":
+            snap = catalog.delete_keys(
+                db, tbl, src_df.select(*keys).distinct(), key_cols=keys
+            )
+            return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
+
+        missing = [c for c in tgt if c not in src_df.columns]
+        if missing:
+            raise ValueError(
+                f"MERGE INTO {db}.{tbl}: source is missing target "
+                f"column(s) {missing} (UPDATE SET * / INSERT * need the "
+                "full target schema)"
+            )
+        updates = src_df.select(*tgt)
+        full = "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        if clauses == full:
+            pass  # the verbs' native semantics
+        elif clauses == "WHEN NOT MATCHED THEN INSERT *":
+            existing = t.read(spark).select(*keys).distinct()
+            new_rows = updates.join(existing, keys, "left_anti")
+            snap = catalog.write(db, tbl, new_rows, mode="append")
+            return _dml_report(spark, "MERGE INSERT", db, tbl, snap)
+        elif clauses == "WHEN MATCHED THEN UPDATE SET *":
+            existing = t.read(spark).select(*keys).distinct()
+            updates = updates.join(existing, keys, "left_semi")
+        else:
+            raise ValueError(
+                f"MERGE: unsupported WHEN clause shape {clauses!r} — "
+                f"supported: {full!r}, 'WHEN NOT MATCHED THEN INSERT *', "
+                "'WHEN MATCHED THEN UPDATE SET *', 'WHEN MATCHED THEN DELETE'"
+            )
+        if mode == "merge-on-read":
+            snap = catalog.upsert_mor(db, tbl, updates, key_cols=keys)
+        else:
+            snap = catalog.upsert(db, tbl, updates, key_cols=keys)
+        return _dml_report(spark, "MERGE", db, tbl, snap)
     # UPDATE is the one statement with free text BEFORE its WHERE: the
     # lazy SET-list group would otherwise stop at a ``' WHERE '`` inside
     # a string literal. Match over the MASKED text (same length) and

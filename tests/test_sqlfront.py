@@ -399,3 +399,166 @@ def test_sql_update_set_literal_containing_where(spark, cat):
     )
     rows = {r["id"]: r["note"] for r in cat.table("db", "w").read(spark).collect()}
     assert rows == {1: "x WHERE y", 2: "keep"}
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (r10): the reference-era DML gap — upsert, insert-only,
+# update-only and delete-matched, COW and MOR strategies
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def merge_cat(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, name string, v int"
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id int, name string, v int"
+    )
+    c.write("db", "t", tgt, committed_at=T[0])
+    c.write("db", "s", src, committed_at=T[0])
+    return c
+
+
+def _rows(spark, c):
+    return {
+        r["id"]: (r["name"], r["v"])
+        for r in c.table("db", "t").read(spark).collect()
+    }
+
+
+def test_merge_upsert_cow(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert out[0]["statement"] == "MERGE"
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)
+    }
+    assert merge_cat.table("db", "t").current_snapshot().operation == "merge"
+
+
+def test_merge_upsert_mor_property(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    merge_cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)
+    }
+    head = merge_cat.table("db", "t").current_snapshot()
+    assert head.summary.get("merge-mode") == "merge-on-read"
+    assert head.delete_files  # MOR: equality delete, no rewrite
+
+
+def test_merge_insert_only(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("b", 20), 3: ("c", 30), 4: ("d", 40)
+    }
+
+
+def test_merge_update_only(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    assert _rows(spark, merge_cat) == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30)}
+
+
+def test_merge_delete_matched(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id WHEN MATCHED THEN DELETE",
+    ).collect()
+    assert out[0]["statement"] == "MERGE DELETE"
+    assert _rows(spark, merge_cat) == {1: ("a", 10), 3: ("c", 30)}
+
+
+def test_merge_subquery_source_with_inner_on_and_literals(spark, merge_cat):
+    """The USING source may be a parenthesized subquery containing its
+    own JOIN ... ON and string literals with ' ON '/' WHEN ' inside —
+    the top-level scan must not split there."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING ("
+        "  SELECT a.id, concat(a.name, ' ON duty WHEN asked') AS name, a.v"
+        "  FROM db.s a JOIN db.s b ON a.id = b.id"
+        ") src ON t.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = _rows(spark, merge_cat)
+    assert rows[2] == ("B ON duty WHEN asked", 200)
+    assert rows[4] == ("d ON duty WHEN asked", 40)
+
+
+def test_merge_multi_key_and_alias(spark, merge_cat, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    c = merge_cat
+    t2 = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 6)], "id int, name string, v int"
+    )
+    s2 = spark.createDataFrame(
+        [(1, "y", 60), (2, "z", 70)], "id int, name string, v int"
+    )
+    c.write("db", "t2", t2, committed_at=T[1])
+    c.write("db", "s2", s2, committed_at=T[1])
+    snapcat_dml(
+        spark, c,
+        "MERGE INTO db.t2 AS t USING db.s2 AS s "
+        "ON t.id = s.id AND t.name = s.name "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {
+        (r["id"], r["name"]): r["v"]
+        for r in c.table("db", "t2").read(spark).collect()
+    }
+    assert got == {(1, "x"): 5, (1, "y"): 60, (2, "z"): 70}
+
+
+def test_merge_rejects_unsupported_shapes(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    with pytest.raises(ValueError, match="unsupported term"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id < s.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="unsupported WHEN clause"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v + 1",
+        )
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.missing USING db.s ON missing.id = s.id "
+            "WHEN MATCHED THEN DELETE",
+        )
