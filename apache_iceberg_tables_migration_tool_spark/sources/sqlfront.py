@@ -277,6 +277,51 @@ _DML_RENAME = re.compile(
 )
 
 
+_DML_CALL = re.compile(
+    rf"^\s*CALL\s+(?P<path>{_IDENT}(?:\.{_IDENT})*)\s*\((?P<args>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _call_literal(tok: str):
+    """One CALL argument literal: 'string' (''-escaped), integer, or
+    true/false."""
+    if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
+        return tok[1:-1].replace("''", "'")
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    raise ValueError(f"CALL: cannot parse argument {tok!r}")
+
+
+def _parse_call_args(text: str) -> tuple[list, dict]:
+    """Iceberg-procedure argument list: positional literals and
+    ``name => literal`` pairs, comma-split at depth 0."""
+    pos: list = []
+    named: dict = {}
+    if not text.strip():
+        return pos, named
+    for part in _split_top(text):
+        part = part.strip()
+        m = re.match(rf"^({_IDENT})\s*=>\s*(.+)$", part, re.DOTALL)
+        if m:
+            named[m.group(1).lower()] = _call_literal(m.group(2).strip())
+        else:
+            if named:
+                raise ValueError("CALL: positional argument after named argument")
+            pos.append(_call_literal(part))
+    return pos, named
+
+
+def _call_table(args: list) -> tuple[str, str, list]:
+    if not args or not isinstance(args[0], str) or "." not in args[0]:
+        raise ValueError("CALL: first argument must be a 'db.table' string")
+    db, _, tbl = args[0].partition(".")
+    return db, tbl, args[1:]
+
+
 _DML_SHOW_TABLES = re.compile(
     rf"^\s*SHOW\s+TABLES\s+IN\s+(?P<db>{_IDENT})\s*$", re.IGNORECASE
 )
@@ -563,7 +608,114 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
               f"{m.group('db2')}.{m.group('tbl2')}")],
             "statement string, table string",
         )
+    m = _DML_CALL.match(_mask_literals(query))
+    if m:
+        return _call_procedure(spark, catalog, query, m)
     return None
+
+
+def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> DataFrame:
+    """Iceberg-style maintenance procedures (``CALL [cat.]system.proc(
+    'db.t', name => value, …)``) mapped 1:1 onto the engine's table
+    services — the ops surface an Iceberg user drives through
+    ``CALL catalog.system.*`` (expire_snapshots, remove_orphan_files,
+    rollback_to_snapshot, cherrypick_snapshot, fast_forward,
+    rewrite_data_files, create_tag, analyze_table, auto_maintain).
+    Each returns the procedure's natural result table. The regex ran
+    over MASKED text; argument literals are read from the original by
+    span."""
+    proc = m.group("path").split(".")[-1].lower()
+    pos, named = _parse_call_args(query[m.start("args"):m.end("args")])
+
+    if proc == "expire_snapshots":
+        db, tbl, rest = _call_table(pos)
+        expired = catalog.expire_snapshots(
+            db, tbl,
+            keep_last=named.get("keep_last", rest[0] if rest else 1),
+            older_than=named.get("older_than"),
+        )
+        return spark.createDataFrame(
+            [(int(i),) for i in expired], "expired_snapshot_id bigint"
+        )
+    if proc == "remove_orphan_files":
+        db, tbl, _rest = _call_table(pos)
+        removed = catalog.remove_orphan_files(
+            db, tbl, dry_run=bool(named.get("dry_run", False))
+        )
+        return spark.createDataFrame(
+            [(p,) for p in removed], "orphan_file_location string"
+        )
+    if proc == "rollback_to_snapshot":
+        db, tbl, rest = _call_table(pos)
+        sid = named.get("snapshot_id", rest[0] if rest else None)
+        if sid is None:
+            raise ValueError("rollback_to_snapshot: snapshot_id required")
+        snap = catalog.rollback(db, tbl, int(sid))
+        return _dml_report(spark, "CALL rollback_to_snapshot", db, tbl, snap)
+    if proc in ("cherrypick_snapshot", "publish"):
+        db, tbl, rest = _call_table(pos)
+        sid = named.get("snapshot_id", rest[0] if rest else None)
+        if sid is None:
+            raise ValueError(f"{proc}: snapshot_id required")
+        snap = catalog.publish(db, tbl, int(sid))
+        return _dml_report(spark, "CALL cherrypick_snapshot", db, tbl, snap)
+    if proc == "fast_forward":
+        db, tbl, rest = _call_table(pos)
+        branch = named.get("branch", rest[0] if rest else None)
+        if branch is None:
+            raise ValueError("fast_forward: branch required")
+        sid = catalog.fast_forward(db, tbl, str(branch))
+        return spark.createDataFrame(
+            [(f"{db}.{tbl}", str(branch), int(sid))],
+            "table string, branch string, snapshot_id bigint",
+        )
+    if proc in ("rewrite_data_files", "compact"):
+        db, tbl, _rest = _call_table(pos)
+        cols = {
+            k: [c.strip() for c in str(v).split(",") if c.strip()]
+            for k, v in named.items()
+            if k in ("sort_by", "zorder_by")
+        }
+        snap = catalog.compact(
+            db, tbl, spark,
+            target_partitions=named.get("target_partitions"),
+            min_file_bytes=named.get("min_file_bytes"),
+            **cols,
+        )
+        return _dml_report(spark, "CALL rewrite_data_files", db, tbl, snap)
+    if proc in ("create_tag", "tag"):
+        db, tbl, rest = _call_table(pos)
+        tag_name = named.get("tag", rest[0] if rest else None)
+        if tag_name is None:
+            raise ValueError("create_tag: tag name required")
+        sid = catalog.tag(db, tbl, str(tag_name), snapshot_id=named.get("snapshot_id"))
+        return spark.createDataFrame(
+            [(f"{db}.{tbl}", str(tag_name), int(sid))],
+            "table string, tag string, snapshot_id bigint",
+        )
+    if proc in ("analyze_table", "analyze"):
+        db, tbl, _rest = _call_table(pos)
+        cols = named.get("columns")
+        catalog.analyze(
+            db, tbl, spark,
+            columns=[c.strip() for c in cols.split(",")] if cols else None,
+        )
+        return catalog.table(db, tbl).stats_df(spark)
+    if proc == "auto_maintain":
+        from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+            auto_maintain,
+        )
+
+        dbs = named.get("databases") or (pos[0] if pos else None)
+        report = auto_maintain(
+            catalog, spark,
+            databases=[d.strip() for d in dbs.split(",")] if dbs else None,
+        )
+        return spark.createDataFrame(
+            [(r["database"], r["table"], r["action"], r["detail"]) for r in report],
+            "database string, table string, action string, detail string",
+        )
+    raise ValueError(f"CALL: unknown procedure {proc!r}")
 
 
 def snapcat_execute(spark: SparkSession, catalog, query: str) -> DataFrame:

@@ -562,3 +562,94 @@ def test_merge_rejects_unsupported_shapes(spark, merge_cat):
             "MERGE INTO db.missing USING db.s ON missing.id = s.id "
             "WHEN MATCHED THEN DELETE",
         )
+
+
+# ---------------------------------------------------------------------------
+# CALL procedures (r10): Iceberg's system.* maintenance surface
+# ---------------------------------------------------------------------------
+
+
+def test_call_expire_and_orphans_and_rollback(spark, cat, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # rollback to snapshot 2, then expire to last 2, then orphan scan
+    out = snapcat_dml(
+        spark, cat, "CALL system.rollback_to_snapshot('db.t', 2)"
+    ).collect()
+    assert out[0]["statement"] == "CALL rollback_to_snapshot"
+    assert cat.table("db", "t").read(spark).count() == 20
+
+    expired = snapcat_dml(
+        spark, cat, "CALL system.expire_snapshots('db.t', keep_last => 2)"
+    ).collect()
+    assert len(expired) >= 1
+    assert all(isinstance(r["expired_snapshot_id"], int) for r in expired)
+
+    orphans = snapcat_dml(
+        spark, cat, "CALL system.remove_orphan_files('db.t', dry_run => true)"
+    ).collect()
+    assert orphans == []  # clean table has no orphans
+
+
+def test_call_tag_publish_fast_forward(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml, snapcat_sql,
+    )
+
+    tagged = snapcat_dml(
+        spark, cat, "CALL system.create_tag('db.t', 'release-1')"
+    ).collect()
+    assert tagged[0]["tag"] == "release-1"
+    n = snapcat_sql(
+        spark, cat, "SELECT count(*) AS n FROM db.t VERSION AS OF 'release-1'"
+    ).collect()[0]["n"]
+    assert n == 30
+
+    # WAP: staged write, then publish via CALL cherrypick_snapshot
+    more = spark.range(100, 110).select("id", (F.col("id") * 10).alias("v"))
+    staged = cat.write("db", "t", more, mode="append", staged=True)
+    assert cat.table("db", "t").read(spark).count() == 30  # invisible
+    snapcat_dml(
+        spark, cat,
+        f"CALL system.cherrypick_snapshot('db.t', {staged.snapshot_id})",
+    )
+    assert cat.table("db", "t").read(spark).count() == 40
+
+
+def test_call_rewrite_data_files(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    before = len(cat.table("db", "t").current_snapshot().files)
+    out = snapcat_dml(
+        spark, cat,
+        "CALL system.rewrite_data_files('db.t', target_partitions => 1)",
+    ).collect()
+    assert out[0]["operation"] == "replace"
+    after = cat.table("db", "t").current_snapshot()
+    assert len(after.files) == 1 and before > 1
+    assert cat.table("db", "t").read(spark).count() == 30
+
+
+def test_call_analyze_and_auto_maintain(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    stats = snapcat_dml(
+        spark, cat, "CALL system.analyze_table('db.t', columns => 'id,v')"
+    ).collect()
+    got = {r["column"]: r["ndv"] for r in stats}
+    assert set(got) == {"id", "v"} and got["id"] >= 25
+
+    cat.set_properties("db", "t", {"maintain.expire.keep-last": "1"})
+    rep = snapcat_dml(spark, cat, "CALL system.auto_maintain('db')").collect()
+    assert any(r["action"] == "expire" and r["table"] == "t" for r in rep)
+
+
+def test_call_rejects_unknown_and_bad_args(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        snapcat_dml(spark, cat, "CALL system.defragment('db.t')")
+    with pytest.raises(ValueError, match="db.table"):
+        snapcat_dml(spark, cat, "CALL system.expire_snapshots(5)")
+    with pytest.raises(ValueError, match="cannot parse"):
+        snapcat_dml(spark, cat, "CALL system.expire_snapshots('db.t', keep_last => x)")
