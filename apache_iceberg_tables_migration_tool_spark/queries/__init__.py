@@ -189,6 +189,10 @@ _DRIVER_PRIORITY = [
 #   sql_merge_upsert — SQL MERGE INTO (COW + MOR strategies +
 #   delete-matched) through the front-end; oracle- and sweep-
 #   verified at registration.
+#   sql_call_maintenance — the CALL system.* procedure surface
+#   (create_tag, rollback_to_snapshot, rewrite_data_files,
+#   expire_snapshots with tag retention) end-to-end through SQL;
+#   oracle-verified at registration.
 
 
 def _apply_driver_priority() -> None:

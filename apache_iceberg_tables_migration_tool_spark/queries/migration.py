@@ -2778,3 +2778,94 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_call_maintenance",
+    tags=("migration", "sql", "metadata", "maintenance"),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey % 3 < 2) AS r01,
+         COUNT(*) AS r
+  FROM lineitem)
+SELECT 'head' AS phase, CAST(r AS BIGINT) AS records, TRUE AS ok FROM m
+UNION ALL SELECT 'after_rollback', r01, TRUE FROM m
+UNION ALL SELECT 'tag_read_survives_rollback', r, TRUE FROM m
+UNION ALL SELECT 'after_rewrite', r01, TRUE FROM m
+UNION ALL SELECT 'after_expire', r01, TRUE FROM m
+""",
+)
+def sql_call_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole maintenance lifecycle driven through the SQL
+    ``CALL system.*`` surface (r10, `sources/sqlfront`): tag the
+    3-append lineitem head, ``rollback_to_snapshot(2)``, read the tag
+    through ``VERSION AS OF`` (the abandoned head stays readable),
+    ``rewrite_data_files(target_partitions => 1)`` (one replace
+    commit, counts unchanged), ``expire_snapshots(keep_last => 2)``
+    (the tagged snapshot survives by retention rule). Record counts
+    derive from the commit thirds; ok flags pin the procedure
+    invariants end-to-end through the SQL text, not the Python API."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_call_")
+    try:
+        src = build_source_warehouse(spark, sf_dir, root)
+        tbl = src.table("db", "lineitem_snap")
+        rows: list[tuple[str, int, bool]] = []
+        rows.append(("head", tbl.read(spark).count(), True))
+
+        tag = snapcat_dml(
+            spark, src, "CALL system.create_tag('db.lineitem_snap', 'pre-rollback')"
+        ).collect()
+        rb = snapcat_dml(
+            spark, src, "CALL system.rollback_to_snapshot('db.lineitem_snap', 2)"
+        ).collect()
+        rows.append((
+            "after_rollback",
+            tbl.read(spark).count(),
+            rb[0]["operation"] == "rollback" and tag[0]["snapshot_id"] == 3,
+        ))
+        rows.append((
+            "tag_read_survives_rollback",
+            snapcat_sql(
+                spark, src,
+                "SELECT count(*) AS n FROM db.lineitem_snap "
+                "VERSION AS OF 'pre-rollback'",
+            ).collect()[0]["n"],
+            True,
+        ))
+        files_before = len(tbl.current_snapshot().files)
+        rw = snapcat_dml(
+            spark, src,
+            "CALL system.rewrite_data_files('db.lineitem_snap', "
+            "target_partitions => 1)",
+        ).collect()
+        # the table is hidden-partitioned by l_shipmonth, so the
+        # rewrite lands one file per month — fewer files total (the
+        # 3 appends each wrote a file per month), never more
+        rows.append((
+            "after_rewrite",
+            tbl.read(spark).count(),
+            rw[0]["operation"] == "replace"
+            and 0 < len(tbl.current_snapshot().files) <= files_before,
+        ))
+        expired = snapcat_dml(
+            spark, src,
+            "CALL system.expire_snapshots('db.lineitem_snap', keep_last => 2)",
+        ).collect()
+        still_tagged = snapcat_sql(
+            spark, src,
+            "SELECT count(*) AS n FROM db.lineitem_snap "
+            "VERSION AS OF 'pre-rollback'",
+        ).collect()[0]["n"]
+        rows.append((
+            "after_expire",
+            tbl.read(spark).count(),
+            len(expired) >= 1 and still_tagged == rows[0][1],
+        ))
+        return spark.createDataFrame(rows, "phase string, records long, ok boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
