@@ -193,6 +193,9 @@ _DRIVER_PRIORITY = [
 #   (create_tag, rollback_to_snapshot, rewrite_data_files,
 #   expire_snapshots with tag retention) end-to-end through SQL;
 #   oracle-verified at registration.
+#   sql_changes_between — row-level CDC as a SQL relation
+#   (FROM db.t.changes BETWEEN a AND b); oracle-verified at
+#   registration.
 
 
 def _apply_driver_priority() -> None:

@@ -2869,3 +2869,59 @@ def sql_call_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "phase string, records long, ok boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_changes_between",
+    tags=("migration", "sql", "cdc"),
+    oracle="""
+WITH o AS (SELECT o_orderkey AS k, o_orderkey % 3 AS band FROM orders)
+SELECT 'delete' AS _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM o WHERE k % 7 = 1
+UNION ALL
+SELECT 'insert',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(k) AS BIGINT)
+FROM o WHERE band IN (1, 2)
+""",
+)
+def sql_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC as a SQL relation (r10, `sources/sqlfront`):
+    ``FROM db.t.changes BETWEEN a AND b`` binds the engine's
+    changelog (≙ Iceberg ``create_changelog_view``) — start
+    exclusive, end inclusive, one event row per commit-level
+    insert/delete (``net_changes`` filters COW carry-over rewrites,
+    NOT cross-commit churn — consumers fold per-key last-change
+    themselves, as `refresh_ann_index` does). History: three band
+    appends, then a COW delete of ``k % 7 = 1``. The range (1, 4]
+    emits commit-2/3 inserts (all of bands 1-2) and commit-4 deletes
+    (every ``k % 7 = 1`` victim across all bands) — and none of the
+    COW-rewritten survivor rows, which is what the carry-over filter
+    pins. The oracle recomputes both event sets relationally."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_cdc_sql_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).alias("band"),
+        )
+        for b in range(3):
+            cat.write("db", "o_cdc", o.where(F.col("band") == b).drop("band"),
+                      committed_at=_T[b])
+        cat.delete_where("db", "o_cdc", F.col("k") % 7 == 1, committed_at=_T[3])
+        out = snapcat_sql(
+            spark, cat,
+            "SELECT _change_type, count(*) AS n, "
+            "cast(sum(k) AS bigint) AS key_sum "
+            "FROM db.o_cdc.changes BETWEEN 1 AND 4 "
+            "GROUP BY _change_type",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

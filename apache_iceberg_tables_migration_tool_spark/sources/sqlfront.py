@@ -28,7 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
-_META = "snapshots|files|history|manifests|partitions|refs"
+_META = "snapshots|files|history|manifests|partitions|refs|changes|incremental"
 #: table references are recognized in relation position only (after
 #: FROM / JOIN / a FROM-list comma) — a bare ``alias.column`` in an
 #: expression is never touched, and the existence check against the
@@ -40,7 +40,8 @@ _REF_RE = re.compile(
     rf"(?P<kw>\b(?:FROM|JOIN)\s+|,\s*)"
     rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})(?:\.(?P<meta>{_META})\b)?"
     rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>'[^']*'|\d+)"
-    rf"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'))?",
+    rf"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*')"
+    rf"|\s+BETWEEN\s+(?P<lo>\d+)\s+AND\s+(?P<hi>\d+))?",
     re.IGNORECASE,
 )
 
@@ -123,6 +124,8 @@ def snapcat_sql(
         SELECT * FROM db.t VERSION AS OF 'release'  -- tag ref
         SELECT * FROM db.t TIMESTAMP AS OF '2024-06-02T00:00:00+00:00'
         SELECT * FROM db.t.snapshots                -- metadata tables
+        SELECT * FROM db.t.changes BETWEEN 2 AND 5  -- row-level CDC
+        SELECT * FROM db.t.incremental BETWEEN 2 AND 5  -- appended rows
         ... any join/CTE/subquery combining them ...
 
     Only identifiers naming an EXISTING catalog table are rewritten;
@@ -150,17 +153,36 @@ def snapcat_sql(
         if not _is_table(db, tbl):
             return query[m.start():m.end()]
         meta, ver, ts = g("meta"), g("ver"), g("ts")
+        lo, hi = g("lo"), g("hi")
+        if lo is not None and (meta or "").lower() not in ("changes", "incremental"):
+            # a BETWEEN range only makes sense on the CDC suffixes; a
+            # relation can't be followed by BETWEEN in legal SQL, so
+            # this is an expression false-positive — leave it alone
+            return query[m.start():m.end()]
         # ONE view per (db, table, meta, version): duplicate
         # references — including a fully-qualified ``db.t.col`` in a
         # select list, whose ``db.t`` prefix this regex's comma
         # branch also rewrites — all resolve to the same name, so
         # the qualified column still binds against the FROM clause's
         # view instead of a fresh unresolvable one (ADVICE r8)
-        key = (db, tbl, meta, ver, ts)
+        key = (db, tbl, meta, ver, ts, lo, hi)
         if key in views:
             return f"{g('kw')}{views[key]}"
         t = catalog.table(db, tbl)
-        if meta:
+        if meta and meta.lower() in ("changes", "incremental"):
+            # CDC reads (≙ Iceberg create_changelog_view / the
+            # incremental-append scan): FROM db.t.changes BETWEEN a
+            # AND b — a exclusive, b inclusive; no range = from table
+            # creation to the published head
+            to_id = int(hi) if hi is not None else t.current_snapshot().snapshot_id
+            # 0 = "from table creation" (snapshot ids start at 1; the
+            # start bound is exclusive, so 0 and None mean the same)
+            from_id = int(lo) if lo is not None and int(lo) != 0 else None
+            if meta.lower() == "changes":
+                df = t.changelog(spark, from_id, to_id)
+            else:
+                df = t.read_incremental(spark, from_id, to_id)
+        elif meta:
             df = {
                 "snapshots": t.snapshots_df,
                 "files": t.files_df,
@@ -212,7 +234,7 @@ def snapcat_sql(
     # versions of the same table in one query make a bare qualified
     # column genuinely ambiguous — leave it for Catalyst to reject).
     data_views: dict[tuple[str, str], list[str]] = {}
-    for (db, tbl, meta, ver, ts), v in views.items():
+    for (db, tbl, meta, ver, ts, lo, hi), v in views.items():
         if meta is None and ver is None and ts is None:
             data_views.setdefault((db, tbl), []).append(v)
     unique = {k: vs[0] for k, vs in data_views.items() if len(vs) == 1}

@@ -653,3 +653,64 @@ def test_call_rejects_unknown_and_bad_args(spark, cat):
         snapcat_dml(spark, cat, "CALL system.expire_snapshots(5)")
     with pytest.raises(ValueError, match="cannot parse"):
         snapcat_dml(spark, cat, "CALL system.expire_snapshots('db.t', keep_last => x)")
+
+
+def test_sql_changes_between(spark, cat):
+    """FROM db.t.changes BETWEEN a AND b — the changelog as a SQL
+    relation (start exclusive, end inclusive)."""
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT _change_type, count(*) AS n "
+        "FROM db.t.changes BETWEEN 1 AND 3 GROUP BY _change_type",
+    ).collect()
+    assert {r["_change_type"]: r["n"] for r in out} == {"insert": 20}
+    # no range: from creation to head
+    total = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM db.t.changes WHERE _change_type = 'insert'",
+    ).collect()[0]["n"]
+    assert total == 30
+    # deletes appear: COW delete then re-read the slice
+    cat.delete_where("db", "t", F.col("id") < 5)
+    dels = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM db.t.changes BETWEEN 3 AND 4 "
+        "WHERE _change_type = 'delete'",
+    ).collect()[0]["n"]
+    assert dels == 5
+
+
+def test_sql_incremental_between(spark, cat):
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi "
+        "FROM db.t.incremental BETWEEN 1 AND 3",
+    ).collect()[0]
+    assert (out["n"], out["lo"], out["hi"]) == (20, 10, 29)
+
+
+def test_sql_changes_joinable_with_dim(spark, cat):
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT d.label, count(*) AS n "
+        "FROM db.t.changes BETWEEN 2 AND 3 c JOIN db.dim d ON c.v = d.bucket "
+        "GROUP BY d.label ORDER BY d.label",
+    ).collect()
+    # third commit inserts ids 20..29 with v = id*10; dim buckets 0,10,20
+    assert out == []  # v >= 200, no dim match — shape check only
+    out2 = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM db.t.changes BETWEEN 0 AND 1 c "
+        "JOIN db.dim d ON c.v = d.bucket",
+    ).collect()[0]["n"]
+    assert out2 == 3  # ids 0,1,2 → v 0,10,20 match buckets
+
+
+def test_sql_between_in_expression_not_swallowed(spark, cat):
+    """x BETWEEN 1 AND 2 in a WHERE clause must not be parsed as a
+    changes range (relation position + CDC suffix required)."""
+    out = snapcat_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM db.t WHERE id BETWEEN 3 AND 7",
+    ).collect()[0]["n"]
+    assert out == 5
