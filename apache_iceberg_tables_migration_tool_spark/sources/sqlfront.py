@@ -653,7 +653,7 @@ def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> Da
         db, tbl, rest = _call_table(pos)
         expired = catalog.expire_snapshots(
             db, tbl,
-            keep_last=named.get("keep_last", rest[0] if rest else 1),
+            keep_last=int(named.get("keep_last", rest[0] if rest else 1)),
             older_than=named.get("older_than"),
         )
         return spark.createDataFrame(
