@@ -749,3 +749,44 @@ def test_manifest_chunk_roundtrip(tmp_path_factory, snaps):
     got2 = tbl._load_meta()
     for s1, s2 in zip(got["snapshots"], got2["snapshots"]):
         assert s1["files"] == s2["files"]
+
+
+# literal text including quotes, backslashes, SQL keywords and table
+# references that must survive the front-end rewrite untouched
+_literal_text = st.lists(
+    st.sampled_from(
+        list("abc'\"\\,() \n-*/") + ["FROM db.t", "JOIN", "BETWEEN", "--", "/*"]
+    ),
+    min_size=0,
+    max_size=20,
+).map("".join)
+
+
+@given(lit=_literal_text, dq=st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_sqlfront_literal_roundtrip_fuzz(spark, tmp_path_factory, lit, dq):
+    """ANY string literal — quotes, backslashes, comment openers,
+    table references inside — must round-trip bit-exact through the
+    front-end's mask/rewrite/restore cycle, in both quote forms
+    (r10, the double-quote masking fix generalized)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_sql
+
+    global _FUZZ_CAT
+    try:
+        cat = _FUZZ_CAT
+    except NameError:
+        root = tmp_path_factory.mktemp("sqlfuzz")
+        cat = SnapCatalog(str(root / "wh"))
+        cat.write("db", "t", spark.range(0, 3).select("id"))
+        _FUZZ_CAT = cat
+
+    if dq:
+        quoted = '"' + lit.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    else:
+        quoted = "'" + lit.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    out = snapcat_sql(
+        spark, cat, f"SELECT {quoted} AS x, count(*) AS n FROM db.t"
+    ).collect()
+    assert out[0]["x"] == lit
+    assert out[0]["n"] == 3
