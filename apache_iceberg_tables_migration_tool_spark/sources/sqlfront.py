@@ -299,6 +299,41 @@ _DML_RENAME = re.compile(
 )
 
 
+#: one nesting level of parens — partition transforms (`bucket(4, id)`)
+#: and parameterized types (`decimal(10,2)`) never nest deeper
+_NEST1 = r"[^()]*(?:\([^()]*\)[^()]*)*"
+_DML_CREATE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*"
+    rf"\((?P<cols>{_NEST1})\)\s*"
+    rf"(?:PARTITIONED\s+BY\s*\((?P<spec>{_NEST1})\)\s*)?"
+    rf"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_ALTER_ADD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"ADD\s+COLUMNS?\s+(?P<cols>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_ALTER_DROP = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"DROP\s+COLUMNS?\s*\(?(?P<cols>[^()]+?)\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_ALTER_RENAME_COL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"RENAME\s+COLUMN\s+(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_ALTER_TYPE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"ALTER\s+COLUMN\s+(?P<col>{_IDENT})\s+TYPE\s+(?P<type>.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_SET_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"(?P<unset>UN)?SET\s+TBLPROPERTIES\s*\((?P<pairs>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DML_CALL = re.compile(
     rf"^\s*CALL\s+(?P<path>{_IDENT}(?:\.{_IDENT})*)\s*\((?P<args>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -450,6 +485,14 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
           insert-only, update-only and WHEN MATCHED THEN DELETE
           variants map to append-after-anti-join / filtered upsert /
           delete_keys)
+        CREATE TABLE db.t (<ddl cols>) [PARTITIONED BY (spec,…)]
+          [TBLPROPERTIES ('k'='v',…)]  → create_table (G2-correct)
+        ALTER TABLE db.t ADD COLUMNS (c type,…) | DROP COLUMN c
+          | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t
+          → alter_table (metadata-only schema evolution)
+        ALTER TABLE db.t [UN]SET TBLPROPERTIES (…) → set_properties
+        CALL [cat.]system.<proc>(…)    → table services (see
+          _call_procedure)
 
     The <select> body may itself use every read feature (time travel,
     metadata tables, catalog joins). Returns a one-row commit report.
@@ -630,10 +673,105 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
               f"{m.group('db2')}.{m.group('tbl2')}")],
             "statement string, table string",
         )
+    m = _DML_CREATE.match(query)
+    if m:
+        # CREATE TABLE db.t (<DDL cols>) [PARTITIONED BY (spec,…)]
+        #   [TBLPROPERTIES ('k'='v',…)] — W2 as SQL (partition spec
+        # survives creation, fixing reference gap G2 on this surface
+        # too); the column list is Spark DDL text, handed to the
+        # engine's schema parser verbatim
+        db, tbl = m.group("db"), m.group("tbl")
+        if catalog.table(db, tbl).exists():
+            raise ValueError(f"CREATE TABLE: {db}.{tbl} already exists")
+        spec = (
+            [s.strip() for s in _split_top(m.group("spec")) if s.strip()]
+            if m.group("spec") is not None
+            else None
+        )
+        props = _prop_pairs(m.group("props")) if m.group("props") else None
+        catalog.create_table(
+            db, tbl, m.group("cols").strip(), partition_by=spec, properties=props
+        )
+        return spark.createDataFrame(
+            [("CREATE TABLE", f"{db}.{tbl}",
+              ",".join(spec or []), len(props or {}))],
+            "statement string, table string, partition_spec string, n_properties int",
+        )
+    m = _DML_ALTER_RENAME_COL.match(query)
+    if m:
+        snap = catalog.alter_table(
+            m.group("db"), m.group("tbl"),
+            rename_columns={m.group("old"): m.group("new")},
+        )
+        return _dml_report(
+            spark, "ALTER TABLE RENAME COLUMN", m.group("db"), m.group("tbl"), snap
+        )
+    m = _DML_ALTER_TYPE.match(query)
+    if m:
+        snap = catalog.alter_table(
+            m.group("db"), m.group("tbl"),
+            widen_columns={m.group("col"): m.group("type").strip()},
+        )
+        return _dml_report(
+            spark, "ALTER TABLE ALTER COLUMN TYPE", m.group("db"), m.group("tbl"), snap
+        )
+    m = _DML_ALTER_ADD.match(query)
+    if m:
+        cols_text = m.group("cols").strip()
+        if cols_text.startswith("(") and cols_text.endswith(")"):
+            cols_text = cols_text[1:-1]
+        adds: dict[str, str] = {}
+        for item in _split_top(cols_text):
+            name, _, dtype = item.strip().partition(" ")
+            if not dtype.strip():
+                raise ValueError(f"ADD COLUMNS: cannot parse {item.strip()!r}")
+            adds[name.strip()] = dtype.strip()
+        snap = catalog.alter_table(m.group("db"), m.group("tbl"), add_columns=adds)
+        return _dml_report(
+            spark, "ALTER TABLE ADD COLUMNS", m.group("db"), m.group("tbl"), snap
+        )
+    m = _DML_ALTER_DROP.match(query)
+    if m:
+        drops = [c.strip() for c in _split_top(m.group("cols")) if c.strip()]
+        snap = catalog.alter_table(m.group("db"), m.group("tbl"), drop_columns=drops)
+        return _dml_report(
+            spark, "ALTER TABLE DROP COLUMNS", m.group("db"), m.group("tbl"), snap
+        )
+    m = _DML_SET_PROPS.match(query)
+    if m:
+        if m.group("unset"):
+            keys = [
+                _call_literal(k.strip()) for k in _split_top(m.group("pairs"))
+            ]
+            updates: dict = {str(k): None for k in keys}
+        else:
+            updates = dict(_prop_pairs(m.group("pairs")))
+        props = catalog.set_properties(m.group("db"), m.group("tbl"), updates)
+        stmt = "ALTER TABLE UNSET TBLPROPERTIES" if m.group("unset") \
+            else "ALTER TABLE SET TBLPROPERTIES"
+        return spark.createDataFrame(
+            [(stmt, f"{m.group('db')}.{m.group('tbl')}", len(props))],
+            "statement string, table string, n_properties int",
+        )
     m = _DML_CALL.match(_mask_literals(query))
     if m:
         return _call_procedure(spark, catalog, query, m)
     return None
+
+
+def _prop_pairs(text: str) -> dict[str, str]:
+    """TBLPROPERTIES pair list: ``'k' = 'v', …`` (quoted literals,
+    ``''`` escapes)."""
+    out: dict[str, str] = {}
+    for item in _split_top(text):
+        item = item.strip()
+        if not item:
+            continue
+        pm = re.match(r"^('(?:[^']|'')*')\s*=\s*('(?:[^']|'')*')$", item)
+        if not pm:
+            raise ValueError(f"TBLPROPERTIES: cannot parse {item!r}")
+        out[str(_call_literal(pm.group(1)))] = str(_call_literal(pm.group(2)))
+    return out
 
 
 def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> DataFrame:

@@ -714,3 +714,63 @@ def test_sql_between_in_expression_not_swallowed(spark, cat):
         "SELECT count(*) AS n FROM db.t WHERE id BETWEEN 3 AND 7",
     ).collect()[0]["n"]
     assert out == 5
+
+
+# ---------------------------------------------------------------------------
+# DDL statements (r10): CREATE TABLE with spec/properties, schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_sql_create_table_with_spec_and_props(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, cat,
+        "CREATE TABLE db.part_t (id bigint, amount decimal(10,2), day date) "
+        "PARTITIONED BY (bucket(4, id), days(day)) "
+        "TBLPROPERTIES ('owner' = 'etl', 'comment' = 'it''s partitioned')",
+    ).collect()
+    assert out[0]["statement"] == "CREATE TABLE"
+    assert out[0]["n_properties"] == 2
+    t = cat.table("db", "part_t")
+    assert t.partition_spec() == ["bucket(4, id)", "days(day)"]
+    assert t.properties()["comment"] == "it's partitioned"
+    assert [f.name for f in t.schema().fields] == ["id", "amount", "day"]
+    with pytest.raises(ValueError, match="already exists"):
+        snapcat_dml(spark, cat, "CREATE TABLE db.part_t (x int)")
+
+
+def test_sql_alter_table_schema_evolution(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml, snapcat_sql,
+    )
+
+    snapcat_dml(spark, cat, "ALTER TABLE db.t ADD COLUMNS (note string, w int)")
+    assert [f.name for f in cat.table("db", "t").schema().fields] == [
+        "id", "v", "note", "w"
+    ]
+    snapcat_dml(spark, cat, "ALTER TABLE db.t RENAME COLUMN v TO val")
+    snapcat_dml(spark, cat, "ALTER TABLE db.t ALTER COLUMN w TYPE bigint")
+    snapcat_dml(spark, cat, "ALTER TABLE db.t DROP COLUMN note")
+    fields = {f.name: f.dataType.simpleString() for f in cat.table("db", "t").schema().fields}
+    assert fields == {"id": "bigint", "val": "bigint", "w": "bigint"}
+    # old data reads under the evolved schema (rename is metadata-only)
+    out = snapcat_sql(
+        spark, cat, "SELECT sum(val) AS s, count(w) AS nw FROM db.t"
+    ).collect()[0]
+    assert out["s"] == sum(i * 10 for i in range(30))
+    assert out["nw"] == 0  # added column: null for pre-evolution rows
+
+
+def test_sql_set_unset_tblproperties(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, cat,
+        "ALTER TABLE db.t SET TBLPROPERTIES ('retention.days' = '30', 'owner' = 'etl')",
+    ).collect()
+    assert out[0]["n_properties"] == 2
+    assert cat.table("db", "t").properties()["owner"] == "etl"
+    snapcat_dml(spark, cat, "ALTER TABLE db.t UNSET TBLPROPERTIES ('owner')")
+    assert "owner" not in cat.table("db", "t").properties()
+    assert cat.table("db", "t").properties()["retention.days"] == "30"
