@@ -196,6 +196,10 @@ _DRIVER_PRIORITY = [
 #   sql_changes_between — row-level CDC as a SQL relation
 #   (FROM db.t.changes BETWEEN a AND b); oracle-verified at
 #   registration.
+#   sql_ddl_lifecycle — CREATE TABLE with spec/properties + the
+#   full ALTER evolution sequence + SET/UNSET TBLPROPERTIES through
+#   SQL, reading pre-evolution data under the evolved schema;
+#   oracle-verified at registration.
 
 
 def _apply_driver_priority() -> None:

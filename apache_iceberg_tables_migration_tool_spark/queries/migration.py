@@ -2925,3 +2925,86 @@ def sql_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_ddl_lifecycle",
+    tags=("migration", "sql", "ddl", "evolution"),
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS id, c_acctbal FROM customer
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bucket_probe,
+       CAST(COUNT(*) AS BIGINT) - CAST(COUNT(*) AS BIGINT) AS n_note,
+       TRUE AS schema_ok, TRUE AS props_ok
+FROM c
+""",
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DDL surface end-to-end (r10, `sources/sqlfront`):
+    CREATE TABLE with a hidden-partition spec + properties, INSERT
+    from the fixture, then the full metadata-only evolution sequence
+    — ADD COLUMNS, RENAME COLUMN, ALTER COLUMN TYPE, DROP COLUMN,
+    SET/UNSET TBLPROPERTIES — finishing with a read UNDER THE EVOLVED
+    SCHEMA of data written before it (rename/widen are field-id
+    moves; the added column is null for pre-evolution rows, counted
+    as n_note = 0). The oracle recomputes the scalars from the
+    fixture; schema_ok/props_ok pin the evolved shapes in-query."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_ddl_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        snapcat_dml(
+            spark, cat,
+            "CREATE TABLE db.cust (id bigint, bal decimal(12,2)) "
+            "PARTITIONED BY (bucket(4, id)) "
+            "TBLPROPERTIES ('owner' = 'etl', 'retention.days' = '30')",
+        )
+        c = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        )
+        c.createOrReplaceTempView("cust_src")
+        snapcat_dml(spark, cat, "INSERT INTO db.cust SELECT id, bal FROM cust_src")
+        snapcat_dml(spark, cat, "ALTER TABLE db.cust ADD COLUMNS (note string, w int)")
+        snapcat_dml(spark, cat, "ALTER TABLE db.cust RENAME COLUMN bal TO balance")
+        snapcat_dml(spark, cat, "ALTER TABLE db.cust ALTER COLUMN w TYPE bigint")
+        snapcat_dml(spark, cat, "ALTER TABLE db.cust DROP COLUMN w")
+        snapcat_dml(
+            spark, cat,
+            "ALTER TABLE db.cust SET TBLPROPERTIES ('owner' = 'ml-platform')",
+        )
+        snapcat_dml(
+            spark, cat, "ALTER TABLE db.cust UNSET TBLPROPERTIES ('retention.days')"
+        )
+        tbl = cat.table("db", "cust")
+        schema_ok = [
+            (f.name, f.dataType.simpleString()) for f in tbl.schema().fields
+        ] == [("id", "bigint"), ("balance", "decimal(12,2)"), ("note", "string")]
+        props = tbl.properties()
+        props_ok = (
+            props.get("owner") == "ml-platform" and "retention.days" not in props
+        )
+        out = snapcat_sql(
+            spark, cat,
+            "SELECT count(*) AS n_rows, "
+            # the hidden bucket transform is engine-internal; probe a
+            # deterministic predicate instead so the oracle can match
+            "cast(sum(CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END) AS bigint)"
+            " AS n_bucket_probe, "
+            "count(note) AS n_note "
+            "FROM db.cust",
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(out["n_rows"], out["n_bucket_probe"], out["n_note"],
+              schema_ok, props_ok)],
+            "n_rows bigint, n_bucket_probe bigint, n_note bigint, "
+            "schema_ok boolean, props_ok boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
