@@ -383,6 +383,18 @@ _DML_SHOW_TABLES = re.compile(
     rf"^\s*SHOW\s+TABLES\s+IN\s+(?P<db>{_IDENT})\s*$", re.IGNORECASE
 )
 _DML_SHOW_NS = re.compile(r"^\s*SHOW\s+NAMESPACES\s*$", re.IGNORECASE)
+_DML_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_SHOW_CREATE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_SHOW_PARTS = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_DESCRIBE = re.compile(
     rf"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*$",
     re.IGNORECASE,
@@ -491,6 +503,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
           | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t
           → alter_table (metadata-only schema evolution)
         ALTER TABLE db.t [UN]SET TBLPROPERTIES (…) → set_properties
+        SHOW TBLPROPERTIES db.t | SHOW CREATE TABLE db.t (round-trip
+          DDL) | SHOW PARTITIONS db.t → introspection tables
         CALL [cat.]system.<proc>(…)    → table services (see
           _call_procedure)
 
@@ -673,6 +687,38 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
               f"{m.group('db2')}.{m.group('tbl2')}")],
             "statement string, table string",
         )
+    m = _DML_SHOW_PROPS.match(query)
+    if m:
+        props = catalog.table(m.group("db"), m.group("tbl")).properties()
+        return spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
+    m = _DML_SHOW_CREATE.match(query)
+    if m:
+        # reconstructed DDL — the round-trip text a user would run to
+        # recreate the table on another catalog (schema from the
+        # current snapshot's G1-correct DDL, spec and properties from
+        # first-class metadata)
+        t = catalog.table(m.group("db"), m.group("tbl"))
+        if not t.exists():
+            raise LookupError(
+                f"SHOW CREATE TABLE: {m.group('db')}.{m.group('tbl')} does not exist"
+            )
+        snap = t.current_snapshot() or t.snapshots()[-1]
+        stmt = f"CREATE TABLE {m.group('db')}.{m.group('tbl')} ({snap.schema_ddl})"
+        if snap.partition_spec:
+            stmt += f" PARTITIONED BY ({', '.join(snap.partition_spec)})"
+        props = t.properties()
+        if props:
+            pairs = ", ".join(
+                "'{}' = '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+                for k, v in sorted(props.items())
+            )
+            stmt += f" TBLPROPERTIES ({pairs})"
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    m = _DML_SHOW_PARTS.match(query)
+    if m:
+        return catalog.table(m.group("db"), m.group("tbl")).partitions_df(spark)
     m = _DML_CREATE.match(query)
     if m:
         # CREATE TABLE db.t (<DDL cols>) [PARTITIONED BY (spec,…)]

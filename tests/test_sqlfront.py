@@ -774,3 +774,36 @@ def test_sql_set_unset_tblproperties(spark, cat):
     snapcat_dml(spark, cat, "ALTER TABLE db.t UNSET TBLPROPERTIES ('owner')")
     assert "owner" not in cat.table("db", "t").properties()
     assert cat.table("db", "t").properties()["retention.days"] == "30"
+
+
+def test_sql_show_family(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, cat,
+        "CREATE TABLE db.shown (id bigint, d date) "
+        "PARTITIONED BY (days(d)) TBLPROPERTIES ('owner' = 'it''s me')",
+    )
+    props = snapcat_dml(spark, cat, "SHOW TBLPROPERTIES db.shown").collect()
+    assert {r["key"]: r["value"] for r in props} == {"owner": "it's me"}
+
+    stmt = snapcat_dml(spark, cat, "SHOW CREATE TABLE db.shown").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "PARTITIONED BY (days(d))" in stmt
+    assert "'owner' = 'it''s me'" in stmt
+    # round-trip: the reconstructed DDL recreates an identical table
+    stmt2 = stmt.replace("db.shown", "db.shown2")
+    snapcat_dml(spark, cat, stmt2)
+    t1, t2 = cat.table("db", "shown"), cat.table("db", "shown2")
+    assert t1.schema() == t2.schema()
+    assert t1.partition_spec() == t2.partition_spec()
+    assert t1.properties() == t2.properties()
+
+    df = spark.createDataFrame(
+        [(1, "2024-06-01"), (2, "2024-06-02"), (3, "2024-06-01")],
+        "id bigint, d string",
+    ).select("id", F.to_date("d").alias("d"))
+    cat.write("db", "shown", df)
+    parts = snapcat_dml(spark, cat, "SHOW PARTITIONS db.shown").collect()
+    assert len(parts) == 2  # two day partitions
