@@ -82,34 +82,33 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-10 ROTATION (verdict r9 action #1, standing longest-
-    # ungraded-first policy). Kept for continuity: the flagship + the
-    # two bench watch-list dedups + the two bench second carriers.
-    # Rotated IN: the 23 r6-tier rows the r9 rotation comment queued
-    # FIRST for this round (all driver-green in r6 and sweep-green
-    # every round since); scan_planning_report — the late-r9
-    # registration that hard-verifies the manifest-chunk planning
-    # plane (never graded); and 21 of the 45 rows last graded in
-    # ROUND 7, chosen to re-grade exactly the planes this round's
-    # engineering touches — the history-walk consumers
-    # (snapshot_history_ops, migration_history_replay,
-    # wap_audit_publish, rowlevel_merge_delete,
-    # streaming_changelog_view, migration_e2e_report) for the
-    # summary-only snapshots() work, the maintained-index /
-    # ingest family (dedup_incremental_ingest, incremental_minmax_view,
-    # knn_ivf) for the delete-compaction policy, plus the sole
-    # carriers of search (bm25_search_topk), clustering
-    # (dedup_clusters), multimodal (multimodal_decode_image,
-    # dedup_image_phash, multimodal_feature_knn), curation
-    # (contamination_benchmark_overlap, pii_redaction,
-    # stratified_sample_langs, pack_training_sequences),
-    # token_count_bpe, window_topk_orders_per_customer and
-    # sql_api_top_spenders. Rotated OUT: the 45 non-continuity rows
-    # graded in round 9 (all now >=2 greens) and 24 r7-tier
-    # multi-green relational/window secondary carriers.
-    # bpe_train_merges stays out by the rows-only policy (the window
-    # keeps its 100%-hash-checked discipline; exactness is
-    # pytest-pinned against a sequential reference).
+    # ROUND-11 ROTATION (verdict r10 actions #1 and #2, standing
+    # longest-ungraded-first policy). Kept for continuity: the
+    # flagship + the two bench watch-list dedups + the two bench
+    # second carriers. Rotated IN: the four never-graded r10 SQL
+    # registrations the r10 rotation comment queued (sql_merge_upsert
+    # — now also exercising this round's widened MERGE shapes:
+    # renamed key, explicit SET list, INSERT column mapping —
+    # sql_call_maintenance, sql_changes_between, sql_ddl_lifecycle);
+    # the 24 r7-tier rows queued FIRST for this round; and 16 of the
+    # 45 rows last graded in ROUND 8 — the five benched carriers
+    # (pricing_summary, integrity_fingerprint,
+    # asof_join_click_purchase, knn_topk_cosine,
+    # tumbling_window_events) plus the sole carriers of SURVEY §2 IDs
+    # whose freshest green is r8 (table_counts S1,
+    # correlated_exists_late_orders P4, scalar_functions_showcase P6,
+    # unpivot_lineitem_metrics P7, json_extract_events P8,
+    # argmax_customer_per_nation A3, rollup_order_stats A4/W5,
+    # antijoin_orders_without_items J1, doc_fingerprint F1,
+    # lag_order_gap_days F6, dedup_exact_documents X1).
+    # source_overlap_matrix STAYS IN despite its r10 green: that row
+    # was vacuous (0 vs 0 rows, verdict r10 #2) — the carrier now
+    # unions a deterministic syndicated slice so this round's row is
+    # non-empty. Rotated OUT: the 49 other non-continuity rows graded
+    # in round 10 (all now >=2 greens). bpe_train_merges stays out by
+    # the rows-only policy (the window keeps its 100%-hash-checked
+    # discipline; exactness is pytest-pinned against a sequential
+    # reference).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
     "flagship_topk_revenue",
@@ -117,54 +116,55 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # the 23 r6-tier rows queued by the r9 rotation comment
-    "dedup_duplicate_spans",
-    "knn_graph_neighbors",
-    "embedding_outliers",
-    "knn_int8_quantized",
-    "audio_spectral_profile",
-    "dedup_embedding_clusters",
-    "video_frame_sample",
-    "top_bigrams_per_lang",
-    "clean_text_stats",
-    "profit_by_nation_year_q9",
-    "large_volume_customers_q18",
-    "min_cost_supplier_q2",
-    "shipping_priority_q3",
-    "repetition_profile",
-    "mixture_weighted_sample",
-    "sample_fixed_per_lang",
+    # the four r10 SQL registrations, never driver-graded
+    "sql_merge_upsert",
+    "sql_call_maintenance",
+    "sql_changes_between",
+    "sql_ddl_lifecycle",
+    # re-grade after de-vacuation (now non-empty at sf0.01)
     "source_overlap_matrix",
-    "quality_weighted_sample",
-    "dataset_split_report",
-    "oov_rate_report",
-    "inverted_index_terms",
-    "unigram_surprisal_quality",
-    "bigram_surprisal_quality",
-    # late-r9 registration, never graded — r9's biggest engineering
-    "scan_planning_report",
-    # last graded round 7 (21): this round's touched planes + sole carriers
-    "snapshot_history_ops",
-    "migration_history_replay",
-    "migration_e2e_report",
-    "wap_audit_publish",
-    "rowlevel_merge_delete",
-    "streaming_changelog_view",
-    "incremental_minmax_view",
-    "dedup_incremental_ingest",
-    "knn_ivf",
-    "bm25_search_topk",
-    "dedup_clusters",
-    "multimodal_decode_image",
-    "dedup_image_phash",
-    "multimodal_feature_knn",
-    "token_count_bpe",
-    "contamination_benchmark_overlap",
-    "pii_redaction",
-    "stratified_sample_langs",
-    "pack_training_sequences",
-    "window_topk_orders_per_customer",
-    "sql_api_top_spenders",
+    # the 24 r7-tier rows queued by the r10 rotation comment
+    "distinct_counts",
+    "cube_lineitem_flags",
+    "pivot_status_priority",
+    "running_total_per_customer",
+    "having_popular_parts",
+    "ntile_price_quartiles",
+    "grouping_sets_flags",
+    "min_price_item_per_order",
+    "window_rank_metrics",
+    "sliding_window_events",
+    "snapshot_row_diff",
+    "approx_distinct_users",
+    "range_join_value_buckets",
+    "skew_salted_agg",
+    "portable_corr_stats",
+    "user_event_type_sets",
+    "orders_by_weekday",
+    "rolling_30d_customer_spend",
+    "funnel_conversion",
+    "weekly_cohort_retention",
+    "approx_percentile_quality",
+    "zorder_values",
+    "order_count_distribution_q13",
+    "idle_balance_by_nation_q22",
+    # last graded round 8 (16): benched carriers + r8-green sole carriers
+    "pricing_summary",
+    "integrity_fingerprint",
+    "asof_join_click_purchase",
+    "knn_topk_cosine",
+    "tumbling_window_events",
+    "table_counts",
+    "correlated_exists_late_orders",
+    "scalar_functions_showcase",
+    "unpivot_lineitem_metrics",
+    "json_extract_events",
+    "argmax_customer_per_nation",
+    "rollup_order_stats",
+    "antijoin_orders_without_items",
+    "doc_fingerprint",
+    "lag_order_gap_days",
+    "dedup_exact_documents",
 ]
 # Standing invariants of the window policy: every out-of-window query
 # keeps at least one driver-graded green row and stays pinned by
@@ -173,33 +173,23 @@ _DRIVER_PRIORITY = [
 # registered after a round's window is set queue for the next one and
 # are named in the rotation comment above.
 #
-# Queued FIRST for the r11 window: the 24 r7-tier rows left out of
-# the r10 rotation (distinct_counts, cube_lineitem_flags,
-# pivot_status_priority, running_total_per_customer,
-# having_popular_parts, ntile_price_quartiles, grouping_sets_flags,
-# min_price_item_per_order, window_rank_metrics,
-# sliding_window_events, snapshot_row_diff, approx_distinct_users,
-# range_join_value_buckets, skew_salted_agg, portable_corr_stats,
-# user_event_type_sets, orders_by_weekday,
-# rolling_30d_customer_spend, funnel_conversion,
-# weekly_cohort_retention, approx_percentile_quality, zorder_values,
-# order_count_distribution_q13, idle_balance_by_nation_q22 — all
-# multi-green secondary carriers of already-covered shapes), plus
-# the carriers registered during round 10:
-#   sql_merge_upsert — SQL MERGE INTO (COW + MOR strategies +
-#   delete-matched) through the front-end; oracle- and sweep-
-#   verified at registration.
-#   sql_call_maintenance — the CALL system.* procedure surface
-#   (create_tag, rollback_to_snapshot, rewrite_data_files,
-#   expire_snapshots with tag retention) end-to-end through SQL;
-#   oracle-verified at registration.
-#   sql_changes_between — row-level CDC as a SQL relation
-#   (FROM db.t.changes BETWEEN a AND b); oracle-verified at
-#   registration.
-#   sql_ddl_lifecycle — CREATE TABLE with spec/properties + the
-#   full ALTER evolution sequence + SET/UNSET TBLPROPERTIES through
-#   SQL, reading pre-evolution data under the evolved schema;
-#   oracle-verified at registration.
+# Queued FIRST for the r12 window: the 29 r8-tier rows left out of
+# the r11 rotation — filter_sum_revenue,
+# semijoin_customers_with_open_orders, asof_snapshot_resolution,
+# intersect_active_users, except_en_not_es_texts,
+# median_value_by_type, promo_revenue_share, year_over_year_orders,
+# churned_buyers_1998, nation_customer_share, vector_sql_arith,
+# dedup_keep_latest_events, dedup_simhash, dedup_embedding_cosine,
+# knn_lsh_bucketed, text_stats_by_lang, text_quality_features,
+# lang_id_rulebased, multimodal_metadata, lang_confusion_matrix,
+# dedup_image_dhash, incremental_moments_view, incremental_join_view,
+# stateful_user_totals, volume_shipping_q7, market_share_q8,
+# supplier_variety_q16, excess_shipping_q20, sole_return_supplier_q21
+# — all multi-green secondary carriers of already-covered shapes;
+# fill the rest with the oldest r9-tier rows (none registered during
+# round 11 — the round's new MERGE/quoting/CALL surface rides the
+# existing sql_merge_upsert / sql_call_maintenance /
+# sql_ddl_lifecycle carriers, which are graded THIS round).
 
 
 def _apply_driver_priority() -> None:

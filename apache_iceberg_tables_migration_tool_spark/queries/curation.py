@@ -371,7 +371,13 @@ def source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_overlap_matrix",
     tags=("curation", "dedup"),
     oracle="""
-WITH sh AS (SELECT DISTINCT source, text FROM documents)
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'syndicated_feed' AS source, text FROM documents
+  WHERE doc_id % 7 = 0
+),
+sh AS (SELECT DISTINCT source, text FROM corpus)
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared_texts
 FROM sh a JOIN sh b ON a.text = b.text AND a.source < b.source
@@ -385,9 +391,19 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop one side of a mirror pair wholesale. The (source, hash)
     relation is distinct-ed (one shuffle), self-joined on hash
     (fan-out bounded by sources-per-hash, never corpus-sized), and
-    the matrix is O(sources²) rows."""
+    the matrix is O(sources²) rows.
+
+    The fixture corpus has no naturally cross-source texts at small
+    SF (the r10 graded row compared 0 rows to 0 rows — vacuously
+    green, verdict r10 #2), so the query unions a deterministic
+    syndicated slice (every 7th doc re-tagged ``syndicated_feed``)
+    before calling the operator: every real source then shares texts
+    with the feed and the oracle comparison has rows to check."""
     docs = load(spark, sf_dir, "documents")
-    return C.source_overlap(docs)
+    feed = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "source", F.lit("syndicated_feed")
+    )
+    return C.source_overlap(docs.unionByName(feed))
 
 
 #: quality bands for the proportional sample: (min unique-token ratio,

@@ -2704,7 +2704,10 @@ s AS (
   FROM orders WHERE o_orderkey % 2 = 0
 ),
 merged AS (
-  SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v
+  SELECT COALESCE(s.k, t.k) AS k,
+         CAST(CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN s.v + 1
+                   WHEN s.k IS NOT NULL THEN s.v
+                   ELSE t.v END AS INT) AS v
   FROM t FULL OUTER JOIN s ON t.k = s.k
 ),
 final AS (SELECT * FROM merged WHERE k % 10 <> 4)
@@ -2717,18 +2720,20 @@ FROM final
 )
 def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL ``MERGE INTO`` through the front-end
-    (`sources/sqlfront.snapcat_dml`, r10): the canonical
-    ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
-    upsert runs against TWO targets holding identical data — one
-    copy-on-write, one with ``write.merge.mode=merge-on-read`` (the
-    Iceberg property that selects the engine's `upsert` vs
-    `upsert_mor` verb) — followed by a ``WHEN MATCHED THEN DELETE``
-    against a third key set. In-query validation pins that both
-    strategies produce checksum-identical tables (COW rewrites
-    matched files; MOR writes one append + equality-delete commit —
-    same logical result, pinned here end-to-end through the SQL
-    surface); the oracle recomputes the final state relationally
-    (full outer join + delete predicate)."""
+    (`sources/sqlfront.snapcat_dml`, widened r11): a merge with a
+    RENAMED key column (``ON t.k = src.src_k``), an explicit
+    ``UPDATE SET v = src.v + 1`` assignment list, and an
+    ``INSERT (k, v) VALUES (src.src_k, src.v)`` column mapping — the
+    Iceberg MERGE shapes real users hit first — runs against TWO
+    targets holding identical data: one copy-on-write, one with
+    ``write.merge.mode=merge-on-read`` (the Iceberg property that
+    selects the engine's `upsert` vs `upsert_mor` verb). A
+    ``WHEN MATCHED THEN DELETE`` against a third key set follows,
+    itself strategy-switched by the same property (COW keyed rewrite
+    vs equality-delete files). In-query validation pins that both
+    strategies produce checksum-identical tables; the oracle
+    recomputes the final state relationally (full outer join with
+    the matched/unmatched CASE + delete predicate)."""
     from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
         table_checksum,
     )
@@ -2745,7 +2750,7 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 97).cast("int").alias("v"),
         )
         s = o.where(F.col("o_orderkey") % 2 == 0).select(
-            F.col("o_orderkey").alias("k"),
+            F.col("o_orderkey").alias("src_k"),  # renamed key column
             ((F.col("o_orderkey") % 89).cast("int") + 1000).alias("v"),
         )
         dels = o.where(F.col("o_orderkey") % 10 == 4).select(
@@ -2757,8 +2762,9 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.write("db", "src", s, committed_at=_T[0])
         cat.write("db", "del_keys", dels, committed_at=_T[0])
         upsert_sql = (
-            "MERGE INTO db.{tgt} USING db.src ON {tgt}.k = src.k "
-            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            "MERGE INTO db.{tgt} USING db.src ON {tgt}.k = src.src_k "
+            "WHEN MATCHED THEN UPDATE SET v = src.v + 1 "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.src_k, src.v)"
         )
         delete_sql = (
             "MERGE INTO db.{tgt} USING db.del_keys ON {tgt}.k = del_keys.k "

@@ -2748,8 +2748,23 @@ def schema_to_ddl(schema: T.StructType) -> str:
     """Spark-DDL column list. The G1 fix: ``simpleString()`` per field
     (→ ``bigint``, ``array<float>``) instead of ``str(dataType)``
     (→ ``LongType()``), which the reference splices into CREATE TABLE
-    (2_collect_database_schema_info.py:174-179 → 3_create_dst_tables.py:80)."""
-    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    (2_collect_database_schema_info.py:174-179 → 3_create_dst_tables.py:80).
+    Names that aren't plain identifiers (the reference's F3 case:
+    dashes) are backtick-quoted so the DDL round-trips through Spark's
+    parser."""
+    return ", ".join(
+        f"{_quote_ident(f.name)} {f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+
+
+_PLAIN_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _quote_ident(name: str) -> str:
+    if _PLAIN_IDENT_RE.match(name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 
 class SnapCatalog:
@@ -3871,8 +3886,9 @@ class SnapCatalog:
         key_cols: list[str] | None = None,
         committed_at: str | None = None,
         summary_extra: dict[str, str] | None = None,
+        mode: str = "merge-on-read",
     ) -> Snapshot:
-        """Row-level DELETE by key, MERGE-ON-READ (≙ Iceberg v2
+        """Row-level DELETE by key. Default MERGE-ON-READ (≙ Iceberg v2
         equality-delete files with ``write.delete.mode=merge-on-read``):
         the commit writes ONLY the key set — no data file is read or
         rewritten, so a 10-key delete into a 100 TB table costs O(keys)
@@ -3882,8 +3898,17 @@ class SnapCatalog:
         overwrite) materializes the deletes away — Iceberg's
         ``rewrite_data_files`` + ``rewrite_position_delete_files`` role.
 
-        COW (:meth:`delete_where`) optimizes for readers, MOR for
-        writers — the classic Iceberg trade."""
+        ``mode="copy-on-write"`` (≙ ``write.delete.mode=copy-on-write``,
+        what SQL ``MERGE … WHEN MATCHED THEN DELETE`` selects on a COW
+        table): file-level rewrite of ONLY the files containing a
+        matched key (found by one semi-join against the scan), matched
+        rows dropped, every untouched file carried over by reference —
+        the same selective-rewrite shape as :meth:`upsert`.
+
+        COW optimizes for readers, MOR for writers — the classic
+        Iceberg trade."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()
@@ -3895,6 +3920,44 @@ class SnapCatalog:
             if missing:
                 raise ValueError(
                     f"delete key columns {missing} not in {database}.{name} schema"
+                )
+            if mode == "copy-on-write":
+                spark = keys.sparkSession
+                cur = tbl._read_files(
+                    spark, prev, [f.path for f in prev.files],
+                    with_file_path=True, apply_deletes=True, with_lineage=True,
+                )
+                kdf = keys.select(*kc).distinct()
+                affected_abs = [
+                    r["__file"]
+                    for r in cur.join(kdf, kc, "left_semi")
+                    .select("__file").distinct().collect()
+                ]  # O(matched files) driver rows — manifest-scale
+                affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
+                if not affected_rel:  # no-op delete still commits (audit)
+                    return self._commit(
+                        tbl, prev, list(prev.files), [], "delete", committed_at,
+                        {"delete-mode": "copy-on-write",
+                         "rewritten-data-files": "0", **(summary_extra or {})},
+                    )
+                survivors = (
+                    cur.where(F.col("__file").isin(list(affected_abs)))
+                    .join(kdf, kc, "left_anti")
+                    .drop("__file")
+                )
+                sid = _next_id(tbl._load_meta(expand=False))
+                new_files = self._write_data_files(
+                    tbl, sid, survivors, prev.partition_spec
+                )
+                files = [
+                    f for f in prev.files if f.path not in affected_rel
+                ] + new_files
+                return self._commit(
+                    tbl, prev, files, new_files, "delete", committed_at,
+                    {"delete-mode": "copy-on-write",
+                     "rewritten-data-files": str(len(affected_rel)),
+                     **(summary_extra or {})}, sid=sid,
+                    materialized_lineage=True,
                 )
             meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)

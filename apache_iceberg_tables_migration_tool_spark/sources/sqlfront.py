@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _META = "snapshots|files|history|manifests|partitions|refs|changes|incremental"
@@ -174,7 +175,16 @@ def snapcat_sql(
             # incremental-append scan): FROM db.t.changes BETWEEN a
             # AND b — a exclusive, b inclusive; no range = from table
             # creation to the published head
-            to_id = int(hi) if hi is not None else t.current_snapshot().snapshot_id
+            if hi is not None:
+                to_id = int(hi)
+            else:
+                head = t.current_snapshot()
+                if head is None:  # only staged/WAP commits, no published head
+                    raise LookupError(
+                        f"{db}.{tbl} has no published snapshot — give "
+                        f"{meta} an explicit BETWEEN range"
+                    )
+                to_id = head.snapshot_id
             # 0 = "from table creation" (snapshot ids start at 1; the
             # start bound is exclusive, so 0 and None mean the same)
             from_id = int(lo) if lo is not None and int(lo) != 0 else None
@@ -262,39 +272,44 @@ def snapcat_sql(
 # DML: the write half of the SQL surface, mapped onto the engine verbs
 # ---------------------------------------------------------------------------
 
+# every statement regex takes db/table (and column) identifiers as
+# _QIDENT — bare or backtick-quoted, same as the read path, closing
+# the reference's F3 case (dashed database names) on the WRITE half:
+# `INSERT INTO \`my-db\`.t` must commit, not fall through to the read
+# path and die with an unrelated Catalyst error. Use-sites unquote.
 _DML_INSERT = re.compile(
-    rf"^\s*INSERT\s+(?P<how>INTO|OVERWRITE)\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"^\s*INSERT\s+(?P<how>INTO|OVERWRITE)\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
     rf"\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_CTAS = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+AS\s+(?P<rest>.+)$",
+    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+AS\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_MERGE_HEAD = re.compile(
-    rf"^\s*MERGE\s+INTO\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"^\s*MERGE\s+INTO\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
     rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+USING\s+",
     re.IGNORECASE,
 )
 _DML_DELETE = re.compile(
-    rf"^\s*DELETE\s+FROM\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"^\s*DELETE\s+FROM\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
     rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_UPDATE = re.compile(
-    rf"^\s*UPDATE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+    rf"^\s*UPDATE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+SET\s+(?P<sets>.+?)"
     rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 _DML_DROP = re.compile(
-    rf"^\s*DROP\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*$",
+    rf"^\s*DROP\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*$",
     re.IGNORECASE,
 )
 _DML_RENAME = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+RENAME\s+TO\s+"
-    rf"(?P<db2>{_IDENT})\.(?P<tbl2>{_IDENT})\s*$",
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+RENAME\s+TO\s+"
+    rf"(?P<db2>{_QIDENT})\.(?P<tbl2>{_QIDENT})\s*$",
     re.IGNORECASE,
 )
 
@@ -303,34 +318,34 @@ _DML_RENAME = re.compile(
 #: and parameterized types (`decimal(10,2)`) never nest deeper
 _NEST1 = r"[^()]*(?:\([^()]*\)[^()]*)*"
 _DML_CREATE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*"
+    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*"
     rf"\((?P<cols>{_NEST1})\)\s*"
     rf"(?:PARTITIONED\s+BY\s*\((?P<spec>{_NEST1})\)\s*)?"
     rf"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_ALTER_ADD = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
     rf"ADD\s+COLUMNS?\s+(?P<cols>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_ALTER_DROP = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
     rf"DROP\s+COLUMNS?\s*\(?(?P<cols>[^()]+?)\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_ALTER_RENAME_COL = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
-    rf"RENAME\s+COLUMN\s+(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})\s*;?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"RENAME\s+COLUMN\s+(?P<old>{_QIDENT})\s+TO\s+(?P<new>{_QIDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_ALTER_TYPE = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
-    rf"ALTER\s+COLUMN\s+(?P<col>{_IDENT})\s+TYPE\s+(?P<type>.+?)\s*;?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"ALTER\s+COLUMN\s+(?P<col>{_QIDENT})\s+TYPE\s+(?P<type>.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_SET_PROPS = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
     rf"(?P<unset>UN)?SET\s+TBLPROPERTIES\s*\((?P<pairs>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -341,15 +356,31 @@ _DML_CALL = re.compile(
 
 
 def _call_literal(tok: str):
-    """One CALL argument literal: 'string' (''-escaped), integer, or
-    true/false."""
+    """One CALL argument literal: 'string' (decoding BOTH escape forms
+    the masker/splitter accept — doubled-quote ``''`` and backslash),
+    integer, float, or true/false."""
     if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
-        return tok[1:-1].replace("''", "'")
+        body = tok[1:-1]
+        out, i, n = [], 0, len(body)
+        while i < n:
+            ch = body[i]
+            if ch == "\\" and i + 1 < n:
+                out.append(body[i + 1])
+                i += 2
+            elif ch == "'" and i + 1 < n and body[i + 1] == "'":
+                out.append("'")
+                i += 2
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
     low = tok.lower()
     if low in ("true", "false"):
         return low == "true"
     if re.fullmatch(r"-?\d+", tok):
         return int(tok)
+    if re.fullmatch(r"-?(?:\d+\.\d*|\.\d+)(?:[eE][-+]?\d+)?|-?\d+[eE][-+]?\d+", tok):
+        return float(tok)
     raise ValueError(f"CALL: cannot parse argument {tok!r}")
 
 
@@ -372,33 +403,50 @@ def _parse_call_args(text: str) -> tuple[list, dict]:
     return pos, named
 
 
-def _call_table(args: list) -> tuple[str, str, list]:
-    if not args or not isinstance(args[0], str) or "." not in args[0]:
-        raise ValueError("CALL: first argument must be a 'db.table' string")
-    db, _, tbl = args[0].partition(".")
-    return db, tbl, args[1:]
+def _call_table(args: list, named: dict | None = None) -> tuple[str, str, list]:
+    """The procedure's target table: the first positional argument or
+    — Iceberg's named convention — ``table => 'db.t'``."""
+    if args and isinstance(args[0], str) and "." in args[0]:
+        db, _, tbl = args[0].partition(".")
+        return db, tbl, args[1:]
+    t = (named or {}).get("table")
+    if isinstance(t, str) and "." in t:
+        db, _, tbl = t.partition(".")
+        return db, tbl, list(args)
+    raise ValueError(
+        "CALL: pass the table as the first positional argument or as "
+        "table => 'db.table'"
+    )
 
 
 _DML_SHOW_TABLES = re.compile(
-    rf"^\s*SHOW\s+TABLES\s+IN\s+(?P<db>{_IDENT})\s*$", re.IGNORECASE
+    rf"^\s*SHOW\s+TABLES\s+IN\s+(?P<db>{_QIDENT})\s*$", re.IGNORECASE
 )
 _DML_SHOW_NS = re.compile(r"^\s*SHOW\s+NAMESPACES\s*$", re.IGNORECASE)
 _DML_SHOW_PROPS = re.compile(
-    rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_SHOW_CREATE = re.compile(
-    rf"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_SHOW_PARTS = re.compile(
-    rf"^\s*SHOW\s+PARTITIONS\s+(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    rf"^\s*SHOW\s+PARTITIONS\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_DESCRIBE = re.compile(
-    rf"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<db>{_IDENT})\.(?P<tbl>{_IDENT})\s*$",
+    rf"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*$",
     re.IGNORECASE,
 )
+
+
+def _uq(m: re.Match, name: str, text: str | None = None) -> str:
+    """Unquoted text of group ``name`` — from ``text`` by span when the
+    match ran over masked text (spans align because masking preserves
+    length), else from the match itself."""
+    s = text[m.start(name):m.end(name)] if text is not None else m.group(name)
+    return _unquote(s)
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -447,29 +495,354 @@ def _find_top_kw(masked: str, start: int, kw: str) -> int:
     return -1
 
 
-def _merge_key_cols(cond: str, target_names: set[str]) -> list[str]:
-    """Extract the equi-join key columns from a MERGE ON condition:
-    a conjunction of ``t.col = s.col`` terms where both sides name the
-    SAME column (the upsert-key shape the engine verbs take). Anything
-    else is rejected loudly rather than silently mis-merged."""
-    keys: list[str] = []
+def _split_relation_alias(src_text: str) -> tuple[str, str | None]:
+    """Split a MERGE USING relation into (relation, alias): ``db.s`` →
+    (db.s, None), ``db.s AS x`` / ``db.s x`` → (db.s, x),
+    ``(subquery) s`` → ((subquery), s)."""
+    m = re.match(
+        rf"^(?P<rel>.+?)\s+(?:AS\s+)?(?P<alias>{_IDENT})\s*$",
+        src_text, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return m.group("rel"), m.group("alias")
+    return src_text, None
+
+
+def _merge_key_pairs(
+    cond: str,
+    target_names: set[str],
+    t_alias: str,
+    s_alias: str | None,
+    db: str,
+    tbl: str,
+) -> list[tuple[str, str]]:
+    """Extract the equi-join keys from a MERGE ON condition — a
+    conjunction of ``<qual>.col = <qual>.col`` terms — as
+    ``(target_col, source_col)`` pairs. A term binds one side to the
+    TARGET by qualifier (the target alias or table name); the other
+    side is the source (differently-named key columns are fine:
+    ``ON t.id = s.customer_id``). An unqualified ``col = col`` on the
+    same name keeps the legacy shape. Anything else is rejected loudly
+    rather than silently mis-merged."""
+    t_quals = {t_alias.lower(), tbl.lower()}
+    pairs: list[tuple[str, str]] = []
     for term in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
         m = re.match(
-            rf"^\s*(?:{_IDENT}\.)?(?P<l>{_IDENT})\s*=\s*(?:{_IDENT}\.)?(?P<r>{_IDENT})\s*$",
+            rf"^\s*(?:(?P<lq>{_QIDENT})\.)?(?P<l>{_QIDENT})\s*=\s*"
+            rf"(?:(?P<rq>{_QIDENT})\.)?(?P<r>{_QIDENT})\s*$",
             term,
         )
-        if not m or m.group("l") != m.group("r"):
+        if not m:
             raise ValueError(
                 f"MERGE ON: unsupported term {term.strip()!r} — expected a "
-                "conjunction of `target.col = source.col` equalities on "
-                "identically-named key columns"
+                "conjunction of `target.col = source.col` equalities"
             )
-        if m.group("l") not in target_names:
+        lq = _unquote(m.group("lq")).lower() if m.group("lq") else None
+        rq = _unquote(m.group("rq")).lower() if m.group("rq") else None
+        lc, rc = _unquote(m.group("l")), _unquote(m.group("r"))
+        l_is_t, r_is_t = lq in t_quals, rq in t_quals
+        if l_is_t and r_is_t:
             raise ValueError(
-                f"MERGE ON: key column {m.group('l')!r} not in target schema"
+                f"MERGE ON: both sides of {term.strip()!r} qualify as the target"
             )
-        keys.append(m.group("l"))
-    return keys
+        if l_is_t:
+            tk, sk = lc, rc
+        elif r_is_t:
+            tk, sk = rc, lc
+        elif lq is None and rq is None and lc == rc:
+            tk = sk = lc  # legacy bare `col = col` shape
+        elif s_alias is not None and lq == s_alias.lower() and rq is None:
+            tk, sk = rc, lc
+        elif s_alias is not None and rq == s_alias.lower() and lq is None:
+            tk, sk = lc, rc
+        else:
+            raise ValueError(
+                f"MERGE ON: cannot tell target from source in {term.strip()!r} "
+                f"— qualify the target side as {t_alias!r} (or {tbl!r})"
+            )
+        if tk not in target_names:
+            raise ValueError(f"MERGE ON: key column {tk!r} not in target schema")
+        pairs.append((tk, sk))
+    if len({tk for tk, _ in pairs}) != len(pairs):
+        raise ValueError("MERGE ON: duplicate target key column")
+    return pairs
+
+
+def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[bool, str]]:
+    """Split the WHEN region into ``(is_matched, action_text)`` pairs.
+    WHEN positions are found over the MASKED text at paren depth 0
+    (spans align); clause text is read from the original. Only a WHEN
+    followed by ``[NOT] MATCHED`` is a clause boundary — a ``CASE
+    WHEN`` inside a SET/VALUES expression is not. Conditional clauses
+    (``WHEN MATCHED AND …``) and ``BY SOURCE`` are rejected loudly —
+    silently ignoring a condition would mis-merge."""
+    boundary = re.compile(r"WHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
+    idxs, i = [], start
+    while True:
+        w = _find_top_kw(masked, i, "WHEN")
+        if w < 0:
+            break
+        if boundary.match(masked, w):
+            idxs.append(w)
+        i = w + 4
+    out: list[tuple[bool, str]] = []
+    for n, w in enumerate(idxs):
+        end = idxs[n + 1] if n + 1 < len(idxs) else len(query)
+        text = query[w:end].strip().rstrip(";").strip()
+        m = re.match(
+            r"^WHEN\s+(?P<not>NOT\s+)?MATCHED\s+(?P<rest>.*)$",
+            text, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"MERGE: cannot parse clause {text!r}")
+        rest = m.group("rest").strip()
+        if re.match(r"^BY\s+SOURCE\b", rest, re.IGNORECASE):
+            raise ValueError("MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+        if re.match(r"^AND\b", rest, re.IGNORECASE):
+            raise ValueError(
+                "MERGE: conditional WHEN clauses (WHEN [NOT] MATCHED AND …) "
+                "are not supported"
+            )
+        m2 = re.match(r"^THEN\s+(?P<act>.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if not m2:
+            raise ValueError(f"MERGE: missing THEN in clause {text!r}")
+        out.append((m.group("not") is None, m2.group("act").strip()))
+    if not out:
+        raise ValueError("MERGE: missing WHEN clause(s)")
+    return out
+
+
+def _strip_target_qual(col: str, t_alias: str, tbl: str) -> str:
+    """``t.v`` / ``tbl.v`` / ``v`` on the left of a SET assignment or
+    in an INSERT column list → ``v`` (unquoted)."""
+    m = re.fullmatch(rf"(?:(?P<q>{_QIDENT})\.)?(?P<c>{_QIDENT})", col.strip())
+    if not m:
+        raise ValueError(f"MERGE: cannot parse column {col.strip()!r}")
+    if m.group("q") and _unquote(m.group("q")).lower() not in (
+        t_alias.lower(), tbl.lower(),
+    ):
+        raise ValueError(
+            f"MERGE: column {col.strip()!r} is qualified with neither the "
+            f"target alias {t_alias!r} nor the table name {tbl!r}"
+        )
+    return _unquote(m.group("c"))
+
+
+def _parse_merge_action(action: str, t_alias: str, tbl: str):
+    """One THEN action → ``(kind, payload)``: ``update_star``,
+    ``update_set`` ({target col → SQL expr}), ``delete``,
+    ``insert_star``, or ``insert_cols`` ({target col → SQL expr})."""
+    if re.fullmatch(r"UPDATE\s+SET\s+\*", action, re.IGNORECASE):
+        return "update_star", None
+    m = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action, re.IGNORECASE | re.DOTALL)
+    if m:
+        sets: dict[str, str] = {}
+        for part in _split_top(m.group("sets")):
+            col, eq, expr = part.partition("=")
+            if not eq or not expr.strip():
+                raise ValueError(f"MERGE UPDATE SET: cannot parse {part.strip()!r}")
+            sets[_strip_target_qual(col, t_alias, tbl)] = expr.strip()
+        return "update_set", sets
+    if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+        return "delete", None
+    if re.fullmatch(r"INSERT\s+\*", action, re.IGNORECASE):
+        return "insert_star", None
+    m = re.match(
+        r"^INSERT\s*\((?P<cols>[^()]*)\)\s*VALUES\s*\((?P<vals>.+)\)$",
+        action, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        cols = [_strip_target_qual(c, t_alias, tbl) for c in _split_top(m.group("cols"))]
+        vals = [v.strip() for v in _split_top(m.group("vals"))]
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"MERGE INSERT: {len(cols)} column(s) but {len(vals)} value(s)"
+            )
+        return "insert_cols", dict(zip(cols, vals))
+    raise ValueError(
+        f"MERGE: unsupported action {action!r} — supported: UPDATE SET * | "
+        "UPDATE SET col = expr, … | DELETE | INSERT * | "
+        "INSERT (col, …) VALUES (expr, …)"
+    )
+
+
+def _merge_execute(
+    spark: SparkSession, catalog, query: str, masked_q: str, m: re.Match
+) -> DataFrame:
+    """MERGE INTO db.t [AS a] USING <relation|(subquery)> [AS s]
+      ON <t.k = s.k [AND …]>          (key names may differ per side)
+      WHEN MATCHED THEN UPDATE SET * | UPDATE SET col = expr, … | DELETE
+      WHEN NOT MATCHED THEN INSERT * | INSERT (col, …) VALUES (expr, …)
+
+    Row-level strategy follows the target's ``write.merge.mode`` table
+    property (Iceberg's own switch): copy-on-write → file-level COW
+    rewrite of only the matched files; merge-on-read → one
+    append+equality-delete commit. Any update/insert combination is
+    ONE commit (the parts union into a single upsert); insert-only is
+    an anti-join + append; delete-matched maps to the keyed delete in
+    the mode the property selects. Free-text sections are located over
+    the MASKED text at paren depth 0, spans read from the original.
+    Conditional clauses and BY SOURCE are rejected loudly."""
+    db, tbl = _uq(m, "db", query), _uq(m, "tbl", query)
+    t_alias = m.group("alias") or tbl
+    on_at = _find_top_kw(masked_q, m.end(), "ON")
+    if on_at < 0:
+        raise ValueError("MERGE: missing ON clause")
+    when_at = _find_top_kw(masked_q, on_at, "WHEN")
+    if when_at < 0:
+        raise ValueError("MERGE: missing WHEN clause(s)")
+    src_text = query[m.end():on_at].strip()
+    cond = query[on_at + 2:when_at].strip()
+
+    t = catalog.table(db, tbl)
+    if not t.exists():
+        raise LookupError(f"MERGE INTO: {db}.{tbl} does not exist")
+    schema = t.schema()
+    tgt = [f.name for f in schema.fields]
+
+    rel_text, s_alias = _split_relation_alias(src_text)
+    if s_alias is None:
+        rm = re.fullmatch(rf"({_QIDENT})\.({_QIDENT})", rel_text.strip())
+        s_alias = _unquote(rm.group(2)) if rm else None
+    pairs = _merge_key_pairs(cond, set(tgt), t_alias, s_alias, db, tbl)
+    tgt_keys = [tk for tk, _ in pairs]
+    src_keys = [sk for _, sk in pairs]
+    src_df = snapcat_sql(spark, catalog, f"SELECT * FROM {src_text}")
+    bad = [sk for sk in src_keys if sk not in src_df.columns]
+    if bad:
+        raise ValueError(f"MERGE ON: source key column(s) {bad} not in source")
+    mode = t.properties().get("write.merge.mode", "copy-on-write")
+
+    upd = ins = None  # at most one MATCHED and one NOT MATCHED clause
+    for is_matched, action in _merge_clauses(query, masked_q, when_at):
+        kind, payload = _parse_merge_action(action, t_alias, tbl)
+        if is_matched:
+            if kind not in ("update_star", "update_set", "delete"):
+                raise ValueError(f"MERGE: WHEN MATCHED cannot {kind.upper()}")
+            if upd is not None:
+                raise ValueError("MERGE: more than one WHEN MATCHED clause")
+            upd = (kind, payload)
+        else:
+            if kind not in ("insert_star", "insert_cols"):
+                raise ValueError(f"MERGE: WHEN NOT MATCHED cannot {kind.upper()}")
+            if ins is not None:
+                raise ValueError("MERGE: more than one WHEN NOT MATCHED clause")
+            ins = (kind, payload)
+
+    def rename_keys(df: DataFrame) -> DataFrame:
+        for tk, sk in pairs:
+            if sk != tk:
+                if tk in df.columns:
+                    raise ValueError(
+                        f"MERGE: cannot map source key {sk!r} onto target key "
+                        f"{tk!r} — the source already has a column named {tk!r}"
+                    )
+                df = df.withColumnRenamed(sk, tk)
+        return df
+
+    def require_full_schema(df: DataFrame, star: str) -> DataFrame:
+        missing = [c for c in tgt if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"MERGE INTO {db}.{tbl}: source is missing target column(s) "
+                f"{missing} ({star} needs the full target schema)"
+            )
+        return df.select(*tgt)
+
+    if upd and upd[0] == "delete":
+        if ins is not None:
+            raise ValueError(
+                "MERGE: WHEN MATCHED THEN DELETE cannot combine with an "
+                "INSERT clause (one statement must be one commit)"
+            )
+        keys_df = rename_keys(src_df.select(*dict.fromkeys(src_keys)))
+        keys_df = keys_df.select(*tgt_keys).distinct()
+        snap = catalog.delete_keys(db, tbl, keys_df, key_cols=tgt_keys, mode=mode)
+        return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
+
+    if upd and upd[0] == "update_set":
+        bad_keys = sorted(set(upd[1]) & set(tgt_keys))
+        if bad_keys:
+            raise ValueError(f"MERGE: UPDATE SET on merge key column(s) {bad_keys}")
+        unknown = [c for c in upd[1] if c not in tgt]
+        if unknown:
+            raise ValueError(f"MERGE: UPDATE SET on unknown column(s) {unknown}")
+
+    # fast path — the verbs' native semantics, no extra target read
+    if upd == ("update_star", None) and ins == ("insert_star", None):
+        updates = require_full_schema(rename_keys(src_df), "UPDATE SET * / INSERT *")
+        if mode == "merge-on-read":
+            snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys)
+        else:
+            snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys)
+        return _dml_report(spark, "MERGE", db, tbl, snap)
+
+    # one target-key read drives both the matched and not-matched sides;
+    # keys are aliased to the SOURCE names so the semi/anti joins bind
+    existing = t.read(spark).select(
+        *[F.col(tk).alias(sk) for tk, sk in pairs]
+    ).distinct()
+    s_a = s_alias or "__src"
+
+    if upd is None:  # insert-only: anti-join + plain append
+        unmatched = src_df.join(existing, src_keys, "left_anti")
+        if ins[0] == "insert_star":
+            new_rows = require_full_schema(rename_keys(unmatched), "INSERT *")
+        else:
+            new_rows = unmatched.alias(s_a).select(
+                *[
+                    F.expr(ins[1][f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in ins[1]
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        snap = catalog.write(db, tbl, new_rows, mode="append")
+        return _dml_report(spark, "MERGE INSERT", db, tbl, snap)
+
+    parts: list[DataFrame] = []
+    if upd[0] == "update_star":
+        matched = src_df.join(existing, src_keys, "left_semi")
+        parts.append(require_full_schema(rename_keys(matched), "UPDATE SET *"))
+    else:  # update_set: join target×source, SET exprs see both aliases
+        join_cond = None
+        for tk, sk in pairs:
+            term = F.col(f"{t_alias}.{tk}") == F.col(f"{s_a}.{sk}")
+            join_cond = term if join_cond is None else (join_cond & term)
+        joined = t.read(spark).alias(t_alias).join(
+            src_df.alias(s_a), join_cond, "inner"
+        )
+        parts.append(
+            joined.select(
+                *[
+                    F.expr(upd[1][f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in upd[1]
+                    else F.col(f"{t_alias}.{f.name}").alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
+    if ins is not None:
+        unmatched = src_df.join(existing, src_keys, "left_anti")
+        if ins[0] == "insert_star":
+            parts.append(require_full_schema(rename_keys(unmatched), "INSERT *"))
+        else:
+            parts.append(
+                unmatched.alias(s_a).select(
+                    *[
+                        F.expr(ins[1][f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in ins[1]
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            )
+    updates = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if mode == "merge-on-read":
+        snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys)
+    else:
+        snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys)
+    return _dml_report(spark, "MERGE", db, tbl, snap)
 
 
 def _dml_report(spark: SparkSession, op: str, db: str, tbl: str, snap) -> DataFrame:
@@ -513,7 +886,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     """
     m = _DML_INSERT.match(query) or _DML_CTAS.match(query)
     if m:
-        db, tbl = m.group("db"), m.group("tbl")
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
         is_ctas = m.re is _DML_CTAS
         if is_ctas and catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
@@ -547,72 +920,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     masked_q = _mask_literals(query)
     m = _DML_MERGE_HEAD.match(masked_q)
     if m:
-        # MERGE INTO db.t [AS a] USING <relation|(subquery)> [AS s]
-        #   ON t.k = s.k [AND ...]
-        #   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-        #   | WHEN NOT MATCHED THEN INSERT *     (insert-only)
-        #   | WHEN MATCHED THEN UPDATE SET *     (update-only)
-        #   | WHEN MATCHED THEN DELETE           (delete-matched)
-        # Row-level strategy follows the target's `write.merge.mode`
-        # table property (Iceberg's own switch): copy-on-write →
-        # file-level COW upsert; merge-on-read → one append+equality-
-        # delete commit. Free-text sections are located over the
-        # MASKED text at paren depth 0, spans read from the original.
-        db, tbl = m.group("db"), m.group("tbl")
-        on_at = _find_top_kw(masked_q, m.end(), "ON")
-        if on_at < 0:
-            raise ValueError("MERGE: missing ON clause")
-        when_at = _find_top_kw(masked_q, on_at, "WHEN")
-        if when_at < 0:
-            raise ValueError("MERGE: missing WHEN clause(s)")
-        src_text = query[m.end():on_at].strip()
-        cond = query[on_at + 2:when_at].strip()
-        clauses = re.sub(r"\s+", " ", query[when_at:]).strip().upper().rstrip(";").rstrip()
-
-        t = catalog.table(db, tbl)
-        if not t.exists():
-            raise LookupError(f"MERGE INTO: {db}.{tbl} does not exist")
-        tgt = [f.name for f in t.schema().fields]
-        keys = _merge_key_cols(cond, set(tgt))
-        src_df = snapcat_sql(spark, catalog, f"SELECT * FROM {src_text}")
-        mode = t.properties().get("write.merge.mode", "copy-on-write")
-
-        if clauses == "WHEN MATCHED THEN DELETE":
-            snap = catalog.delete_keys(
-                db, tbl, src_df.select(*keys).distinct(), key_cols=keys
-            )
-            return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
-
-        missing = [c for c in tgt if c not in src_df.columns]
-        if missing:
-            raise ValueError(
-                f"MERGE INTO {db}.{tbl}: source is missing target "
-                f"column(s) {missing} (UPDATE SET * / INSERT * need the "
-                "full target schema)"
-            )
-        updates = src_df.select(*tgt)
-        full = "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-        if clauses == full:
-            pass  # the verbs' native semantics
-        elif clauses == "WHEN NOT MATCHED THEN INSERT *":
-            existing = t.read(spark).select(*keys).distinct()
-            new_rows = updates.join(existing, keys, "left_anti")
-            snap = catalog.write(db, tbl, new_rows, mode="append")
-            return _dml_report(spark, "MERGE INSERT", db, tbl, snap)
-        elif clauses == "WHEN MATCHED THEN UPDATE SET *":
-            existing = t.read(spark).select(*keys).distinct()
-            updates = updates.join(existing, keys, "left_semi")
-        else:
-            raise ValueError(
-                f"MERGE: unsupported WHEN clause shape {clauses!r} — "
-                f"supported: {full!r}, 'WHEN NOT MATCHED THEN INSERT *', "
-                "'WHEN MATCHED THEN UPDATE SET *', 'WHEN MATCHED THEN DELETE'"
-            )
-        if mode == "merge-on-read":
-            snap = catalog.upsert_mor(db, tbl, updates, key_cols=keys)
-        else:
-            snap = catalog.upsert(db, tbl, updates, key_cols=keys)
-        return _dml_report(spark, "MERGE", db, tbl, snap)
+        return _merge_execute(spark, catalog, query, masked_q, m)
     # UPDATE is the one statement with free text BEFORE its WHERE: the
     # lazy SET-list group would otherwise stop at a ``' WHERE '`` inside
     # a string literal. Match over the MASKED text (same length) and
@@ -627,32 +935,33 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             col, _, expr = part.partition("=")
             if not _:
                 raise ValueError(f"UPDATE SET: cannot parse {part!r}")
-            sets[col.strip()] = expr.strip()
+            sets[_unquote(col.strip())] = expr.strip()
         snap = catalog.update_where(
-            orig("db"), orig("tbl"), orig("cond") or "true", sets
+            _unquote(orig("db")), _unquote(orig("tbl")), orig("cond") or "true", sets
         )
-        return _dml_report(spark, "UPDATE", orig("db"), orig("tbl"), snap)
+        return _dml_report(
+            spark, "UPDATE", _unquote(orig("db")), _unquote(orig("tbl")), snap
+        )
     m = _DML_DELETE.match(query)
     if m:
         snap = catalog.delete_where(
-            m.group("db"), m.group("tbl"), m.group("cond") or "true"
+            _uq(m, "db"), _uq(m, "tbl"), m.group("cond") or "true"
         )
-        return _dml_report(spark, "DELETE", m.group("db"), m.group("tbl"), snap)
+        return _dml_report(spark, "DELETE", _uq(m, "db"), _uq(m, "tbl"), snap)
     m = _DML_DROP.match(query)
     if m:
-        if not catalog.table(m.group("db"), m.group("tbl")).exists():
-            raise LookupError(
-                f"DROP TABLE: {m.group('db')}.{m.group('tbl')} does not exist"
-            )
-        catalog.drop_table(m.group("db"), m.group("tbl"))
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        if not catalog.table(db, tbl).exists():
+            raise LookupError(f"DROP TABLE: {db}.{tbl} does not exist")
+        catalog.drop_table(db, tbl)
         return spark.createDataFrame(
-            [("DROP TABLE", f"{m.group('db')}.{m.group('tbl')}")],
+            [("DROP TABLE", f"{db}.{tbl}")],
             "statement string, table string",
         )
     m = _DML_SHOW_TABLES.match(query)
     if m:
         return spark.createDataFrame(
-            [(m.group("db"), t) for t in catalog.list_tables(m.group("db"))]
+            [(_uq(m, "db"), t) for t in catalog.list_tables(_uq(m, "db"))]
             or spark.sparkContext.emptyRDD(),
             "namespace string, tableName string",
         )
@@ -663,10 +972,10 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         )
     m = _DML_DESCRIBE.match(query)
     if m:
-        t = catalog.table(m.group("db"), m.group("tbl"))
+        t = catalog.table(_uq(m, "db"), _uq(m, "tbl"))
         if not t.exists():
             raise LookupError(
-                f"DESCRIBE: {m.group('db')}.{m.group('tbl')} does not exist"
+                f"DESCRIBE: {_uq(m, 'db')}.{_uq(m, 'tbl')} does not exist"
             )
         spec = t.partition_spec()
         return spark.createDataFrame(
@@ -679,17 +988,17 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     m = _DML_RENAME.match(query)
     if m:
         catalog.rename_table(
-            m.group("db"), m.group("tbl"), m.group("db2"), m.group("tbl2")
+            _uq(m, "db"), _uq(m, "tbl"), _uq(m, "db2"), _uq(m, "tbl2")
         )
         return spark.createDataFrame(
             [("RENAME TABLE",
-              f"{m.group('db')}.{m.group('tbl')} -> "
-              f"{m.group('db2')}.{m.group('tbl2')}")],
+              f"{_uq(m, 'db')}.{_uq(m, 'tbl')} -> "
+              f"{_uq(m, 'db2')}.{_uq(m, 'tbl2')}")],
             "statement string, table string",
         )
     m = _DML_SHOW_PROPS.match(query)
     if m:
-        props = catalog.table(m.group("db"), m.group("tbl")).properties()
+        props = catalog.table(_uq(m, "db"), _uq(m, "tbl")).properties()
         return spark.createDataFrame(
             sorted(props.items()), "key string, value string"
         )
@@ -699,13 +1008,13 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         # recreate the table on another catalog (schema from the
         # current snapshot's G1-correct DDL, spec and properties from
         # first-class metadata)
-        t = catalog.table(m.group("db"), m.group("tbl"))
+        t = catalog.table(_uq(m, "db"), _uq(m, "tbl"))
         if not t.exists():
             raise LookupError(
-                f"SHOW CREATE TABLE: {m.group('db')}.{m.group('tbl')} does not exist"
+                f"SHOW CREATE TABLE: {_uq(m, 'db')}.{_uq(m, 'tbl')} does not exist"
             )
         snap = t.current_snapshot() or t.snapshots()[-1]
-        stmt = f"CREATE TABLE {m.group('db')}.{m.group('tbl')} ({snap.schema_ddl})"
+        stmt = f"CREATE TABLE {_uq(m, 'db')}.{_uq(m, 'tbl')} ({snap.schema_ddl})"
         if snap.partition_spec:
             stmt += f" PARTITIONED BY ({', '.join(snap.partition_spec)})"
         props = t.properties()
@@ -718,7 +1027,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")
     m = _DML_SHOW_PARTS.match(query)
     if m:
-        return catalog.table(m.group("db"), m.group("tbl")).partitions_df(spark)
+        return catalog.table(_uq(m, "db"), _uq(m, "tbl")).partitions_df(spark)
     m = _DML_CREATE.match(query)
     if m:
         # CREATE TABLE db.t (<DDL cols>) [PARTITIONED BY (spec,…)]
@@ -726,7 +1035,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         # survives creation, fixing reference gap G2 on this surface
         # too); the column list is Spark DDL text, handed to the
         # engine's schema parser verbatim
-        db, tbl = m.group("db"), m.group("tbl")
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
         if catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE: {db}.{tbl} already exists")
         spec = (
@@ -746,20 +1055,20 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     m = _DML_ALTER_RENAME_COL.match(query)
     if m:
         snap = catalog.alter_table(
-            m.group("db"), m.group("tbl"),
-            rename_columns={m.group("old"): m.group("new")},
+            _uq(m, "db"), _uq(m, "tbl"),
+            rename_columns={_uq(m, "old"): _uq(m, "new")},
         )
         return _dml_report(
-            spark, "ALTER TABLE RENAME COLUMN", m.group("db"), m.group("tbl"), snap
+            spark, "ALTER TABLE RENAME COLUMN", _uq(m, "db"), _uq(m, "tbl"), snap
         )
     m = _DML_ALTER_TYPE.match(query)
     if m:
         snap = catalog.alter_table(
-            m.group("db"), m.group("tbl"),
-            widen_columns={m.group("col"): m.group("type").strip()},
+            _uq(m, "db"), _uq(m, "tbl"),
+            widen_columns={_uq(m, "col"): m.group("type").strip()},
         )
         return _dml_report(
-            spark, "ALTER TABLE ALTER COLUMN TYPE", m.group("db"), m.group("tbl"), snap
+            spark, "ALTER TABLE ALTER COLUMN TYPE", _uq(m, "db"), _uq(m, "tbl"), snap
         )
     m = _DML_ALTER_ADD.match(query)
     if m:
@@ -771,17 +1080,17 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             name, _, dtype = item.strip().partition(" ")
             if not dtype.strip():
                 raise ValueError(f"ADD COLUMNS: cannot parse {item.strip()!r}")
-            adds[name.strip()] = dtype.strip()
-        snap = catalog.alter_table(m.group("db"), m.group("tbl"), add_columns=adds)
+            adds[_unquote(name.strip())] = dtype.strip()
+        snap = catalog.alter_table(_uq(m, "db"), _uq(m, "tbl"), add_columns=adds)
         return _dml_report(
-            spark, "ALTER TABLE ADD COLUMNS", m.group("db"), m.group("tbl"), snap
+            spark, "ALTER TABLE ADD COLUMNS", _uq(m, "db"), _uq(m, "tbl"), snap
         )
     m = _DML_ALTER_DROP.match(query)
     if m:
-        drops = [c.strip() for c in _split_top(m.group("cols")) if c.strip()]
-        snap = catalog.alter_table(m.group("db"), m.group("tbl"), drop_columns=drops)
+        drops = [_unquote(c.strip()) for c in _split_top(m.group("cols")) if c.strip()]
+        snap = catalog.alter_table(_uq(m, "db"), _uq(m, "tbl"), drop_columns=drops)
         return _dml_report(
-            spark, "ALTER TABLE DROP COLUMNS", m.group("db"), m.group("tbl"), snap
+            spark, "ALTER TABLE DROP COLUMNS", _uq(m, "db"), _uq(m, "tbl"), snap
         )
     m = _DML_SET_PROPS.match(query)
     if m:
@@ -792,11 +1101,11 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             updates: dict = {str(k): None for k in keys}
         else:
             updates = dict(_prop_pairs(m.group("pairs")))
-        props = catalog.set_properties(m.group("db"), m.group("tbl"), updates)
+        props = catalog.set_properties(_uq(m, "db"), _uq(m, "tbl"), updates)
         stmt = "ALTER TABLE UNSET TBLPROPERTIES" if m.group("unset") \
             else "ALTER TABLE SET TBLPROPERTIES"
         return spark.createDataFrame(
-            [(stmt, f"{m.group('db')}.{m.group('tbl')}", len(props))],
+            [(stmt, f"{_uq(m, 'db')}.{_uq(m, 'tbl')}", len(props))],
             "statement string, table string, n_properties int",
         )
     m = _DML_CALL.match(_mask_literals(query))
@@ -806,17 +1115,24 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
 
 
 def _prop_pairs(text: str) -> dict[str, str]:
-    """TBLPROPERTIES pair list: ``'k' = 'v', …`` (quoted literals,
-    ``''`` escapes)."""
+    """TBLPROPERTIES pair list: ``'k' = 'v', …`` — quoted literals with
+    the same escape forms as everywhere else (``''`` doubled-quote AND
+    backslash, via the escape-aware scanner + ``_call_literal``)."""
     out: dict[str, str] = {}
     for item in _split_top(text):
         item = item.strip()
         if not item:
             continue
-        pm = re.match(r"^('(?:[^']|'')*')\s*=\s*('(?:[^']|'')*')$", item)
-        if not pm:
+        if not item.startswith("'"):
             raise ValueError(f"TBLPROPERTIES: cannot parse {item!r}")
-        out[str(_call_literal(pm.group(1)))] = str(_call_literal(pm.group(2)))
+        k_end = _scan_string(item, 0)
+        rest = item[k_end + 1:].strip()
+        if k_end >= len(item) or not rest.startswith("="):
+            raise ValueError(f"TBLPROPERTIES: cannot parse {item!r}")
+        val = rest[1:].strip()
+        if not val.startswith("'") or _scan_string(val, 0) != len(val) - 1:
+            raise ValueError(f"TBLPROPERTIES: cannot parse {item!r}")
+        out[str(_call_literal(item[:k_end + 1]))] = str(_call_literal(val))
     return out
 
 
@@ -834,17 +1150,18 @@ def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> Da
     pos, named = _parse_call_args(query[m.start("args"):m.end("args")])
 
     if proc == "expire_snapshots":
-        db, tbl, rest = _call_table(pos)
+        db, tbl, rest = _call_table(pos, named)
+        keep = named.get(  # retain_last = Iceberg's own spelling
+            "keep_last", named.get("retain_last", rest[0] if rest else 1)
+        )
         expired = catalog.expire_snapshots(
-            db, tbl,
-            keep_last=int(named.get("keep_last", rest[0] if rest else 1)),
-            older_than=named.get("older_than"),
+            db, tbl, keep_last=int(keep), older_than=named.get("older_than"),
         )
         return spark.createDataFrame(
             [(int(i),) for i in expired], "expired_snapshot_id bigint"
         )
     if proc == "remove_orphan_files":
-        db, tbl, _rest = _call_table(pos)
+        db, tbl, _rest = _call_table(pos, named)
         removed = catalog.remove_orphan_files(
             db, tbl, dry_run=bool(named.get("dry_run", False))
         )
@@ -852,21 +1169,21 @@ def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> Da
             [(p,) for p in removed], "orphan_file_location string"
         )
     if proc == "rollback_to_snapshot":
-        db, tbl, rest = _call_table(pos)
+        db, tbl, rest = _call_table(pos, named)
         sid = named.get("snapshot_id", rest[0] if rest else None)
         if sid is None:
             raise ValueError("rollback_to_snapshot: snapshot_id required")
         snap = catalog.rollback(db, tbl, int(sid))
         return _dml_report(spark, "CALL rollback_to_snapshot", db, tbl, snap)
     if proc in ("cherrypick_snapshot", "publish"):
-        db, tbl, rest = _call_table(pos)
+        db, tbl, rest = _call_table(pos, named)
         sid = named.get("snapshot_id", rest[0] if rest else None)
         if sid is None:
             raise ValueError(f"{proc}: snapshot_id required")
         snap = catalog.publish(db, tbl, int(sid))
         return _dml_report(spark, "CALL cherrypick_snapshot", db, tbl, snap)
     if proc == "fast_forward":
-        db, tbl, rest = _call_table(pos)
+        db, tbl, rest = _call_table(pos, named)
         branch = named.get("branch", rest[0] if rest else None)
         if branch is None:
             raise ValueError("fast_forward: branch required")
@@ -876,7 +1193,7 @@ def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> Da
             "table string, branch string, snapshot_id bigint",
         )
     if proc in ("rewrite_data_files", "compact"):
-        db, tbl, _rest = _call_table(pos)
+        db, tbl, _rest = _call_table(pos, named)
         cols = {
             k: [c.strip() for c in str(v).split(",") if c.strip()]
             for k, v in named.items()
@@ -890,7 +1207,7 @@ def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> Da
         )
         return _dml_report(spark, "CALL rewrite_data_files", db, tbl, snap)
     if proc in ("create_tag", "tag"):
-        db, tbl, rest = _call_table(pos)
+        db, tbl, rest = _call_table(pos, named)
         tag_name = named.get("tag", rest[0] if rest else None)
         if tag_name is None:
             raise ValueError("create_tag: tag name required")
@@ -900,7 +1217,7 @@ def _call_procedure(spark: SparkSession, catalog, query: str, m: re.Match) -> Da
             "table string, tag string, snapshot_id bigint",
         )
     if proc in ("analyze_table", "analyze"):
-        db, tbl, _rest = _call_table(pos)
+        db, tbl, _rest = _call_table(pos, named)
         cols = named.get("columns")
         catalog.analyze(
             db, tbl, spark,

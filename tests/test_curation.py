@@ -295,3 +295,56 @@ def test_dup_ngram_fraction_counts_positions(spark):
     out2 = {r["doc_id"]: r for r in dup_ngram_fraction(df2, n=3, min_df=2).collect()}
     assert out2[1]["n_grams"] == 4
     assert out2[1]["dup_grams"] == 2  # positions 0 and 3 both carry "x y z"
+
+
+# ---------------------------------------------------------------------------
+# source_overlap (r11, verdict r10 #2): the fixture corpus has no
+# natural cross-source duplicates, so these seeded tests are the
+# non-vacuous evidence — exact pair counts, ordering, min_shared
+# boundary, within-source dups ignored
+# ---------------------------------------------------------------------------
+
+
+def _overlap_corpus(spark):
+    # "alpha" appears in all three sources (pairwise it links a-b, a-c
+    # AND b-c); "beta"/"gamma" only in a and b; "own-c" repeats WITHIN
+    # c (a within-source dup — must not count anywhere)
+    rows = [
+        (1, "alpha", "a"), (2, "beta", "a"), (3, "gamma", "a"), (4, "only-a", "a"),
+        (5, "alpha", "b"), (6, "beta", "b"), (7, "gamma", "b"), (8, "only-b", "b"),
+        (9, "alpha", "c"), (10, "own-c", "c"), (11, "own-c", "c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_source_overlap_exact_pair_counts(spark):
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in C.source_overlap(_overlap_corpus(spark)).collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_source_overlap_min_shared_boundary(spark):
+    docs = _overlap_corpus(spark)
+    # min_shared=2 keeps only the a-b pair (3 shared); a-c and b-c
+    # (1 shared each, via alpha) fall below the threshold
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in C.source_overlap(docs, min_shared=2).collect()
+    }
+    assert got == {("a", "b"): 3}
+    # boundary is >= : min_shared=1 returns every sharing pair
+    assert len(C.source_overlap(docs, min_shared=1).collect()) == 3
+
+
+def test_source_overlap_ordering_and_no_self_pairs(spark):
+    out = C.source_overlap(_overlap_corpus(spark)).collect()
+    for r in out:
+        assert r["source_a"] < r["source_b"]  # one row per unordered pair
+
+
+def test_source_overlap_disjoint_sources_empty(spark):
+    rows = [(1, "x", "a"), (2, "y", "b"), (3, "z", "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert C.source_overlap(docs).count() == 0

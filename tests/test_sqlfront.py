@@ -550,11 +550,29 @@ def test_merge_rejects_unsupported_shapes(spark, merge_cat):
             "MERGE INTO db.t USING db.s ON t.id < s.id "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
         )
-    with pytest.raises(ValueError, match="unsupported WHEN clause"):
+    with pytest.raises(ValueError, match="conditional WHEN clauses"):
         snapcat_dml(
             spark, merge_cat,
             "MERGE INTO db.t USING db.s ON t.id = s.id "
-            "WHEN MATCHED THEN UPDATE SET v = s.v + 1",
+            "WHEN MATCHED AND t.v > 5 THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="one statement must be one commit"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="merge key column"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = s.id + 1",
         )
     with pytest.raises(LookupError, match="does not exist"):
         snapcat_dml(
@@ -807,3 +825,344 @@ def test_sql_show_family(spark, cat):
     cat.write("db", "shown", df)
     parts = snapcat_dml(spark, cat, "SHOW PARTITIONS db.shown").collect()
     assert len(parts) == 2  # two day partitions
+
+
+# ---------------------------------------------------------------------------
+# MERGE widening (r11): renamed key columns, explicit UPDATE SET lists,
+# INSERT (cols) VALUES (…) mapping — the Iceberg MERGE shapes real
+# users hit first (verdict r10 #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def merge_cat_renamed(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, name string, v int"
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "customer_id int, name string, v int"
+    )
+    c.write("db", "t", tgt, committed_at=T[0])
+    c.write("db", "s", src, committed_at=T[0])
+    return c
+
+
+def test_merge_renamed_key_columns(spark, merge_cat_renamed):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, merge_cat_renamed,
+        "MERGE INTO db.t USING db.s ON t.id = s.customer_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert out[0]["statement"] == "MERGE"
+    assert _rows(spark, merge_cat_renamed) == {
+        1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)
+    }
+
+
+def test_merge_renamed_key_delete_and_insert_only(spark, merge_cat_renamed):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat_renamed,
+        "MERGE INTO db.t USING db.s ON t.id = s.customer_id "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(spark, merge_cat_renamed) == {
+        1: ("a", 10), 2: ("b", 20), 3: ("c", 30), 4: ("d", 40)
+    }
+    snapcat_dml(
+        spark, merge_cat_renamed,
+        "MERGE INTO db.t USING db.s ON t.id = s.customer_id "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert _rows(spark, merge_cat_renamed) == {1: ("a", 10), 3: ("c", 30)}
+
+
+def test_merge_explicit_update_set(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1000, name = upper(s.name)",
+    ).collect()
+    assert out[0]["statement"] == "MERGE"
+    # only the matched row (id=2) changes; unmatched source row 4 NOT inserted
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("B", 1200), 3: ("c", 30)
+    }
+
+
+def test_merge_explicit_set_referencing_target(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # SET expr reading BOTH sides: new v = old target v + source v
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t AS t USING db.s AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("b", 220), 3: ("c", 30)
+    }
+
+
+def test_merge_explicit_set_with_insert_star_one_commit(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    before = len(merge_cat.table("db", "t").snapshots())
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("b", 200), 3: ("c", 30), 4: ("d", 40)
+    }
+    assert len(merge_cat.table("db", "t").snapshots()) == before + 1
+
+
+def test_merge_insert_cols_values(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, concat(s.name, '!'))",
+    ).collect()
+    assert out[0]["statement"] == "MERGE INSERT"
+    rows = _rows(spark, merge_cat)
+    assert rows[4] == ("d!", None)  # unmapped column v -> NULL
+    assert rows[2] == ("b", 20)  # matched row untouched
+
+
+def test_merge_explicit_shapes_mor_strategy(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    merge_cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1 "
+        "WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, s.name, s.v)",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("b", 201), 3: ("c", 30), 4: ("d", 40)
+    }
+    head = merge_cat.table("db", "t").current_snapshot()
+    assert head.summary.get("merge-mode") == "merge-on-read"
+
+
+def test_merge_delete_honors_write_merge_mode(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # default copy-on-write table: MERGE DELETE rewrites files, adds NO
+    # delete files (ADVICE r10: the commit type must follow the mode)
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id WHEN MATCHED THEN DELETE",
+    )
+    head = merge_cat.table("db", "t").current_snapshot()
+    assert head.operation == "delete"
+    assert head.summary.get("delete-mode") == "copy-on-write"
+    assert not head.delete_files
+    assert _rows(spark, merge_cat) == {1: ("a", 10), 3: ("c", 30)}
+
+
+def test_merge_delete_mor_mode(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    merge_cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id WHEN MATCHED THEN DELETE",
+    )
+    head = merge_cat.table("db", "t").current_snapshot()
+    assert head.operation == "delete"
+    assert head.summary.get("delete-mode") == "merge-on-read"
+    assert head.delete_files  # equality-delete files, no rewrite
+    assert _rows(spark, merge_cat) == {1: ("a", 10), 3: ("c", 30)}
+
+
+# ---------------------------------------------------------------------------
+# Backtick-quoted identifiers on the DML/DDL surface (r11): the
+# reference's F3 case — dashed database names — must commit through
+# every statement form, not fall through to the read path
+# (2_collect_database_schema_info.py:145-148)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dashed_cat(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write(
+        "my-db", "t",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        committed_at=T[0],
+    )
+    return c
+
+
+def test_dml_quoted_insert_and_delete_and_update(spark, dashed_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, dashed_cat, "INSERT INTO `my-db`.t VALUES (3, 'c')"
+    ).collect()
+    assert out[0]["statement"] == "INSERT INTO"
+    snapcat_dml(spark, dashed_cat, "UPDATE `my-db`.t SET name = 'B' WHERE id = 2")
+    snapcat_dml(spark, dashed_cat, "DELETE FROM `my-db`.t WHERE id = 1")
+    rows = {
+        r["id"]: r["name"]
+        for r in dashed_cat.table("my-db", "t").read(spark).collect()
+    }
+    assert rows == {2: "B", 3: "c"}
+
+
+def test_dml_quoted_merge(spark, dashed_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    dashed_cat.write(
+        "my-db", "s",
+        spark.createDataFrame([(2, "z"), (9, "n")], "id int, name string"),
+    )
+    out = snapcat_dml(
+        spark, dashed_cat,
+        "MERGE INTO `my-db`.t USING `my-db`.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert out[0]["statement"] == "MERGE"
+    rows = {
+        r["id"]: r["name"]
+        for r in dashed_cat.table("my-db", "t").read(spark).collect()
+    }
+    assert rows == {1: "a", 2: "z", 9: "n"}
+
+
+def test_dml_quoted_ddl_lifecycle(spark, dashed_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, dashed_cat,
+        "CREATE TABLE `my-db`.`new-table` (id bigint, v double) "
+        "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('owner' = 'me')",
+    )
+    assert "new-table" in dashed_cat.list_tables("my-db")
+    snapcat_dml(
+        spark, dashed_cat,
+        "ALTER TABLE `my-db`.`new-table` ADD COLUMNS (`extra-col` string)",
+    )
+    snapcat_dml(
+        spark, dashed_cat,
+        "ALTER TABLE `my-db`.`new-table` RENAME COLUMN `extra-col` TO note",
+    )
+    names = [
+        f.name for f in dashed_cat.table("my-db", "new-table").schema().fields
+    ]
+    assert names == ["id", "v", "note"]
+    props = snapcat_dml(
+        spark, dashed_cat, "SHOW TBLPROPERTIES `my-db`.`new-table`"
+    ).collect()
+    assert {r["key"]: r["value"] for r in props} == {"owner": "me"}
+    tabs = snapcat_dml(spark, dashed_cat, "SHOW TABLES IN `my-db`").collect()
+    assert {r["tableName"] for r in tabs} == {"t", "new-table"}
+    snapcat_dml(spark, dashed_cat, "DROP TABLE `my-db`.`new-table`")
+    assert "new-table" not in dashed_cat.list_tables("my-db")
+
+
+def test_dml_quoted_ctas_and_rename(spark, dashed_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, dashed_cat,
+        "CREATE TABLE `my-db`.t2 AS SELECT id, name FROM `my-db`.t WHERE id = 1",
+    )
+    assert dashed_cat.table("my-db", "t2").read(spark).count() == 1
+    snapcat_dml(
+        spark, dashed_cat, "ALTER TABLE `my-db`.t2 RENAME TO `my-db`.`t-renamed`"
+    )
+    assert "t-renamed" in dashed_cat.list_tables("my-db")
+
+
+# ---------------------------------------------------------------------------
+# CALL surface polish (r11): float literals, named table argument,
+# retain_last alias, backslash escapes decoded (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_call_float_literal_and_named_table(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        _parse_call_args,
+        snapcat_dml,
+    )
+
+    pos, named = _parse_call_args("'db.t', ratio => 0.75, n => -2, e => 1.5e3")
+    assert named == {"ratio": 0.75, "n": -2, "e": 1500.0}
+    # Iceberg's named-argument convention: table => 'db.t'
+    out = snapcat_dml(
+        spark, cat, "CALL system.create_tag(table => 'db.t', tag => 'v1')"
+    ).collect()
+    assert out[0]["tag"] == "v1"
+
+
+def test_call_retain_last_alias(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    expired = snapcat_dml(
+        spark, cat, "CALL system.expire_snapshots('db.t', retain_last => 2)"
+    ).collect()
+    assert len(expired) == 1  # 3 snapshots, keep newest 2
+    assert len(cat.table("db", "t").snapshots()) == 2
+
+
+def test_call_backslash_escape_decoded(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, cat, r"CALL system.create_tag('db.t', 'it\'s')"
+    ).collect()
+    assert out[0]["tag"] == "it's"  # backslash DECODED, not retained
+
+
+def test_tblproperties_backslash_escape(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, cat,
+        r"ALTER TABLE db.t SET TBLPROPERTIES ('note' = 'it\'s fine')",
+    )
+    assert cat.table("db", "t").properties()["note"] == "it's fine"
+
+
+def test_changes_no_published_head_raises(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_sql
+
+    # a table whose only commit is staged (WAP) has no published head
+    cat.write("db", "staged_only", spark.range(3).toDF("id"), staged=True)
+    with pytest.raises(LookupError, match="no published snapshot"):
+        snapcat_sql(spark, cat, "SELECT * FROM db.staged_only.changes")
+
+
+def test_merge_set_expr_with_case_when(spark, merge_cat):
+    # a CASE WHEN inside a SET expression must NOT be read as a
+    # clause boundary (only WHEN [NOT] MATCHED is one)
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN s.v > 100 THEN s.v ELSE t.v END "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("b", 200), 3: ("c", 30), 4: ("d", 40)
+    }
