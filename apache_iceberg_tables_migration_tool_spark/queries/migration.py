@@ -2787,6 +2787,96 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_sync",
+    tags=("migration", "sql", "dml", "merge"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey % 97 AS INT) AS v
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+s AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey % 89 AS INT) AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+synced AS (SELECT * FROM s),
+pruned AS (SELECT t.* FROM t WHERE t.k IN (SELECT k FROM s))
+SELECT 'sync' AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM synced
+UNION ALL
+SELECT 'prune', CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT)
+FROM pruned
+""",
+)
+def sql_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``WHEN NOT MATCHED BY SOURCE`` clause family (r11,
+    `sources/sqlfront._merge_execute`): (1) the FULL-SYNC shape —
+    ``MATCHED UPDATE SET * + NOT MATCHED INSERT * + BY SOURCE
+    DELETE`` — makes the target exactly the source in ONE overwrite
+    commit (validated in-query: exactly one commit lands, stamped
+    ``merge``); (2) standalone ``BY SOURCE DELETE`` prunes target
+    rows with no source match via an anti-join keyed delete, no
+    full rewrite. The oracle recomputes both final states
+    relationally (sync = the source; prune = target semi-join
+    source keys)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_sync_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders")
+        t = o.where(F.col("o_orderkey") % 3 != 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 97).cast("int").alias("v"),
+        )
+        s = o.where(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 89).cast("int").alias("v"),
+        )
+        cat.write("db", "t_sync", t, committed_at=_T[0])
+        cat.write("db", "t_prune", t, committed_at=_T[0])
+        cat.write("db", "src", s, committed_at=_T[0])
+        snapcat_dml(
+            spark, cat,
+            "MERGE INTO db.t_sync USING db.src ON t_sync.k = src.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+        sync_tbl = cat.table("db", "t_sync")
+        one_commit = (
+            len(sync_tbl.snapshots()) == 2
+            and sync_tbl.current_snapshot().operation == "merge"
+        )
+        if not one_commit:  # the carrier's whole point — fail loud
+            raise AssertionError("full-sync MERGE did not land as one merge commit")
+        snapcat_dml(
+            spark, cat,
+            "MERGE INTO db.t_prune USING db.src ON t_prune.k = src.k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+        stats = []
+        for phase, name in (("sync", "t_sync"), ("prune", "t_prune")):
+            r = (
+                cat.table("db", name).read(spark)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").cast("long").alias("s"),
+                )
+                .collect()[0]
+            )
+            stats.append((phase, int(r["n"]), int(r["s"])))
+        return spark.createDataFrame(
+            stats, "phase string, n_rows bigint, sum_v bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "sql_call_maintenance",
     tags=("migration", "sql", "metadata", "maintenance"),
     oracle="""

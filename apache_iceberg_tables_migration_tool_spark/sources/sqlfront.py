@@ -35,8 +35,11 @@ _META = "snapshots|files|history|manifests|partitions|refs|changes|incremental"
 #: expression is never touched, and the existence check against the
 #: catalog filters the rest
 #: identifiers may be bare or backtick-quoted — the reference's F3
-#: case (dashed database names need quoting everywhere)
-_QIDENT = rf"(?:{_IDENT}|`[^`]+`)"
+#: case (dashed database names need quoting everywhere); ``` `` ```
+#: inside a quoted identifier is a literal backtick (matters for the
+#: DML regexes, which run over ORIGINAL text — the read path sees
+#: masked identifier contents where doubling can't appear)
+_QIDENT = rf"(?:{_IDENT}|`(?:[^`]|``)+`)"
 _REF_RE = re.compile(
     rf"(?P<kw>\b(?:FROM|JOIN)\s+|,\s*)"
     rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})(?:\.(?P<meta>{_META})\b)?"
@@ -48,7 +51,9 @@ _REF_RE = re.compile(
 
 
 def _unquote(ident: str) -> str:
-    return ident[1:-1] if ident.startswith("`") else ident
+    if ident.startswith("`"):
+        return ident[1:-1].replace("``", "`")  # `` = literal backtick
+    return ident
 
 
 def _scan_string(s: str, i: int) -> int:
@@ -82,14 +87,33 @@ def _mask_literals(query: str) -> str:
     position outside a literal is identical to the original).
     ``_REF_RE`` cannot match inside masked spans — ``\\x01`` is
     neither an identifier character nor a comma — so a literal
-    containing ``FROM db.t`` is never rewritten. Callers run the
-    regex over the MASKED text and splice replacements into the
-    ORIGINAL, restoring literals for free."""
+    containing ``FROM db.t`` is never rewritten. Backtick-quoted
+    identifier spans are consumed atomically (contents masked too):
+    a quote character INSIDE a backticked identifier is part of the
+    name, not a literal opener — without this, ``FROM db.\`t"x\```
+    would mis-mask everything after the ``"``. Callers run the regex
+    over the MASKED text and splice replacements into the ORIGINAL,
+    restoring literals and identifier text for free (group text is
+    read from the original by span)."""
     out = list(query)
     i, n = 0, len(query)
     while i < n:
         ch = query[i]
-        if ch in ("'", '"'):
+        if ch == "`":
+            # backtick identifier: scan to the closing backtick
+            # (doubled `` = literal backtick), mask the contents
+            j = i + 1
+            while j < n:
+                if query[j] == "`":
+                    if j + 1 < n and query[j + 1] == "`":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x01"
+            i = j + 1
+        elif ch in ("'", '"'):
             j = _scan_string(query, i)
             for k in range(i + 1, min(j, n)):
                 out[k] = "\x01"
@@ -568,14 +592,16 @@ def _merge_key_pairs(
     return pairs
 
 
-def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[bool, str]]:
-    """Split the WHEN region into ``(is_matched, action_text)`` pairs.
-    WHEN positions are found over the MASKED text at paren depth 0
-    (spans align); clause text is read from the original. Only a WHEN
+def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[str, str]]:
+    """Split the WHEN region into ``(kind, action_text)`` pairs, kind ∈
+    ``matched`` | ``not_matched`` | ``by_source`` (``WHEN NOT MATCHED
+    BY SOURCE``, the target-rows-without-a-source-match clause). WHEN
+    positions are found over the MASKED text at paren depth 0 (spans
+    align); clause text is read from the original. Only a WHEN
     followed by ``[NOT] MATCHED`` is a clause boundary — a ``CASE
     WHEN`` inside a SET/VALUES expression is not. Conditional clauses
-    (``WHEN MATCHED AND …``) and ``BY SOURCE`` are rejected loudly —
-    silently ignoring a condition would mis-merge."""
+    (``WHEN MATCHED AND …``) are rejected loudly — silently ignoring
+    a condition would mis-merge."""
     boundary = re.compile(r"WHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
     idxs, i = [], start
     while True:
@@ -585,7 +611,7 @@ def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[bool, str]
         if boundary.match(masked, w):
             idxs.append(w)
         i = w + 4
-    out: list[tuple[bool, str]] = []
+    out: list[tuple[str, str]] = []
     for n, w in enumerate(idxs):
         end = idxs[n + 1] if n + 1 < len(idxs) else len(query)
         text = query[w:end].strip().rstrip(";").strip()
@@ -596,8 +622,12 @@ def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[bool, str]
         if not m:
             raise ValueError(f"MERGE: cannot parse clause {text!r}")
         rest = m.group("rest").strip()
-        if re.match(r"^BY\s+SOURCE\b", rest, re.IGNORECASE):
-            raise ValueError("MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+        kind = "not_matched" if m.group("not") else "matched"
+        bs = re.match(r"^BY\s+SOURCE\s+(?P<rest>.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if bs:
+            if kind == "matched":
+                raise ValueError("MERGE: WHEN MATCHED BY SOURCE is not valid SQL")
+            kind, rest = "by_source", bs.group("rest").strip()
         if re.match(r"^AND\b", rest, re.IGNORECASE):
             raise ValueError(
                 "MERGE: conditional WHEN clauses (WHEN [NOT] MATCHED AND …) "
@@ -606,7 +636,7 @@ def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[bool, str]
         m2 = re.match(r"^THEN\s+(?P<act>.+)$", rest, re.IGNORECASE | re.DOTALL)
         if not m2:
             raise ValueError(f"MERGE: missing THEN in clause {text!r}")
-        out.append((m.group("not") is None, m2.group("act").strip()))
+        out.append((kind, m2.group("act").strip()))
     if not out:
         raise ValueError("MERGE: missing WHEN clause(s)")
     return out
@@ -673,16 +703,20 @@ def _merge_execute(
       ON <t.k = s.k [AND …]>          (key names may differ per side)
       WHEN MATCHED THEN UPDATE SET * | UPDATE SET col = expr, … | DELETE
       WHEN NOT MATCHED THEN INSERT * | INSERT (col, …) VALUES (expr, …)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET col = expr, …
 
     Row-level strategy follows the target's ``write.merge.mode`` table
     property (Iceberg's own switch): copy-on-write → file-level COW
     rewrite of only the matched files; merge-on-read → one
-    append+equality-delete commit. Any update/insert combination is
-    ONE commit (the parts union into a single upsert); insert-only is
-    an anti-join + append; delete-matched maps to the keyed delete in
-    the mode the property selects. Free-text sections are located over
-    the MASKED text at paren depth 0, spans read from the original.
-    Conditional clauses and BY SOURCE are rejected loudly."""
+    append+equality-delete commit. Any update/insert/by-source-update
+    combination is ONE commit (the parts union into a single upsert);
+    insert-only is an anti-join + append; delete-matched and
+    standalone BY SOURCE DELETE map to the keyed delete in the mode
+    the property selects; BY SOURCE DELETE combined with other
+    clauses is one overwrite commit of the computed final state (the
+    full-sync shape). Free-text sections are located over the MASKED
+    text at paren depth 0, spans read from the original. Conditional
+    clauses are rejected loudly."""
     db, tbl = _uq(m, "db", query), _uq(m, "tbl", query)
     t_alias = m.group("alias") or tbl
     on_at = _find_top_kw(masked_q, m.end(), "ON")
@@ -713,21 +747,32 @@ def _merge_execute(
         raise ValueError(f"MERGE ON: source key column(s) {bad} not in source")
     mode = t.properties().get("write.merge.mode", "copy-on-write")
 
-    upd = ins = None  # at most one MATCHED and one NOT MATCHED clause
-    for is_matched, action in _merge_clauses(query, masked_q, when_at):
+    upd = ins = bys = None  # at most one clause of each kind
+    for kind_tag, action in _merge_clauses(query, masked_q, when_at):
         kind, payload = _parse_merge_action(action, t_alias, tbl)
-        if is_matched:
+        if kind_tag == "matched":
             if kind not in ("update_star", "update_set", "delete"):
                 raise ValueError(f"MERGE: WHEN MATCHED cannot {kind.upper()}")
             if upd is not None:
                 raise ValueError("MERGE: more than one WHEN MATCHED clause")
             upd = (kind, payload)
-        else:
+        elif kind_tag == "not_matched":
             if kind not in ("insert_star", "insert_cols"):
                 raise ValueError(f"MERGE: WHEN NOT MATCHED cannot {kind.upper()}")
             if ins is not None:
                 raise ValueError("MERGE: more than one WHEN NOT MATCHED clause")
             ins = (kind, payload)
+        else:  # by_source: TARGET rows with no source match
+            if kind not in ("delete", "update_set"):
+                raise ValueError(
+                    "MERGE: WHEN NOT MATCHED BY SOURCE can only DELETE or "
+                    "UPDATE SET col = expr (there is no source row to read)"
+                )
+            if bys is not None:
+                raise ValueError(
+                    "MERGE: more than one WHEN NOT MATCHED BY SOURCE clause"
+                )
+            bys = (kind, payload)
 
     def rename_keys(df: DataFrame) -> DataFrame:
         for tk, sk in pairs:
@@ -749,27 +794,48 @@ def _merge_execute(
             )
         return df.select(*tgt)
 
+    def src_keys_df() -> DataFrame:
+        """The source's key set under the TARGET key names."""
+        return (
+            rename_keys(src_df.select(*dict.fromkeys(src_keys)))
+            .select(*tgt_keys).distinct()
+        )
+
+    for label, clause in (("UPDATE SET", upd), ("BY SOURCE UPDATE SET", bys)):
+        if clause and clause[0] == "update_set":
+            bad_keys = sorted(set(clause[1]) & set(tgt_keys))
+            if bad_keys:
+                raise ValueError(
+                    f"MERGE: {label} on merge key column(s) {bad_keys}"
+                )
+            unknown = [c for c in clause[1] if c not in tgt]
+            if unknown:
+                raise ValueError(f"MERGE: {label} on unknown column(s) {unknown}")
+
     if upd and upd[0] == "delete":
-        if ins is not None:
+        if ins is not None or bys is not None:
             raise ValueError(
-                "MERGE: WHEN MATCHED THEN DELETE cannot combine with an "
-                "INSERT clause (one statement must be one commit)"
+                "MERGE: WHEN MATCHED THEN DELETE cannot combine with other "
+                "clauses (one statement must be one commit)"
             )
-        keys_df = rename_keys(src_df.select(*dict.fromkeys(src_keys)))
-        keys_df = keys_df.select(*tgt_keys).distinct()
-        snap = catalog.delete_keys(db, tbl, keys_df, key_cols=tgt_keys, mode=mode)
+        snap = catalog.delete_keys(
+            db, tbl, src_keys_df(), key_cols=tgt_keys, mode=mode
+        )
         return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
 
-    if upd and upd[0] == "update_set":
-        bad_keys = sorted(set(upd[1]) & set(tgt_keys))
-        if bad_keys:
-            raise ValueError(f"MERGE: UPDATE SET on merge key column(s) {bad_keys}")
-        unknown = [c for c in upd[1] if c not in tgt]
-        if unknown:
-            raise ValueError(f"MERGE: UPDATE SET on unknown column(s) {unknown}")
+    if bys == ("delete", None) and upd is None and ins is None:
+        # standalone BY SOURCE DELETE — prune target rows with no
+        # source match: one anti-join key set, one keyed delete in the
+        # mode the table property selects
+        doomed = (
+            t.read(spark).select(*tgt_keys).distinct()
+            .join(src_keys_df(), tgt_keys, "left_anti")
+        )
+        snap = catalog.delete_keys(db, tbl, doomed, key_cols=tgt_keys, mode=mode)
+        return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
 
     # fast path — the verbs' native semantics, no extra target read
-    if upd == ("update_star", None) and ins == ("insert_star", None):
+    if upd == ("update_star", None) and ins == ("insert_star", None) and bys is None:
         updates = require_full_schema(rename_keys(src_df), "UPDATE SET * / INSERT *")
         if mode == "merge-on-read":
             snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys)
@@ -777,14 +843,14 @@ def _merge_execute(
             snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys)
         return _dml_report(spark, "MERGE", db, tbl, snap)
 
-    # one target-key read drives both the matched and not-matched sides;
+    # one target-key read drives the matched and not-matched sides;
     # keys are aliased to the SOURCE names so the semi/anti joins bind
     existing = t.read(spark).select(
         *[F.col(tk).alias(sk) for tk, sk in pairs]
     ).distinct()
     s_a = s_alias or "__src"
 
-    if upd is None:  # insert-only: anti-join + plain append
+    if upd is None and bys is None:  # insert-only: anti-join + plain append
         unmatched = src_df.join(existing, src_keys, "left_anti")
         if ins[0] == "insert_star":
             new_rows = require_full_schema(rename_keys(unmatched), "INSERT *")
@@ -801,10 +867,10 @@ def _merge_execute(
         return _dml_report(spark, "MERGE INSERT", db, tbl, snap)
 
     parts: list[DataFrame] = []
-    if upd[0] == "update_star":
+    if upd is not None and upd[0] == "update_star":
         matched = src_df.join(existing, src_keys, "left_semi")
         parts.append(require_full_schema(rename_keys(matched), "UPDATE SET *"))
-    else:  # update_set: join target×source, SET exprs see both aliases
+    elif upd is not None:  # update_set: target×source join, exprs see both
         join_cond = None
         for tk, sk in pairs:
             term = F.col(f"{t_alias}.{tk}") == F.col(f"{s_a}.{sk}")
@@ -837,7 +903,41 @@ def _merge_execute(
                     ]
                 )
             )
-    updates = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if bys is not None and bys[0] == "update_set":
+        # unmatched-by-source target rows, SET exprs see the target alias
+        untouched = t.read(spark).join(src_keys_df(), tgt_keys, "left_anti")
+        parts.append(
+            untouched.alias(t_alias).select(
+                *[
+                    F.expr(bys[1][f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in bys[1]
+                    else F.col(f"{t_alias}.{f.name}").alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
+
+    if bys is not None and bys[0] == "delete":
+        # BY SOURCE DELETE combined with update/insert clauses: the
+        # final table state is EXACTLY the union of the computed parts
+        # (matched rows as updated — or kept verbatim when there is no
+        # MATCHED clause — plus the inserts; every other row deleted),
+        # so the statement is ONE overwrite commit stamped as a merge.
+        # At scale this is the full-sync shape: rewriting the table is
+        # the plan you want when most rows change; to prune without a
+        # rewrite, use the standalone BY SOURCE DELETE form instead.
+        if upd is None:
+            kept = t.read(spark).join(src_keys_df(), tgt_keys, "left_semi")
+            parts.insert(0, kept.select(*tgt))
+        final = parts[0]
+        for p in parts[1:]:
+            final = final.unionByName(p)
+        snap = catalog.write(db, tbl, final, mode="overwrite", operation="merge")
+        return _dml_report(spark, "MERGE", db, tbl, snap)
+
+    updates = parts[0]
+    for p in parts[1:]:
+        updates = updates.unionByName(p)
     if mode == "merge-on-read":
         snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys)
     else:
@@ -864,12 +964,12 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         DELETE FROM db.t [WHERE <cond>]  → delete_where (COW)
         UPDATE db.t SET c = e, … [WHERE] → update_where (COW)
         MERGE INTO db.t USING <src> ON <t.k = s.k [AND …]>
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT * → upsert / upsert_mor
-          (strategy from the target's ``write.merge.mode`` property;
-          insert-only, update-only and WHEN MATCHED THEN DELETE
-          variants map to append-after-anti-join / filtered upsert /
-          delete_keys)
+          WHEN MATCHED THEN UPDATE SET * | SET c = e, … | DELETE
+          WHEN NOT MATCHED THEN INSERT * | INSERT (c,…) VALUES (e,…)
+          WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET c = e, …
+          → upsert / upsert_mor / delete_keys / append / overwrite
+          (key names may differ per side; strategy from the target's
+          ``write.merge.mode`` property; see _merge_execute)
         CREATE TABLE db.t (<ddl cols>) [PARTITIONED BY (spec,…)]
           [TBLPROPERTIES ('k'='v',…)]  → create_table (G2-correct)
         ALTER TABLE db.t ADD COLUMNS (c type,…) | DROP COLUMN c

@@ -790,3 +790,53 @@ def test_sqlfront_literal_roundtrip_fuzz(spark, tmp_path_factory, lit, dq):
     ).collect()
     assert out[0]["x"] == lit
     assert out[0]["n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# r11: quoted-identifier DML fuzz — arbitrary (dashed, spaced, dotted)
+# db/table names must survive the INSERT→read round trip through the
+# backticked statement forms
+# ---------------------------------------------------------------------------
+
+#: identifier body: printable ASCII minus the characters the
+#: WAREHOUSE LAYOUT cannot host — `/` (path separator), `.` (the
+#: db.table separator is structural), `` ` `` (tested via its ``` `` ```
+#: doubling separately), and the Hadoop-path killers `:#%\\` and glob
+#: metacharacters `*?[]{}` (Spark's path resolution globs read paths).
+#: Everything else — spaces, dashes, quotes, commas, parens — must
+#: round-trip: quotes inside backticks exercise the backtick-aware
+#: masker.
+_ident_text = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=32, max_codepoint=126,
+        exclude_characters="`/.:#%\\*?[]{}",
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() == s)
+
+
+@given(db=_ident_text, tbl=_ident_text, val=st.integers(0, 10**6))
+@settings(max_examples=20, deadline=None)
+def test_sqlfront_quoted_dml_roundtrip_fuzz(spark, tmp_path_factory, db, tbl, val):
+    """INSERT INTO `any-db`.`any table` VALUES … then SELECT it back:
+    the quoted statement regexes, the catalog layout, and the
+    schema-DDL quoting must all agree for arbitrary identifier text
+    (r11, the F3 write-half fix generalized)."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    root = tmp_path_factory.mktemp("dmlfuzz")
+    cat = SnapCatalog(str(root / "wh"))
+    cat.write(db, tbl, spark.createDataFrame([(0, 0)], "id int, v int"))
+    q = lambda s: "`" + s.replace("`", "``") + "`"
+    snapcat_execute(
+        spark, cat, f"INSERT INTO {q(db)}.{q(tbl)} VALUES (1, {val})"
+    )
+    out = snapcat_execute(
+        spark, cat,
+        f"SELECT v FROM {q(db)}.{q(tbl)} WHERE id = 1",
+    ).collect()
+    assert [r["v"] for r in out] == [val]

@@ -556,12 +556,6 @@ def test_merge_rejects_unsupported_shapes(spark, merge_cat):
             "MERGE INTO db.t USING db.s ON t.id = s.id "
             "WHEN MATCHED AND t.v > 5 THEN UPDATE SET *",
         )
-    with pytest.raises(ValueError, match="BY SOURCE"):
-        snapcat_dml(
-            spark, merge_cat,
-            "MERGE INTO db.t USING db.s ON t.id = s.id "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
-        )
     with pytest.raises(ValueError, match="one statement must be one commit"):
         snapcat_dml(
             spark, merge_cat,
@@ -1166,3 +1160,152 @@ def test_merge_set_expr_with_case_when(spark, merge_cat):
     assert _rows(spark, merge_cat) == {
         1: ("a", 10), 2: ("b", 200), 3: ("c", 30), 4: ("d", 40)
     }
+
+
+# ---------------------------------------------------------------------------
+# WHEN NOT MATCHED BY SOURCE (r11): the target-rows-without-a-match
+# clause family — standalone DELETE = anti-join keyed delete in the
+# table's merge mode; combined with update/insert = one commit
+# ---------------------------------------------------------------------------
+
+
+def test_merge_by_source_delete_standalone(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    assert out[0]["statement"] == "MERGE DELETE"
+    # source has ids {2, 4}; target rows 1 and 3 have no source match
+    assert _rows(spark, merge_cat) == {2: ("b", 20)}
+    head = merge_cat.table("db", "t").current_snapshot()
+    assert head.operation == "delete"
+    assert head.summary.get("delete-mode") == "copy-on-write"
+
+
+def test_merge_by_source_delete_standalone_mor(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    merge_cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert _rows(spark, merge_cat) == {2: ("b", 20)}
+    assert merge_cat.table("db", "t").current_snapshot().delete_files
+
+
+def test_merge_full_sync_one_commit(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # the full-sync shape: target becomes exactly the source
+    before = len(merge_cat.table("db", "t").snapshots())
+    out = snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    assert out[0]["statement"] == "MERGE"
+    assert _rows(spark, merge_cat) == {2: ("B", 200), 4: ("d", 40)}
+    t = merge_cat.table("db", "t")
+    assert len(t.snapshots()) == before + 1  # ONE commit
+    assert t.current_snapshot().operation == "merge"
+
+
+def test_merge_by_source_update_set(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # matched rows take source values, unmatched target rows get flagged
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = concat(t.name, '-stale')",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a-stale", 10), 2: ("B", 200), 3: ("c-stale", 30)
+    }
+
+
+def test_merge_by_source_update_set_alone(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 0), 2: ("b", 20), 3: ("c", 0)
+    }
+
+
+def test_merge_by_source_delete_with_insert_only(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # unmatched source inserted, unmatched target deleted, matched kept
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert _rows(spark, merge_cat) == {2: ("b", 20), 4: ("d", 40)}
+
+
+def test_merge_by_source_rejections(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    with pytest.raises(ValueError, match="BY SOURCE can only DELETE"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="BY SOURCE UPDATE SET on merge key"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = 0",
+        )
+
+
+def test_masker_backtick_span_with_quote_char(spark, tmp_path):
+    # a quote character INSIDE a backticked identifier is part of the
+    # name, not a string-literal opener — the masker consumes backtick
+    # spans atomically (r11)
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        _mask_literals,
+        snapcat_sql,
+    )
+
+    masked = _mask_literals("SELECT * FROM db.`t\"x` WHERE a = 'lit'")
+    assert "`\x01\x01\x01`" in masked          # identifier contents masked
+    assert "'\x01\x01\x01'" in masked          # the literal still masked
+    assert "WHERE a = " in masked              # structure intact after the quote
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", 't"x', spark.createDataFrame([(1,)], "id int"))
+    out = snapcat_sql(spark, c, 'SELECT id FROM db.`t"x`').collect()
+    assert [r["id"] for r in out] == [1]
+
+
+def test_unquote_decodes_doubled_backticks(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "a`b", spark.createDataFrame([(1, 5)], "id int, v int"))
+    snapcat_execute(spark, c, "INSERT INTO db.`a``b` VALUES (2, 7)")
+    out = snapcat_execute(
+        spark, c, "SELECT sum(v) AS s FROM db.`a``b`"
+    ).collect()
+    assert out[0]["s"] == 12
