@@ -840,3 +840,94 @@ def test_sqlfront_quoted_dml_roundtrip_fuzz(spark, tmp_path_factory, db, tbl, va
         f"SELECT v FROM {q(db)}.{q(tbl)} WHERE id = 1",
     ).collect()
     assert [r["v"] for r in out] == [val]
+
+
+# ---------------------------------------------------------------------------
+# r11: MERGE clause-matrix fuzz — random target/source tables through
+# every supported WHEN-clause combination, expected state computed by
+# an independent pure-Python merge
+# ---------------------------------------------------------------------------
+
+_merge_rows = st.dictionaries(
+    keys=st.integers(0, 9), values=st.integers(-100, 100), min_size=1, max_size=6
+)
+#: (matched, not_matched, by_source) — every supported combination;
+#: "set" = explicit assignment list (v = s.v + 1 / v = -1 for by_source)
+_merge_combos = st.sampled_from([
+    ("star", "star", None), ("star", None, None), (None, "star", None),
+    ("set", None, None), ("set", "star", None), ("star", "cols", None),
+    ("set", "cols", None), (None, "cols", None),
+    ("delete", None, None),
+    (None, None, "delete"), ("star", "star", "delete"),
+    ("star", None, "delete"), (None, "star", "delete"),
+    ("star", None, "set"), (None, None, "set"), ("star", "star", "set"),
+])
+
+
+def _merge_expected(tgt: dict, src: dict, combo) -> dict:
+    """Pure-Python reference merge over {key: v} dicts."""
+    upd, ins, bys = combo
+    out = {}
+    for k, v in tgt.items():
+        if k in src:  # matched
+            if upd == "star":
+                out[k] = src[k]
+            elif upd == "set":
+                out[k] = src[k] + 1
+            elif upd == "delete":
+                pass  # dropped
+            else:
+                out[k] = v  # no MATCHED clause: row unchanged
+        else:  # not matched by source
+            if bys == "delete":
+                pass
+            elif bys == "set":
+                out[k] = -1
+            else:
+                out[k] = v
+    for k, v in src.items():
+        if k not in tgt and ins is not None:  # not matched
+            out[k] = v  # star and cols both insert source v
+    return out
+
+
+@given(tgt=_merge_rows, src=_merge_rows, combo=_merge_combos)
+@settings(max_examples=20, deadline=None)
+def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    upd, ins, bys = combo
+    root = tmp_path_factory.mktemp("mergefuzz")
+    cat = SnapCatalog(str(root / "wh"))
+    cat.write(
+        "db", "t",
+        spark.createDataFrame(sorted(tgt.items()), "k int, v int"),
+    )
+    cat.write(
+        "db", "s",
+        spark.createDataFrame(sorted(src.items()), "k int, v int"),
+    )
+    clauses = []
+    if upd == "star":
+        clauses.append("WHEN MATCHED THEN UPDATE SET *")
+    elif upd == "set":
+        clauses.append("WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+    elif upd == "delete":
+        clauses.append("WHEN MATCHED THEN DELETE")
+    if ins == "star":
+        clauses.append("WHEN NOT MATCHED THEN INSERT *")
+    elif ins == "cols":
+        clauses.append("WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    if bys == "delete":
+        clauses.append("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    elif bys == "set":
+        clauses.append("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1")
+    snapcat_dml(
+        spark, cat,
+        "MERGE INTO db.t USING db.s AS s ON t.k = s.k " + " ".join(clauses),
+    )
+    got = {
+        r["k"]: r["v"] for r in cat.table("db", "t").read(spark).collect()
+    }
+    assert got == _merge_expected(tgt, src, combo)
