@@ -891,9 +891,9 @@ def _merge_expected(tgt: dict, src: dict, combo) -> dict:
     return out
 
 
-@given(tgt=_merge_rows, src=_merge_rows, combo=_merge_combos)
+@given(tgt=_merge_rows, src=_merge_rows, combo=_merge_combos, mor=st.booleans())
 @settings(max_examples=20, deadline=None)
-def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo):
+def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
 
@@ -904,6 +904,8 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo):
         "db", "t",
         spark.createDataFrame(sorted(tgt.items()), "k int, v int"),
     )
+    if mor:  # both row-level strategies must agree with the reference
+        cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
     cat.write(
         "db", "s",
         spark.createDataFrame(sorted(src.items()), "k int, v int"),

@@ -1309,3 +1309,24 @@ def test_unquote_decodes_doubled_backticks(spark, tmp_path):
         spark, c, "SELECT sum(v) AS s FROM db.`a``b`"
     ).collect()
     assert out[0]["s"] == 12
+
+
+def test_merge_using_cdc_relation(spark, cat):
+    # composition: the USING relation goes through the full read
+    # surface, so a CDC slice (db.t.changes BETWEEN a AND b) can feed
+    # a merge — replicate commit-2 inserts into a second table
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+        snapcat_sql,
+    )
+
+    snapcat_dml(spark, cat, "CREATE TABLE db.replica AS SELECT * FROM db.t VERSION AS OF 1")
+    snapcat_dml(
+        spark, cat,
+        "MERGE INTO db.replica USING "
+        "(SELECT id, v FROM db.t.incremental BETWEEN 1 AND 2) AS s "
+        "ON replica.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    n = snapcat_sql(spark, cat, "SELECT COUNT(*) AS n FROM db.replica").collect()
+    assert n[0]["n"] == 20  # snapshot-1 rows + the commit-2 delta
