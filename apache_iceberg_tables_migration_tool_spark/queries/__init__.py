@@ -186,13 +186,18 @@ _DRIVER_PRIORITY = [
 # stateful_user_totals, volume_shipping_q7, market_share_q8,
 # supplier_variety_q16, excess_shipping_q20, sole_return_supplier_q21
 # — all multi-green secondary carriers of already-covered shapes;
-# plus the one carrier registered during round 11:
+# plus the two carriers registered during round 11:
 #   sql_merge_sync — the WHEN NOT MATCHED BY SOURCE family (one-
 #   commit full sync + standalone anti-join prune); oracle- and
-#   sweep-verified at registration. The rest of the round's new
-#   MERGE/quoting/CALL surface rides the existing sql_merge_upsert /
-#   sql_call_maintenance / sql_ddl_lifecycle carriers, graded THIS
-#   round. Fill the remaining slots with the oldest r9-tier rows.
+#   sweep-verified at registration.
+#   sql_merge_cdc_apply — conditional WHEN … AND clauses (the
+#   CDC-apply shape: routed DELETE/UPDATE/INSERT, first match wins,
+#   one commit via extra_delete_keys, COW ≡ MOR checksum-pinned
+#   in-query); oracle- and sweep-verified at registration.
+# The rest of the round's new MERGE/quoting/CALL surface rides the
+# existing sql_merge_upsert / sql_call_maintenance /
+# sql_ddl_lifecycle carriers, graded THIS round. Fill the remaining
+# slots with the oldest r9-tier rows.
 
 
 def _apply_driver_priority() -> None:

@@ -2877,6 +2877,99 @@ def sql_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_cdc_apply",
+    tags=("migration", "sql", "dml", "merge", "cdc"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey % 97 AS INT) AS v
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+chg AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey % 89 AS INT) AS v,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+              WHEN o_orderkey % 5 IN (1, 2) THEN 'U'
+              ELSE 'N' END AS op
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+applied AS (
+  SELECT t.k,
+         CAST(CASE WHEN c.op = 'U' THEN c.v ELSE t.v END AS INT) AS v
+  FROM t LEFT JOIN chg c ON t.k = c.k
+  WHERE c.op IS NULL OR c.op <> 'D'
+  UNION ALL
+  SELECT c.k, c.v FROM chg c
+  WHERE c.op = 'U' AND c.k NOT IN (SELECT k FROM t)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM applied
+""",
+)
+def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-clause MERGE — the CDC-apply shape (r11,
+    `sources/sqlfront._merge_execute`): a changelog with an ``op``
+    column routes each row through ordered ``WHEN … AND`` clauses
+    (``op='D'`` → DELETE, ``op='U'`` → UPDATE SET, unmatched
+    ``op='U'`` → INSERT), first match wins, and the mixed
+    update+delete+insert application lands as ONE commit — the COW
+    rewrite drops routed-delete keys from the rewritten files, MOR
+    adds them to the equality-delete key set
+    (`snapcat.upsert/upsert_mor(extra_delete_keys=…)`). Both
+    strategies are applied to identical targets and pinned
+    checksum-equal in-query; the oracle recomputes the applied
+    changelog relationally."""
+    from apache_iceberg_tables_migration_tool_spark.operators.integrity import (
+        table_checksum,
+    )
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_cdc_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        o = load(spark, sf_dir, "orders")
+        t = o.where(F.col("o_orderkey") % 3 != 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 97).cast("int").alias("v"),
+        )
+        chg = o.where(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 89).cast("int").alias("v"),
+            F.when(F.col("o_orderkey") % 5 == 0, "D")
+            .when((F.col("o_orderkey") % 5).isin(1, 2), "U")
+            .otherwise("N")
+            .alias("op"),
+        )
+        cat.write("db", "t_cow", t, committed_at=_T[0])
+        cat.write("db", "t_mor", t, committed_at=_T[0])
+        cat.set_properties("db", "t_mor", {"write.merge.mode": "merge-on-read"})
+        cat.write("db", "chg", chg, committed_at=_T[0])
+        sql = (
+            "MERGE INTO db.{tgt} USING db.chg AS s ON {tgt}.k = s.k "
+            "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+            "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.v)"
+        )
+        for tgt in ("t_cow", "t_mor"):
+            before = len(cat.table("db", tgt).snapshots())
+            snapcat_dml(spark, cat, sql.format(tgt=tgt))
+            if len(cat.table("db", tgt).snapshots()) != before + 1:
+                raise AssertionError(f"CDC apply on {tgt} was not one commit")
+        cow = cat.table("db", "t_cow").read(spark)
+        mor = cat.table("db", "t_mor").read(spark)
+        if table_checksum(cow) != table_checksum(mor):
+            raise AssertionError("COW and MOR CDC application diverged")
+        out = cow.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "sql_call_maintenance",
     tags=("migration", "sql", "metadata", "maintenance"),
     oracle="""

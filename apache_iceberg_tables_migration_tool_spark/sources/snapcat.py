@@ -3637,6 +3637,7 @@ class SnapCatalog:
         key_cols: list[str],
         committed_at: str | None = None,
         staged: bool = False,
+        extra_delete_keys: DataFrame | None = None,
     ) -> Snapshot:
         """MERGE with file-level copy-on-write (≙ Iceberg COW
         ``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -3646,7 +3647,14 @@ class SnapCatalog:
         semi-joining the update keys against the scan with the
         ``_metadata.file_path`` column, so a 10-row merge into a
         10⁶-file table rewrites a handful of files, not the table.
-        Untouched files carry over into the new snapshot by reference."""
+        Untouched files carry over into the new snapshot by reference.
+
+        ``extra_delete_keys``: additional key rows to DELETE in the
+        same commit (no replacement row) — the conditional-MERGE /
+        CDC-apply shape (``WHEN MATCHED AND op='D' THEN DELETE WHEN
+        MATCHED THEN UPDATE …``) where one statement both updates and
+        deletes. Files containing them join the rewrite set; their
+        rows are simply not re-emitted."""
         spark = updates.sparkSession
         tbl = self.table(database, name)
         prev = tbl.current_snapshot()
@@ -3662,9 +3670,14 @@ class SnapCatalog:
                 with_file_path=True, apply_deletes=True, with_lineage=True,
             )
             keys = updates.select(*key_cols).distinct()
+            full_keys = keys  # update keys ∪ delete keys drive the rewrite set
+            if extra_delete_keys is not None:
+                full_keys = keys.unionByName(
+                    extra_delete_keys.select(*key_cols)
+                ).distinct()
             affected_abs = [
                 r["__file"]
-                for r in cur.join(keys, key_cols, "left_semi").select("__file").distinct().collect()
+                for r in cur.join(full_keys, key_cols, "left_semi").select("__file").distinct().collect()
             ]  # O(matched files) driver rows — manifest-scale, not data-scale
             affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
             sid = _next_id(tbl._load_meta(expand=False))
@@ -3688,7 +3701,10 @@ class SnapCatalog:
                 )
                 rewritten = (
                     touched.drop("__file")
-                    .join(keys, key_cols, "left_anti")  # drop matched rows
+                    # drop matched rows — update keys get their new
+                    # version from updates_l; extra delete keys simply
+                    # aren't re-emitted
+                    .join(full_keys, key_cols, "left_anti")
                     .unionByName(updates_l)
                 )
             else:
@@ -4000,6 +4016,7 @@ class SnapCatalog:
         updates: DataFrame,
         key_cols: list[str],
         committed_at: str | None = None,
+        extra_delete_keys: DataFrame | None = None,
     ) -> Snapshot:
         """MERGE, merge-on-read flavor (≙ Iceberg
         ``write.merge.mode=merge-on-read``): ONE commit appends the new
@@ -4007,7 +4024,11 @@ class SnapCatalog:
         equality-delete file. No existing file is read or rewritten —
         the write costs O(updates); the delete (sequence = this commit)
         hides only OLDER versions, the rows written here survive their
-        own delete by the sequence rule."""
+        own delete by the sequence rule.
+
+        ``extra_delete_keys``: additional key rows to DELETE in the
+        same commit (the conditional-MERGE / CDC-apply shape) — they
+        join the equality-delete key set with no replacement row."""
         tbl = self.table(database, name)
         prev = tbl.current_snapshot()
         if prev is None or not prev.files:
@@ -4023,7 +4044,12 @@ class SnapCatalog:
             # new row versions get fresh virtual row ids (v3: MOR merge
             # writes new rows; their _last_updated_seq is this commit)
             _assign_row_ids(meta, new_files, materialized=False)
-            new_dels = self._write_delete_files(tbl, sid, updates, key_cols)
+            del_keys = updates.select(*key_cols)
+            if extra_delete_keys is not None:
+                del_keys = del_keys.unionByName(
+                    extra_delete_keys.select(*key_cols)
+                )
+            new_dels = self._write_delete_files(tbl, sid, del_keys, key_cols)
             files = list(prev.files) + new_files
             snap = Snapshot(
                 snapshot_id=sid,

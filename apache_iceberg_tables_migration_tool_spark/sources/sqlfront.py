@@ -592,16 +592,20 @@ def _merge_key_pairs(
     return pairs
 
 
-def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[str, str]]:
-    """Split the WHEN region into ``(kind, action_text)`` pairs, kind ∈
-    ``matched`` | ``not_matched`` | ``by_source`` (``WHEN NOT MATCHED
-    BY SOURCE``, the target-rows-without-a-source-match clause). WHEN
-    positions are found over the MASKED text at paren depth 0 (spans
-    align); clause text is read from the original. Only a WHEN
-    followed by ``[NOT] MATCHED`` is a clause boundary — a ``CASE
-    WHEN`` inside a SET/VALUES expression is not. Conditional clauses
-    (``WHEN MATCHED AND …``) are rejected loudly — silently ignoring
-    a condition would mis-merge."""
+def _merge_clauses(
+    query: str, masked: str, start: int
+) -> list[tuple[str, str | None, str]]:
+    """Split the WHEN region into ``(kind, condition, action_text)``
+    triples, kind ∈ ``matched`` | ``not_matched`` | ``by_source``
+    (``WHEN NOT MATCHED BY SOURCE``, the target-rows-without-a-
+    source-match clause), condition = the SQL text of an ``AND …``
+    clause condition (None when absent). WHEN positions are found
+    over the MASKED text at paren depth 0 (spans align); clause text
+    is read from the original. Only a WHEN followed by ``[NOT]
+    MATCHED`` is a clause boundary — a ``CASE WHEN`` inside a
+    SET/VALUES expression is not. A condition's end is the first
+    depth-0 THEN, so an unparenthesized CASE expression inside a
+    condition is rejected by construction (parenthesize it)."""
     boundary = re.compile(r"WHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
     idxs, i = [], start
     while True:
@@ -611,32 +615,44 @@ def _merge_clauses(query: str, masked: str, start: int) -> list[tuple[str, str]]
         if boundary.match(masked, w):
             idxs.append(w)
         i = w + 4
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str | None, str]] = []
     for n, w in enumerate(idxs):
         end = idxs[n + 1] if n + 1 < len(idxs) else len(query)
         text = query[w:end].strip().rstrip(";").strip()
+        mtext = masked[w:w + len(text)]
         m = re.match(
             r"^WHEN\s+(?P<not>NOT\s+)?MATCHED\s+(?P<rest>.*)$",
             text, re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"MERGE: cannot parse clause {text!r}")
-        rest = m.group("rest").strip()
+        rest_at = m.start("rest")
+        rest = text[rest_at:].strip()
         kind = "not_matched" if m.group("not") else "matched"
-        bs = re.match(r"^BY\s+SOURCE\s+(?P<rest>.*)$", rest, re.IGNORECASE | re.DOTALL)
+        bs = re.match(r"^BY\s+SOURCE\s+", rest, re.IGNORECASE)
         if bs:
             if kind == "matched":
                 raise ValueError("MERGE: WHEN MATCHED BY SOURCE is not valid SQL")
-            kind, rest = "by_source", bs.group("rest").strip()
+            kind = "by_source"
+            rest_at = rest_at + (len(text[rest_at:]) - len(rest)) + bs.end()
+            rest = text[rest_at:].strip()
+        cond: str | None = None
         if re.match(r"^AND\b", rest, re.IGNORECASE):
-            raise ValueError(
-                "MERGE: conditional WHEN clauses (WHEN [NOT] MATCHED AND …) "
-                "are not supported"
-            )
+            # clause condition: AND <cond> THEN — cond ends at the
+            # first depth-0 THEN of the clause's masked text
+            and_at = rest_at + (len(text[rest_at:]) - len(rest)) + 3
+            then_at = _find_top_kw(mtext, and_at, "THEN")
+            if then_at < 0:
+                raise ValueError(f"MERGE: missing THEN in clause {text!r}")
+            cond = text[and_at:then_at].strip()
+            if not cond:
+                raise ValueError(f"MERGE: empty clause condition in {text!r}")
+            out.append((kind, cond, text[then_at + 4:].strip()))
+            continue
         m2 = re.match(r"^THEN\s+(?P<act>.+)$", rest, re.IGNORECASE | re.DOTALL)
         if not m2:
             raise ValueError(f"MERGE: missing THEN in clause {text!r}")
-        out.append((kind, m2.group("act").strip()))
+        out.append((kind, None, m2.group("act").strip()))
     if not out:
         raise ValueError("MERGE: missing WHEN clause(s)")
     return out
@@ -701,9 +717,12 @@ def _merge_execute(
 ) -> DataFrame:
     """MERGE INTO db.t [AS a] USING <relation|(subquery)> [AS s]
       ON <t.k = s.k [AND …]>          (key names may differ per side)
-      WHEN MATCHED THEN UPDATE SET * | UPDATE SET col = expr, … | DELETE
-      WHEN NOT MATCHED THEN INSERT * | INSERT (col, …) VALUES (expr, …)
-      WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET col = expr, …
+      WHEN MATCHED [AND <cond>] THEN
+          UPDATE SET * | UPDATE SET col = expr, … | DELETE
+      WHEN NOT MATCHED [AND <cond>] THEN
+          INSERT * | INSERT (col, …) VALUES (expr, …)
+      WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+          DELETE | UPDATE SET col = expr, …
 
     Row-level strategy follows the target's ``write.merge.mode`` table
     property (Iceberg's own switch): copy-on-write → file-level COW
@@ -714,9 +733,14 @@ def _merge_execute(
     standalone BY SOURCE DELETE map to the keyed delete in the mode
     the property selects; BY SOURCE DELETE combined with other
     clauses is one overwrite commit of the computed final state (the
-    full-sync shape). Free-text sections are located over the MASKED
-    text at paren depth 0, spans read from the original. Conditional
-    clauses are rejected loudly."""
+    full-sync shape). Multiple MATCHED (or NOT MATCHED) clauses with
+    ``AND`` conditions evaluate in order, first match wins — the
+    CDC-apply shape ``WHEN MATCHED AND s.op = 'D' THEN DELETE WHEN
+    MATCHED THEN UPDATE SET *`` routes each row to one clause and
+    still lands as ONE commit (routed deletes ride the upsert as
+    extra delete keys). An unconditional clause must be the last of
+    its kind. Free-text sections are located over the MASKED text at
+    paren depth 0, spans read from the original."""
     db, tbl = _uq(m, "db", query), _uq(m, "tbl", query)
     t_alias = m.group("alias") or tbl
     on_at = _find_top_kw(masked_q, m.end(), "ON")
@@ -747,32 +771,61 @@ def _merge_execute(
         raise ValueError(f"MERGE ON: source key column(s) {bad} not in source")
     mode = t.properties().get("write.merge.mode", "copy-on-write")
 
-    upd = ins = bys = None  # at most one clause of each kind
-    for kind_tag, action in _merge_clauses(query, masked_q, when_at):
+    upds: list = []  # (cond, kind, payload) — ordered, first-match-wins
+    inss: list = []
+    byss: list = []
+    for kind_tag, cond, action in _merge_clauses(query, masked_q, when_at):
         kind, payload = _parse_merge_action(action, t_alias, tbl)
         if kind_tag == "matched":
             if kind not in ("update_star", "update_set", "delete"):
                 raise ValueError(f"MERGE: WHEN MATCHED cannot {kind.upper()}")
-            if upd is not None:
-                raise ValueError("MERGE: more than one WHEN MATCHED clause")
-            upd = (kind, payload)
+            upds.append((cond, kind, payload))
         elif kind_tag == "not_matched":
             if kind not in ("insert_star", "insert_cols"):
                 raise ValueError(f"MERGE: WHEN NOT MATCHED cannot {kind.upper()}")
-            if ins is not None:
-                raise ValueError("MERGE: more than one WHEN NOT MATCHED clause")
-            ins = (kind, payload)
+            inss.append((cond, kind, payload))
         else:  # by_source: TARGET rows with no source match
             if kind not in ("delete", "update_set"):
                 raise ValueError(
                     "MERGE: WHEN NOT MATCHED BY SOURCE can only DELETE or "
                     "UPDATE SET col = expr (there is no source row to read)"
                 )
-            if bys is not None:
+            byss.append((cond, kind, payload))
+    # a condition-less clause must be the LAST of its kind — SQL
+    # evaluates clauses in order, so anything after it is unreachable
+    for label, lst in (
+        ("WHEN MATCHED", upds),
+        ("WHEN NOT MATCHED", inss),
+        ("WHEN NOT MATCHED BY SOURCE", byss),
+    ):
+        for c, _k, _p in lst[:-1]:
+            if c is None:
                 raise ValueError(
-                    "MERGE: more than one WHEN NOT MATCHED BY SOURCE clause"
+                    f"MERGE: an unconditional {label} clause makes later "
+                    f"{label} clauses unreachable"
                 )
-            bys = (kind, payload)
+    if len(byss) > 1:
+        raise ValueError("MERGE: more than one WHEN NOT MATCHED BY SOURCE clause")
+    for _c, kind, payload in upds + byss:  # shared UPDATE SET validation
+        if kind == "update_set":
+            bad_keys = sorted(set(payload) & set(tgt_keys))
+            if bad_keys:
+                raise ValueError(
+                    f"MERGE: UPDATE SET on merge key column(s) {bad_keys}"
+                )
+            unknown = [c2 for c2 in payload if c2 not in tgt]
+            if unknown:
+                raise ValueError(f"MERGE: UPDATE SET on unknown column(s) {unknown}")
+
+    bys_full = byss[0] if byss else None
+    conditional = (
+        len(upds) > 1 or len(inss) > 1
+        or any(c is not None for c, _k, _p in upds + inss)
+    )
+    upd = (upds[0][1], upds[0][2]) if upds else None
+    ins = (inss[0][1], inss[0][2]) if inss else None
+    bys = (bys_full[1], bys_full[2]) if bys_full else None
+    bys_cond = bys_full[0] if bys_full else None
 
     def rename_keys(df: DataFrame) -> DataFrame:
         for tk, sk in pairs:
@@ -801,16 +854,123 @@ def _merge_execute(
             .select(*tgt_keys).distinct()
         )
 
-    for label, clause in (("UPDATE SET", upd), ("BY SOURCE UPDATE SET", bys)):
-        if clause and clause[0] == "update_set":
-            bad_keys = sorted(set(clause[1]) & set(tgt_keys))
-            if bad_keys:
-                raise ValueError(
-                    f"MERGE: {label} on merge key column(s) {bad_keys}"
+    s_a = s_alias or "__src"
+
+    if conditional:
+        # ordered conditional clauses (the CDC-apply shape): matched
+        # rows route to the FIRST clause whose condition holds (no
+        # clause → untouched); same for not-matched source rows.
+        # Updates and inserts union into ONE upsert; routed DELETEs
+        # ride the same commit as extra delete keys (COW: their files
+        # join the rewrite set; MOR: they join the equality-delete
+        # key set). BY SOURCE stays a separate statement here.
+        if bys_full is not None:
+            raise ValueError(
+                "MERGE: WHEN NOT MATCHED BY SOURCE cannot combine with "
+                "conditional or multiple MATCHED/NOT MATCHED clauses — "
+                "run it as its own MERGE statement"
+            )
+        existing = t.read(spark).select(
+            *[F.col(tk).alias(sk) for tk, sk in pairs]
+        ).distinct()
+        parts: list[DataFrame] = []
+        del_parts: list[DataFrame] = []
+        if upds:
+            join_cond = None
+            for tk, sk in pairs:
+                term = F.col(f"{t_alias}.{tk}") == F.col(f"{s_a}.{sk}")
+                join_cond = term if join_cond is None else (join_cond & term)
+            joined = t.read(spark).alias(t_alias).join(
+                src_df.alias(s_a), join_cond, "inner"
+            )
+            route = None
+            for i, (cond, _k, _p) in enumerate(upds):
+                c = F.expr(cond) if cond is not None else F.lit(True)
+                route = F.when(c, F.lit(i)) if route is None else route.when(c, F.lit(i))
+            routed = joined.withColumn("__clause", route)
+            for i, (_c, kind, payload) in enumerate(upds):
+                rows = routed.where(F.col("__clause") == i)
+                if kind == "delete":
+                    del_parts.append(
+                        rows.select(
+                            *[F.col(f"{t_alias}.{tk}").alias(tk) for tk in tgt_keys]
+                        )
+                    )
+                elif kind == "update_set":
+                    parts.append(
+                        rows.select(
+                            *[
+                                F.expr(payload[f.name]).cast(f.dataType).alias(f.name)
+                                if f.name in payload
+                                else F.col(f"{t_alias}.{f.name}").alias(f.name)
+                                for f in schema.fields
+                            ]
+                        )
+                    )
+                else:  # update_star: keys from the target, rest by name
+                    missing = [
+                        c2 for c2 in tgt
+                        if c2 not in tgt_keys and c2 not in src_df.columns
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"MERGE INTO {db}.{tbl}: source is missing target "
+                            f"column(s) {missing} (UPDATE SET * needs the full "
+                            "target schema)"
+                        )
+                    parts.append(
+                        rows.select(
+                            *[
+                                F.col(f"{t_alias}.{f.name}").alias(f.name)
+                                if f.name in tgt_keys
+                                else F.col(f"{s_a}.{f.name}")
+                                .cast(f.dataType).alias(f.name)
+                                for f in schema.fields
+                            ]
+                        )
+                    )
+        if inss:
+            unmatched = src_df.join(existing, src_keys, "left_anti").alias(s_a)
+            iroute = None
+            for j, (cond, _k, _p) in enumerate(inss):
+                c = F.expr(cond) if cond is not None else F.lit(True)
+                iroute = (
+                    F.when(c, F.lit(j)) if iroute is None else iroute.when(c, F.lit(j))
                 )
-            unknown = [c for c in clause[1] if c not in tgt]
-            if unknown:
-                raise ValueError(f"MERGE: {label} on unknown column(s) {unknown}")
+            irouted = unmatched.withColumn("__clause", iroute)
+            for j, (_c, kind, payload) in enumerate(inss):
+                rows = irouted.where(F.col("__clause") == j).drop("__clause")
+                if kind == "insert_star":
+                    parts.append(require_full_schema(rename_keys(rows), "INSERT *"))
+                else:
+                    parts.append(
+                        rows.select(
+                            *[
+                                F.expr(payload[f.name]).cast(f.dataType).alias(f.name)
+                                if f.name in payload
+                                else F.lit(None).cast(f.dataType).alias(f.name)
+                                for f in schema.fields
+                            ]
+                        )
+                    )
+        delkeys = None
+        if del_parts:
+            delkeys = del_parts[0]
+            for p in del_parts[1:]:
+                delkeys = delkeys.unionByName(p)
+            delkeys = delkeys.distinct()
+        if not parts:  # delete-routed rows only
+            snap = catalog.delete_keys(db, tbl, delkeys, key_cols=tgt_keys, mode=mode)
+            return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
+        updates = parts[0]
+        for p in parts[1:]:
+            updates = updates.unionByName(p)
+        kw = {"extra_delete_keys": delkeys} if delkeys is not None else {}
+        if mode == "merge-on-read":
+            snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys, **kw)
+        else:
+            snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys, **kw)
+        return _dml_report(spark, "MERGE", db, tbl, snap)
 
     if upd and upd[0] == "delete":
         if ins is not None or bys is not None:
@@ -826,11 +986,14 @@ def _merge_execute(
     if bys == ("delete", None) and upd is None and ins is None:
         # standalone BY SOURCE DELETE — prune target rows with no
         # source match: one anti-join key set, one keyed delete in the
-        # mode the table property selects
-        doomed = (
-            t.read(spark).select(*tgt_keys).distinct()
-            .join(src_keys_df(), tgt_keys, "left_anti")
-        )
+        # mode the table property selects; an AND condition (over the
+        # target alias) filters the doomed rows
+        doomed = t.read(spark).join(
+            src_keys_df(), tgt_keys, "left_anti"
+        ).alias(t_alias)
+        if bys_cond is not None:
+            doomed = doomed.where(F.expr(bys_cond))
+        doomed = doomed.select(*tgt_keys).distinct()
         snap = catalog.delete_keys(db, tbl, doomed, key_cols=tgt_keys, mode=mode)
         return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
 
@@ -848,7 +1011,6 @@ def _merge_execute(
     existing = t.read(spark).select(
         *[F.col(tk).alias(sk) for tk, sk in pairs]
     ).distinct()
-    s_a = s_alias or "__src"
 
     if upd is None and bys is None:  # insert-only: anti-join + plain append
         unmatched = src_df.join(existing, src_keys, "left_anti")
@@ -904,10 +1066,16 @@ def _merge_execute(
                 )
             )
     if bys is not None and bys[0] == "update_set":
-        # unmatched-by-source target rows, SET exprs see the target alias
-        untouched = t.read(spark).join(src_keys_df(), tgt_keys, "left_anti")
+        # unmatched-by-source target rows, SET exprs (and an AND
+        # condition) see the target alias; condition-failing rows
+        # simply aren't in the updates — untouched
+        untouched = t.read(spark).join(
+            src_keys_df(), tgt_keys, "left_anti"
+        ).alias(t_alias)
+        if bys_cond is not None:
+            untouched = untouched.where(F.expr(bys_cond))
         parts.append(
-            untouched.alias(t_alias).select(
+            untouched.select(
                 *[
                     F.expr(bys[1][f.name]).cast(f.dataType).alias(f.name)
                     if f.name in bys[1]
@@ -918,6 +1086,11 @@ def _merge_execute(
         )
 
     if bys is not None and bys[0] == "delete":
+        if bys_cond is not None:
+            raise ValueError(
+                "MERGE: a conditional BY SOURCE DELETE cannot combine with "
+                "update/insert clauses — run it as its own MERGE statement"
+            )
         # BY SOURCE DELETE combined with update/insert clauses: the
         # final table state is EXACTLY the union of the computed parts
         # (matched rows as updated — or kept verbatim when there is no

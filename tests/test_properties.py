@@ -933,3 +933,56 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor)
         r["k"]: r["v"] for r in cat.table("db", "t").read(spark).collect()
     }
     assert got == _merge_expected(tgt, src, combo)
+
+
+#: CDC ops per key: D = delete, U = update, N = no-op marker
+_cdc_src = st.dictionaries(
+    keys=st.integers(0, 9),
+    values=st.tuples(st.integers(-100, 100), st.sampled_from("DUN")),
+    min_size=1, max_size=6,
+)
+
+
+@given(tgt=_merge_rows, src=_cdc_src, mor=st.booleans())
+@settings(max_examples=15, deadline=None)
+def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor):
+    """The conditional CDC-apply MERGE (ordered WHEN … AND clauses,
+    mixed delete+update+insert in one commit) against a pure-Python
+    changelog application, under both row-level strategies."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    root = tmp_path_factory.mktemp("cdcfuzz")
+    cat = SnapCatalog(str(root / "wh"))
+    cat.write(
+        "db", "t", spark.createDataFrame(sorted(tgt.items()), "k int, v int")
+    )
+    if mor:
+        cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    cat.write(
+        "db", "chg",
+        spark.createDataFrame(
+            [(k, v, op) for k, (v, op) in sorted(src.items())],
+            "k int, v int, op string",
+        ),
+    )
+    before = len(cat.table("db", "t").snapshots())
+    snapcat_dml(
+        spark, cat,
+        "MERGE INTO db.t USING db.chg AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.v)",
+    )
+    expected = {}
+    for k, v in tgt.items():
+        op = src.get(k, (None, None))[1]
+        if op == "D":
+            continue
+        expected[k] = src[k][0] if op == "U" else v
+    for k, (v, op) in src.items():
+        if k not in tgt and op == "U":
+            expected[k] = v
+    got = {r["k"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+    assert got == expected
+    assert len(cat.table("db", "t").snapshots()) == before + 1  # ONE commit

@@ -550,11 +550,12 @@ def test_merge_rejects_unsupported_shapes(spark, merge_cat):
             "MERGE INTO db.t USING db.s ON t.id < s.id "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
         )
-    with pytest.raises(ValueError, match="conditional WHEN clauses"):
+    with pytest.raises(ValueError, match="unreachable"):
         snapcat_dml(
             spark, merge_cat,
             "MERGE INTO db.t USING db.s ON t.id = s.id "
-            "WHEN MATCHED AND t.v > 5 THEN UPDATE SET *",
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND t.v > 5 THEN DELETE",
         )
     with pytest.raises(ValueError, match="one statement must be one commit"):
         snapcat_dml(
@@ -1267,7 +1268,7 @@ def test_merge_by_source_rejections(spark, merge_cat):
             "MERGE INTO db.t USING db.s ON t.id = s.id "
             "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
         )
-    with pytest.raises(ValueError, match="BY SOURCE UPDATE SET on merge key"):
+    with pytest.raises(ValueError, match="UPDATE SET on merge key"):
         snapcat_dml(
             spark, merge_cat,
             "MERGE INTO db.t USING db.s ON t.id = s.id "
@@ -1330,3 +1331,158 @@ def test_merge_using_cdc_relation(spark, cat):
     )
     n = snapcat_sql(spark, cat, "SELECT COUNT(*) AS n FROM db.replica").collect()
     assert n[0]["n"] == 20  # snapshot-1 rows + the commit-2 delta
+
+
+# ---------------------------------------------------------------------------
+# Conditional WHEN clauses (r11): the CDC-apply shape — ordered
+# clauses, first match wins, mixed update+delete as ONE commit
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cdc_cat(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id int, name string, v int",
+    )
+    # a changelog: delete 2, update 3, insert 5; and a no-op-marked 4
+    chg = spark.createDataFrame(
+        [(2, "b", 0, "D"), (3, "C", 300, "U"), (5, "e", 50, "I"), (4, "x", 0, "N")],
+        "id int, name string, v int, op string",
+    )
+    c.write("db", "t", tgt, committed_at=T[0])
+    c.write("db", "chg", chg, committed_at=T[0])
+    return c
+
+
+def _cdc_apply_sql():
+    return (
+        "MERGE INTO db.t USING db.chg AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET name = s.name, v = s.v "
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, name, v) "
+        "VALUES (s.id, s.name, s.v)",
+    )[0]
+
+
+def test_merge_cdc_apply_one_commit_cow(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    before = len(cdc_cat.table("db", "t").snapshots())
+    out = snapcat_dml(spark, cdc_cat, _cdc_apply_sql()).collect()
+    assert out[0]["statement"] == "MERGE"
+    assert _rows(spark, cdc_cat) == {
+        1: ("a", 10),     # untouched
+        3: ("C", 300),    # routed to the UPDATE clause
+        4: ("d", 40),     # matched, but no clause condition held
+        5: ("e", 50),     # routed to the INSERT clause
+    }                     # 2: routed to DELETE — gone
+    t = cdc_cat.table("db", "t")
+    assert len(t.snapshots()) == before + 1  # update + delete: ONE commit
+    assert not t.current_snapshot().delete_files  # COW: files rewritten
+
+
+def test_merge_cdc_apply_one_commit_mor(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    cdc_cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    before = len(cdc_cat.table("db", "t").snapshots())
+    snapcat_dml(spark, cdc_cat, _cdc_apply_sql())
+    assert _rows(spark, cdc_cat) == {
+        1: ("a", 10), 3: ("C", 300), 4: ("d", 40), 5: ("e", 50)
+    }
+    t = cdc_cat.table("db", "t")
+    assert len(t.snapshots()) == before + 1
+    head = t.current_snapshot()
+    assert head.delete_files  # MOR: equality deletes cover D and U keys
+    assert head.summary.get("merge-mode") == "merge-on-read"
+
+
+def test_merge_conditional_first_match_wins(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # id=3 satisfies BOTH conditions (op='U' and v>=0) — the first
+    # clause in statement order takes it
+    snapcat_dml(
+        spark, cdc_cat,
+        "MERGE INTO db.t USING db.chg AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
+        "WHEN MATCHED AND s.v >= 0 THEN UPDATE SET v = -999",
+    )
+    rows = _rows(spark, cdc_cat)
+    assert rows[3] == ("c", 300)    # first clause: v = s.v
+    assert rows[2] == ("b", -999)   # only the second condition holds
+    assert rows[4] == ("d", -999)   # only the second condition holds
+    assert rows[1] == ("a", 10)     # unmatched: untouched
+
+
+def test_merge_conditional_delete_only(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    out = snapcat_dml(
+        spark, cdc_cat,
+        "MERGE INTO db.t USING db.chg AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE",
+    ).collect()
+    assert out[0]["statement"] == "MERGE DELETE"
+    assert set(_rows(spark, cdc_cat)) == {1, 3, 4}
+
+
+def test_merge_conditional_insert_only(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, cdc_cat,
+        "MERGE INTO db.t USING db.chg AS s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *",
+    )
+    rows = _rows(spark, cdc_cat)
+    assert rows[5] == ("e", 50)
+    assert len(rows) == 5  # nothing else changed; op='N' id=4 matched → no insert
+
+
+def test_merge_by_source_conditional(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # delete only the unmatched-by-source rows the condition selects
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.v >= 30 THEN DELETE",
+    )
+    assert _rows(spark, merge_cat) == {1: ("a", 10), 2: ("b", 20)}
+    # and the conditional BY SOURCE UPDATE
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN UPDATE SET name = 'old'",
+    )
+    assert _rows(spark, merge_cat) == {1: ("old", 10), 2: ("b", 20)}
+
+
+def test_merge_conditional_with_by_source_rejected(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    with pytest.raises(ValueError, match="own MERGE statement"):
+        snapcat_dml(
+            spark, cdc_cat,
+            "MERGE INTO db.t USING db.chg AS s ON t.id = s.id "
+            "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+
+
+def test_merge_conditional_parenthesized_case_in_condition(spark, cdc_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, cdc_cat,
+        "MERGE INTO db.t USING db.chg AS s ON t.id = s.id "
+        "WHEN MATCHED AND (CASE WHEN s.op = 'D' THEN 1 ELSE 0 END) = 1 "
+        "THEN DELETE",
+    )
+    assert set(_rows(spark, cdc_cat)) == {1, 3, 4}
