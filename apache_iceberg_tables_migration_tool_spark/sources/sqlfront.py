@@ -477,12 +477,25 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero (SET lists contain
     function calls with commas and quoted strings with anything).
     String spans use the same escape-aware scanner as the masker, so
-    a ``''``/``\\'``-escaped quote inside a literal doesn't end it."""
+    a ``''``/``\\'``-escaped quote inside a literal doesn't end it;
+    backtick-quoted identifier spans are skipped atomically, so a
+    separator or quote INSIDE a quoted column name doesn't split."""
     parts, depth, start, i, n = [], 0, 0, 0, len(s)
     while i < n:
         ch = s[i]
         if ch in ("'", '"'):
             i = _scan_string(s, i) + 1
+            continue
+        if ch == "`":
+            j = i + 1
+            while j < n:
+                if s[j] == "`":
+                    if j + 1 < n and s[j + 1] == "`":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
             continue
         if ch == "(":
             depth += 1

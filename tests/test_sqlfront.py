@@ -1486,3 +1486,26 @@ def test_merge_conditional_parenthesized_case_in_condition(spark, cdc_cat):
         "THEN DELETE",
     )
     assert set(_rows(spark, cdc_cat)) == {1, 3, 4}
+
+
+def test_split_top_backtick_aware():
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import _split_top
+
+    # a comma or quote inside a backticked column name must not split
+    assert _split_top("`a,b` = 1, c = 2") == ["`a,b` = 1", " c = 2"]
+    assert _split_top("`it's` = 'x', d = 4") == ["`it's` = 'x'", " d = 4"]
+    assert _split_top("`a``b,c` = 1, e = 5") == ["`a``b,c` = 1", " e = 5"]
+
+
+def test_update_set_backticked_column_with_comma(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, 5)], "id int, v int").withColumnRenamed("v", "a,b")
+    c.write("db", "t", df)
+    snapcat_execute(spark, c, "UPDATE db.t SET `a,b` = 9 WHERE id = 1")
+    rows = c.table("db", "t").read(spark).collect()
+    assert rows[0]["a,b"] == 9
