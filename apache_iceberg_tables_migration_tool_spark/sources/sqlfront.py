@@ -1177,7 +1177,23 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         if is_ctas and catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
         how = "append" if is_ctas else m.group("how").lower()
-        df = snapcat_sql(spark, catalog, m.group("rest"))
+        rest = m.group("rest")
+        ins_cols: list[str] | None = None
+        if not is_ctas and rest.lstrip().startswith("("):
+            # `INSERT INTO t (a, b) <query>` — a leading paren group is
+            # a COLUMN LIST unless its content is itself a query
+            # (`INSERT INTO t (SELECT …)` is legal SQL too)
+            body = rest.lstrip()
+            close = body.find(")")  # column lists never nest parens
+            head = body[1:close] if close > 0 else ""
+            if close > 0 and not re.match(
+                r"^\s*(SELECT|WITH|VALUES|FROM)\b", head, re.IGNORECASE
+            ):
+                ins_cols = [
+                    _unquote(c.strip()) for c in _split_top(head) if c.strip()
+                ]
+                rest = body[close + 1:]
+        df = snapcat_sql(spark, catalog, rest)
         t = catalog.table(db, tbl)
         if not is_ctas and not t.exists():
             # ANSI: INSERT never creates — a typo'd name must fail
@@ -1190,14 +1206,51 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             # ANSI INSERT maps the select list POSITIONALLY onto the
             # target schema (a bare VALUES clause arrives as colN
             # names; a by-name merge would silently append new
-            # columns instead — found by a VALUES round-trip test)
-            tgt = [f.name for f in t.schema().fields]
-            if len(df.columns) != len(tgt):
-                raise ValueError(
-                    f"INSERT {how.upper()} {db}.{tbl}: select list has "
-                    f"{len(df.columns)} column(s), target has {len(tgt)}"
+            # columns instead — found by a VALUES round-trip test).
+            # With an explicit column list, the select list maps onto
+            # THOSE columns and every unnamed target column gets a
+            # typed NULL.
+            schema = t.schema()
+            tgt = [f.name for f in schema.fields]
+            if ins_cols is not None:
+                unknown = [c for c in ins_cols if c not in tgt]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT {how.upper()} {db}.{tbl}: unknown "
+                        f"column(s) {unknown} in the column list"
+                    )
+                if len(set(ins_cols)) != len(ins_cols):
+                    raise ValueError(
+                        f"INSERT {how.upper()} {db}.{tbl}: duplicate "
+                        "column in the column list"
+                    )
+                if len(df.columns) != len(ins_cols):
+                    raise ValueError(
+                        f"INSERT {how.upper()} {db}.{tbl}: select list has "
+                        f"{len(df.columns)} column(s), column list names "
+                        f"{len(ins_cols)}"
+                    )
+                named = df.toDF(*ins_cols)
+                df = named.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in ins_cols
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
                 )
-            df = df.toDF(*tgt)
+            else:
+                if len(df.columns) != len(tgt):
+                    raise ValueError(
+                        f"INSERT {how.upper()} {db}.{tbl}: select list has "
+                        f"{len(df.columns)} column(s), target has {len(tgt)}"
+                    )
+                df = df.toDF(*tgt)
+        elif ins_cols is not None:
+            raise ValueError(
+                f"INSERT {how.upper()} {db}.{tbl}: a column list needs an "
+                "existing table schema to map onto"
+            )
         snap = catalog.write(
             db, tbl, df, mode="overwrite" if how == "overwrite" else "append"
         )

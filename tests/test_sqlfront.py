@@ -1509,3 +1509,27 @@ def test_update_set_backticked_column_with_comma(spark, tmp_path):
     snapcat_execute(spark, c, "UPDATE db.t SET `a,b` = 9 WHERE id = 1")
     rows = c.table("db", "t").read(spark).collect()
     assert rows[0]["a,b"] == 9
+
+
+def test_insert_with_column_list(spark, cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    snapcat_execute(spark, cat, "CREATE TABLE db.t3 AS SELECT id, v FROM db.t WHERE id < 3")
+    # column list: named columns map, v gets NULL
+    snapcat_execute(spark, cat, "INSERT INTO db.t3 (id) VALUES (100)")
+    # reordered column list
+    snapcat_execute(spark, cat, "INSERT INTO db.t3 (v, id) VALUES (7, 101)")
+    rows = {r["id"]: r["v"] for r in cat.table("db", "t3").read(spark).collect()}
+    assert rows[100] is None and rows[101] == 7 and rows[0] == 0
+    # a parenthesized query is NOT a column list
+    snapcat_execute(spark, cat, "INSERT INTO db.t3 (SELECT 102, 8)")
+    rows = {r["id"]: r["v"] for r in cat.table("db", "t3").read(spark).collect()}
+    assert rows[102] == 8
+    with pytest.raises(ValueError, match="unknown"):
+        snapcat_execute(spark, cat, "INSERT INTO db.t3 (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="column list names"):
+        snapcat_execute(spark, cat, "INSERT INTO db.t3 (id, v) VALUES (1)")
+    with pytest.raises(ValueError, match="duplicate"):
+        snapcat_execute(spark, cat, "INSERT INTO db.t3 (id, id) VALUES (1, 2)")
