@@ -78,14 +78,14 @@ def _scan_string(s: str, i: int) -> int:
 
 
 def _mask_literals(query: str) -> str:
-    """Return ``query`` with the CONTENTS of string literals
+    r"""Return ``query`` with the CONTENTS of string literals
     (``'…'`` and ``"…"`` — Spark's ANSI defaults keep
     ``doubleQuotedIdentifiers=false``, so a double-quoted span is a
     string literal, not an identifier — with ``''``/``""`` and
     backslash escapes), ``--`` line comments and ``/* */`` block
-    comments replaced by ``\\x01`` (same length, so every character
+    comments replaced by ``\x01`` (same length, so every character
     position outside a literal is identical to the original).
-    ``_REF_RE`` cannot match inside masked spans — ``\\x01`` is
+    ``_REF_RE`` cannot match inside masked spans — ``\x01`` is
     neither an identifier character nor a comma — so a literal
     containing ``FROM db.t`` is never rewritten. Backtick-quoted
     identifier spans are consumed atomically (contents masked too):
@@ -744,16 +744,24 @@ def _merge_execute(
     combination is ONE commit (the parts union into a single upsert);
     insert-only is an anti-join + append; delete-matched and
     standalone BY SOURCE DELETE map to the keyed delete in the mode
-    the property selects; BY SOURCE DELETE combined with other
-    clauses is one overwrite commit of the computed final state (the
-    full-sync shape). Multiple MATCHED (or NOT MATCHED) clauses with
-    ``AND`` conditions evaluate in order, first match wins — the
-    CDC-apply shape ``WHEN MATCHED AND s.op = 'D' THEN DELETE WHEN
-    MATCHED THEN UPDATE SET *`` routes each row to one clause and
-    still lands as ONE commit (routed deletes ride the upsert as
-    extra delete keys). An unconditional clause must be the last of
-    its kind. Free-text sections are located over the MASKED text at
-    paren depth 0, spans read from the original."""
+    the property selects; unconditional BY SOURCE DELETE combined
+    with unconditional update/insert clauses is one overwrite commit
+    of the computed final state (the full-sync shape — the right plan
+    when most rows change; the keyed-delete form prunes without a
+    rewrite). Multiple MATCHED (or NOT MATCHED) clauses with ``AND``
+    conditions evaluate in order, first match wins — the CDC-apply
+    shape ``WHEN MATCHED AND s.op = 'D' THEN DELETE WHEN MATCHED
+    THEN UPDATE SET *`` routes each row to one clause and still lands
+    as ONE commit (routed deletes ride the upsert as extra delete
+    keys). BY SOURCE composes with the conditional machinery the same
+    way (the full CDC-plus-prune statement ``… MATCHED AND op='D'
+    DELETE … BY SOURCE DELETE`` is one statement, one commit), as
+    does MATCHED DELETE alongside INSERT / BY SOURCE. An
+    unconditional clause must be the last of its kind. With a WHEN
+    MATCHED clause, duplicate source keys that match the target raise
+    (Iceberg's MERGE_CARDINALITY_VIOLATION); unmatched duplicates
+    each insert, as upstream. Free-text sections are located over the
+    MASKED text at paren depth 0, spans read from the original."""
     db, tbl = _uq(m, "db", query), _uq(m, "tbl", query)
     t_alias = m.group("alias") or tbl
     on_at = _find_top_kw(masked_q, m.end(), "ON")
@@ -830,15 +838,55 @@ def _merge_execute(
             if unknown:
                 raise ValueError(f"MERGE: UPDATE SET on unknown column(s) {unknown}")
 
+    if upds:
+        # Cardinality guard (Iceberg: MERGE_CARDINALITY_VIOLATION). With
+        # a WHEN MATCHED clause, more than one source row per matched
+        # target row is ambiguous — Spark/Iceberg raise; silently writing
+        # both rows would corrupt the key uniqueness every downstream
+        # upsert/delete_keys assumes (exactly what the reference's
+        # row-count + checksum integrity gate would catch after the
+        # fact). Two stages so the happy path stays one aggregate over
+        # the (small) source side with NO extra target read: only when
+        # the source actually has duplicate keys do we semi-join them
+        # against the target to tell matched duplicates (error, as
+        # upstream) from unmatched ones (legal — each inserts).
+        skeys = list(dict.fromkeys(src_keys))
+        dup_keys = (
+            src_df.groupBy(*skeys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .drop("__n")
+        )
+        if dup_keys.limit(1).count():
+            sk2tk: dict[str, str] = {}
+            for tk, sk in pairs:
+                sk2tk.setdefault(sk, tk)
+            tkeys = t.read(spark).select(
+                *[F.col(tk).alias(sk) for sk, tk in sk2tk.items()]
+            ).distinct()
+            if dup_keys.join(tkeys, skeys, "left_semi").limit(1).count():
+                raise ValueError(
+                    f"MERGE INTO {db}.{tbl}: cardinality violation — more "
+                    "than one source row matches a single target row on "
+                    f"({', '.join(tgt_keys)}); deduplicate the source "
+                    "(e.g. keep the latest row per key) before merging"
+                )
+
     bys_full = byss[0] if byss else None
+    bys_cond = bys_full[0] if bys_full else None
     conditional = (
         len(upds) > 1 or len(inss) > 1
         or any(c is not None for c, _k, _p in upds + inss)
+        # combinations the verb-level fast paths below don't express —
+        # a conditional BY SOURCE alongside other clauses, and MATCHED
+        # DELETE alongside INSERT / BY SOURCE — route through the
+        # clause machinery so they stay ONE commit
+        or (bys_cond is not None and bool(upds or inss))
+        or (bool(upds) and upds[0][1] == "delete" and bool(inss or byss))
     )
     upd = (upds[0][1], upds[0][2]) if upds else None
     ins = (inss[0][1], inss[0][2]) if inss else None
     bys = (bys_full[1], bys_full[2]) if bys_full else None
-    bys_cond = bys_full[0] if bys_full else None
 
     def rename_keys(df: DataFrame) -> DataFrame:
         for tk, sk in pairs:
@@ -876,13 +924,11 @@ def _merge_execute(
         # Updates and inserts union into ONE upsert; routed DELETEs
         # ride the same commit as extra delete keys (COW: their files
         # join the rewrite set; MOR: they join the equality-delete
-        # key set). BY SOURCE stays a separate statement here.
-        if bys_full is not None:
-            raise ValueError(
-                "MERGE: WHEN NOT MATCHED BY SOURCE cannot combine with "
-                "conditional or multiple MATCHED/NOT MATCHED clauses — "
-                "run it as its own MERGE statement"
-            )
+        # key set). A BY SOURCE clause composes the same way: its
+        # DELETE keys (target rows with no source match, optionally
+        # condition-filtered) join the delete-key set, its UPDATE SET
+        # rows join the upsert parts — the full CDC-plus-prune
+        # statement stays ONE commit.
         existing = t.read(spark).select(
             *[F.col(tk).alias(sk) for tk, sk in pairs]
         ).distinct()
@@ -966,6 +1012,26 @@ def _merge_execute(
                             ]
                         )
                     )
+        if bys_full is not None:
+            _bc, bkind, bpayload = bys_full
+            bys_rows = t.read(spark).join(
+                src_keys_df(), tgt_keys, "left_anti"
+            ).alias(t_alias)
+            if _bc is not None:
+                bys_rows = bys_rows.where(F.expr(_bc))
+            if bkind == "delete":
+                del_parts.append(bys_rows.select(*tgt_keys).distinct())
+            else:  # update_set: condition-failing rows stay untouched
+                parts.append(
+                    bys_rows.select(
+                        *[
+                            F.expr(bpayload[f.name]).cast(f.dataType).alias(f.name)
+                            if f.name in bpayload
+                            else F.col(f"{t_alias}.{f.name}").alias(f.name)
+                            for f in schema.fields
+                        ]
+                    )
+                )
         delkeys = None
         if del_parts:
             delkeys = del_parts[0]

@@ -5,9 +5,11 @@ hot keys, negative values, duplicate timestamps)."""
 
 from __future__ import annotations
 
+from collections import Counter
 from datetime import datetime, timedelta
 from decimal import Decimal
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -851,6 +853,13 @@ def test_sqlfront_quoted_dml_roundtrip_fuzz(spark, tmp_path_factory, db, tbl, va
 _merge_rows = st.dictionaries(
     keys=st.integers(0, 9), values=st.integers(-100, 100), min_size=1, max_size=6
 )
+#: source as a LIST of (k, v) rows — duplicate keys are REACHABLE, so
+#: the cardinality guard's both arms get fuzzed (matched duplicates
+#: raise, unmatched duplicates each insert); the r11 verdict found the
+#: old dict-keyed strategy made duplicates unreachable by construction
+_merge_src_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-100, 100)), min_size=1, max_size=8
+)
 #: (matched, not_matched, by_source) — every supported combination;
 #: "set" = explicit assignment list (v = s.v + 1 / v = -1 for by_source)
 _merge_combos = st.sampled_from([
@@ -858,41 +867,52 @@ _merge_combos = st.sampled_from([
     ("set", None, None), ("set", "star", None), ("star", "cols", None),
     ("set", "cols", None), (None, "cols", None),
     ("delete", None, None),
+    # MATCHED DELETE combined with INSERT / BY SOURCE (routed, one commit)
+    ("delete", "star", None), ("delete", "cols", None),
+    ("delete", "star", "delete"), ("delete", None, "set"),
     (None, None, "delete"), ("star", "star", "delete"),
     ("star", None, "delete"), (None, "star", "delete"),
     ("star", None, "set"), (None, None, "set"), ("star", "star", "set"),
 ])
 
 
-def _merge_expected(tgt: dict, src: dict, combo) -> dict:
-    """Pure-Python reference merge over {key: v} dicts."""
+def _merge_expected_rows(tgt: dict, src: list, combo):
+    """Pure-Python reference merge → (raises, sorted (k, v) rows).
+    A duplicate source key that MATCHES the target with any WHEN
+    MATCHED clause raises (Iceberg's MERGE_CARDINALITY_VIOLATION);
+    unmatched duplicates each insert, as upstream."""
     upd, ins, bys = combo
-    out = {}
+    counts = Counter(k for k, _ in src)
+    if upd is not None and any(c > 1 and k in tgt for k, c in counts.items()):
+        return True, []
+    src_map = dict(src)  # matched keys are unique here (else raised)
+    out = []
     for k, v in tgt.items():
-        if k in src:  # matched
+        if k in counts:  # matched
             if upd == "star":
-                out[k] = src[k]
+                out.append((k, src_map[k]))
             elif upd == "set":
-                out[k] = src[k] + 1
+                out.append((k, src_map[k] + 1))
             elif upd == "delete":
                 pass  # dropped
             else:
-                out[k] = v  # no MATCHED clause: row unchanged
+                out.append((k, v))  # no MATCHED clause: row unchanged
         else:  # not matched by source
             if bys == "delete":
                 pass
             elif bys == "set":
-                out[k] = -1
+                out.append((k, -1))
             else:
-                out[k] = v
-    for k, v in src.items():
-        if k not in tgt and ins is not None:  # not matched
-            out[k] = v  # star and cols both insert source v
-    return out
+                out.append((k, v))
+    if ins is not None:
+        for k, v in src:  # per-ROW: unmatched duplicates both insert
+            if k not in tgt:
+                out.append((k, v))
+    return False, sorted(out)
 
 
-@given(tgt=_merge_rows, src=_merge_rows, combo=_merge_combos, mor=st.booleans())
-@settings(max_examples=20, deadline=None)
+@given(tgt=_merge_rows, src=_merge_src_rows, combo=_merge_combos, mor=st.booleans())
+@settings(max_examples=25, deadline=None)
 def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
@@ -908,7 +928,7 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor)
         cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
     cat.write(
         "db", "s",
-        spark.createDataFrame(sorted(src.items()), "k int, v int"),
+        spark.createDataFrame(sorted(src), "k int, v int"),
     )
     clauses = []
     if upd == "star":
@@ -925,30 +945,47 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor)
         clauses.append("WHEN NOT MATCHED BY SOURCE THEN DELETE")
     elif bys == "set":
         clauses.append("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1")
-    snapcat_dml(
-        spark, cat,
-        "MERGE INTO db.t USING db.s AS s ON t.k = s.k " + " ".join(clauses),
+    stmt = "MERGE INTO db.t USING db.s AS s ON t.k = s.k " + " ".join(clauses)
+    raises, expected = _merge_expected_rows(tgt, src, combo)
+    if raises:
+        with pytest.raises(ValueError, match="cardinality violation"):
+            snapcat_dml(spark, cat, stmt)
+        got = sorted(
+            (r["k"], r["v"]) for r in cat.table("db", "t").read(spark).collect()
+        )
+        assert got == sorted(tgt.items())  # guard fired BEFORE any commit
+        return
+    snapcat_dml(spark, cat, stmt)
+    got = sorted(
+        (r["k"], r["v"]) for r in cat.table("db", "t").read(spark).collect()
     )
-    got = {
-        r["k"]: r["v"] for r in cat.table("db", "t").read(spark).collect()
-    }
-    assert got == _merge_expected(tgt, src, combo)
+    assert got == expected
 
 
-#: CDC ops per key: D = delete, U = update, N = no-op marker
-_cdc_src = st.dictionaries(
-    keys=st.integers(0, 9),
-    values=st.tuples(st.integers(-100, 100), st.sampled_from("DUN")),
+#: CDC changelog as a LIST of (k, v, op) rows — duplicate keys are
+#: reachable (the malformed batch a CDC pipeline eventually feeds it);
+#: op: D = delete, U = update/insert, N = no-op marker
+_cdc_src = st.lists(
+    st.tuples(
+        st.integers(0, 9), st.integers(-100, 100), st.sampled_from("DUN")
+    ),
     min_size=1, max_size=6,
 )
 
 
-@given(tgt=_merge_rows, src=_cdc_src, mor=st.booleans())
-@settings(max_examples=15, deadline=None)
-def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor):
+@given(
+    tgt=_merge_rows, src=_cdc_src, mor=st.booleans(),
+    prune=st.booleans(),
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor, prune):
     """The conditional CDC-apply MERGE (ordered WHEN … AND clauses,
     mixed delete+update+insert in one commit) against a pure-Python
-    changelog application, under both row-level strategies."""
+    changelog application, under both row-level strategies. The
+    ``prune`` arm appends WHEN NOT MATCHED BY SOURCE THEN DELETE —
+    the full CDC-plus-prune statement, still ONE commit. Duplicate
+    changelog keys that match the target raise the cardinality guard
+    and leave the table untouched."""
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
 
@@ -961,28 +998,43 @@ def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor):
         cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
     cat.write(
         "db", "chg",
-        spark.createDataFrame(
-            [(k, v, op) for k, (v, op) in sorted(src.items())],
-            "k int, v int, op string",
-        ),
+        spark.createDataFrame(sorted(src), "k int, v int, op string"),
     )
     before = len(cat.table("db", "t").snapshots())
-    snapcat_dml(
-        spark, cat,
+    stmt = (
         "MERGE INTO db.t USING db.chg AS s ON t.k = s.k "
         "WHEN MATCHED AND s.op = 'D' THEN DELETE "
         "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
-        "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.v)",
+        "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.v)"
     )
-    expected = {}
+    if prune:
+        stmt += " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    counts = Counter(k for k, _v, _op in src)
+    if any(c > 1 and k in tgt for k, c in counts.items()):
+        with pytest.raises(ValueError, match="cardinality violation"):
+            snapcat_dml(spark, cat, stmt)
+        got = sorted(
+            (r["k"], r["v"]) for r in cat.table("db", "t").read(spark).collect()
+        )
+        assert got == sorted(tgt.items())
+        assert len(cat.table("db", "t").snapshots()) == before  # NO commit
+        return
+    snapcat_dml(spark, cat, stmt)
+    src_map = {k: (v, op) for k, v, op in src}  # matched keys unique here
+    expected = []
     for k, v in tgt.items():
-        op = src.get(k, (None, None))[1]
-        if op == "D":
-            continue
-        expected[k] = src[k][0] if op == "U" else v
-    for k, (v, op) in src.items():
+        if k in counts:
+            v2, op = src_map[k]
+            if op == "D":
+                continue
+            expected.append((k, v2 if op == "U" else v))
+        elif not prune:
+            expected.append((k, v))
+    for k, v, op in src:  # per-ROW: unmatched duplicate 'U's both insert
         if k not in tgt and op == "U":
-            expected[k] = v
-    got = {r["k"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
-    assert got == expected
+            expected.append((k, v))
+    got = sorted(
+        (r["k"], r["v"]) for r in cat.table("db", "t").read(spark).collect()
+    )
+    assert got == sorted(expected)
     assert len(cat.table("db", "t").snapshots()) == before + 1  # ONE commit
