@@ -509,11 +509,46 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _top_paren_close(s: str, start: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``start``, skipping
+    string literals (escape-aware) and backtick-quoted identifier
+    spans — so a quoted column name containing ``)`` never ends the
+    scan early; -1 if unterminated."""
+    depth, i, n = 0, start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _scan_string(s, i) + 1
+            continue
+        if ch == "`":
+            j = i + 1
+            while j < n:
+                if s[j] == "`":
+                    if j + 1 < n and s[j + 1] == "`":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
 def _find_top_kw(masked: str, start: int, kw: str) -> int:
     """Index of the first occurrence of keyword ``kw`` in ``masked``
     at paren depth 0, case-insensitive, bounded by non-identifier
-    chars; -1 if absent. ``masked`` comes from :func:`_mask_literals`,
-    so string literals can never match."""
+    chars; -1 if absent. A ``.`` counts as an identifier boundary
+    blocker on BOTH sides: ``db.on`` (a relation or alias literally
+    named ``on``) is a qualified name, not the ON keyword. ``masked``
+    comes from :func:`_mask_literals`, so string literals can never
+    match."""
     up, k, depth, n = masked.upper(), kw.upper(), 0, len(masked)
     i = start
     while i < n:
@@ -523,9 +558,11 @@ def _find_top_kw(masked: str, start: int, kw: str) -> int:
         elif ch == ")":
             depth -= 1
         elif depth == 0 and up.startswith(k, i):
-            before_ok = i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+            before_ok = i == 0 or not (
+                masked[i - 1].isalnum() or masked[i - 1] in "._"
+            )
             j = i + len(k)
-            after_ok = j >= n or not (masked[j].isalnum() or masked[j] == "_")
+            after_ok = j >= n or not (masked[j].isalnum() or masked[j] in "._")
             if before_ok and after_ok:
                 return i
         i += 1
@@ -582,10 +619,17 @@ def _merge_key_pairs(
             raise ValueError(
                 f"MERGE ON: both sides of {term.strip()!r} qualify as the target"
             )
-        if l_is_t:
-            tk, sk = lc, rc
-        elif r_is_t:
-            tk, sk = rc, lc
+        if l_is_t or r_is_t:
+            tk, sk = (lc, rc) if l_is_t else (rc, lc)
+            sq = rq if l_is_t else lq
+            # the source side's qualifier, when present, must BE the
+            # source (alias or relation name) — a stray qualifier
+            # (`ON t.k = bogus.k`) must not silently bind by column name
+            if sq is not None and (s_alias is None or sq != s_alias.lower()):
+                raise ValueError(
+                    f"MERGE ON: source-side qualifier in {term.strip()!r} is "
+                    f"neither the source alias nor the source relation name"
+                )
         elif lq is None and rq is None and lc == rc:
             tk = sk = lc  # legacy bare `col = col` shape
         elif s_alias is not None and lq == s_alias.lower() and rq is None:
@@ -1247,18 +1291,24 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         ins_cols: list[str] | None = None
         if not is_ctas and rest.lstrip().startswith("("):
             # `INSERT INTO t (a, b) <query>` — a leading paren group is
-            # a COLUMN LIST unless its content is itself a query
-            # (`INSERT INTO t (SELECT …)` is legal SQL too)
+            # a COLUMN LIST only when it is a comma-separated list of
+            # bare identifiers AND a query body follows it; anything
+            # else (`INSERT INTO t (SELECT …)` is legal SQL too) is the
+            # query itself. The paren scan is backtick/quote-aware, so
+            # a quoted column name containing ')' parses whole, and the
+            # identifier test never misreads a column literally named
+            # `values`/`select` as a query keyword.
             body = rest.lstrip()
-            close = body.find(")")  # column lists never nest parens
+            close = _top_paren_close(body, 0)
             head = body[1:close] if close > 0 else ""
-            if close > 0 and not re.match(
-                r"^\s*(SELECT|WITH|VALUES|FROM)\b", head, re.IGNORECASE
+            tail = body[close + 1:] if close > 0 else ""
+            parts_ = [c.strip() for c in _split_top(head)]
+            if (
+                close > 0 and tail.strip() and head.strip()
+                and all(re.fullmatch(_QIDENT, c) for c in parts_)
             ):
-                ins_cols = [
-                    _unquote(c.strip()) for c in _split_top(head) if c.strip()
-                ]
-                rest = body[close + 1:]
+                ins_cols = [_unquote(c) for c in parts_]
+                rest = tail
         df = snapcat_sql(spark, catalog, rest)
         t = catalog.table(db, tbl)
         if not is_ctas and not t.exists():

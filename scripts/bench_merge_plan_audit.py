@@ -2,8 +2,9 @@
 1k-row source through the explicit-SET + INSERT-mapping shape must
 plan as broadcast hash joins (small source broadcasts), zero
 SortMergeJoin, zero CartesianProduct. Run: python scripts/bench_merge_plan_audit.py"""
+import os.path
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")

@@ -1659,3 +1659,67 @@ def test_insert_with_column_list(spark, cat):
         snapcat_execute(spark, cat, "INSERT INTO db.t3 (id, v) VALUES (1)")
     with pytest.raises(ValueError, match="duplicate"):
         snapcat_execute(spark, cat, "INSERT INTO db.t3 (id, id) VALUES (1, 2)")
+
+
+def test_insert_column_list_backtick_and_keyword_names(spark, tmp_path):
+    # r11 ADVICE: the column-list detector must use the backtick-aware
+    # paren scanner — a quoted column name containing ')' parses whole,
+    # and a column literally named `values` is a column, not a keyword
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write(
+        "db", "t",
+        spark.createDataFrame([(1, 5, 9)], ["id", "a)b", "values"]),
+    )
+    snapcat_execute(
+        spark, c, "INSERT INTO db.t (`a)b`, id) VALUES (6, 2)"
+    )
+    snapcat_execute(
+        spark, c, "INSERT INTO db.t (values, id) VALUES (10, 3)"
+    )
+    rows = {
+        r["id"]: (r["a)b"], r["values"])
+        for r in c.table("db", "t").read(spark).collect()
+    }
+    assert rows == {1: (5, 9), 2: (6, None), 3: (None, 10)}
+
+
+def test_merge_on_rejects_bogus_source_qualifier(spark, merge_cat):
+    # r11 ADVICE: `ON t.id = bogus.id` must not silently bind by column
+    # name — the non-target qualifier must be the source alias/relation
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    with pytest.raises(ValueError, match="source-side qualifier"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s AS s ON t.id = bogus.id "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="source-side qualifier"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = x.id "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_merge_using_relation_named_on(spark, tmp_path):
+    # r11 ADVICE: a USING relation literally named 'on' (db.on) must
+    # not truncate the ON-clause search — a dot blocks the keyword
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    c.write("db", "on", spark.createDataFrame([(2, 200), (3, 300)], "k int, v int"))
+    snapcat_dml(
+        spark, c,
+        "MERGE INTO db.t USING db.on ON t.k = on.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r["k"]: r["v"] for r in c.table("db", "t").read(spark).collect()}
+    assert rows == {1: 10, 2: 200, 3: 300}
