@@ -357,24 +357,56 @@ def bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 # balance and no orders, rolled up per nation (the fixtures carry no
 # c_phone, so nation replaces the phone country-code). Shape: scalar
 # subquery + anti-join + aggregate.
+#
+# At every fixture SF each real customer has at least one order, so the
+# NOT EXISTS leg is intrinsically empty on raw data and the graded row
+# compared 0 rows to 0 rows (vacuously green in r03/r07/r11 — verdict
+# r11 #2). Both the carrier and the oracle therefore union a
+# deterministic order-less slice first: every 97th customer re-enters
+# with a NEGATED key (o_custkey is always positive, so the anti-join
+# can never match it) and a high synthetic balance — the comparison
+# now checks real per-nation counts and sums. A seeded pytest
+# (tests/test_tpch_ext.py) pins exact rows on hand-built tables.
 # --------------------------------------------------------------------------
 @query(
     "idle_balance_by_nation_q22",
     tags=("join", "agg", "subquery", "tpch", "scalar-broadcast"),
     oracle="""
+WITH customer2 AS (
+  SELECT * FROM customer
+  UNION ALL
+  SELECT -c_custkey AS c_custkey, c_name, c_nationkey,
+         9000.0 + CAST(c_custkey % 1000 AS DOUBLE) AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+)
 SELECT n_name AS nation,
        COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
-FROM customer JOIN nation ON n_nationkey = c_nationkey
+FROM customer2 JOIN nation ON n_nationkey = c_nationkey
 WHERE c_acctbal > (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal)
-        FROM customer WHERE c_acctbal > 0.0)
+        FROM customer2 WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY n_name
 """,
 )
 def idle_balance_by_nation_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
+    cust_raw = load(spark, sf_dir, "customer")
+    # deterministic order-less slice (see block comment above): negated
+    # keys can never match o_custkey, synthetic balances (integral
+    # doubles — exact on both engines) sit far above any positive
+    # average, so the slice is what the NOT EXISTS leg must return
+    idle = cust_raw.where(F.col("c_custkey") % 97 == 0).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        (F.lit(9000.0) + (F.col("c_custkey") % 1000).cast("double")).alias(
+            "c_acctbal"
+        ),
+        "c_mktsegment",
+    )
+    cust = cust_raw.unionByName(idle)
     # scalar average as a 1-row broadcast (no driver collect — the plan
     # stays lazy and the scalar is computed executor-side)
     avg_bal = F.broadcast(
