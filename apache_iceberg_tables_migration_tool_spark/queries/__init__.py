@@ -82,33 +82,34 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-11 ROTATION (verdict r10 actions #1 and #2, standing
+    # ROUND-12 ROTATION (verdict r11 actions #2 and #3, standing
     # longest-ungraded-first policy). Kept for continuity: the
     # flagship + the two bench watch-list dedups + the two bench
-    # second carriers. Rotated IN: the four never-graded r10 SQL
-    # registrations the r10 rotation comment queued (sql_merge_upsert
-    # — now also exercising this round's widened MERGE shapes:
-    # renamed key, explicit SET list, INSERT column mapping —
-    # sql_call_maintenance, sql_changes_between, sql_ddl_lifecycle);
-    # the 24 r7-tier rows queued FIRST for this round; and 16 of the
-    # 45 rows last graded in ROUND 8 — the five benched carriers
-    # (pricing_summary, integrity_fingerprint,
-    # asof_join_click_purchase, knn_topk_cosine,
-    # tumbling_window_events) plus the sole carriers of SURVEY §2 IDs
-    # whose freshest green is r8 (table_counts S1,
-    # correlated_exists_late_orders P4, scalar_functions_showcase P6,
-    # unpivot_lineitem_metrics P7, json_extract_events P8,
-    # argmax_customer_per_nation A3, rollup_order_stats A4/W5,
-    # antijoin_orders_without_items J1, doc_fingerprint F1,
-    # lag_order_gap_days F6, dedup_exact_documents X1).
-    # source_overlap_matrix STAYS IN despite its r10 green: that row
-    # was vacuous (0 vs 0 rows, verdict r10 #2) — the carrier now
-    # unions a deterministic syndicated slice so this round's row is
-    # non-empty. Rotated OUT: the 49 other non-continuity rows graded
-    # in round 10 (all now >=2 greens). bpe_train_merges stays out by
-    # the rows-only policy (the window keeps its 100%-hash-checked
-    # discipline; exactness is pytest-pinned against a sequential
-    # reference).
+    # second carriers. Rotated IN: the two never-graded r11
+    # registrations queued by the r11 rotation comment
+    # (sql_merge_sync — the BY SOURCE family — and
+    # sql_merge_cdc_apply — ordered conditional clauses, now ALSO
+    # exercising this round's cardinality guard and the composed
+    # BY-SOURCE-with-conditional-clauses path); the 29 r8-tier rows
+    # queued FIRST for this round; and 13 of the 45 rows last graded
+    # in ROUND 9 — the three benched feature-tier carriers
+    # (merge_on_read_lifecycle, changelog_cdc_stream,
+    # corpus_build_e2e) plus the snapshot-catalog lifecycle rows
+    # whose code paths this round's MERGE/guard work touches
+    # (schema_evolution_lifecycle, rollback_and_orphan_cleanup,
+    # branch_write_fast_forward, multi_table_transaction,
+    # hidden_partition_scan, position_delete_scan,
+    # partition_evolution_scan, incremental_catalog_sync,
+    # knn_ivf_persisted, streaming_dedup_counts).
+    # idle_balance_by_nation_q22 STAYS IN despite its r11 green: that
+    # row was vacuous (0 vs 0 rows for the third time, verdict r11
+    # #2) — the carrier now unions a deterministic order-less slice
+    # so this round's row is non-empty (12 rows at sf0.01). Rotated
+    # OUT: the 49 other non-continuity rows graded in round 11 (all
+    # now >=2 greens, incl. the de-vacuated source_overlap_matrix).
+    # bpe_train_merges stays out by the rows-only policy (the window
+    # keeps its 100%-hash-checked discipline; exactness is
+    # pytest-pinned against a sequential reference).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
     "flagship_topk_revenue",
@@ -116,55 +117,56 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # the four r10 SQL registrations, never driver-graded
-    "sql_merge_upsert",
-    "sql_call_maintenance",
-    "sql_changes_between",
-    "sql_ddl_lifecycle",
+    # the two r11 registrations, never driver-graded
+    "sql_merge_sync",
+    "sql_merge_cdc_apply",
     # re-grade after de-vacuation (now non-empty at sf0.01)
-    "source_overlap_matrix",
-    # the 24 r7-tier rows queued by the r10 rotation comment
-    "distinct_counts",
-    "cube_lineitem_flags",
-    "pivot_status_priority",
-    "running_total_per_customer",
-    "having_popular_parts",
-    "ntile_price_quartiles",
-    "grouping_sets_flags",
-    "min_price_item_per_order",
-    "window_rank_metrics",
-    "sliding_window_events",
-    "snapshot_row_diff",
-    "approx_distinct_users",
-    "range_join_value_buckets",
-    "skew_salted_agg",
-    "portable_corr_stats",
-    "user_event_type_sets",
-    "orders_by_weekday",
-    "rolling_30d_customer_spend",
-    "funnel_conversion",
-    "weekly_cohort_retention",
-    "approx_percentile_quality",
-    "zorder_values",
-    "order_count_distribution_q13",
     "idle_balance_by_nation_q22",
-    # last graded round 8 (16): benched carriers + r8-green sole carriers
-    "pricing_summary",
-    "integrity_fingerprint",
-    "asof_join_click_purchase",
-    "knn_topk_cosine",
-    "tumbling_window_events",
-    "table_counts",
-    "correlated_exists_late_orders",
-    "scalar_functions_showcase",
-    "unpivot_lineitem_metrics",
-    "json_extract_events",
-    "argmax_customer_per_nation",
-    "rollup_order_stats",
-    "antijoin_orders_without_items",
-    "doc_fingerprint",
-    "lag_order_gap_days",
-    "dedup_exact_documents",
+    # the 29 r8-tier rows queued by the r11 rotation comment
+    "filter_sum_revenue",
+    "semijoin_customers_with_open_orders",
+    "asof_snapshot_resolution",
+    "intersect_active_users",
+    "except_en_not_es_texts",
+    "median_value_by_type",
+    "promo_revenue_share",
+    "year_over_year_orders",
+    "churned_buyers_1998",
+    "nation_customer_share",
+    "vector_sql_arith",
+    "dedup_keep_latest_events",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_lsh_bucketed",
+    "text_stats_by_lang",
+    "text_quality_features",
+    "lang_id_rulebased",
+    "multimodal_metadata",
+    "lang_confusion_matrix",
+    "dedup_image_dhash",
+    "incremental_moments_view",
+    "incremental_join_view",
+    "stateful_user_totals",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "supplier_variety_q16",
+    "excess_shipping_q20",
+    "sole_return_supplier_q21",
+    # last graded round 9 (13): benched feature-tier carriers + the
+    # snapshot-catalog lifecycle rows nearest this round's MERGE work
+    "merge_on_read_lifecycle",
+    "changelog_cdc_stream",
+    "corpus_build_e2e",
+    "schema_evolution_lifecycle",
+    "rollback_and_orphan_cleanup",
+    "branch_write_fast_forward",
+    "multi_table_transaction",
+    "hidden_partition_scan",
+    "position_delete_scan",
+    "partition_evolution_scan",
+    "incremental_catalog_sync",
+    "knn_ivf_persisted",
+    "streaming_dedup_counts",
 ]
 # Standing invariants of the window policy: every out-of-window query
 # keeps at least one driver-graded green row and stays pinned by
@@ -173,31 +175,26 @@ _DRIVER_PRIORITY = [
 # registered after a round's window is set queue for the next one and
 # are named in the rotation comment above.
 #
-# Queued FIRST for the r12 window: the 29 r8-tier rows left out of
-# the r11 rotation — filter_sum_revenue,
-# semijoin_customers_with_open_orders, asof_snapshot_resolution,
-# intersect_active_users, except_en_not_es_texts,
-# median_value_by_type, promo_revenue_share, year_over_year_orders,
-# churned_buyers_1998, nation_customer_share, vector_sql_arith,
-# dedup_keep_latest_events, dedup_simhash, dedup_embedding_cosine,
-# knn_lsh_bucketed, text_stats_by_lang, text_quality_features,
-# lang_id_rulebased, multimodal_metadata, lang_confusion_matrix,
-# dedup_image_dhash, incremental_moments_view, incremental_join_view,
-# stateful_user_totals, volume_shipping_q7, market_share_q8,
-# supplier_variety_q16, excess_shipping_q20, sole_return_supplier_q21
-# — all multi-green secondary carriers of already-covered shapes;
-# plus the two carriers registered during round 11:
-#   sql_merge_sync — the WHEN NOT MATCHED BY SOURCE family (one-
-#   commit full sync + standalone anti-join prune); oracle- and
-#   sweep-verified at registration.
-#   sql_merge_cdc_apply — conditional WHEN … AND clauses (the
-#   CDC-apply shape: routed DELETE/UPDATE/INSERT, first match wins,
-#   one commit via extra_delete_keys, COW ≡ MOR checksum-pinned
-#   in-query); oracle- and sweep-verified at registration.
-# The rest of the round's new MERGE/quoting/CALL surface rides the
-# existing sql_merge_upsert / sql_call_maintenance /
-# sql_ddl_lifecycle carriers, graded THIS round. Fill the remaining
-# slots with the oldest r9-tier rows.
+# Queued FIRST for the r13 window: the 32 r9-tier rows left out of
+# the r12 rotation — ann_index_maintenance, bloom_point_lookup,
+# bracket_revenue_q19, chunk_documents_overlap,
+# curation_pipeline_e2e, data_quality_report,
+# dedup_image_ingest_index, dedup_semantic_ann, dup_ngram_doc_filter,
+# incremental_distinct_view, incremental_join_chain_view,
+# incremental_quantile_view, incremental_topk_join_view,
+# incremental_topk_view, incremental_view_maintenance, knn_pq_adc,
+# partition_stats_metadata, resample_daily_forward_fill,
+# rolling_zscore_anomalies, row_lineage_audit, session_window_events,
+# small_quantity_revenue_q17, source_reputation_gate,
+# sql_time_travel_catalog, stream_stream_join_events,
+# streaming_catalog_sync, streaming_catalog_tail,
+# streaming_view_maintenance, table_column_stats, top_supplier_q15,
+# view_rewrite_join_navigation, view_rewrite_navigation — all
+# multi-green carriers re-verified by the per-round sweep. This
+# round's new MERGE surface (cardinality guard, BY SOURCE composed
+# with conditional clauses, MATCHED-DELETE combinations) rides the
+# sql_merge_sync / sql_merge_cdc_apply carriers graded THIS round.
+# Fill the remaining slots with the oldest r10-tier rows.
 
 
 def _apply_driver_priority() -> None:

@@ -26,9 +26,22 @@ from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
 from apache_iceberg_tables_migration_tool_spark.session import get_spark
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages — recorded into the bench JSON so a
+    co-tenant-noisy run is tellable from a regression at a glance
+    (three rounds of bench archaeology went to exactly that question;
+    verdict r11 action #7)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_before = _loadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,6 +102,8 @@ def main() -> None:
                 "feature_queries": feature,
                 "feature_total_sec": round(sum(feature.values()), 3),
                 "sf": sf,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
             }
         )
     )
