@@ -800,8 +800,9 @@ def _merge_execute(
     keys). BY SOURCE composes with the conditional machinery the same
     way (the full CDC-plus-prune statement ``… MATCHED AND op='D'
     DELETE … BY SOURCE DELETE`` is one statement, one commit), as
-    does MATCHED DELETE alongside INSERT / BY SOURCE. An
-    unconditional clause must be the last of its kind. With a WHEN
+    does MATCHED DELETE alongside INSERT / BY SOURCE; multiple
+    ordered BY SOURCE clauses route first-match-wins like MATCHED
+    ones. An unconditional clause must be the last of its kind. With a WHEN
     MATCHED clause, duplicate source keys that match the target raise
     (Iceberg's MERGE_CARDINALITY_VIOLATION); unmatched duplicates
     each insert, as upstream. Free-text sections are located over the
@@ -869,8 +870,6 @@ def _merge_execute(
                     f"MERGE: an unconditional {label} clause makes later "
                     f"{label} clauses unreachable"
                 )
-    if len(byss) > 1:
-        raise ValueError("MERGE: more than one WHEN NOT MATCHED BY SOURCE clause")
     for _c, kind, payload in upds + byss:  # shared UPDATE SET validation
         if kind == "update_set":
             bad_keys = sorted(set(payload) & set(tgt_keys))
@@ -919,12 +918,13 @@ def _merge_execute(
     bys_full = byss[0] if byss else None
     bys_cond = bys_full[0] if bys_full else None
     conditional = (
-        len(upds) > 1 or len(inss) > 1
+        len(upds) > 1 or len(inss) > 1 or len(byss) > 1
         or any(c is not None for c, _k, _p in upds + inss)
         # combinations the verb-level fast paths below don't express —
-        # a conditional BY SOURCE alongside other clauses, and MATCHED
-        # DELETE alongside INSERT / BY SOURCE — route through the
-        # clause machinery so they stay ONE commit
+        # a conditional BY SOURCE alongside other clauses, multiple
+        # ordered BY SOURCE clauses, and MATCHED DELETE alongside
+        # INSERT / BY SOURCE — route through the clause machinery so
+        # they stay ONE commit
         or (bys_cond is not None and bool(upds or inss))
         or (bool(upds) and upds[0][1] == "delete" and bool(inss or byss))
     )
@@ -1056,26 +1056,36 @@ def _merge_execute(
                             ]
                         )
                     )
-        if bys_full is not None:
-            _bc, bkind, bpayload = bys_full
+        if byss:
+            # ordered BY SOURCE clauses route like MATCHED ones: each
+            # unmatched-by-source target row goes to the FIRST clause
+            # whose condition holds (none → untouched); conditions see
+            # only the target alias (there is no source row)
             bys_rows = t.read(spark).join(
                 src_keys_df(), tgt_keys, "left_anti"
             ).alias(t_alias)
-            if _bc is not None:
-                bys_rows = bys_rows.where(F.expr(_bc))
-            if bkind == "delete":
-                del_parts.append(bys_rows.select(*tgt_keys).distinct())
-            else:  # update_set: condition-failing rows stay untouched
-                parts.append(
-                    bys_rows.select(
-                        *[
-                            F.expr(bpayload[f.name]).cast(f.dataType).alias(f.name)
-                            if f.name in bpayload
-                            else F.col(f"{t_alias}.{f.name}").alias(f.name)
-                            for f in schema.fields
-                        ]
-                    )
+            broute = None
+            for i, (cond, _k, _p) in enumerate(byss):
+                c = F.expr(cond) if cond is not None else F.lit(True)
+                broute = (
+                    F.when(c, F.lit(i)) if broute is None else broute.when(c, F.lit(i))
                 )
+            brouted = bys_rows.withColumn("__clause", broute)
+            for i, (_c, bkind, bpayload) in enumerate(byss):
+                rows = brouted.where(F.col("__clause") == i).drop("__clause")
+                if bkind == "delete":
+                    del_parts.append(rows.select(*tgt_keys).distinct())
+                else:  # update_set: condition-failing rows stay untouched
+                    parts.append(
+                        rows.select(
+                            *[
+                                F.expr(bpayload[f.name]).cast(f.dataType).alias(f.name)
+                                if f.name in bpayload
+                                else F.col(f"{t_alias}.{f.name}").alias(f.name)
+                                for f in schema.fields
+                            ]
+                        )
+                    )
         delkeys = None
         if del_parts:
             delkeys = del_parts[0]

@@ -1512,6 +1512,56 @@ def test_merge_cdc_apply_with_by_source_prune(spark, cdc_cat):
         assert len(cdc_cat.table("db", "t").snapshots()) == before + 1
 
 
+def test_merge_multiple_by_source_clauses_first_match_wins(spark, merge_cat):
+    # ordered BY SOURCE clauses route like MATCHED ones: row 3 (v=30)
+    # takes the conditional DELETE, row 1 falls through to the
+    # unconditional UPDATE, matched row 2 is untouched — one commit
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    before = len(merge_cat.table("db", "t").snapshots())
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.v >= 30 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'stale'",
+    )
+    assert _rows(spark, merge_cat) == {1: ("stale", 10), 2: ("b", 20)}
+    assert len(merge_cat.table("db", "t").snapshots()) == before + 1
+
+
+def test_merge_multiple_by_source_with_matched_and_insert(spark, merge_cat):
+    # the whole clause matrix in one statement, one commit
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    before = len(merge_cat.table("db", "t").snapshots())
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.v >= 30 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 11),      # by-source fallthrough: v + 1
+        2: ("B", 200),     # matched: updated from source
+        4: ("d", 40),      # inserted
+    }                      # 3 (v=30): by-source conditional DELETE
+    assert len(merge_cat.table("db", "t").snapshots()) == before + 1
+
+
+def test_merge_unconditional_by_source_before_conditional_rejected(spark, merge_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    with pytest.raises(ValueError, match="unreachable"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN UPDATE SET name = 'x'",
+        )
+
+
 def test_merge_matched_delete_with_insert_one_commit(spark, merge_cat):
     # MATCHED DELETE + NOT MATCHED INSERT — the swap-rows shape,
     # previously rejected, now routed as one commit
