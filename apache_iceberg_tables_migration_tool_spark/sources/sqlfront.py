@@ -686,11 +686,16 @@ def _merge_clauses(
         rest_at = m.start("rest")
         rest = text[rest_at:].strip()
         kind = "not_matched" if m.group("not") else "matched"
-        bs = re.match(r"^BY\s+SOURCE\s+", rest, re.IGNORECASE)
+        bs = re.match(r"^BY\s+(?P<side>SOURCE|TARGET)\s+", rest, re.IGNORECASE)
         if bs:
             if kind == "matched":
-                raise ValueError("MERGE: WHEN MATCHED BY SOURCE is not valid SQL")
-            kind = "by_source"
+                raise ValueError(
+                    f"MERGE: WHEN MATCHED BY {bs.group('side').upper()} "
+                    "is not valid SQL"
+                )
+            # BY TARGET is the explicit spelling of plain NOT MATCHED
+            if bs.group("side").upper() == "SOURCE":
+                kind = "by_source"
             rest_at = rest_at + (len(text[rest_at:]) - len(rest)) + bs.end()
             rest = text[rest_at:].strip()
         cond: str | None = None

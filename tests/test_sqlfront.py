@@ -1512,6 +1512,27 @@ def test_merge_cdc_apply_with_by_source_prune(spark, cdc_cat):
         assert len(cdc_cat.table("db", "t").snapshots()) == before + 1
 
 
+def test_merge_not_matched_by_target_synonym(spark, merge_cat):
+    # Spark's explicit spelling: NOT MATCHED BY TARGET ≡ NOT MATCHED
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    snapcat_dml(
+        spark, merge_cat,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT *",
+    )
+    assert _rows(spark, merge_cat) == {
+        1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)
+    }
+    with pytest.raises(ValueError, match="MATCHED BY TARGET"):
+        snapcat_dml(
+            spark, merge_cat,
+            "MERGE INTO db.t USING db.s ON t.id = s.id "
+            "WHEN MATCHED BY TARGET THEN UPDATE SET *",
+        )
+
+
 def test_merge_multiple_by_source_clauses_first_match_wins(spark, merge_cat):
     # ordered BY SOURCE clauses route like MATCHED ones: row 3 (v=30)
     # takes the conditional DELETE, row 1 falls through to the
