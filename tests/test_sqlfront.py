@@ -1626,6 +1626,70 @@ def test_merge_cardinality_violation_raises(spark, tmp_path):
         assert len(c.table("db", "t").snapshots()) == before
 
 
+def test_merge_cardinality_violation_renamed_key(spark, merge_cat_renamed):
+    # the guard must bind duplicate detection to the SOURCE-side key
+    # name when the ON keys are renamed (t.id = s.customer_id)
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    # append a second source file carrying a duplicate matched key
+    merge_cat_renamed.write(
+        "db", "s",
+        spark.createDataFrame(
+            [(2, "BB", 222)], "customer_id int, name string, v int"
+        ),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="cardinality violation"):
+        snapcat_dml(
+            spark, merge_cat_renamed,
+            "MERGE INTO db.t USING db.s ON t.id = s.customer_id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+    # unchanged
+    assert _rows(spark, merge_cat_renamed) == {
+        1: ("a", 10), 2: ("b", 20), 3: ("c", 30)
+    }
+
+
+def test_merge_composite_key_no_false_cardinality(spark, tmp_path):
+    # composite ON keys: each column repeats individually but the PAIRS
+    # are unique — the guard must not fire; and a true pair-duplicate
+    # must fire
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write(
+        "db", "t",
+        spark.createDataFrame([(1, 1, 10), (1, 2, 20)], "a int, b int, v int"),
+    )
+    c.write(
+        "db", "s",
+        spark.createDataFrame(
+            [(1, 1, 100), (1, 2, 200), (2, 1, 300)], "a int, b int, v int"
+        ),
+    )
+    snapcat_dml(
+        spark, c,
+        "MERGE INTO db.t USING db.s AS s ON t.a = s.a AND t.b = s.b "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {(r["a"], r["b"]): r["v"] for r in c.table("db", "t").read(spark).collect()}
+    assert rows == {(1, 1): 100, (1, 2): 200, (2, 1): 300}
+    # now a genuine pair duplicate on a matched key
+    c.write(
+        "db", "s",
+        spark.createDataFrame([(1, 1, 999)], "a int, b int, v int"),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="cardinality violation"):
+        snapcat_dml(
+            spark, c,
+            "MERGE INTO db.t USING db.s AS s ON t.a = s.a AND t.b = s.b "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+
+
 def test_merge_unmatched_duplicate_keys_insert_both(spark, tmp_path):
     # upstream parity: duplicate source keys that do NOT match any
     # target row are legal — each one inserts (no cardinality error)
