@@ -27,6 +27,41 @@ def test_contamination_broadcasts_benchmark_and_bounds(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_contamination_exact_shared_counts(spark):
+    # seeded exactness (vacuity guard, same recipe as source_overlap /
+    # q22): a corpus doc sharing exactly 5 shingles is contaminated at
+    # min_shared=5, one sharing exactly 4 is not
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )  # 5 distinct 3-gram shingles
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # all 5 shared → contaminated
+            (2, "a b c d e f"),     # 4 shared → below threshold
+            (3, "x y z q r s t"),   # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in C.contamination(corpus, bench, min_shared=5).collect()
+    }
+    assert got == {1: 5}
+
+
+def test_contamination_carrier_nonvacuous_at_fixture_scale(spark):
+    # the graded row must have evidence: the carrier re-injects each
+    # benchmark doc into the corpus, so it returns >= one row per
+    # benchmark doc at the pytest SF
+    from apache_iceberg_tables_migration_tool_spark.queries.curation import (
+        contamination_benchmark_overlap,
+    )
+
+    rows = contamination_benchmark_overlap(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["n_shared_shingles"] >= 5 for r in rows)
+
+
 def test_contamination_self_overlap_is_total(spark):
     """A doc checked against itself shares all its shingles."""
     docs = load(spark, SF_DIR, "documents").limit(10)
