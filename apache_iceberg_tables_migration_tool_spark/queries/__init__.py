@@ -190,11 +190,20 @@ _DRIVER_PRIORITY = [
 # streaming_catalog_sync, streaming_catalog_tail,
 # streaming_view_maintenance, table_column_stats, top_supplier_q15,
 # view_rewrite_join_navigation, view_rewrite_navigation — all
-# multi-green carriers re-verified by the per-round sweep. This
-# round's new MERGE surface (cardinality guard, BY SOURCE composed
-# with conditional clauses, MATCHED-DELETE combinations) rides the
-# sql_merge_sync / sql_merge_cdc_apply carriers graded THIS round.
-# Fill the remaining slots with the oldest r10-tier rows.
+# multi-green carriers re-verified by the per-round sweep; plus the
+# carriers registered during round 12:
+#   important_stock_q11 — TPC-H Q11 adapted (int64-exact synthesized
+#   availability/cost, self-scaling mean-based threshold); oracle-
+#   and sweep-verified at registration.
+#   shipmode_priority_q12 — TPC-H Q12 adapted (deterministic 7-way
+#   ship-mode hash, priority CASE pivot); oracle- and sweep-verified
+#   at registration.
+#   contamination_benchmark_overlap — re-grade after de-vacuation
+#   (was 0 vs 0 rows in its r10 green; now 6 rows at sf0.01).
+# This round's new MERGE surface (cardinality guard, BY SOURCE
+# composed with conditional clauses, MATCHED-DELETE combinations)
+# rides the sql_merge_sync / sql_merge_cdc_apply carriers graded THIS
+# round. Fill the remaining slots with the oldest r10-tier rows.
 
 
 def _apply_driver_priority() -> None:

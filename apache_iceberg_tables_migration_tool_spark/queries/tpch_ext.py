@@ -9,8 +9,11 @@ columns while keeping each query's canonical join/agg/subquery
 *shape*. The fixtures omit ``partsupp`` and the commit/receipt dates
 (`FIXTURES.md §1`), so Q2/Q16/Q20 source their part-supplier links
 and volumes from lineitem and Q21's "fault" is a returned line;
-Q11/Q12 remain out of scope (nothing stands in for availability cost
-or ship modes).
+Q11 synthesizes availability/cost as deterministic int64 functions of
+the (partkey, suppkey) pair and Q12 synthesizes the ship mode as a
+deterministic 7-way hash of (orderkey, linenumber) — both reproduced
+verbatim in their oracles (round 12; closes the "Q11/Q12 out of
+scope" note).
 
 All monetary aggregates run through ``functions.portable`` so results
 are bit-identical to the DuckDB oracle (order-insensitive exact
@@ -752,4 +755,140 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-adapted — important stock: the part-supplier links come from
+# lineitem (the fixtures carry no partsupp; same sourcing as Q2/Q16/
+# Q20) with availability and cost synthesized as DETERMINISTIC integer
+# functions of the key pair, reproduced verbatim in the oracle — all
+# arithmetic stays int64-exact on both engines, so the HAVING
+# threshold can never flip on float rounding. The canonical fraction
+# scales with SF in TPC-H itself, so the threshold here is
+# self-scaling: keep parts whose stock value exceeds 2× the mean
+# group value (division-free: SUM(g)·n_parts > 2·total).
+# Shape: grouped agg filtered by a global scalar aggregate subquery.
+# --------------------------------------------------------------------------
+@query(
+    "important_stock_q11",
+    tags=("tpch", "subquery", "agg", "scalar-broadcast"),
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem),
+psv AS (SELECT ps_partkey, ps_suppkey,
+               ((ps_partkey * 31 + ps_suppkey * 17) % 1000 + 1)
+             * ((ps_partkey * 13 + ps_suppkey * 7) % 10000 + 1) AS value_cents
+        FROM ps),
+filtered AS (SELECT psv.* FROM psv JOIN supplier ON s_suppkey = ps_suppkey
+             WHERE s_nationkey % 5 = 2),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(DISTINCT ps_partkey) AS BIGINT) AS n_parts
+        FROM filtered)
+SELECT ps_partkey, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM filtered, tot
+GROUP BY ps_partkey, total_cents, n_parts
+HAVING CAST(SUM(value_cents) AS BIGINT) * n_parts > 2 * total_cents
+""",
+)
+def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value vs a global scalar
+    threshold. The pair-dedup is one shuffle; the supplier filter
+    semi-joins before any aggregation (suppliers are SF-proportional,
+    so threshold/AQE picks broadcast vs shuffle); the global total is
+    a 1-row broadcast crossJoin, never a driver collect."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = load(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") % 5 == 2
+    ).select("s_suppkey")
+    ps = li.distinct().select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    psv = ps.join(supp, ps.ps_suppkey == supp.s_suppkey, "left_semi").select(
+        "ps_partkey",
+        (
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000 + 1)
+            * ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 10000 + 1)
+        ).alias("value_cents"),
+    )
+    tot = F.broadcast(
+        psv.agg(
+            F.sum("value_cents").alias("__total"),
+            F.count_distinct(F.col("ps_partkey")).alias("__n_parts"),
+        )
+    )
+    return (
+        psv.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").alias("value_cents"))
+        .crossJoin(tot)
+        .where(F.col("value_cents") * F.col("__n_parts") > 2 * F.col("__total"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12-adapted — shipping modes vs order priority: the fixtures carry
+# no l_shipmode/commitdate/receiptdate, so the mode is a DETERMINISTIC
+# 7-way hash of (l_orderkey, l_linenumber) reproduced verbatim in the
+# oracle, and the ship-year window stands in for the receipt-year
+# window. Shape: fact→orders join + per-mode conditional counts (the
+# canonical CASE pivot).
+# --------------------------------------------------------------------------
+_Q12_MODES = ["MAIL", "SHIP", "RAIL", "TRUCK", "AIR", "REG AIR", "FOB"]
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "shipmode_priority_q12",
+    tags=("tpch", "join", "agg"),
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey,
+         (['MAIL','SHIP','RAIL','TRUCK','AIR','REG AIR','FOB'])
+             [CAST((l_orderkey + l_linenumber * 11) % 7 AS INTEGER) + 1]
+           AS shipmode,
+         l_shipdate
+  FROM lineitem)
+SELECT shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH!r} THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH!r} THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM li JOIN orders ON o_orderkey = l_orderkey
+WHERE shipmode IN ('MAIL', 'SHIP')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY shipmode
+""",
+)
+def shipmode_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by synthesized ship mode, split by
+    order priority. The mode filter + year window prune the fact
+    BEFORE the orders join (predicates reach the scan; the join sees
+    ~2/7 of one year of lines), then one hash aggregate on a 2-value
+    key. Counts are exact longs — hash-stable on both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _Q12_MODES]),
+            ((F.col("l_orderkey") + F.col("l_linenumber") * 11) % 7)
+            .cast("int") + 1,
+        ).alias("shipmode"),
+        "l_shipdate",
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.where(
+            F.col("shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
     )
