@@ -3629,6 +3629,27 @@ class SnapCatalog:
 
     # ---- row-level operations (copy-on-write) ---------------------------
 
+    @staticmethod
+    def _check_unique_keys(
+        database: str, name: str, updates: DataFrame, key_cols: list[str]
+    ) -> None:
+        """One aggregate over ``updates``; raises on a duplicate key
+        set BEFORE any commit work starts."""
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert into {database}.{name}: updates carry more than one "
+                f"row per key ({', '.join(key_cols)}); deduplicate first "
+                "(e.g. keep the latest row per key) or drop "
+                "validate_unique_keys"
+            )
+
     def upsert(
         self,
         database: str,
@@ -3638,6 +3659,7 @@ class SnapCatalog:
         committed_at: str | None = None,
         staged: bool = False,
         extra_delete_keys: DataFrame | None = None,
+        validate_unique_keys: bool = False,
     ) -> Snapshot:
         """MERGE with file-level copy-on-write (≙ Iceberg COW
         ``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -3654,7 +3676,19 @@ class SnapCatalog:
         CDC-apply shape (``WHEN MATCHED AND op='D' THEN DELETE WHEN
         MATCHED THEN UPDATE …``) where one statement both updates and
         deletes. Files containing them join the rewrite set; their
-        rows are simply not re-emitted."""
+        rows are simply not re-emitted.
+
+        ``validate_unique_keys``: opt-in guard for direct API callers
+        — raise (before any commit) if ``updates`` carries more than
+        one row per key set, instead of silently writing duplicate
+        rows for one key. Off by default: internal callers (SQL MERGE,
+        CDC replay, IVM) already guarantee or check uniqueness at
+        their own layer (the SQL path raises the upstream-parity
+        cardinality violation only for MATCHED duplicates), and the
+        check costs one aggregate over the updates. Same flag on
+        :meth:`upsert_mor`."""
+        if validate_unique_keys:
+            self._check_unique_keys(database, name, updates, key_cols)
         spark = updates.sparkSession
         tbl = self.table(database, name)
         prev = tbl.current_snapshot()
@@ -4017,6 +4051,7 @@ class SnapCatalog:
         key_cols: list[str],
         committed_at: str | None = None,
         extra_delete_keys: DataFrame | None = None,
+        validate_unique_keys: bool = False,
     ) -> Snapshot:
         """MERGE, merge-on-read flavor (≙ Iceberg
         ``write.merge.mode=merge-on-read``): ONE commit appends the new
@@ -4028,7 +4063,12 @@ class SnapCatalog:
 
         ``extra_delete_keys``: additional key rows to DELETE in the
         same commit (the conditional-MERGE / CDC-apply shape) — they
-        join the equality-delete key set with no replacement row."""
+        join the equality-delete key set with no replacement row.
+
+        ``validate_unique_keys``: opt-in duplicate-key guard — see
+        :meth:`upsert`."""
+        if validate_unique_keys:
+            self._check_unique_keys(database, name, updates, key_cols)
         tbl = self.table(database, name)
         prev = tbl.current_snapshot()
         if prev is None or not prev.files:

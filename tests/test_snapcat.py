@@ -195,6 +195,28 @@ def _rows_at(tbl, spark, sid):
     return {(r["id"], r["v"]) for r in tbl.read(spark, snapshot_id=sid).collect()}
 
 
+def test_upsert_validate_unique_keys_flag(spark, cat):
+    import pytest
+
+    base = spark.range(5).withColumn("v", F.lit("old"))
+    cat.write("db", "uk", base, committed_at=T[0])
+    dup = spark.createDataFrame(
+        [(3, "a"), (3, "b"), (9, "c")], "id long, v string"
+    )
+    for method in ("upsert", "upsert_mor"):
+        before = len(cat.table("db", "uk").snapshots())
+        with pytest.raises(ValueError, match="more than one row per key"):
+            getattr(cat, method)(
+                "db", "uk", dup, key_cols=["id"], validate_unique_keys=True
+            )
+        assert len(cat.table("db", "uk").snapshots()) == before  # no commit
+    # default stays permissive (internal callers guarantee uniqueness
+    # at their own layer); unique updates pass the guard
+    ok = spark.createDataFrame([(3, "a"), (9, "c")], "id long, v string")
+    cat.upsert("db", "uk", ok, key_cols=["id"], validate_unique_keys=True)
+    assert (3, "a") in _rows(cat.table("db", "uk"), spark)
+
+
 def test_upsert_rewrites_only_matched_files(spark, cat):
     base = spark.range(12).withColumn("v", F.lit("old"))
     cat.write("db", "cow", base.repartition(6), committed_at=T[0])
