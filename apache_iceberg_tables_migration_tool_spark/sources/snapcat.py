@@ -3874,6 +3874,55 @@ class SnapCatalog:
                 materialized_lineage=True, staged=staged,
             )
 
+    def truncate_table(
+        self,
+        database: str,
+        name: str,
+        committed_at: str | None = None,
+        staged: bool = False,
+    ) -> Snapshot:
+        """TRUNCATE TABLE: ONE metadata-only commit whose snapshot
+        references zero data files and zero delete files — nothing is
+        read or rewritten (Iceberg's TRUNCATE is a metadata operation;
+        a predicate delete-all would scan every file just to learn
+        that every file matches). History is preserved: time travel to
+        any pre-truncate snapshot still reads the old files, and
+        ``expire_snapshots`` reaps them later like any other
+        unreferenced file."""
+        tbl = self.table(database, name)
+        if tbl.current_snapshot() is None:
+            raise LookupError(f"table {database}.{name} does not exist")
+        with _commit_lock(tbl.root):
+            prev = tbl.current_snapshot()  # re-read under the lock
+            meta = tbl._load_meta(expand=False)
+            sid = _next_id(meta)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=prev.snapshot_id,
+                committed_at=committed_at or _utcnow_iso(),
+                operation="delete",
+                summary={
+                    "truncated": "true",
+                    "removed-data-files": str(len(prev.files)),
+                    "removed-records": str(prev.total_records),
+                    "total-records": "0",
+                    "total-data-files": "0",
+                },
+                schema_ddl=prev.schema_ddl,
+                partition_spec=prev.partition_spec,
+                files=[],
+                delete_files=[],
+                field_ids=dict(prev.field_ids)
+                if prev.field_ids is not None
+                else None,
+            )
+            _record_commit_schema(meta, sid, prev)
+            meta["snapshots"].append(asdict(snap))
+            if not staged:  # WAP: a staged truncate stays unpublished
+                meta["current_id"] = sid
+            tbl._save_meta(meta)
+            return snap
+
     def _write_delete_files(
         self, tbl: SnapTable, sid: int, keys: DataFrame, key_cols: list[str]
     ) -> list[DeleteFile]:

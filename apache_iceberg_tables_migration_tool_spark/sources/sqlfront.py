@@ -331,6 +331,10 @@ _DML_DROP = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*$",
     re.IGNORECASE,
 )
+_DML_TRUNCATE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_RENAME = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+RENAME\s+TO\s+"
     rf"(?P<db2>{_QIDENT})\.(?P<tbl2>{_QIDENT})\s*$",
@@ -1274,6 +1278,9 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         CREATE TABLE db.t AS <select>    → write on a fresh table
         DELETE FROM db.t [WHERE <cond>]  → delete_where (COW)
         UPDATE db.t SET c = e, … [WHERE] → update_where (COW)
+        TRUNCATE TABLE db.t → truncate_table (metadata-only commit:
+          zero files referenced, nothing read or rewritten; history
+          stays time-travelable)
         MERGE INTO db.t USING <src> ON <t.k = s.k [AND …]>
           WHEN MATCHED THEN UPDATE SET * | SET c = e, … | DELETE
           WHEN NOT MATCHED THEN INSERT * | INSERT (c,…) VALUES (e,…)
@@ -1418,6 +1425,13 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             _uq(m, "db"), _uq(m, "tbl"), m.group("cond") or "true"
         )
         return _dml_report(spark, "DELETE", _uq(m, "db"), _uq(m, "tbl"), snap)
+    m = _DML_TRUNCATE.match(query)
+    if m:
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        if not catalog.table(db, tbl).exists():
+            raise LookupError(f"TRUNCATE TABLE: {db}.{tbl} does not exist")
+        snap = catalog.truncate_table(db, tbl)
+        return _dml_report(spark, "TRUNCATE TABLE", db, tbl, snap)
     m = _DML_DROP.match(query)
     if m:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")

@@ -195,6 +195,29 @@ def _rows_at(tbl, spark, sid):
     return {(r["id"], r["v"]) for r in tbl.read(spark, snapshot_id=sid).collect()}
 
 
+def test_truncate_table_metadata_only(spark, cat):
+    import pytest
+
+    base = spark.range(8).withColumn("v", F.lit("x"))
+    cat.write("db", "tr", base.repartition(3), committed_at=T[0])
+    pre = cat.table("db", "tr").current_snapshot()
+    snap = cat.truncate_table("db", "tr", committed_at=T[1])
+    tbl = cat.table("db", "tr")
+    assert tbl.read(spark).count() == 0
+    assert snap.operation == "delete"
+    assert snap.files == [] and snap.delete_files == []
+    assert snap.summary["truncated"] == "true"
+    assert snap.summary["removed-data-files"] == str(len(pre.files))
+    # metadata-only: no new data or delete files written anywhere
+    # history preserved: pre-truncate snapshot still reads all rows
+    assert tbl.read(spark, snapshot_id=pre.snapshot_id).count() == 8
+    # appending after a truncate starts from empty
+    cat.write("db", "tr", spark.range(2).withColumn("v", F.lit("y")))
+    assert tbl.read(spark).count() == 2
+    with pytest.raises(LookupError, match="does not exist"):
+        cat.truncate_table("db", "missing")
+
+
 def test_upsert_validate_unique_keys_flag(spark, cat):
     import pytest
 

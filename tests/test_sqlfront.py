@@ -1796,6 +1796,30 @@ def test_insert_with_column_list(spark, cat):
         snapcat_execute(spark, cat, "INSERT INTO db.t3 (id, id) VALUES (1, 2)")
 
 
+def test_truncate_table_sql(spark, tmp_path):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame([(1, 5), (2, 6)], "id int, v int"))
+    out = snapcat_execute(spark, c, "TRUNCATE TABLE db.t").collect()
+    assert out[0]["statement"] == "TRUNCATE TABLE"
+    assert c.table("db", "t").read(spark).count() == 0
+    # time travel across the truncate still works
+    n = snapcat_execute(
+        spark, c, "SELECT COUNT(*) AS n FROM db.t VERSION AS OF 1"
+    ).collect()
+    assert n[0]["n"] == 2
+    # backticked (dashed) identifiers on the TRUNCATE form too
+    c.write("db-x", "t t", spark.createDataFrame([(1,)], "id int"))
+    snapcat_execute(spark, c, "TRUNCATE TABLE `db-x`.`t t`")
+    assert c.table("db-x", "t t").read(spark).count() == 0
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_execute(spark, c, "TRUNCATE TABLE db.missing")
+
+
 def test_insert_column_list_backtick_and_keyword_names(spark, tmp_path):
     # r11 ADVICE: the column-list detector must use the backtick-aware
     # paren scanner — a quoted column name containing ')' parses whole,
