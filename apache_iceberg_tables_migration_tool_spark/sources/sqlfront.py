@@ -1421,10 +1421,20 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         )
     m = _DML_DELETE.match(query)
     if m:
-        snap = catalog.delete_where(
-            _uq(m, "db"), _uq(m, "tbl"), m.group("cond") or "true"
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        t = catalog.table(db, tbl)
+        # Iceberg's row-level-strategy switch for DELETE (the twin of
+        # MERGE's write.merge.mode): copy-on-write rewrites the matched
+        # files, merge-on-read records position deletes and rewrites
+        # nothing. (UPDATE stays COW here — the result is identical,
+        # only write amplification differs; update_where documents it.)
+        mode = (
+            t.properties().get("write.delete.mode", "copy-on-write")
+            if t.exists()
+            else "copy-on-write"  # delete_where raises its LookupError
         )
-        return _dml_report(spark, "DELETE", _uq(m, "db"), _uq(m, "tbl"), snap)
+        snap = catalog.delete_where(db, tbl, m.group("cond") or "true", mode=mode)
+        return _dml_report(spark, "DELETE", db, tbl, snap)
     m = _DML_TRUNCATE.match(query)
     if m:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")

@@ -1796,6 +1796,32 @@ def test_insert_with_column_list(spark, cat):
         snapcat_execute(spark, cat, "INSERT INTO db.t3 (id, id) VALUES (1, 2)")
 
 
+def test_delete_from_honors_write_delete_mode(spark, tmp_path):
+    # write.delete.mode=merge-on-read → SQL DELETE records position
+    # deletes and rewrites nothing (the MERGE-mode twin for DELETE)
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame([(i, i * 10) for i in range(6)], "id int, v int"))
+    c.set_properties("db", "t", {"write.delete.mode": "merge-on-read"})
+    files_before = {f.path for f in c.table("db", "t").current_snapshot().files}
+    snapcat_execute(spark, c, "DELETE FROM db.t WHERE id < 2")
+    head = c.table("db", "t").current_snapshot()
+    assert head.delete_files  # MOR: position-delete file, no rewrite
+    assert {f.path for f in head.files} == files_before
+    assert c.table("db", "t").read(spark).count() == 4
+    # default (no property) stays copy-on-write: files rewrite
+    c2 = SnapCatalog(str(tmp_path / "wh2"))
+    c2.write("db", "t", spark.createDataFrame([(1, 1), (2, 2)], "id int, v int"))
+    snapcat_execute(spark, c2, "DELETE FROM db.t WHERE id = 1")
+    head2 = c2.table("db", "t").current_snapshot()
+    assert not head2.delete_files
+    assert c2.table("db", "t").read(spark).count() == 1
+
+
 def test_truncate_table_sql(spark, tmp_path):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
