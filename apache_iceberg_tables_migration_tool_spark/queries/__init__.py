@@ -200,6 +200,9 @@ _DRIVER_PRIORITY = [
 #   at registration.
 #   contamination_benchmark_overlap — re-grade after de-vacuation
 #   (was 0 vs 0 rows in its r10 green; now 6 rows at sf0.01).
+#   sql_truncate_lifecycle — TRUNCATE TABLE metadata-only commit,
+#   history-across-truncate time travel; oracle- and sweep-verified
+#   at registration.
 # This round's new MERGE surface (cardinality guard, BY SOURCE
 # composed with conditional clauses, MATCHED-DELETE combinations)
 # rides the sql_merge_sync / sql_merge_cdc_apply carriers graded THIS

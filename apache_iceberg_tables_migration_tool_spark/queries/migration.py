@@ -3197,3 +3197,73 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_truncate_lifecycle",
+    tags=("migration", "sql", "ddl"),
+    oracle="""
+SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before,
+       CAST(0 AS BIGINT) AS n_at_truncate,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_reinsert,
+       TRUE AS truncate_metadata_only
+FROM orders
+""",
+)
+def sql_truncate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE end-to-end (r12, `sources/sqlfront` +
+    `snapcat.truncate_table`): CTAS a fixture slice, TRUNCATE (ONE
+    metadata-only commit — zero files referenced, nothing read or
+    rewritten), re-INSERT a disjoint slice, then read all three states
+    — current (the reinserted slice), VERSION AS OF the truncate
+    commit (0 rows), and VERSION AS OF the pre-truncate commit (the
+    original slice, proving history survives the truncate). The
+    oracle recomputes both slice counts from the fixture;
+    truncate_metadata_only pins in-query that the truncate snapshot
+    wrote no data or delete files."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_trunc_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).createOrReplaceTempView("orders_src")
+        snapcat_dml(
+            spark, cat,
+            "CREATE TABLE db.o AS SELECT o_orderkey, o_totalprice "
+            "FROM orders_src WHERE o_orderkey % 3 = 0",
+        )
+        snapcat_dml(spark, cat, "TRUNCATE TABLE db.o")
+        tsnap = cat.table("db", "o").current_snapshot()
+        metadata_only = (
+            tsnap.files == []
+            and tsnap.delete_files == []
+            and tsnap.summary.get("truncated") == "true"
+        )
+        snapcat_dml(
+            spark, cat,
+            "INSERT INTO db.o SELECT o_orderkey, o_totalprice "
+            "FROM orders_src WHERE o_orderkey % 3 = 1",
+        )
+        n_before = snapcat_sql(
+            spark, cat, "SELECT count(*) AS n FROM db.o VERSION AS OF 1"
+        ).collect()[0]["n"]
+        n_trunc = snapcat_sql(
+            spark, cat, "SELECT count(*) AS n FROM db.o VERSION AS OF 2"
+        ).collect()[0]["n"]
+        n_after = snapcat_sql(
+            spark, cat, "SELECT count(*) AS n FROM db.o"
+        ).collect()[0]["n"]
+        return spark.createDataFrame(
+            [(n_before, n_trunc, n_after, metadata_only)],
+            "n_before bigint, n_at_truncate bigint, n_after_reinsert bigint, "
+            "truncate_metadata_only boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
