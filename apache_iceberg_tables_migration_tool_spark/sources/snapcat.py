@@ -4173,13 +4173,31 @@ class SnapCatalog:
         assignments: dict[str, "str | object"],
         committed_at: str | None = None,
         staged: bool = False,
+        mode: str = "copy-on-write",
     ) -> Snapshot:
-        """Row-level UPDATE with file-level copy-on-write (≙ Iceberg
-        COW ``UPDATE t SET … WHERE …``): only files containing at least
-        one matching row are rewritten, with ``assignments`` (column →
-        Column/SQL expression) applied to the matching rows and every
-        other row copied unchanged; untouched files carry over by
-        reference."""
+        """Row-level UPDATE (≙ Iceberg ``UPDATE t SET … WHERE …``,
+        strategy switched by ``write.update.mode``).
+
+        ``mode="copy-on-write"`` (default): only files containing at
+        least one matching row are rewritten, with ``assignments``
+        (column → Column/SQL expression) applied to the matching rows
+        and every other row copied unchanged; untouched files carry
+        over by reference.
+
+        ``mode="merge-on-read"``: NO data file is rewritten — ONE
+        commit appends the updated row versions as new data files and
+        records the matched rows' exact ``(file, position)`` pairs as
+        a position-delete file (≙ Iceberg v2
+        ``write.update.mode=merge-on-read``). The scan to find matches
+        still runs (with pushdown), but the write is O(matched rows):
+        updating a sliver of a 100 TB table costs the selective scan
+        plus the updated rows, not a file rewrite. Results are
+        identical to COW; only write amplification differs. Updated
+        rows keep their ``_row_id`` and bump ``_last_updated_seq`` to
+        this commit (Iceberg v3 row lineage), same as the COW rewrite.
+        ``compact`` materializes the deletes away later."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         spark = SparkSession.getActiveSession()
         tbl = self.table(database, name)
         prev = tbl.current_snapshot()
@@ -4194,6 +4212,82 @@ class SnapCatalog:
         unknown = [c for c in exprs if c not in schema_cols]
         if unknown:
             raise ValueError(f"UPDATE of unknown columns {unknown} in {database}.{name}")
+        if mode == "merge-on-read":
+            with _commit_lock(tbl.root):
+                prev = tbl.current_snapshot()  # re-read under the lock
+                cur = tbl._read_files(
+                    spark, prev, [f.path for f in prev.files],
+                    with_file_path=True, with_pos=True,
+                    apply_deletes=True, with_lineage=True,
+                )
+                # one scan feeds both writes (delete positions + new
+                # row versions) — persist so cond isn't evaluated over
+                # the table twice
+                matched = cur.where(cond).persist()
+                try:
+                    meta = tbl._load_meta(expand=False)
+                    sid = _next_id(meta)
+                    new_dels = self._write_position_delete_files(
+                        tbl, sid,
+                        matched.select(
+                            _root_rel_col(tbl.root).alias("file_path"),
+                            F.col("__pos").alias("pos"),
+                        ),
+                    )
+                    n_rows = sum(d.records for d in new_dels)
+                    new_files: list[DataFile] = []
+                    if n_rows == 0:  # no-op update still commits (audit)
+                        shutil.rmtree(
+                            os.path.join(tbl.root, f"deletes/s{sid:06d}"),
+                            ignore_errors=True,
+                        )
+                        new_dels = []
+                    else:
+                        # updated versions keep their _row_id, bump
+                        # _last_updated_seq to this commit (v3 lineage)
+                        updated = matched.select(
+                            *[
+                                (exprs[c].alias(c) if c in exprs else F.col(c))
+                                for c in schema_cols
+                            ],
+                            F.col("_row_id"),
+                            F.lit(sid).cast("long").alias("_last_updated_seq"),
+                        )
+                        new_files = self._write_data_files(
+                            tbl, sid, updated, prev.partition_spec
+                        )
+                        _assign_row_ids(meta, new_files, materialized=True)
+                finally:
+                    matched.unpersist()
+                files = list(prev.files) + new_files
+                snap = Snapshot(
+                    snapshot_id=sid,
+                    parent_id=prev.snapshot_id,
+                    committed_at=committed_at or _utcnow_iso(),
+                    operation="update",
+                    summary={
+                        "update-mode": "merge-on-read",
+                        "added-records": str(sum(f.records for f in new_files)),
+                        "added-data-files": str(len(new_files)),
+                        "added-delete-files": str(len(new_dels)),
+                        "position-delete-rows": str(n_rows),
+                        "total-records": str(sum(f.records for f in files)),
+                        "total-data-files": str(len(files)),
+                    },
+                    schema_ddl=prev.schema_ddl,
+                    partition_spec=prev.partition_spec,
+                    files=files,
+                    delete_files=list(prev.delete_files) + new_dels,
+                    field_ids=dict(prev.field_ids)
+                    if prev.field_ids is not None
+                    else None,
+                )
+                _record_commit_schema(meta, sid, prev)
+                meta["snapshots"].append(asdict(snap))
+                if not staged:  # WAP: staged MOR update stays unpublished
+                    meta["current_id"] = sid
+                tbl._save_meta(meta)
+                return snap
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
             cur = tbl._read_files(

@@ -1276,8 +1276,10 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         INSERT INTO db.t <select>        → write(mode="append")
         INSERT OVERWRITE db.t <select>   → write(mode="overwrite")
         CREATE TABLE db.t AS <select>    → write on a fresh table
-        DELETE FROM db.t [WHERE <cond>]  → delete_where (COW)
-        UPDATE db.t SET c = e, … [WHERE] → update_where (COW)
+        DELETE FROM db.t [WHERE <cond>]  → delete_where
+          (mode from the target's ``write.delete.mode``)
+        UPDATE db.t SET c = e, … [WHERE] → update_where
+          (mode from the target's ``write.update.mode``)
         TRUNCATE TABLE db.t → truncate_table (metadata-only commit:
           zero files referenced, nothing read or rewritten; history
           stays time-travelable)
@@ -1413,21 +1415,30 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             if not _:
                 raise ValueError(f"UPDATE SET: cannot parse {part!r}")
             sets[_unquote(col.strip())] = expr.strip()
+        udb, utbl = _unquote(orig("db")), _unquote(orig("tbl"))
+        ut = catalog.table(udb, utbl)
+        # Iceberg's row-level-strategy switch for UPDATE (completing
+        # the mode family: MERGE write.merge.mode, DELETE
+        # write.delete.mode): copy-on-write rewrites the matched
+        # files; merge-on-read position-deletes the matched rows and
+        # appends the updated versions in ONE commit, rewriting nothing
+        umode = (
+            ut.properties().get("write.update.mode", "copy-on-write")
+            if ut.exists()
+            else "copy-on-write"  # update_where raises its LookupError
+        )
         snap = catalog.update_where(
-            _unquote(orig("db")), _unquote(orig("tbl")), orig("cond") or "true", sets
+            udb, utbl, orig("cond") or "true", sets, mode=umode
         )
-        return _dml_report(
-            spark, "UPDATE", _unquote(orig("db")), _unquote(orig("tbl")), snap
-        )
+        return _dml_report(spark, "UPDATE", udb, utbl, snap)
     m = _DML_DELETE.match(query)
     if m:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
         t = catalog.table(db, tbl)
         # Iceberg's row-level-strategy switch for DELETE (the twin of
-        # MERGE's write.merge.mode): copy-on-write rewrites the matched
-        # files, merge-on-read records position deletes and rewrites
-        # nothing. (UPDATE stays COW here — the result is identical,
-        # only write amplification differs; update_where documents it.)
+        # MERGE's write.merge.mode and UPDATE's write.update.mode):
+        # copy-on-write rewrites the matched files, merge-on-read
+        # records position deletes and rewrites nothing.
         mode = (
             t.properties().get("write.delete.mode", "copy-on-write")
             if t.exists()

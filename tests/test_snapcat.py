@@ -1313,6 +1313,51 @@ def test_update_where_cow(spark, cat):
     assert noop.summary["rewritten-data-files"] == "0"
 
 
+def test_update_where_mor(spark, cat):
+    # write.update.mode=merge-on-read shape: ONE commit position-deletes
+    # the matched rows and appends the updated versions — NO data file
+    # is rewritten, and results are identical to copy-on-write
+    cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    tbl = cat.table("db", "t")
+    files_before = {f.path for f in tbl.current_snapshot().files}
+    before_ids = {r["id"]: r["_row_id"]
+                  for r in tbl.read(spark, with_row_ids=True).collect()}
+    snap = cat.update_where("db", "t", "id >= 8", {"v": "v + 1000"},
+                            committed_at=T[1], mode="merge-on-read")
+    assert snap.operation == "update"
+    assert snap.summary["update-mode"] == "merge-on-read"
+    assert snap.summary["position-delete-rows"] == "2"
+    # every pre-update data file carried by reference, none rewritten
+    assert files_before <= {f.path for f in snap.files}
+    assert [d.kind for d in snap.delete_files] == ["position"]
+    got = {r["id"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got[8] == 1016 and got[9] == 1018 and got[0] == 0 and len(got) == 10
+    # v3 lineage: updated rows keep _row_id, bump _last_updated_seq
+    after = {r["id"]: (r["_row_id"], r["_last_updated_seq"])
+             for r in tbl.read(spark, with_row_ids=True).collect()}
+    assert after[8][0] == before_ids[8] and after[8][1] == snap.snapshot_id
+    assert after[0] == (before_ids[0], 1)
+    # COW ≡ MOR results on the same statement
+    cat.write("db", "t_cow", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    cat.update_where("db", "t_cow", "id >= 8", {"v": "v + 1000"},
+                     committed_at=T[1], mode="copy-on-write")
+    cow = {(r["id"], r["v"]) for r in cat.table("db", "t_cow").read(spark).collect()}
+    assert {(r["id"], r["v"]) for r in tbl.read(spark).collect()} == cow
+    # no-op MOR update still commits (audit), adds nothing
+    noop = cat.update_where("db", "t", "id = 999", {"v": "0"},
+                            mode="merge-on-read")
+    assert noop.summary["position-delete-rows"] == "0"
+    assert noop.summary["added-data-files"] == "0"
+    assert len(noop.delete_files) == 1  # only the first update's
+    with pytest.raises(ValueError, match="mode must be"):
+        cat.update_where("db", "t", "id = 1", {"v": "0"}, mode="bogus")
+    # compact materializes the position deletes away like any other
+    cat.compact("db", "t", spark)
+    assert {r["id"]: r["v"] for r in tbl.read(spark).collect()} == got
+
+
 def test_mor_compact_materializes_and_changelog(spark, cat):
     cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
               committed_at=T[0])

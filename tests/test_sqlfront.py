@@ -1822,6 +1822,41 @@ def test_delete_from_honors_write_delete_mode(spark, tmp_path):
     assert c2.table("db", "t").read(spark).count() == 1
 
 
+def test_update_honors_write_update_mode(spark, tmp_path):
+    # write.update.mode=merge-on-read → SQL UPDATE position-deletes the
+    # matched rows and appends the updated versions in ONE commit,
+    # rewriting no data file (completing the row-level mode family
+    # after MERGE write.merge.mode and DELETE write.delete.mode)
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    rows = [(i, i * 10) for i in range(6)]
+    c.write("db", "t", spark.createDataFrame(rows, "id int, v int"))
+    c.set_properties("db", "t", {"write.update.mode": "merge-on-read"})
+    files_before = {f.path for f in c.table("db", "t").current_snapshot().files}
+    snapcat_execute(spark, c, "UPDATE db.t SET v = v + 100 WHERE id < 2")
+    head = c.table("db", "t").current_snapshot()
+    assert head.summary["update-mode"] == "merge-on-read"
+    assert head.delete_files and all(d.kind == "position" for d in head.delete_files)
+    # old files all carried by reference; updated versions appended new
+    assert files_before <= {f.path for f in head.files}
+    got = {r["id"]: r["v"] for r in c.table("db", "t").read(spark).collect()}
+    assert got == {0: 100, 1: 110, 2: 20, 3: 30, 4: 40, 5: 50}
+    # ONE commit for the whole statement
+    assert head.parent_id == 1
+    # default (no property) stays copy-on-write: rewrite, no delete files
+    c2 = SnapCatalog(str(tmp_path / "wh2"))
+    c2.write("db", "t", spark.createDataFrame(rows, "id int, v int"))
+    snapcat_execute(spark, c2, "UPDATE db.t SET v = v + 100 WHERE id < 2")
+    head2 = c2.table("db", "t").current_snapshot()
+    assert not head2.delete_files
+    got2 = {r["id"]: r["v"] for r in c2.table("db", "t").read(spark).collect()}
+    assert got2 == got  # COW ≡ MOR
+
+
 def test_truncate_table_sql(spark, tmp_path):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
