@@ -2777,8 +2777,45 @@ class SnapCatalog:
 
     # ---- namespace / listing ops (S1, W1) ------------------------------
 
-    def create_namespace(self, database: str) -> None:
+    def create_namespace(self, database: str, exists_ok: bool = True) -> None:
+        """≙ ``CREATE NAMESPACE [IF NOT EXISTS]`` (the reference's
+        stage 3 issues this as SQL, 3_create_dst_tables.py:73-77).
+        ``exists_ok=False`` is the bare SQL form: an existing
+        namespace raises instead of silently succeeding."""
+        if not exists_ok and os.path.isdir(os.path.join(self.warehouse, database)):
+            raise ValueError(f"namespace {database!r} already exists")
         os.makedirs(os.path.join(self.warehouse, database), exist_ok=True)
+
+    def drop_namespace(
+        self, database: str, missing_ok: bool = False, cascade: bool = False
+    ) -> None:
+        """≙ ``DROP NAMESPACE [IF EXISTS] … [RESTRICT|CASCADE]``.
+        Default RESTRICT semantics: a namespace still holding tables
+        (or foreign entries the planner would skip) rejects loudly —
+        silently vaporizing tables is the one thing a catalog must
+        never do. ``cascade=True`` drops the contained TABLES first
+        but still refuses foreign (non-catalog) entries: they are not
+        ours to delete."""
+        dbdir = os.path.join(self.warehouse, database)
+        if not os.path.isdir(dbdir):
+            if missing_ok:
+                return
+            raise LookupError(f"namespace {database!r} does not exist")
+        tables = self.list_tables(database)
+        foreign = self.list_foreign_entries(database)
+        if foreign:
+            raise ValueError(
+                f"namespace {database!r} holds non-catalog entries "
+                f"{foreign} — remove them out-of-band first"
+            )
+        if tables and not cascade:
+            raise ValueError(
+                f"namespace {database!r} is not empty (tables: "
+                f"{', '.join(tables)}); drop them first or use CASCADE"
+            )
+        for t in tables:
+            self.drop_table(database, t)
+        shutil.rmtree(dbdir)
 
     def list_namespaces(self) -> list[str]:
         return sorted(
@@ -3686,6 +3723,15 @@ class SnapCatalog:
         their own layer (the SQL path raises the upstream-parity
         cardinality violation only for MATCHED duplicates), and the
         check costs one aggregate over the updates. Same flag on
+        :meth:`upsert_mor`.
+
+        Assumes a key-unique TARGET: the rewrite replaces rows BY KEY,
+        so a target already holding several rows under one key
+        (reachable by inserting unmatched duplicate source keys, which
+        legally insert per-row) has them collapsed into the single
+        update row — Spark/Iceberg MERGE instead updates each matched
+        row and keeps the multiplicity. Deduplicate (or re-key) such a
+        table before upserting into it; same caveat on
         :meth:`upsert_mor`."""
         if validate_unique_keys:
             self._check_unique_keys(database, name, updates, key_cols)
@@ -3888,14 +3934,26 @@ class SnapCatalog:
         that every file matches). History is preserved: time travel to
         any pre-truncate snapshot still reads the old files, and
         ``expire_snapshots`` reaps them later like any other
-        unreferenced file."""
+        unreferenced file.
+
+        ``removed-records`` = data-file records minus position-delete
+        rows (each position hides exactly one row). On a table with
+        live EQUALITY deletes it remains an upper bound of the live
+        rows removed — a key-shaped delete's exact row coverage is
+        only knowable by scanning, which a metadata-only commit must
+        not do."""
         tbl = self.table(database, name)
         if tbl.current_snapshot() is None:
             raise LookupError(f"table {database}.{name} does not exist")
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
+            if prev is None:  # concurrent drop between check and lock
+                raise LookupError(f"table {database}.{name} does not exist")
             meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)
+            pos_hidden = sum(
+                d.records for d in prev.delete_files if d.kind == "position"
+            )
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_id=prev.snapshot_id,
@@ -3904,7 +3962,7 @@ class SnapCatalog:
                 summary={
                     "truncated": "true",
                     "removed-data-files": str(len(prev.files)),
-                    "removed-records": str(prev.total_records),
+                    "removed-records": str(prev.total_records - pos_hidden),
                     "total-records": "0",
                     "total-data-files": "0",
                 },
@@ -4115,7 +4173,10 @@ class SnapCatalog:
         join the equality-delete key set with no replacement row.
 
         ``validate_unique_keys``: opt-in duplicate-key guard — see
-        :meth:`upsert`."""
+        :meth:`upsert`. Like :meth:`upsert`, assumes a key-unique
+        TARGET: the equality delete hides EVERY older row under a
+        key, so pre-existing duplicates collapse into the one update
+        row (Spark/Iceberg MERGE would update each)."""
         if validate_unique_keys:
             self._check_unique_keys(database, name, updates, key_cols)
         tbl = self.table(database, name)

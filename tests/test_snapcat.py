@@ -216,6 +216,15 @@ def test_truncate_table_metadata_only(spark, cat):
     assert tbl.read(spark).count() == 2
     with pytest.raises(LookupError, match="does not exist"):
         cat.truncate_table("db", "missing")
+    # on a MOR table with live position deletes, removed-records counts
+    # LIVE rows (data-file records minus position-delete rows), not the
+    # file-level record sum
+    cat.write("db", "tr2", spark.range(10).withColumn("v", F.lit("x")),
+              committed_at=T[0])
+    cat.delete_where("db", "tr2", "id < 3", mode="merge-on-read",
+                     committed_at=T[1])
+    snap2 = cat.truncate_table("db", "tr2", committed_at=T[2])
+    assert snap2.summary["removed-records"] == "7"
 
 
 def test_upsert_validate_unique_keys_flag(spark, cat):
