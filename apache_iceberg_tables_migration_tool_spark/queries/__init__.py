@@ -82,6 +82,87 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
+    # ROUND-13 ROTATION (verdict r12 action #2, standing
+    # longest-ungraded-first policy). Kept for continuity: the
+    # flagship + the two bench watch-list dedups + the two bench
+    # second carriers (5). Rotated IN: the three never-graded r12
+    # registrations (important_stock_q11, shipmode_priority_q12,
+    # sql_truncate_lifecycle); sql_update_lifecycle — NEW this round,
+    # carrying the write.update.mode merge-on-read UPDATE (position-
+    # delete + append, one commit, no rewrite; COW≡MOR pinned
+    # in-query) and the CREATE/DROP NAMESPACE SQL forms;
+    # contamination_benchmark_overlap — re-grade after de-vacuation
+    # (its r10 green was 0 vs 0 rows; now 6 rows at sf0.01); the 32
+    # r9-tier rows queued FIRST by the r12 rotation comment; and 8
+    # r10-tier rows nearest this round's touched code — the row-level
+    # DML family (rowlevel_merge_delete), the catalog metadata plane
+    # the truncate/update commits ride (wap_audit_publish,
+    # snapshot_history_ops, scan_planning_report), the migration e2e
+    # carrier (migration_e2e_report), the SQL front-end read carrier
+    # (sql_api_top_spenders), and two TPC-H singles
+    # (min_cost_supplier_q2, shipping_priority_q3). Rotated OUT: the
+    # 45 non-continuity rows graded in round 12 (all >=2 greens).
+    # bpe_train_merges stays out by the rows-only policy (the window
+    # keeps its 100%-hash-checked discipline; exactness is
+    # pytest-pinned against a sequential reference).
+    # ------------------------------------------------------------------
+    # continuity: flagship + bench watch
+    "flagship_topk_revenue",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "local_supply_revenue",
+    "returned_revenue_by_customer",
+    # never driver-graded: the r12 registrations + this round's carrier
+    "important_stock_q11",
+    "shipmode_priority_q12",
+    "sql_truncate_lifecycle",
+    "sql_update_lifecycle",
+    # re-grade after de-vacuation (now non-empty at sf0.01)
+    "contamination_benchmark_overlap",
+    # the 32 r9-tier rows queued by the r12 rotation comment
+    "ann_index_maintenance",
+    "bloom_point_lookup",
+    "bracket_revenue_q19",
+    "chunk_documents_overlap",
+    "curation_pipeline_e2e",
+    "data_quality_report",
+    "dedup_image_ingest_index",
+    "dedup_semantic_ann",
+    "dup_ngram_doc_filter",
+    "incremental_distinct_view",
+    "incremental_join_chain_view",
+    "incremental_quantile_view",
+    "incremental_topk_join_view",
+    "incremental_topk_view",
+    "incremental_view_maintenance",
+    "knn_pq_adc",
+    "partition_stats_metadata",
+    "resample_daily_forward_fill",
+    "rolling_zscore_anomalies",
+    "row_lineage_audit",
+    "session_window_events",
+    "small_quantity_revenue_q17",
+    "source_reputation_gate",
+    "sql_time_travel_catalog",
+    "stream_stream_join_events",
+    "streaming_catalog_sync",
+    "streaming_catalog_tail",
+    "streaming_view_maintenance",
+    "table_column_stats",
+    "top_supplier_q15",
+    "view_rewrite_join_navigation",
+    "view_rewrite_navigation",
+    # 8 r10-tier rows nearest this round's touched code
+    "rowlevel_merge_delete",
+    "wap_audit_publish",
+    "snapshot_history_ops",
+    "scan_planning_report",
+    "migration_e2e_report",
+    "sql_api_top_spenders",
+    "min_cost_supplier_q2",
+    "shipping_priority_q3",
+]
+    # ------------------------------------------------------------------
     # ROUND-12 ROTATION (verdict r11 actions #2 and #3, standing
     # longest-ungraded-first policy). Kept for continuity: the
     # flagship + the two bench watch-list dedups + the two bench
@@ -112,62 +193,11 @@ _DRIVER_PRIORITY = [
     # pytest-pinned against a sequential reference).
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
-    "flagship_topk_revenue",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "local_supply_revenue",
-    "returned_revenue_by_customer",
     # the two r11 registrations, never driver-graded
-    "sql_merge_sync",
-    "sql_merge_cdc_apply",
     # re-grade after de-vacuation (now non-empty at sf0.01)
-    "idle_balance_by_nation_q22",
     # the 29 r8-tier rows queued by the r11 rotation comment
-    "filter_sum_revenue",
-    "semijoin_customers_with_open_orders",
-    "asof_snapshot_resolution",
-    "intersect_active_users",
-    "except_en_not_es_texts",
-    "median_value_by_type",
-    "promo_revenue_share",
-    "year_over_year_orders",
-    "churned_buyers_1998",
-    "nation_customer_share",
-    "vector_sql_arith",
-    "dedup_keep_latest_events",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "knn_lsh_bucketed",
-    "text_stats_by_lang",
-    "text_quality_features",
-    "lang_id_rulebased",
-    "multimodal_metadata",
-    "lang_confusion_matrix",
-    "dedup_image_dhash",
-    "incremental_moments_view",
-    "incremental_join_view",
-    "stateful_user_totals",
-    "volume_shipping_q7",
-    "market_share_q8",
-    "supplier_variety_q16",
-    "excess_shipping_q20",
-    "sole_return_supplier_q21",
     # last graded round 9 (13): benched feature-tier carriers + the
     # snapshot-catalog lifecycle rows nearest this round's MERGE work
-    "merge_on_read_lifecycle",
-    "changelog_cdc_stream",
-    "corpus_build_e2e",
-    "schema_evolution_lifecycle",
-    "rollback_and_orphan_cleanup",
-    "branch_write_fast_forward",
-    "multi_table_transaction",
-    "hidden_partition_scan",
-    "position_delete_scan",
-    "partition_evolution_scan",
-    "incremental_catalog_sync",
-    "knn_ivf_persisted",
-    "streaming_dedup_counts",
-]
 # Standing invariants of the window policy: every out-of-window query
 # keeps at least one driver-graded green row and stays pinned by
 # pytest at sf0.001 plus the independent sf0.01 sweep

@@ -3267,3 +3267,107 @@ def sql_truncate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_update_lifecycle",
+    tags=("migration", "sql", "dml"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated,
+       CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+                     ELSE o_custkey END) AS BIGINT) AS sum_cust,
+       TRUE AS mor_no_rewrite,
+       TRUE AS cow_equals_mor,
+       TRUE AS ns_ddl_ok
+FROM orders WHERE o_orderkey % 3 = 0
+""",
+)
+def sql_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE under ``write.update.mode`` end-to-end (r13,
+    `sources/sqlfront` UPDATE dispatch + `snapcat.update_where`
+    merge-on-read branch): CTAS a fixture slice, flip the table to
+    ``write.update.mode=merge-on-read`` via ALTER TABLE SET
+    TBLPROPERTIES, run one SQL UPDATE — the commit must position-
+    delete the matched rows and append the updated versions while
+    carrying every pre-update data file by reference (no rewrite;
+    ≙ Iceberg v2's update strategy switch, the reference-era knob a
+    lakehouse user tunes first because write amplification dominates
+    at 100 TB). A default-mode COW twin runs the identical statement;
+    ``cow_equals_mor`` pins the two strategies produce identical
+    tables. ``ns_ddl_ok`` rides the same carrier: CREATE NAMESPACE
+    IF NOT EXISTS / DROP NAMESPACE round-trip through SHOW NAMESPACES
+    (reference stage-3 parity, 3_create_dst_tables.py:73-77). The
+    oracle recomputes the final state relationally from the fixture."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_upd_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").cast("long").alias("o_custkey")
+        ).createOrReplaceTempView("orders_upd_src")
+        for t in ("mor", "cow"):
+            snapcat_dml(
+                spark, cat,
+                f"CREATE TABLE db.{t} AS SELECT o_orderkey AS ok, "
+                "o_custkey AS cust FROM orders_upd_src WHERE o_orderkey % 3 = 0",
+            )
+        snapcat_dml(
+            spark, cat,
+            "ALTER TABLE db.mor SET TBLPROPERTIES "
+            "('write.update.mode'='merge-on-read')",
+        )
+        files_before = {f.path for f in cat.table("db", "mor").current_snapshot().files}
+        for t in ("mor", "cow"):
+            snapcat_dml(
+                spark, cat,
+                f"UPDATE db.{t} SET cust = cust + 1000000 WHERE ok % 5 = 0",
+            )
+        head = cat.table("db", "mor").current_snapshot()
+        mor_no_rewrite = (
+            head.summary.get("update-mode") == "merge-on-read"
+            and files_before <= {f.path for f in head.files}
+            and bool(head.delete_files)
+            and all(d.kind == "position" for d in head.delete_files)
+        )
+        cow_head = cat.table("db", "cow").current_snapshot()
+        cow_equals_mor = (
+            not cow_head.delete_files  # COW: rewrite, no delete files
+            and cat.table("db", "mor").read(spark)
+            .exceptAll(cat.table("db", "cow").read(spark)).isEmpty()
+            and cat.table("db", "cow").read(spark)
+            .exceptAll(cat.table("db", "mor").read(spark)).isEmpty()
+        )
+        # namespace DDL round-trip on the same catalog
+        snapcat_dml(spark, cat, "CREATE NAMESPACE IF NOT EXISTS aux_ns")
+        have = {
+            r["namespace"]
+            for r in snapcat_dml(spark, cat, "SHOW NAMESPACES").collect()
+        }
+        snapcat_dml(spark, cat, "DROP NAMESPACE aux_ns")
+        gone = {
+            r["namespace"]
+            for r in snapcat_dml(spark, cat, "SHOW NAMESPACES").collect()
+        }
+        ns_ddl_ok = "aux_ns" in have and "aux_ns" not in gone
+        agg = snapcat_sql(
+            spark, cat,
+            "SELECT cast(count(*) AS bigint) AS n_rows, "
+            "cast(sum(CASE WHEN ok % 5 = 0 THEN 1 ELSE 0 END) AS bigint)"
+            " AS n_updated, "
+            "cast(sum(cust) AS bigint) AS sum_cust FROM db.mor",
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(agg["n_rows"], agg["n_updated"], agg["sum_cust"],
+              mor_no_rewrite, cow_equals_mor, ns_ddl_ok)],
+            "n_rows bigint, n_updated bigint, sum_cust bigint, "
+            "mor_no_rewrite boolean, cow_equals_mor boolean, "
+            "ns_ddl_ok boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
