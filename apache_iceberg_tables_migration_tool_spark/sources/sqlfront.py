@@ -306,8 +306,16 @@ _DML_INSERT = re.compile(
     rf"\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+#: one nesting level of parens — partition transforms (`bucket(4, id)`)
+#: and parameterized types (`decimal(10,2)`) never nest deeper
+_NEST1 = r"[^()]*(?:\([^()]*\)[^()]*)*"
+# the canonical Iceberg CTAS spelling: CREATE TABLE db.t [USING iceberg]
+# [PARTITIONED BY (spec,…)] [TBLPROPERTIES ('k'='v',…)] AS <query>
 _DML_CTAS = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+AS\s+(?P<rest>.+)$",
+    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"(?:USING\s+(?P<using>{_IDENT})\s+)?"
+    rf"(?:PARTITIONED\s+BY\s*\((?P<spec>{_NEST1})\)\s*)?"
+    rf"(?:TBLPROPERTIES\s*\((?P<props>[^()]*)\)\s*)?AS\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_MERGE_HEAD = re.compile(
@@ -356,12 +364,10 @@ _DML_RENAME = re.compile(
 )
 
 
-#: one nesting level of parens — partition transforms (`bucket(4, id)`)
-#: and parameterized types (`decimal(10,2)`) never nest deeper
-_NEST1 = r"[^()]*(?:\([^()]*\)[^()]*)*"
 _DML_CREATE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*"
     rf"\((?P<cols>{_NEST1})\)\s*"
+    rf"(?:USING\s+(?P<using>{_IDENT})\s*)?"
     rf"(?:PARTITIONED\s+BY\s*\((?P<spec>{_NEST1})\)\s*)?"
     rf"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1358,6 +1364,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         is_ctas = m.re is _DML_CTAS
         if is_ctas and catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
+        if is_ctas:
+            _check_provider(m.group("using"), f"CREATE TABLE AS: {db}.{tbl}")
         how = "append" if is_ctas else m.group("how").lower()
         rest = m.group("rest")
         ins_cols: list[str] | None = None
@@ -1439,9 +1447,17 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
                 f"INSERT {how.upper()} {db}.{tbl}: a column list needs an "
                 "existing table schema to map onto"
             )
-        snap = catalog.write(
-            db, tbl, df, mode="overwrite" if how == "overwrite" else "append"
+        ctas_spec = (
+            [p.strip() for p in _split_top(m.group("spec")) if p.strip()]
+            if is_ctas and m.group("spec") is not None
+            else None
         )
+        snap = catalog.write(
+            db, tbl, df, mode="overwrite" if how == "overwrite" else "append",
+            partition_by=ctas_spec,
+        )
+        if is_ctas and m.group("props"):
+            catalog.set_properties(db, tbl, _prop_pairs(m.group("props")))
         stmt = "CREATE TABLE AS" if is_ctas else f"INSERT {how.upper()}"
         return _dml_report(spark, stmt, db, tbl, snap)
     masked_q = _mask_literals(query)
@@ -1609,6 +1625,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
         if catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE: {db}.{tbl} already exists")
+        _check_provider(m.group("using"), f"CREATE TABLE: {db}.{tbl}")
         spec = (
             [s.strip() for s in _split_top(m.group("spec")) if s.strip()]
             if m.group("spec") is not None
@@ -1683,6 +1700,18 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     if m:
         return _call_procedure(spark, catalog, query, m)
     return None
+
+
+def _check_provider(using: str | None, ctx: str) -> None:
+    """A USING clause names the table provider; this engine stores
+    parquet under Iceberg-shaped metadata, so `iceberg` and `parquet`
+    are the honest spellings — anything else (csv, delta, jdbc) must
+    fail loud, not silently materialize a different format."""
+    if using is not None and using.lower() not in ("iceberg", "parquet"):
+        raise ValueError(
+            f"{ctx}: unsupported provider USING {using} "
+            "(this catalog stores iceberg/parquet tables)"
+        )
 
 
 def _prop_pairs(text: str) -> dict[str, str]:

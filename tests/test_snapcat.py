@@ -1367,6 +1367,27 @@ def test_update_where_mor(spark, cat):
     assert {r["id"]: r["v"] for r in tbl.read(spark).collect()} == got
 
 
+def test_update_where_mor_changelog(spark, cat):
+    # a MOR update commit reads in the changelog exactly like its COW
+    # twin: delete(old version) + insert(new version), nothing else —
+    # added files are the inserts, the new position-delete file
+    # surfaces the hidden parent rows as deletes
+    cat.write("db", "t", spark.range(6).select("id", (F.col("id") * 2).alias("v")),
+              committed_at=T[0])
+    snap = cat.update_where("db", "t", "id >= 4", {"v": "v + 100"},
+                            committed_at=T[1], mode="merge-on-read")
+    cl = cat.table("db", "t").changelog(spark, None, snap.snapshot_id)
+    got = {
+        (r["_commit_snapshot_id"], r["_change_type"], r["id"], r["v"])
+        for r in cl.collect()
+    }
+    assert got == {
+        *{(1, "insert", i, i * 2) for i in range(6)},
+        (2, "delete", 4, 8), (2, "delete", 5, 10),
+        (2, "insert", 4, 108), (2, "insert", 5, 110),
+    }
+
+
 def test_mor_compact_materializes_and_changelog(spark, cat):
     cat.write("db", "t", spark.range(10).select("id", (F.col("id") * 2).alias("v")),
               committed_at=T[0])

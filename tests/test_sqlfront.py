@@ -1886,6 +1886,63 @@ def test_delete_from_honors_write_delete_mode(spark, tmp_path):
     assert c2.table("db", "t").read(spark).count() == 1
 
 
+def test_ctas_using_partitioned_tblproperties(spark, tmp_path):
+    # the canonical Iceberg CTAS spelling: CREATE TABLE … USING iceberg
+    # PARTITIONED BY (<transform>) TBLPROPERTIES (…) AS SELECT — the
+    # spec must survive creation and the properties must land
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(12)], "id int, user string"
+    ).createOrReplaceTempView("ctas_src")
+    out = snapcat_execute(
+        spark, c,
+        "CREATE TABLE db.t USING iceberg PARTITIONED BY (bucket(4, id)) "
+        "TBLPROPERTIES ('owner'='ml', 'write.delete.mode'='merge-on-read') "
+        "AS SELECT id, user FROM ctas_src",
+    ).collect()
+    assert out[0]["statement"] == "CREATE TABLE AS"
+    t = c.table("db", "t")
+    assert t.read(spark).count() == 12
+    assert t.properties().get("owner") == "ml"
+    assert "bucket" in ",".join(t.current_snapshot().partition_spec)
+    # the property is live: SQL DELETE goes merge-on-read
+    snapcat_execute(spark, c, "DELETE FROM db.t WHERE id = 3")
+    assert t.current_snapshot().delete_files
+    # plain CTAS still works; subquery with parens + AS aliases inside
+    snapcat_execute(
+        spark, c,
+        "CREATE TABLE db.plain AS SELECT id AS k, upper(user) AS u "
+        "FROM (SELECT * FROM ctas_src WHERE id < 4)",
+    )
+    assert c.table("db", "plain").read(spark).count() == 4
+    # partition-only form, no USING / props
+    snapcat_execute(
+        spark, c,
+        "CREATE TABLE db.bydate PARTITIONED BY (user) AS "
+        "SELECT id, user FROM ctas_src",
+    )
+    assert c.table("db", "bydate").current_snapshot().partition_spec == ["user"]
+    # a non-iceberg provider must fail loud, not silently re-format
+    with pytest.raises(ValueError, match="unsupported provider"):
+        snapcat_execute(
+            spark, c, "CREATE TABLE db.x USING csv AS SELECT 1 AS a"
+        )
+    # USING on the column-list CREATE form too
+    snapcat_execute(
+        spark, c,
+        "CREATE TABLE db.cols (id int, v string) USING iceberg "
+        "PARTITIONED BY (id)",
+    )
+    assert c.table("db", "cols").partition_spec() == ["id"]
+    with pytest.raises(ValueError, match="unsupported provider"):
+        snapcat_execute(spark, c, "CREATE TABLE db.y (id int) USING delta")
+
+
 def test_namespace_ddl_lifecycle(spark, tmp_path):
     # CREATE/DROP NAMESPACE SQL forms (reference-parity: its stage 3
     # issues CREATE NAMESPACE IF NOT EXISTS as SQL); DROP defaults to
