@@ -3281,7 +3281,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        TRUE AS mor_no_rewrite,
        TRUE AS cow_equals_mor,
        TRUE AS ns_ddl_ok
-FROM orders WHERE o_orderkey % 3 = 0
+FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
 """,
 )
 def sql_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3298,8 +3298,11 @@ def sql_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cow_equals_mor`` pins the two strategies produce identical
     tables. ``ns_ddl_ok`` rides the same carrier: CREATE NAMESPACE
     IF NOT EXISTS / DROP NAMESPACE round-trip through SHOW NAMESPACES
-    (reference stage-3 parity, 3_create_dst_tables.py:73-77). The
-    oracle recomputes the final state relationally from the fixture."""
+    (reference stage-3 parity, 3_create_dst_tables.py:73-77). A final
+    subquery-predicate DELETE (``ok IN (SELECT ok FROM db.tomb)`` —
+    the CDC-tombstone shape, evaluated in query context) prunes both
+    tables before the audit. The oracle recomputes the final state
+    relationally from the fixture."""
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
         snapcat_dml,
         snapcat_sql,
@@ -3335,6 +3338,16 @@ def sql_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             and bool(head.delete_files)
             and all(d.kind == "position" for d in head.delete_files)
         )
+        # subquery-predicate DELETE (tombstone shape) prunes both tables
+        snapcat_dml(
+            spark, cat,
+            "CREATE TABLE db.tomb AS SELECT ok FROM db.mor WHERE ok % 7 = 0",
+        )
+        for t in ("mor", "cow"):
+            snapcat_dml(
+                spark, cat,
+                f"DELETE FROM db.{t} WHERE ok IN (SELECT ok FROM db.tomb)",
+            )
         cow_head = cat.table("db", "cow").current_snapshot()
         cow_equals_mor = (
             not cow_head.delete_files  # COW: rewrite, no delete files

@@ -586,6 +586,55 @@ def _assign_row_ids(meta: dict, new_files: list[DataFile], materialized: bool) -
     meta["next_row_id"] = nxt
 
 
+#: a row-level DML condition containing a subquery — IN (SELECT …),
+#: EXISTS (…), a scalar (SELECT …) comparison — cannot parse in
+#: EXPRESSION context (F.expr); it needs query context
+_COND_SUBQUERY = re.compile(r"\(\s*(?:SELECT|WITH)\b", re.IGNORECASE)
+
+
+def _with_match(
+    spark: SparkSession, df: DataFrame, cond, alias: str | None = None
+) -> DataFrame:
+    """``df`` plus a boolean ``__match`` column evaluating the
+    row-level DML condition (never null: NULL-evaluating rows don't
+    match, per SQL DELETE/UPDATE semantics). A string condition
+    containing a subquery is evaluated in QUERY context — the scan
+    registers as a temp view and Catalyst plans the subquery as a
+    join/semi-join exactly like a top-level query (≙ Spark/Iceberg
+    ``DELETE FROM t WHERE id IN (SELECT …)``); table references
+    inside the subquery must already be bound (the SQL front-end
+    rewrites catalog tables to views before the condition reaches
+    here). ``alias`` names the scan in that query (the TARGET table
+    name) so a correlated subquery can reference the outer row as
+    ``t.col``, exactly as it would in ``DELETE FROM db.t WHERE EXISTS
+    (… WHERE x.k = t.k)``. Everything else stays on the expression
+    fast path."""
+    if "__match" in df.columns:
+        # a data column named __match would be silently clobbered and
+        # then dropped from the rewrite — refuse instead
+        raise ValueError(
+            "row-level DELETE/UPDATE: the table has a column named "
+            "'__match', which collides with the engine's match marker"
+        )
+    if isinstance(cond, str) and _COND_SUBQUERY.search(cond):
+        v = f"__dml_scan_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(v)
+        as_alias = f" AS {_quote_ident(alias)}" if alias else ""
+        try:
+            # spark.sql analyzes eagerly — the resolved plan survives
+            # the view drop below
+            return spark.sql(
+                f"SELECT *, coalesce(({cond}), false) AS __match "
+                f"FROM {v}{as_alias}"
+            )
+        finally:
+            spark.catalog.dropTempView(v)
+    c = F.expr(cond) if isinstance(cond, str) else cond
+    return df.withColumn(
+        "__match", F.coalesce(c.cast("boolean"), F.lit(False))
+    )
+
+
 _PATH_STAT_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.StringType,
@@ -3810,7 +3859,11 @@ class SnapCatalog:
         summary_extra: dict[str, str] | None = None,
     ) -> Snapshot:
         """Row-level DELETE by predicate. ``condition`` is a Column or
-        SQL string.
+        SQL string; a string containing a subquery (``id IN (SELECT
+        …)``, correlated ``EXISTS`` naming the target table, a scalar
+        ``(SELECT …)`` comparison) is evaluated in query context —
+        table references inside it must already be bound to temp
+        views (the SQL front-end does this; see ``_with_match``).
 
         ``mode="copy-on-write"`` (default): only files containing at
         least one matching row are rewritten (without the matching
@@ -3834,15 +3887,19 @@ class SnapCatalog:
         prev = tbl.current_snapshot()
         if prev is None:
             raise LookupError(f"table {database}.{name} does not exist")
-        cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode == "merge-on-read":
             with _commit_lock(tbl.root):
                 prev = tbl.current_snapshot()  # re-read under the lock
-                cur = tbl._read_files(
-                    spark, prev, [f.path for f in prev.files],
-                    with_file_path=True, with_pos=True, apply_deletes=True,
+                cur = _with_match(
+                    spark,
+                    tbl._read_files(
+                        spark, prev, [f.path for f in prev.files],
+                        with_file_path=True, with_pos=True, apply_deletes=True,
+                    ),
+                    condition,
+                    alias=name,
                 )
-                matched = cur.where(cond).select(
+                matched = cur.where("__match").select(
                     _root_rel_col(tbl.root).alias("file_path"),
                     F.col("__pos").alias("pos"),
                 )
@@ -3885,12 +3942,18 @@ class SnapCatalog:
                 return snap
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
-            cur = tbl._read_files(
-                spark, prev, [f.path for f in prev.files],
-                with_file_path=True, apply_deletes=True, with_lineage=True,
+            cur = _with_match(
+                spark,
+                tbl._read_files(
+                    spark, prev, [f.path for f in prev.files],
+                    with_file_path=True, apply_deletes=True, with_lineage=True,
+                ),
+                condition,
+                alias=name,
             )
             affected_abs = [
-                r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
+                r["__file"]
+                for r in cur.where("__match").select("__file").distinct().collect()
             ]
             affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
             if not affected_rel:  # no-op delete still commits (audit trail)
@@ -3902,13 +3965,14 @@ class SnapCatalog:
             # survivors carry their lineage into the rewrite (carry-over
             # rows keep id AND last-updated commit, Iceberg v3 rule).
             # SQL DELETE removes rows where the predicate is TRUE —
-            # NULL-evaluating rows SURVIVE (~NULL is NULL, so a bare
-            # ~cond would silently drop them from rewritten files while
-            # identical rows in untouched files lived on)
+            # NULL-evaluating rows SURVIVE (__match coalesces NULL to
+            # false, so ~__match keeps them; a bare ~cond would
+            # silently drop them from rewritten files while identical
+            # rows in untouched files lived on)
             survivors = (
                 cur.where(F.col("__file").isin(list(affected_abs)))
-                .where(~F.coalesce(cond, F.lit(False)))
-                .drop("__file")
+                .where(~F.col("__match"))
+                .drop("__file", "__match")
             )
             sid = _next_id(tbl._load_meta(expand=False))
             new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
@@ -4237,7 +4301,9 @@ class SnapCatalog:
         mode: str = "copy-on-write",
     ) -> Snapshot:
         """Row-level UPDATE (≙ Iceberg ``UPDATE t SET … WHERE …``,
-        strategy switched by ``write.update.mode``).
+        strategy switched by ``write.update.mode``). ``condition``
+        takes the same forms as :meth:`delete_where`, including
+        subquery predicates.
 
         ``mode="copy-on-write"`` (default): only files containing at
         least one matching row are rewritten, with ``assignments``
@@ -4264,7 +4330,6 @@ class SnapCatalog:
         prev = tbl.current_snapshot()
         if prev is None:
             raise LookupError(f"table {database}.{name} does not exist")
-        cond = F.expr(condition) if isinstance(condition, str) else condition
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
@@ -4276,15 +4341,20 @@ class SnapCatalog:
         if mode == "merge-on-read":
             with _commit_lock(tbl.root):
                 prev = tbl.current_snapshot()  # re-read under the lock
-                cur = tbl._read_files(
-                    spark, prev, [f.path for f in prev.files],
-                    with_file_path=True, with_pos=True,
-                    apply_deletes=True, with_lineage=True,
+                cur = _with_match(
+                    spark,
+                    tbl._read_files(
+                        spark, prev, [f.path for f in prev.files],
+                        with_file_path=True, with_pos=True,
+                        apply_deletes=True, with_lineage=True,
+                    ),
+                    condition,
+                    alias=name,
                 )
                 # one scan feeds both writes (delete positions + new
                 # row versions) — persist so cond isn't evaluated over
                 # the table twice
-                matched = cur.where(cond).persist()
+                matched = cur.where("__match").persist()
                 try:
                     meta = tbl._load_meta(expand=False)
                     sid = _next_id(meta)
@@ -4351,12 +4421,18 @@ class SnapCatalog:
                 return snap
         with _commit_lock(tbl.root):
             prev = tbl.current_snapshot()  # re-read under the lock
-            cur = tbl._read_files(
-                spark, prev, [f.path for f in prev.files],
-                with_file_path=True, apply_deletes=True, with_lineage=True,
+            cur = _with_match(
+                spark,
+                tbl._read_files(
+                    spark, prev, [f.path for f in prev.files],
+                    with_file_path=True, apply_deletes=True, with_lineage=True,
+                ),
+                condition,
+                alias=name,
             )
             affected_abs = [
-                r["__file"] for r in cur.where(cond).select("__file").distinct().collect()
+                r["__file"]
+                for r in cur.where("__match").select("__file").distinct().collect()
             ]
             affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
             if not affected_rel:  # no-op update still commits (audit trail)
@@ -4367,17 +4443,18 @@ class SnapCatalog:
             sid = _next_id(tbl._load_meta(expand=False))
             # updated rows keep their _row_id but bump _last_updated_seq
             # to this commit; carried rows keep both (Iceberg v3)
+            m = F.col("__match")
             rewritten = cur.where(F.col("__file").isin(list(affected_abs))).select(
                 *[
                     (
-                        F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                        F.when(m, exprs[c]).otherwise(F.col(c)).alias(c)
                         if c in exprs
                         else F.col(c)
                     )
                     for c in schema_cols
                 ],
                 F.col("_row_id"),
-                F.when(cond, F.lit(sid).cast("long"))
+                F.when(m, F.lit(sid).cast("long"))
                 .otherwise(F.col("_last_updated_seq"))
                 .alias("_last_updated_seq"),
             )

@@ -142,7 +142,22 @@ def snapcat_sql(
     pins: dict[str, int] | None = None,
 ) -> DataFrame:
     """Run ``query`` with every ``db.table`` reference bound to
-    ``catalog`` (see module docstring). Supports::
+    ``catalog`` — see :func:`_bind_catalog_refs` for the supported
+    reference forms."""
+    return spark.sql(_bind_catalog_refs(spark, catalog, query, pins))
+
+
+def _bind_catalog_refs(
+    spark: SparkSession,
+    catalog,
+    query: str,
+    pins: dict[str, int] | None = None,
+) -> str:
+    """Rewrite ``query`` so every ``db.table`` reference naming an
+    EXISTING catalog table is bound to a temp view of that table's
+    data (see module docstring) and return the rewritten text — the
+    read path runs it whole; DML paths use it to bind the catalog
+    references inside a subquery-bearing WHERE condition. Supports::
 
         SELECT * FROM db.t
         SELECT * FROM db.t VERSION AS OF 3          -- snapshot id
@@ -289,7 +304,7 @@ def snapcat_sql(
                 pos = m.end()
         out.append(rewritten[pos:])
         rewritten = "".join(out)
-    return spark.sql(rewritten)
+    return rewritten
 
 
 # ---------------------------------------------------------------------------
@@ -1310,6 +1325,26 @@ def _merge_execute(
     return _dml_report(spark, "MERGE", db, tbl, snap)
 
 
+#: subquery opener inside a DML WHERE condition (masked scan — a
+#: string literal containing "(select" never matches)
+_COND_SUBQUERY = re.compile(r"\(\s*(?:SELECT|WITH)\b", re.IGNORECASE)
+
+
+def _dml_cond(spark: SparkSession, catalog, cond: str | None) -> str:
+    """Prepare a DELETE/UPDATE WHERE condition for the engine. A
+    condition carrying a subquery (``id IN (SELECT …)``, ``EXISTS
+    (…)``, a scalar ``(SELECT …)`` comparison — the CDC tombstone /
+    GDPR-erasure shapes) gets its catalog table references bound to
+    temp views here, so the engine can evaluate it in query context
+    (``snapcat._with_match``); plain predicates pass through
+    untouched."""
+    if cond is None:
+        return "true"
+    if _COND_SUBQUERY.search(_mask_literals(cond)):
+        return _bind_catalog_refs(spark, catalog, cond)
+    return cond
+
+
 def _dml_report(spark: SparkSession, op: str, db: str, tbl: str, snap) -> DataFrame:
     return spark.createDataFrame(
         [(op, f"{db}.{tbl}", snap.snapshot_id, snap.operation)],
@@ -1480,6 +1515,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
                 raise ValueError(f"UPDATE SET: cannot parse {part!r}")
             sets[_unquote(col.strip())] = expr.strip()
         udb, utbl = _unquote(orig("db")), _unquote(orig("tbl"))
+        ucond = _dml_cond(spark, catalog, orig("cond"))
         ut = catalog.table(udb, utbl)
         # Iceberg's row-level-strategy switch for UPDATE (completing
         # the mode family: MERGE write.merge.mode, DELETE
@@ -1491,9 +1527,7 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             if ut.exists()
             else "copy-on-write"  # update_where raises its LookupError
         )
-        snap = catalog.update_where(
-            udb, utbl, orig("cond") or "true", sets, mode=umode
-        )
+        snap = catalog.update_where(udb, utbl, ucond, sets, mode=umode)
         return _dml_report(spark, "UPDATE", udb, utbl, snap)
     m = _DML_DELETE.match(query)
     if m:
@@ -1508,7 +1542,9 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             if t.exists()
             else "copy-on-write"  # delete_where raises its LookupError
         )
-        snap = catalog.delete_where(db, tbl, m.group("cond") or "true", mode=mode)
+        snap = catalog.delete_where(
+            db, tbl, _dml_cond(spark, catalog, m.group("cond")), mode=mode
+        )
         return _dml_report(spark, "DELETE", db, tbl, snap)
     m = _DML_TRUNCATE.match(query)
     if m:

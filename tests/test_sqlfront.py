@@ -1886,6 +1886,74 @@ def test_delete_from_honors_write_delete_mode(spark, tmp_path):
     assert c2.table("db", "t").read(spark).count() == 1
 
 
+def test_dml_subquery_predicates(spark, tmp_path):
+    # DELETE/UPDATE WHERE with subqueries — the CDC-tombstone / GDPR
+    # erasure shapes Spark and Iceberg both support: IN (SELECT …),
+    # correlated EXISTS naming the target, scalar (SELECT …)
+    # comparisons, ANSI NOT IN null semantics; both row-level modes
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "id int, v int"))
+    c.write("db", "tomb", spark.createDataFrame([(1,), (3,)], "id int"))
+    snapcat_execute(
+        spark, c, "DELETE FROM db.t WHERE id IN (SELECT id FROM db.tomb)"
+    )
+    assert sorted(r["id"] for r in c.table("db", "t").read(spark).collect()) \
+        == [0, 2, 4, 5, 6, 7]
+    # correlated EXISTS referencing the TARGET by its table name
+    snapcat_execute(
+        spark, c,
+        "DELETE FROM db.t WHERE EXISTS "
+        "(SELECT 1 FROM db.tomb WHERE db.tomb.id + 4 = t.id)",
+    )
+    assert sorted(r["id"] for r in c.table("db", "t").read(spark).collect()) \
+        == [0, 2, 4, 6]
+    # scalar subquery in UPDATE
+    snapcat_execute(
+        spark, c,
+        "UPDATE db.t SET v = -1 WHERE id > (SELECT max(id) FROM db.tomb)",
+    )
+    got = {r["id"]: r["v"] for r in c.table("db", "t").read(spark).collect()}
+    assert got == {0: 0, 2: 20, 4: -1, 6: -1}
+    # ANSI NOT IN against a null-bearing set matches nothing
+    c.write("db", "tomb2", spark.createDataFrame([(2,), (None,)], "id int"))
+    snapcat_execute(
+        spark, c, "DELETE FROM db.t WHERE id NOT IN (SELECT id FROM db.tomb2)"
+    )
+    assert c.table("db", "t").read(spark).count() == 4
+    # merge-on-read modes take the same conditions (position deletes,
+    # no rewrite)
+    c.set_properties("db", "t", {
+        "write.delete.mode": "merge-on-read",
+        "write.update.mode": "merge-on-read",
+    })
+    files_before = {f.path for f in c.table("db", "t").current_snapshot().files}
+    snapcat_execute(
+        spark, c,
+        "UPDATE db.t SET v = 5 WHERE id IN (SELECT min(id) FROM db.tomb2)",
+    )
+    snapcat_execute(
+        spark, c, "DELETE FROM db.t WHERE id IN (SELECT id + 1 FROM db.tomb)"
+    )
+    head = c.table("db", "t").current_snapshot()
+    assert files_before <= {f.path for f in head.files}
+    assert {d.kind for d in head.delete_files} == {"position"}
+    # UPDATE hit id=2 (v=5), DELETE then removed ids {2, 4}
+    got = {r["id"]: r["v"] for r in c.table("db", "t").read(spark).collect()}
+    assert got == {0: 0, 6: -1}
+    # string literal containing "(select" is NOT a subquery
+    snapcat_execute(
+        spark, c,
+        "DELETE FROM db.t WHERE cast(id AS string) = '(select nope)'",
+    )
+    assert c.table("db", "t").read(spark).count() == 2
+
+
 def test_ctas_using_partitioned_tblproperties(spark, tmp_path):
     # the canonical Iceberg CTAS spelling: CREATE TABLE … USING iceberg
     # PARTITIONED BY (<transform>) TBLPROPERTIES (…) AS SELECT — the
