@@ -2851,25 +2851,89 @@ class SnapCatalog:
                 return
             raise LookupError(f"namespace {database!r} does not exist")
         tables = self.list_tables(database)
+        views = self.list_views(database)
         foreign = self.list_foreign_entries(database)
         if foreign:
             raise ValueError(
                 f"namespace {database!r} holds non-catalog entries "
                 f"{foreign} — remove them out-of-band first"
             )
-        if tables and not cascade:
+        if (tables or views) and not cascade:
             raise ValueError(
                 f"namespace {database!r} is not empty (tables: "
-                f"{', '.join(tables)}); drop them first or use CASCADE"
+                f"{', '.join(tables) or '-'}; views: "
+                f"{', '.join(views) or '-'}); drop them first or use CASCADE"
             )
         for t in tables:
             self.drop_table(database, t)
+        for v in views:
+            self.drop_view(database, v)
+        shutil.rmtree(os.path.join(self.warehouse, "_views", database),
+                      ignore_errors=True)
         shutil.rmtree(dbdir)
 
     def list_namespaces(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.warehouse)
             if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    # ---- SQL views (≙ the Iceberg view spec: a catalog object that
+    # stores QUERY TEXT, re-planned against current table state at
+    # every read — never materialized data) ---------------------------
+
+    def _view_path(self, database: str, name: str) -> str:
+        # views live under the warehouse-level _views/ tree, NOT inside
+        # the database directory: they must not read as foreign entries
+        # to list_foreign_entries / drop_namespace, and SHOW NAMESPACES
+        # already filters _-prefixed directories
+        return os.path.join(self.warehouse, "_views", database, f"{name}.json")
+
+    def create_view(
+        self, database: str, name: str, sql_text: str, replace: bool = False
+    ) -> None:
+        """``CREATE [OR REPLACE] VIEW``: store the view's SQL text.
+        Refuses to shadow an existing TABLE (views and tables share
+        the ``db.name`` namespace; table resolution wins on the read
+        path, so a silent create here would produce a view that can
+        never be read)."""
+        if name in self.list_tables(database):
+            raise ValueError(
+                f"CREATE VIEW: {database}.{name} is an existing TABLE"
+            )
+        p = self._view_path(database, name)
+        if not replace and os.path.exists(p):
+            raise ValueError(f"view {database}.{name} already exists")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"sql": sql_text, "created_at": _utcnow_iso()}, f)
+        os.replace(tmp, p)  # atomic swap, same as metadata commits
+
+    def view_text(self, database: str, name: str) -> str | None:
+        """The stored SQL of a view, or None if no such view."""
+        p = self._view_path(database, name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["sql"]
+
+    def drop_view(
+        self, database: str, name: str, missing_ok: bool = False
+    ) -> None:
+        p = self._view_path(database, name)
+        if not os.path.exists(p):
+            if missing_ok:
+                return
+            raise LookupError(f"view {database}.{name} does not exist")
+        os.remove(p)
+
+    def list_views(self, database: str) -> list[str]:
+        d = os.path.join(self.warehouse, "_views", database)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[:-5] for f in os.listdir(d) if f.endswith(".json")
         )
 
     def list_tables(self, database: str) -> list[str]:

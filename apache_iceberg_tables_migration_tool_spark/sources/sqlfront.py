@@ -152,12 +152,16 @@ def _bind_catalog_refs(
     catalog,
     query: str,
     pins: dict[str, int] | None = None,
+    _view_stack: tuple = (),
 ) -> str:
     """Rewrite ``query`` so every ``db.table`` reference naming an
-    EXISTING catalog table is bound to a temp view of that table's
-    data (see module docstring) and return the rewritten text — the
-    read path runs it whole; DML paths use it to bind the catalog
-    references inside a subquery-bearing WHERE condition. Supports::
+    EXISTING catalog table — or catalog VIEW (≙ the Iceberg view
+    spec: stored query text, re-planned against current table state
+    at every read; resolved recursively, cycles rejected) — is bound
+    to a temp view of its data (see module docstring) and return the
+    rewritten text — the read path runs it whole; DML paths use it to
+    bind the catalog references inside a subquery-bearing WHERE
+    condition. Supports::
 
         SELECT * FROM db.t
         SELECT * FROM db.t VERSION AS OF 3          -- snapshot id
@@ -190,10 +194,44 @@ def _bind_catalog_refs(
             return query[m.start(name):m.end(name)] if m.start(name) != -1 else None
 
         db, tbl = _unquote(g("db")), _unquote(g("tbl"))
-        if not _is_table(db, tbl):
-            return query[m.start():m.end()]
         meta, ver, ts = g("meta"), g("ver"), g("ts")
         lo, hi = g("lo"), g("hi")
+        if not _is_table(db, tbl):
+            vtext = catalog.view_text(db, tbl) if hasattr(catalog, "view_text") else None
+            if vtext is None:
+                return query[m.start():m.end()]
+            # a catalog VIEW: recursively bind its stored text and
+            # register the planned result under a temp-view name
+            if lo is not None and (meta or "").lower() not in (
+                "changes", "incremental"
+            ):
+                # expression false-positive (`x BETWEEN a AND b`), same
+                # rule as the table path below — leave it alone
+                return query[m.start():m.end()]
+            if ver is not None or ts is not None or meta:
+                raise ValueError(
+                    f"{db}.{tbl} is a VIEW — time travel, metadata "
+                    "tables and CDC suffixes apply to tables only"
+                )
+            key = (db, tbl, "__view__", None, None, None, None)
+            if key in views:
+                return f"{g('kw')}{views[key]}"
+            if (db, tbl) in _view_stack:
+                chain = " -> ".join(f"{d}.{t}" for d, t in _view_stack)
+                raise ValueError(
+                    f"view cycle: {chain} -> {db}.{tbl}"
+                )
+            inner = _bind_catalog_refs(
+                spark, catalog, vtext, pins, _view_stack + ((db, tbl),)
+            )
+            vdf = spark.sql(inner)
+            vname = re.sub(
+                r"[^A-Za-z0-9_]", "_",
+                f"__snapcat_view_{db}_{tbl}_{len(views) + 1}",
+            )
+            views[key] = vname
+            vdf.createOrReplaceTempView(vname)
+            return f"{g('kw')}{vname}"
         if lo is not None and (meta or "").lower() not in ("changes", "incremental"):
             # a BETWEEN range only makes sense on the CDC suffixes; a
             # relation can't be followed by BETWEEN in legal SQL, so
@@ -368,6 +406,22 @@ _DML_DROP_NS = re.compile(
     rf"(?:\s+(?P<mode>CASCADE|RESTRICT))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# SQL views (≙ the Iceberg view spec): stored query text, re-planned
+# against current table state at every read
+_DML_CREATE_VIEW = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+AS\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_DROP_VIEW = re.compile(
+    rf"^\s*DROP\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_SHOW_VIEWS = re.compile(
+    rf"^\s*SHOW\s+VIEWS\s+IN\s+(?P<db>{_QIDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_TRUNCATE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*;?\s*$",
     re.IGNORECASE,
@@ -390,6 +444,18 @@ _DML_CREATE = re.compile(
 _DML_ALTER_ADD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
     rf"ADD\s+COLUMNS?\s+(?P<cols>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# Iceberg partition evolution as SQL: ALTER TABLE t ADD/DROP PARTITION
+# FIELD <identity col | transform(col)>, REPLACE … WITH …
+_DML_ALTER_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"(?P<op>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<field>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_ALTER_PART_REPL = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"REPLACE\s+PARTITION\s+FIELD\s+(?P<old>.+?)\s+WITH\s+(?P<new>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_ALTER_DROP = re.compile(
@@ -1377,6 +1443,10 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
           ``write.merge.mode`` property; see _merge_execute)
         CREATE TABLE db.t (<ddl cols>) [PARTITIONED BY (spec,…)]
           [TBLPROPERTIES ('k'='v',…)]  → create_table (G2-correct)
+        CREATE [OR REPLACE] VIEW db.v AS <select> | DROP VIEW
+          [IF EXISTS] db.v | SHOW VIEWS IN db → catalog views
+          (≙ Iceberg view spec: stored text, re-planned per read,
+          resolved recursively in any query; cycles reject)
         CREATE NAMESPACE|DATABASE|SCHEMA [IF NOT EXISTS] db
           → create_namespace (the reference's stage-3 SQL form)
         DROP NAMESPACE|DATABASE|SCHEMA [IF EXISTS] db [CASCADE|RESTRICT]
@@ -1384,6 +1454,9 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         ALTER TABLE db.t ADD COLUMNS (c type,…) | DROP COLUMN c
           | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t
           → alter_table (metadata-only schema evolution)
+        ALTER TABLE db.t ADD|DROP PARTITION FIELD <col|transform(col)>
+          | REPLACE PARTITION FIELD <f> WITH <g>
+          → alter_partition_spec (metadata-only partition evolution)
         ALTER TABLE db.t [UN]SET TBLPROPERTIES (…) → set_properties
         SHOW TBLPROPERTIES db.t | SHOW CREATE TABLE db.t (round-trip
           DDL) | SHOW PARTITIONS db.t → introspection tables
@@ -1399,6 +1472,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         is_ctas = m.re is _DML_CTAS
         if is_ctas and catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
+        if is_ctas and catalog.view_text(db, tbl) is not None:
+            raise ValueError(f"CREATE TABLE AS: {db}.{tbl} is an existing VIEW")
         if is_ctas:
             _check_provider(m.group("using"), f"CREATE TABLE AS: {db}.{tbl}")
         how = "append" if is_ctas else m.group("how").lower()
@@ -1429,6 +1504,10 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         if not is_ctas and not t.exists():
             # ANSI: INSERT never creates — a typo'd name must fail
             # loud, not silently materialize a new table
+            if catalog.view_text(db, tbl) is not None:
+                raise ValueError(
+                    f"INSERT {how.upper()}: {db}.{tbl} is a VIEW (read-only)"
+                )
             raise LookupError(
                 f"INSERT {how.upper()}: {db}.{tbl} does not exist "
                 "(use CREATE TABLE ... AS to create)"
@@ -1563,6 +1642,34 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             [("DROP TABLE", f"{db}.{tbl}")],
             "statement string, table string",
         )
+    m = _DML_CREATE_VIEW.match(query)
+    if m:
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        body = m.group("rest").strip().rstrip(";").strip()
+        # validate NOW (plan the body once) so a typo'd view fails at
+        # CREATE, not at first read; only the TEXT is stored — the
+        # view re-plans against current table state on every read
+        snapcat_sql(spark, catalog, body)
+        catalog.create_view(
+            db, tbl, body, replace=m.group("replace") is not None
+        )
+        return spark.createDataFrame(
+            [("CREATE VIEW", f"{db}.{tbl}")], "statement string, view string"
+        )
+    m = _DML_DROP_VIEW.match(query)
+    if m:
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        catalog.drop_view(db, tbl, missing_ok=m.group("ie") is not None)
+        return spark.createDataFrame(
+            [("DROP VIEW", f"{db}.{tbl}")], "statement string, view string"
+        )
+    m = _DML_SHOW_VIEWS.match(query)
+    if m:
+        return spark.createDataFrame(
+            [(_uq(m, "db"), v) for v in catalog.list_views(_uq(m, "db"))]
+            or spark.sparkContext.emptyRDD(),
+            "namespace string, viewName string",
+        )
     m = _DML_CREATE_NS.match(query)
     if m:
         db = _uq(m, "db")
@@ -1661,6 +1768,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
         if catalog.table(db, tbl).exists():
             raise ValueError(f"CREATE TABLE: {db}.{tbl} already exists")
+        if catalog.view_text(db, tbl) is not None:
+            raise ValueError(f"CREATE TABLE: {db}.{tbl} is an existing VIEW")
         _check_provider(m.group("using"), f"CREATE TABLE: {db}.{tbl}")
         spec = (
             [s.strip() for s in _split_top(m.group("spec")) if s.strip()]
@@ -1694,6 +1803,61 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         return _dml_report(
             spark, "ALTER TABLE ALTER COLUMN TYPE", _uq(m, "db"), _uq(m, "tbl"), snap
         )
+    m = _DML_ALTER_PART_REPL.match(query) or _DML_ALTER_PART.match(query)
+    if m:
+        # partition evolution (≙ Iceberg ALTER TABLE … ADD/DROP/REPLACE
+        # PARTITION FIELD): compute the new FULL spec from the current
+        # one and commit it metadata-only via alter_partition_spec —
+        # existing files keep their own layout, future writes follow
+        # the new spec
+        from apache_iceberg_tables_migration_tool_spark.sources.snapcat import (
+            parse_spec_field,
+        )
+
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        t = catalog.table(db, tbl)
+        if not t.exists():
+            raise LookupError(
+                f"ALTER TABLE PARTITION FIELD: {db}.{tbl} does not exist"
+            )
+
+        def skey(txt: str) -> tuple:
+            f = parse_spec_field(_unquote(txt.strip()))
+            return (f.kind, _unquote(f.source), f.param)
+
+        cur = t.partition_spec()
+        cur_keys = [skey(s) for s in cur]
+        if m.re is _DML_ALTER_PART_REPL:
+            old_k = skey(m.group("old"))
+            if old_k not in cur_keys:
+                raise ValueError(
+                    f"REPLACE PARTITION FIELD: {m.group('old').strip()!r} "
+                    f"is not in the current spec {cur}"
+                )
+            new_spec = [
+                m.group("new").strip() if k == old_k else s
+                for s, k in zip(cur, cur_keys)
+            ]
+            stmt = "ALTER TABLE REPLACE PARTITION FIELD"
+        elif m.group("op").upper() == "ADD":
+            if skey(m.group("field")) in cur_keys:
+                raise ValueError(
+                    f"ADD PARTITION FIELD: {m.group('field').strip()!r} "
+                    "is already in the spec"
+                )
+            new_spec = cur + [m.group("field").strip()]
+            stmt = "ALTER TABLE ADD PARTITION FIELD"
+        else:
+            k = skey(m.group("field"))
+            if k not in cur_keys:
+                raise ValueError(
+                    f"DROP PARTITION FIELD: {m.group('field').strip()!r} "
+                    f"is not in the current spec {cur}"
+                )
+            new_spec = [s for s, ck in zip(cur, cur_keys) if ck != k]
+            stmt = "ALTER TABLE DROP PARTITION FIELD"
+        snap = catalog.alter_partition_spec(db, tbl, new_spec)
+        return _dml_report(spark, stmt, db, tbl, snap)
     m = _DML_ALTER_ADD.match(query)
     if m:
         cols_text = m.group("cols").strip()

@@ -1886,6 +1886,131 @@ def test_delete_from_honors_write_delete_mode(spark, tmp_path):
     assert c2.table("db", "t").read(spark).count() == 1
 
 
+def test_sql_views_lifecycle(spark, tmp_path):
+    # catalog views (≙ Iceberg view spec): CREATE [OR REPLACE] VIEW
+    # stores query TEXT, re-planned against current table state at
+    # every read; views resolve recursively in any query; cycles and
+    # table/view name shadowing reject loudly
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "id int, v int"))
+    snapcat_execute(
+        spark, c, "CREATE VIEW db.big AS SELECT id, v FROM db.t WHERE v >= 30"
+    )
+    got = snapcat_execute(spark, c, "SELECT count(*) AS n FROM db.big").collect()
+    assert got[0]["n"] == 3
+    # NOT materialized: new data is visible through the view
+    snapcat_execute(spark, c, "INSERT INTO db.t VALUES (10, 100)")
+    assert snapcat_execute(
+        spark, c, "SELECT count(*) AS n FROM db.big"
+    ).collect()[0]["n"] == 4
+    # view-on-view + join back to a table
+    snapcat_execute(
+        spark, c,
+        "CREATE VIEW db.bigger AS SELECT b.id, b.v, t2.v AS v2 "
+        "FROM db.big b JOIN db.t t2 ON b.id = t2.id WHERE b.v >= 40",
+    )
+    rows = snapcat_execute(
+        spark, c, "SELECT id, v, v2 FROM db.bigger ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["v"], r["v2"]) for r in rows] == [
+        (4, 40, 40), (5, 50, 50), (10, 100, 100)
+    ]
+    assert {r["viewName"] for r in snapcat_execute(
+        spark, c, "SHOW VIEWS IN db").collect()} == {"big", "bigger"}
+    # OR REPLACE re-points; plain CREATE on an existing view rejects
+    with pytest.raises(ValueError, match="already exists"):
+        snapcat_execute(spark, c, "CREATE VIEW db.big AS SELECT 1 AS x")
+    snapcat_execute(
+        spark, c, "CREATE OR REPLACE VIEW db.big AS SELECT id, v FROM db.t"
+    )
+    assert snapcat_execute(
+        spark, c, "SELECT count(*) AS n FROM db.big"
+    ).collect()[0]["n"] == 7
+    # a typo'd view body fails at CREATE, not first read
+    with pytest.raises(Exception, match="nope|TABLE_OR_VIEW"):
+        snapcat_execute(spark, c, "CREATE VIEW db.bad AS SELECT * FROM db.nope")
+    # name shadowing rejects in BOTH directions
+    with pytest.raises(ValueError, match="existing TABLE"):
+        snapcat_execute(spark, c, "CREATE VIEW db.t AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="existing VIEW"):
+        snapcat_execute(spark, c, "CREATE TABLE db.big AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="existing VIEW"):
+        snapcat_execute(spark, c, "CREATE TABLE db.big (id int)")
+    with pytest.raises(ValueError, match="read-only"):
+        snapcat_execute(spark, c, "INSERT INTO db.big VALUES (1)")
+    # time travel applies to tables only
+    with pytest.raises(ValueError, match="is a VIEW"):
+        snapcat_execute(spark, c, "SELECT * FROM db.big VERSION AS OF 1")
+    # cycles reject (OR REPLACE makes big -> bigger -> big reachable;
+    # the CREATE itself validates against the OLD still-acyclic big)
+    snapcat_execute(
+        spark, c, "CREATE OR REPLACE VIEW db.big AS SELECT id, v FROM db.bigger"
+    )
+    with pytest.raises(ValueError, match="view cycle"):
+        snapcat_execute(spark, c, "SELECT * FROM db.big")
+    # DROP VIEW + IF EXISTS; DROP NAMESPACE treats views as contents
+    snapcat_execute(spark, c, "DROP VIEW db.big")
+    snapcat_execute(spark, c, "DROP VIEW IF EXISTS db.big")
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_execute(spark, c, "DROP VIEW db.big")
+    with pytest.raises(ValueError, match="not empty"):
+        snapcat_execute(spark, c, "DROP NAMESPACE db")
+    snapcat_execute(spark, c, "DROP NAMESPACE db CASCADE")
+    assert c.list_views("db") == [] and c.list_tables("db") == []
+
+
+def test_alter_partition_field_sql(spark, tmp_path):
+    # Iceberg partition evolution as SQL: ADD/DROP/REPLACE PARTITION
+    # FIELD — metadata-only commits; existing files keep their layout,
+    # future writes follow the new spec
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame(
+        [(i, f"u{i % 3}", i % 2) for i in range(12)],
+        "id int, user string, flag int"))
+    snapcat_execute(spark, c, "ALTER TABLE db.t ADD PARTITION FIELD user")
+    assert c.table("db", "t").partition_spec() == ["user"]
+    snapcat_execute(
+        spark, c, "ALTER TABLE db.t ADD PARTITION FIELD bucket(4, id)"
+    )
+    assert c.table("db", "t").partition_spec() == ["user", "bucket(4, id)"]
+    # new writes follow the evolved spec; old files stay readable
+    c.write("db", "t", spark.createDataFrame(
+        [(100, "u9", 0)], "id int, user string, flag int"))
+    assert c.table("db", "t").read(spark).count() == 13
+    snapcat_execute(
+        spark, c,
+        "ALTER TABLE db.t REPLACE PARTITION FIELD bucket(4, id) "
+        "WITH bucket(8, id)",
+    )
+    assert c.table("db", "t").partition_spec() == ["user", "bucket(8, id)"]
+    snapcat_execute(spark, c, "ALTER TABLE db.t DROP PARTITION FIELD user")
+    assert c.table("db", "t").partition_spec() == ["bucket(8, id)"]
+    with pytest.raises(ValueError, match="already in the spec"):
+        snapcat_execute(
+            spark, c, "ALTER TABLE db.t ADD PARTITION FIELD bucket(8, id)"
+        )
+    with pytest.raises(ValueError, match="not in the current spec"):
+        snapcat_execute(spark, c, "ALTER TABLE db.t DROP PARTITION FIELD flag")
+    with pytest.raises(ValueError, match="not in the current spec"):
+        snapcat_execute(
+            spark, c,
+            "ALTER TABLE db.t REPLACE PARTITION FIELD days(id) WITH user",
+        )
+    with pytest.raises(LookupError, match="does not exist"):
+        snapcat_execute(spark, c, "ALTER TABLE db.nope ADD PARTITION FIELD x")
+
+
 def test_dml_subquery_predicates(spark, tmp_path):
     # DELETE/UPDATE WHERE with subqueries — the CDC-tombstone / GDPR
     # erasure shapes Spark and Iceberg both support: IN (SELECT …),
