@@ -237,6 +237,13 @@ _DRIVER_PRIORITY = [
 # composed with conditional clauses, MATCHED-DELETE combinations)
 # rides the sql_merge_sync / sql_merge_cdc_apply carriers graded THIS
 # round. Fill the remaining slots with the oldest r10-tier rows.
+#
+# Queued FIRST for the r14 window: `sql_view_catalog` — registered
+# during round 13 (catalog views ≙ Iceberg view spec: CREATE/DROP
+# VIEW, recursive resolution, re-plan-per-read pinned in-query, plus
+# ALTER TABLE ADD PARTITION FIELD evolution; oracle- and
+# sweep-verified at registration) — then the 36 rows last graded in
+# round 10 under the standing longest-ungraded-first policy.
 
 
 def _apply_driver_priority() -> None:

@@ -3270,6 +3270,105 @@ def sql_truncate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_view_catalog",
+    tags=("migration", "sql", "ddl"),
+    oracle="""
+WITH base AS (
+    SELECT o_custkey AS cust, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 4 = 0
+),
+agg AS (
+    SELECT cust, COUNT(*) AS n_orders
+    FROM base GROUP BY cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_busy,
+       CAST(SUM(n_orders) AS BIGINT) AS orders_covered,
+       TRUE AS view_not_materialized,
+       TRUE AS spec_evolved
+FROM agg WHERE n_orders >= 3
+""",
+)
+def sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog views end-to-end (r13, `sqlfront` CREATE/DROP VIEW +
+    recursive resolution ≙ the Iceberg view spec): CTAS a fixture
+    slice, CREATE VIEW over it, CREATE a second view ON the first
+    (grouped), read through both — then INSERT more rows and read
+    again, proving the view re-plans against CURRENT table state
+    (``view_not_materialized``: the post-insert count through the
+    view equals the post-insert count computed directly). The same
+    carrier evolves the base table's partition spec through ``ALTER
+    TABLE ADD PARTITION FIELD bucket(4, cust)`` and writes under the
+    evolved spec (``spec_evolved``: the spec round-trips and old +
+    new layouts read together). The oracle rebuilds the final grouped
+    state relationally from the fixture."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_dml,
+        snapcat_sql,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_view_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_totalprice").alias("o_totalprice"),
+        ).createOrReplaceTempView("orders_view_src")
+        snapcat_dml(
+            spark, cat,
+            "CREATE TABLE db.base AS SELECT o_custkey AS cust, "
+            "o_totalprice AS price FROM orders_view_src "
+            "WHERE o_orderkey % 8 = 0",  # first half of the % 4 slice
+        )
+        snapcat_dml(
+            spark, cat,
+            "CREATE VIEW db.v_base AS SELECT cust, price FROM db.base",
+        )
+        snapcat_dml(
+            spark, cat,
+            "CREATE VIEW db.v_agg AS SELECT cust, count(*) AS n_orders "
+            "FROM db.v_base GROUP BY cust",
+        )
+        before = snapcat_sql(
+            spark, cat, "SELECT count(*) AS n FROM db.v_base"
+        ).collect()[0]["n"]
+        # partition evolution on the live base table, then write more
+        # rows (the other half of the slice) under the evolved spec —
+        # the view must see them without any re-create
+        snapcat_dml(
+            spark, cat, "ALTER TABLE db.base ADD PARTITION FIELD bucket(4, cust)"
+        )
+        snapcat_dml(
+            spark, cat,
+            "INSERT INTO db.base SELECT o_custkey AS cust, "
+            "o_totalprice AS price FROM orders_view_src "
+            "WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0",
+        )
+        after = snapcat_sql(
+            spark, cat, "SELECT count(*) AS n FROM db.v_base"
+        ).collect()[0]["n"]
+        direct = cat.table("db", "base").read(spark).count()
+        view_not_materialized = before < after and after == direct
+        spec_evolved = (
+            cat.table("db", "base").partition_spec() == ["bucket(4, cust)"]
+        )
+        agg = snapcat_sql(
+            spark, cat,
+            "SELECT cast(count(*) AS bigint) AS n_busy, "
+            "cast(sum(n_orders) AS bigint) AS orders_covered "
+            "FROM db.v_agg WHERE n_orders >= 3",
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(agg["n_busy"], agg["orders_covered"],
+              view_not_materialized, spec_evolved)],
+            "n_busy bigint, orders_covered bigint, "
+            "view_not_materialized boolean, spec_evolved boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "sql_update_lifecycle",
     tags=("migration", "sql", "dml"),
     oracle="""
