@@ -41,10 +41,12 @@ _META = "snapshots|files|history|manifests|partitions|refs|changes|incremental"
 #: masked identifier contents where doubling can't appear)
 _QIDENT = rf"(?:{_IDENT}|`(?:[^`]|``)+`)"
 _REF_RE = re.compile(
+    # VERSION AS OF / TIMESTAMP AS OF plus Spark's ANSI synonyms
+    # FOR SYSTEM_VERSION AS OF / FOR SYSTEM_TIME AS OF
     rf"(?P<kw>\b(?:FROM|JOIN)\s+|,\s*)"
     rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})(?:\.(?P<meta>{_META})\b)?"
-    rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>'[^']*'|\d+)"
-    rf"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*')"
+    rf"(?:\s+(?:FOR\s+SYSTEM_)?VERSION\s+AS\s+OF\s+(?P<ver>'[^']*'|\d+)"
+    rf"|\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+(?P<ts>'[^']*')"
     rf"|\s+BETWEEN\s+(?P<lo>\d+)\s+AND\s+(?P<hi>\d+))?",
     re.IGNORECASE,
 )

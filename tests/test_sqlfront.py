@@ -36,6 +36,15 @@ def test_sql_current_and_version_as_of(spark, cat):
     assert snapcat_sql(
         spark, cat, "SELECT COUNT(*) AS n FROM db.t VERSION AS OF 'mid'"
     ).collect()[0]["n"] == 20
+    # Spark's ANSI synonyms: FOR SYSTEM_VERSION AS OF / FOR SYSTEM_TIME AS OF
+    assert snapcat_sql(
+        spark, cat, "SELECT COUNT(*) AS n FROM db.t FOR SYSTEM_VERSION AS OF 1"
+    ).collect()[0]["n"] == 10
+    assert snapcat_sql(
+        spark, cat,
+        "SELECT COUNT(*) AS n FROM db.t FOR SYSTEM_TIME AS OF "
+        "'2024-06-01T12:00:00+00:00'",
+    ).collect()[0]["n"] == 10
 
 
 def test_sql_timestamp_as_of(spark, cat):
