@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
-_META = "snapshots|files|history|manifests|partitions|refs|changes|incremental"
+_META = (
+    "snapshots|files|history|manifests|partitions|refs|changes|incremental"
+    # Iceberg's identifier-based ref reads: db.t.branch_dev / db.t.tag_v1
+    rf"|branch_{_IDENT}|tag_{_IDENT}"
+)
 #: table references are recognized in relation position only (after
 #: FROM / JOIN / a FROM-list comma) — a bare ``alias.column`` in an
 #: expression is never touched, and the existence check against the
@@ -271,6 +275,10 @@ def _bind_catalog_refs(
                 df = t.changelog(spark, from_id, to_id)
             else:
                 df = t.read_incremental(spark, from_id, to_id)
+        elif meta and meta.lower().startswith(("branch_", "tag_")):
+            # Iceberg's identifier-based ref read: FROM db.t.branch_dev
+            # / db.t.tag_v1 — resolve the named ref (case preserved)
+            df = t.read(spark, ref=meta.split("_", 1)[1])
         elif meta:
             df = {
                 "snapshots": t.snapshots_df,
@@ -358,6 +366,7 @@ def _bind_catalog_refs(
 # path and die with an unrelated Catalyst error. Use-sites unquote.
 _DML_INSERT = re.compile(
     rf"^\s*INSERT\s+(?P<how>INTO|OVERWRITE)\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
+    rf"(?:\.(?P<branch>branch_{_IDENT}))?"  # Iceberg branch write
     rf"\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1427,6 +1436,9 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     (snapshots, changelog, locks, WAP) are the engine's::
 
         INSERT INTO db.t <select>        → write(mode="append")
+        INSERT INTO db.t.branch_dev <select> → write(branch="dev")
+          (Iceberg's identifier-based branch write; reads via
+          FROM db.t.branch_dev / db.t.tag_v1 or VERSION AS OF 'dev')
         INSERT OVERWRITE db.t <select>   → write(mode="overwrite")
         CREATE TABLE db.t AS <select>    → write on a fresh table
         DELETE FROM db.t [WHERE <cond>]  → delete_where
@@ -1568,9 +1580,12 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             if is_ctas and m.group("spec") is not None
             else None
         )
+        # Iceberg branch write: INSERT INTO db.t.branch_dev …
+        branch = m.groupdict().get("branch")
         snap = catalog.write(
             db, tbl, df, mode="overwrite" if how == "overwrite" else "append",
             partition_by=ctas_spec,
+            branch=branch.split("_", 1)[1] if branch else None,
         )
         if is_ctas and m.group("props"):
             catalog.set_properties(db, tbl, _prop_pairs(m.group("props")))

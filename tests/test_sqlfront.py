@@ -1895,6 +1895,38 @@ def test_delete_from_honors_write_delete_mode(spark, tmp_path):
     assert c2.table("db", "t").read(spark).count() == 1
 
 
+def test_branch_tag_identifier_refs(spark, tmp_path):
+    # Iceberg's identifier-based ref syntax: FROM db.t.branch_dev /
+    # db.t.tag_v1 reads the named ref; INSERT INTO db.t.branch_dev
+    # commits onto the branch without moving main
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame([(1,), (2,)], "id int"))
+    c.tag("db", "t", "v1")
+    c.create_branch("db", "t", "dev")
+    snapcat_execute(spark, c, "INSERT INTO db.t.branch_dev VALUES (3), (4)")
+    n = lambda q: snapcat_execute(spark, c, q).collect()[0]["n"]
+    assert n("SELECT count(*) AS n FROM db.t") == 2  # main unmoved
+    assert n("SELECT count(*) AS n FROM db.t.branch_dev") == 4
+    assert n("SELECT count(*) AS n FROM db.t.tag_v1") == 2
+    # branch read joins with a main read in one statement
+    out = snapcat_execute(
+        spark, c,
+        "SELECT count(*) AS n FROM db.t.branch_dev b "
+        "LEFT ANTI JOIN db.t m ON b.id = m.id",
+    ).collect()
+    assert out[0]["n"] == 2  # the two branch-only rows
+    with pytest.raises(LookupError):
+        snapcat_execute(spark, c, "SELECT * FROM db.t.branch_nope")
+    # fast-forward publishes the branch; main then sees the rows
+    snapcat_execute(spark, c, "CALL system.fast_forward('db.t', 'dev')")
+    assert n("SELECT count(*) AS n FROM db.t") == 4
+
+
 def test_sql_views_lifecycle(spark, tmp_path):
     # catalog views (≙ Iceberg view spec): CREATE [OR REPLACE] VIEW
     # stores query TEXT, re-planned against current table state at
