@@ -1757,6 +1757,12 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         # first-class metadata)
         t = catalog.table(_uq(m, "db"), _uq(m, "tbl"))
         if not t.exists():
+            vtext = catalog.view_text(_uq(m, "db"), _uq(m, "tbl"))
+            if vtext is not None:  # round-trips a VIEW as its DDL
+                return spark.createDataFrame(
+                    [(f"CREATE VIEW {_uq(m, 'db')}.{_uq(m, 'tbl')} AS {vtext}",)],
+                    "createtab_stmt string",
+                )
             raise LookupError(
                 f"SHOW CREATE TABLE: {_uq(m, 'db')}.{_uq(m, 'tbl')} does not exist"
             )

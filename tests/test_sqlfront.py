@@ -1995,6 +1995,11 @@ def test_sql_views_lifecycle(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="view cycle"):
         snapcat_execute(spark, c, "SELECT * FROM db.big")
+    # SHOW CREATE round-trips a view as its DDL
+    ddl = snapcat_execute(
+        spark, c, "SHOW CREATE TABLE db.bigger"
+    ).collect()[0]["createtab_stmt"]
+    assert ddl.startswith("CREATE VIEW db.bigger AS SELECT b.id")
     # DROP VIEW + IF EXISTS; DROP NAMESPACE treats views as contents
     snapcat_execute(spark, c, "DROP VIEW db.big")
     snapcat_execute(spark, c, "DROP VIEW IF EXISTS db.big")
