@@ -1721,6 +1721,15 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     if m:
         t = catalog.table(_uq(m, "db"), _uq(m, "tbl"))
         if not t.exists():
+            vtext = catalog.view_text(_uq(m, "db"), _uq(m, "tbl"))
+            if vtext is not None:  # DESCRIBE a view: its planned schema
+                return spark.createDataFrame(
+                    [
+                        (f.name, f.dataType.simpleString(), False)
+                        for f in snapcat_sql(spark, catalog, vtext).schema.fields
+                    ],
+                    "col_name string, data_type string, is_partition boolean",
+                )
             raise LookupError(
                 f"DESCRIBE: {_uq(m, 'db')}.{_uq(m, 'tbl')} does not exist"
             )

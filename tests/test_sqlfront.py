@@ -1995,6 +1995,12 @@ def test_sql_views_lifecycle(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="view cycle"):
         snapcat_execute(spark, c, "SELECT * FROM db.big")
+    # DESCRIBE a view: its planned schema
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in snapcat_execute(spark, c, "DESCRIBE TABLE db.bigger").collect()
+    }
+    assert desc == {"id": "int", "v": "int", "v2": "int"}
     # SHOW CREATE round-trips a view as its DDL
     ddl = snapcat_execute(
         spark, c, "SHOW CREATE TABLE db.bigger"
