@@ -1988,14 +1988,8 @@ def test_sql_views_lifecycle(spark, tmp_path):
     # time travel applies to tables only
     with pytest.raises(ValueError, match="is a VIEW"):
         snapcat_execute(spark, c, "SELECT * FROM db.big VERSION AS OF 1")
-    # cycles reject (OR REPLACE makes big -> bigger -> big reachable;
-    # the CREATE itself validates against the OLD still-acyclic big)
-    snapcat_execute(
-        spark, c, "CREATE OR REPLACE VIEW db.big AS SELECT id, v FROM db.bigger"
-    )
-    with pytest.raises(ValueError, match="view cycle"):
-        snapcat_execute(spark, c, "SELECT * FROM db.big")
-    # DESCRIBE a view: its planned schema
+    # DESCRIBE a view: its planned schema (before the cycle below
+    # makes bigger unplannable)
     desc = {
         r["col_name"]: r["data_type"]
         for r in snapcat_execute(spark, c, "DESCRIBE TABLE db.bigger").collect()
@@ -2006,6 +2000,13 @@ def test_sql_views_lifecycle(spark, tmp_path):
         spark, c, "SHOW CREATE TABLE db.bigger"
     ).collect()[0]["createtab_stmt"]
     assert ddl.startswith("CREATE VIEW db.bigger AS SELECT b.id")
+    # cycles reject (OR REPLACE makes big -> bigger -> big reachable;
+    # the CREATE itself validates against the OLD still-acyclic big)
+    snapcat_execute(
+        spark, c, "CREATE OR REPLACE VIEW db.big AS SELECT id, v FROM db.bigger"
+    )
+    with pytest.raises(ValueError, match="view cycle"):
+        snapcat_execute(spark, c, "SELECT * FROM db.big")
     # DROP VIEW + IF EXISTS; DROP NAMESPACE treats views as contents
     snapcat_execute(spark, c, "DROP VIEW db.big")
     snapcat_execute(spark, c, "DROP VIEW IF EXISTS db.big")
