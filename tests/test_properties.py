@@ -1043,3 +1043,83 @@ def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor, prune, qua
     )
     assert got == sorted(expected)
     assert len(cat.table("db", "t").snapshots()) == before + 1  # ONE commit
+
+
+# ---------------------------------------------------------------------------
+# r13: subquery-predicate DML fuzz — DELETE/UPDATE WHERE with IN /
+# NOT IN (ANSI null semantics) / correlated EXISTS / scalar subquery,
+# both row-level modes, vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_dml_tbl = st.dictionaries(
+    keys=st.integers(0, 9), values=st.integers(-50, 50), min_size=1, max_size=8
+)
+_dml_tomb = st.lists(
+    st.one_of(st.none(), st.integers(0, 9)), min_size=0, max_size=5
+)
+
+
+def _subq_matched(k: int, tomb: list, shape: str) -> bool:
+    ids = [x for x in tomb if x is not None]
+    has_null = any(x is None for x in tomb)
+    if shape == "in":
+        return k in ids
+    if shape == "not_in":
+        # ANSI: false if k ∈ S; NULL (no match) if NULL ∈ S; else true
+        return k not in ids and not has_null
+    if shape == "exists":  # correlated equality — NULLs never equal
+        return k in ids
+    # scalar: id > (SELECT max(id) FROM tomb); max of ∅/all-NULL = NULL
+    return bool(ids) and k > max(ids)
+
+
+@given(
+    tbl=_dml_tbl, tomb=_dml_tomb,
+    shape=st.sampled_from(["in", "not_in", "exists", "scalar"]),
+    op=st.sampled_from(["delete", "update"]),
+    mor=st.booleans(),
+)
+@settings(max_examples=20, deadline=None)
+def test_dml_subquery_predicate_fuzz(
+    spark, tmp_path_factory, tbl, tomb, shape, op, mor
+):
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    root = tmp_path_factory.mktemp("dmlsubq")
+    cat = SnapCatalog(str(root / "wh"))
+    cat.write("db", "t", spark.createDataFrame(
+        sorted(tbl.items()), "id int, v int"))
+    cat.write("db", "tomb", spark.createDataFrame(
+        [(x,) for x in tomb] or spark.sparkContext.emptyRDD(), "id int"))
+    if mor:
+        cat.set_properties("db", "t", {
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        })
+    cond = {
+        "in": "id IN (SELECT id FROM db.tomb)",
+        "not_in": "id NOT IN (SELECT id FROM db.tomb)",
+        "exists": "EXISTS (SELECT 1 FROM db.tomb WHERE db.tomb.id = t.id)",
+        "scalar": "id > (SELECT max(id) FROM db.tomb)",
+    }[shape]
+    stmt = (
+        f"DELETE FROM db.t WHERE {cond}"
+        if op == "delete"
+        else f"UPDATE db.t SET v = -7 WHERE {cond}"
+    )
+    snapcat_execute(spark, cat, stmt)
+    if op == "delete":
+        expected = {k: v for k, v in tbl.items()
+                    if not _subq_matched(k, tomb, shape)}
+    else:
+        expected = {k: (-7 if _subq_matched(k, tomb, shape) else v)
+                    for k, v in tbl.items()}
+    got = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+    assert got == expected
+    if mor:  # merge-on-read: the seed data file is carried by reference
+        head = cat.table("db", "t").current_snapshot()
+        assert any(f.path.startswith("data/s000001") for f in head.files)
+        assert all(d.kind == "position" for d in head.delete_files)
