@@ -2873,9 +2873,15 @@ class SnapCatalog:
         shutil.rmtree(dbdir)
 
     def list_namespaces(self) -> list[str]:
+        # underscore-prefixed warehouse directories are catalog
+        # internals (the _views/ tree), not namespaces — filtering here
+        # keeps every consumer (migration planners, CLI, SHOW
+        # NAMESPACES) from seeing a bogus `_views` database whose
+        # contents would read as foreign entries (ADVICE r13)
         return sorted(
             d for d in os.listdir(self.warehouse)
             if os.path.isdir(os.path.join(self.warehouse, d))
+            and not d.startswith("_")
         )
 
     # ---- SQL views (≙ the Iceberg view spec: a catalog object that

@@ -23,6 +23,7 @@ committed_at ≤ timestamp).
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,17 @@ _REF_RE = re.compile(
     rf"|\s+BETWEEN\s+(?P<lo>\d+)\s+AND\s+(?P<hi>\d+))?",
     re.IGNORECASE,
 )
+
+
+#: process-global sequence for temp-view names. Binding recurses into
+#: view bodies (`_bind_catalog_refs` calls itself with a FRESH `views`
+#: dict per level), so a per-call counter can hand the same name to an
+#: inner (view-body) binding and the outer one — createOrReplaceTempView
+#: then silently replaces the outer read with the inner one (ADVICE
+#: r13: a view pinned at VERSION 1 clobbered the current read of the
+#: same table). A global counter makes every registration unique
+#: across recursion levels and statements.
+_VIEW_SEQ = itertools.count(1)
 
 
 def _unquote(ident: str) -> str:
@@ -233,7 +245,7 @@ def _bind_catalog_refs(
             vdf = spark.sql(inner)
             vname = re.sub(
                 r"[^A-Za-z0-9_]", "_",
-                f"__snapcat_view_{db}_{tbl}_{len(views) + 1}",
+                f"__snapcat_view_{db}_{tbl}_{next(_VIEW_SEQ)}",
             )
             views[key] = vname
             vdf.createOrReplaceTempView(vname)
@@ -277,8 +289,18 @@ def _bind_catalog_refs(
                 df = t.read_incremental(spark, from_id, to_id)
         elif meta and meta.lower().startswith(("branch_", "tag_")):
             # Iceberg's identifier-based ref read: FROM db.t.branch_dev
-            # / db.t.tag_v1 — resolve the named ref (case preserved)
-            df = t.read(spark, ref=meta.split("_", 1)[1])
+            # / db.t.tag_v1 — resolve the named ref (case preserved).
+            # In COMMA position this shape is ambiguous with a
+            # fully-qualified COLUMN named branch_*/tag_* (`SELECT id,
+            # db.t.branch_id FROM db.t` — ADVICE r13): when the named
+            # ref does not exist, leave the text alone so the
+            # second-pass column rewrite binds `db.t` to the FROM
+            # clause's view and `.branch_id` resolves as a column. A
+            # FROM/JOIN-position miss still raises loudly below.
+            ref_name = meta.split("_", 1)[1]
+            if g("kw").startswith(",") and ref_name not in t.refs():
+                return query[m.start():m.end()]
+            df = t.read(spark, ref=ref_name)
         elif meta:
             df = {
                 "snapshots": t.snapshots_df,
@@ -305,7 +327,7 @@ def _bind_catalog_refs(
             df = t.read(spark, **kw)
         view = re.sub(
             r"[^A-Za-z0-9_]", "_",
-            f"__snapcat_{db}_{tbl}_{meta or 'data'}_{len(views) + 1}",
+            f"__snapcat_{db}_{tbl}_{meta or 'data'}_{next(_VIEW_SEQ)}",
         )
         views[key] = view
         df.createOrReplaceTempView(view)
@@ -1580,6 +1602,12 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             if is_ctas and m.group("spec") is not None
             else None
         )
+        # parse TBLPROPERTIES BEFORE the write: a malformed property
+        # list must fail the statement up front, not leave a created,
+        # populated table behind (ADVICE r13)
+        ctas_props = (
+            _prop_pairs(m.group("props")) if is_ctas and m.group("props") else None
+        )
         # Iceberg branch write: INSERT INTO db.t.branch_dev …
         branch = m.groupdict().get("branch")
         snap = catalog.write(
@@ -1587,8 +1615,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             partition_by=ctas_spec,
             branch=branch.split("_", 1)[1] if branch else None,
         )
-        if is_ctas and m.group("props"):
-            catalog.set_properties(db, tbl, _prop_pairs(m.group("props")))
+        if ctas_props:
+            catalog.set_properties(db, tbl, ctas_props)
         stmt = "CREATE TABLE AS" if is_ctas else f"INSERT {how.upper()}"
         return _dml_report(spark, stmt, db, tbl, snap)
     masked_q = _mask_literals(query)
@@ -1713,8 +1741,9 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             "namespace string, tableName string",
         )
     if _DML_SHOW_NS.match(query):
+        # list_namespaces itself filters internal _-prefixed dirs
         return spark.createDataFrame(
-            [(ns,) for ns in catalog.list_namespaces() if not ns.startswith("_")],
+            [(ns,) for ns in catalog.list_namespaces()],
             "namespace string",
         )
     m = _DML_DESCRIBE.match(query)

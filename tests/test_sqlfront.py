@@ -2348,3 +2348,84 @@ def test_merge_using_relation_named_on(spark, tmp_path):
     )
     rows = {r["k"]: r["v"] for r in c.table("db", "t").read(spark).collect()}
     assert rows == {1: 10, 2: 200, 3: 300}
+
+
+def test_view_version_pin_does_not_clobber_outer_read(spark, tmp_path):
+    # r13 ADVICE (high): recursive view binding used a per-call name
+    # counter, so a view body's inner binding could reuse — and
+    # silently replace — the outer statement's temp view for the same
+    # table. A view pinned at VERSION 1 next to a current read must
+    # leave the current read intact.
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute,
+    )
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame([(1,), (2,)], "k int"))
+    c.write("db", "t", spark.createDataFrame([(3,), (4,)], "k int"))
+    c.create_view("db", "v", "SELECT k FROM db.t VERSION AS OF 1")
+    n = snapcat_execute(
+        spark, c, "SELECT count(*) AS n FROM db.t CROSS JOIN db.v"
+    ).collect()[0]["n"]
+    assert n == 8  # 4 current rows × 2 version-1 rows
+    # and the view alone still reads the pinned version
+    nv = snapcat_execute(spark, c, "SELECT count(*) AS n FROM db.v").collect()[0]["n"]
+    assert nv == 2
+
+
+def test_qualified_column_named_branch_or_tag(spark, tmp_path):
+    # r13 ADVICE (medium): adding branch_*/tag_* to the meta suffixes
+    # made the comma branch of the relation regex eat qualified
+    # COLUMNS named branch_*/tag_* (`SELECT id, db.t.branch_id`).
+    # When the named ref does not exist, the text must be left for the
+    # second-pass column rewrite.
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_sql
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write(
+        "db", "t",
+        spark.createDataFrame([(1, 10, 7)], "id int, branch_id int, tag_x int"),
+    )
+    rows = snapcat_sql(
+        spark, c, "SELECT id, db.t.branch_id, db.t.tag_x FROM db.t"
+    ).collect()
+    assert [(r["id"], r["branch_id"], r["tag_x"]) for r in rows] == [(1, 10, 7)]
+    # FROM-position ref reads still resolve (and still fail loud)
+    c.create_branch("db", "t", "dev")
+    assert snapcat_sql(
+        spark, c, "SELECT count(*) AS n FROM db.t.branch_dev"
+    ).collect()[0]["n"] == 1
+    with pytest.raises(LookupError):
+        snapcat_sql(spark, c, "SELECT * FROM db.t.branch_missing").collect()
+
+
+def test_views_dir_hidden_from_list_namespaces(spark, tmp_path):
+    # r13 ADVICE (medium): once a view exists, the warehouse-level
+    # _views directory must not surface as a namespace anywhere —
+    # list_namespaces itself filters it, not just SHOW NAMESPACES
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write("db", "t", spark.createDataFrame([(1,)], "k int"))
+    c.create_view("db", "v", "SELECT k FROM db.t")
+    assert c.list_namespaces() == ["db"]
+    shown = {r["namespace"] for r in snapcat_dml(spark, c, "SHOW NAMESPACES").collect()}
+    assert shown == {"db"}
+
+
+def test_ctas_malformed_tblproperties_fails_before_create(spark, tmp_path):
+    # r13 ADVICE (low): a malformed TBLPROPERTIES list on CTAS must
+    # fail the statement BEFORE the table is created and populated
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
+
+    c = SnapCatalog(str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="TBLPROPERTIES"):
+        snapcat_dml(
+            spark, c,
+            "CREATE TABLE db.bad TBLPROPERTIES (comment 'x') AS SELECT 1 AS k",
+        )
+    assert not c.table("db", "bad").exists()
