@@ -453,6 +453,35 @@ def _resolve_field_mapping(
     return None if identity else mapping
 
 
+def _append_commit(
+    meta: dict, snap_dict: dict, branch: str | None = None, staged: bool = False
+) -> None:
+    """Append a committed snapshot and move the right pointer — the ONE
+    place the three commit destinations diverge (shared by every write
+    verb so branch/WAP semantics can't drift between them):
+
+    - main (default): the published head moves to the new snapshot;
+    - ``staged`` (WAP): nothing moves — auditors read by id, ``publish``
+      flips it in later;
+    - ``branch``: ONLY the branch ref moves (≙ Iceberg branch commit);
+      ``current_id`` is pinned to the pre-append published head so the
+      legacy last-snapshot fallback can't mistake the branch commit for
+      the head. The branch ref must already be validated by the caller
+      (under the same commit lock)."""
+    published = _current_id(meta) if meta["snapshots"] else 0
+    meta["snapshots"].append(snap_dict)
+    if branch is not None:
+        meta["refs"][branch]["snapshot_id"] = snap_dict["snapshot_id"]
+        meta.setdefault("current_id", published)
+    elif staged:
+        # pin the published head explicitly: the staged snapshot is now
+        # the LAST log entry, and the legacy last-snapshot fallback
+        # must not mistake it for the head
+        meta.setdefault("current_id", published)
+    else:
+        meta["current_id"] = snap_dict["snapshot_id"]
+
+
 def _current_id(meta: dict) -> int:
     """Published-head snapshot id: explicit ``current_id`` when the
     table has seen WAP commits, else the last snapshot (pre-WAP
@@ -3446,19 +3475,7 @@ class SnapCatalog:
         self.create_namespace(database)
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
-            if branch is not None:
-                bmeta = tbl._load_meta(expand=False) if tbl.exists() else {}
-                bref = bmeta.get("refs", {}).get(branch)
-                if bref is None or bref.get("type") != "branch":
-                    raise LookupError(f"branch {branch!r} not found in {database}.{name}")
-                prev = _snap_from_dict(
-                    tbl._expand_snapshot(next(
-                        s for s in bmeta["snapshots"]
-                        if s["snapshot_id"] == bref["snapshot_id"]
-                    ))
-                )
-            else:
-                prev = tbl.current_snapshot()
+            prev = self._write_head(tbl, branch)
             if expect_parent_id is not _UNSET:
                 actual = prev.snapshot_id if prev else None
                 if actual != expect_parent_id:
@@ -3573,23 +3590,7 @@ class SnapCatalog:
                 delete_files=carried_dels,
                 field_ids=fid_map,
             )
-            published_head = _current_id(meta) if meta["snapshots"] else 0
-            meta["snapshots"].append(asdict(snap))
-            if branch is not None:
-                # move the BRANCH pointer only; main stays where it is
-                # (pin current_id so the pre-WAP last-snapshot fallback
-                # can't mistake the branch commit for the head)
-                meta["refs"][branch]["snapshot_id"] = sid
-                meta.setdefault("current_id", published_head)
-            elif staged:
-                # pin the published head explicitly so the staged
-                # snapshot (now the LAST log entry) can't be mistaken
-                # for it by the legacy last-snapshot fallback
-                meta.setdefault(
-                    "current_id", prev.snapshot_id if prev else 0
-                )
-            else:
-                meta["current_id"] = sid
+            _append_commit(meta, asdict(snap), branch=branch, staged=staged)
             tbl._save_meta(meta)
             return snap
 
@@ -3737,6 +3738,31 @@ class SnapCatalog:
             }
         return out
 
+    @staticmethod
+    def _write_head(tbl: SnapTable, branch: str | None) -> "Snapshot | None":
+        """The snapshot a write targeting ``branch`` (None = main)
+        descends from: the published head, or the branch head (≙
+        Iceberg branch-targeted DML — ``DELETE FROM t.branch_dev``
+        commits onto the branch line). Raises LookupError for a
+        missing ref and rejects a TAG by name (tags are immutable).
+        Callers re-invoke this UNDER the commit lock so a concurrent
+        branch move/drop can't be lost."""
+        if branch is None:
+            return tbl.current_snapshot()
+        if not tbl.exists():
+            raise LookupError(f"table {tbl.database}.{tbl.name} does not exist")
+        meta = tbl._load_meta(expand=False)
+        bref = meta.get("refs", {}).get(branch)
+        if bref is None or bref.get("type") != "branch":
+            raise LookupError(
+                f"branch {branch!r} not found in {tbl.database}.{tbl.name}"
+            )
+        raw = next(
+            s for s in meta["snapshots"]
+            if s["snapshot_id"] == bref["snapshot_id"]
+        )
+        return _snap_from_dict(tbl._expand_snapshot(raw))
+
     def _commit(
         self,
         tbl: SnapTable,
@@ -3749,6 +3775,7 @@ class SnapCatalog:
         sid: int | None = None,
         materialized_lineage: bool = False,
         staged: bool = False,
+        branch: str | None = None,
     ) -> Snapshot:
         meta = tbl._load_meta(expand=False)
         final_sid = sid if sid is not None else _next_id(meta)
@@ -3777,9 +3804,7 @@ class SnapCatalog:
             delete_files=list(prev.delete_files),
             field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
         )
-        meta["snapshots"].append(asdict(snap))
-        if not staged:  # WAP: staged commits don't move the published head
-            meta["current_id"] = snap.snapshot_id
+        _append_commit(meta, asdict(snap), branch=branch, staged=staged)
         tbl._save_meta(meta)
         return snap
 
@@ -3816,6 +3841,7 @@ class SnapCatalog:
         staged: bool = False,
         extra_delete_keys: DataFrame | None = None,
         validate_unique_keys: bool = False,
+        branch: str | None = None,
     ) -> Snapshot:
         """MERGE with file-level copy-on-write (≙ Iceberg COW
         ``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -3851,19 +3877,26 @@ class SnapCatalog:
         update row — Spark/Iceberg MERGE instead updates each matched
         row and keeps the multiplicity. Deduplicate (or re-key) such a
         table before upserting into it; same caveat on
-        :meth:`upsert_mor`."""
+        :meth:`upsert_mor`.
+
+        ``branch="dev"``: the merge reads the BRANCH head and commits
+        onto the branch ref only (≙ Iceberg branch-targeted ``MERGE
+        INTO t.branch_dev``); mutually exclusive with ``staged``."""
+        if branch is not None and staged:
+            raise ValueError("staged (WAP) writes target main; a branch is already isolated")
         if validate_unique_keys:
             self._check_unique_keys(database, name, updates, key_cols)
         spark = updates.sparkSession
         tbl = self.table(database, name)
-        prev = tbl.current_snapshot()
+        prev = self._write_head(tbl, branch)
         if prev is None or not prev.files:
             return self.write(
                 database, name, updates, mode="append",
                 committed_at=committed_at, operation="merge", staged=staged,
+                branch=branch,
             )
         with _commit_lock(tbl.root):
-            prev = tbl.current_snapshot()  # re-read under the lock
+            prev = self._write_head(tbl, branch)  # re-read under the lock
             cur = tbl._read_files(
                 spark, prev, [f.path for f in prev.files],
                 with_file_path=True, apply_deletes=True, with_lineage=True,
@@ -3915,7 +3948,7 @@ class SnapCatalog:
             return self._commit(
                 tbl, prev, files, new_files, "merge", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
-                materialized_lineage=True, staged=staged,
+                materialized_lineage=True, staged=staged, branch=branch,
             )
 
     def delete_where(
@@ -3927,6 +3960,7 @@ class SnapCatalog:
         mode: str = "copy-on-write",
         staged: bool = False,
         summary_extra: dict[str, str] | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Row-level DELETE by predicate. ``condition`` is a Column or
         SQL string; a string containing a subquery (``id IN (SELECT
@@ -3949,17 +3983,25 @@ class SnapCatalog:
         the selective scan plus kilobytes of delete metadata, and
         readers drop the positions with one broadcast anti-join.
         ``compact`` materializes position deletes away like any other
-        delete file."""
+        delete file.
+
+        ``branch="dev"``: the delete scans the BRANCH head and commits
+        onto the branch ref only (≙ Iceberg branch-targeted row-level
+        DML, ``DELETE FROM t.branch_dev``); main is untouched until
+        :meth:`fast_forward` publishes the branch. Mutually exclusive
+        with ``staged``."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        if branch is not None and staged:
+            raise ValueError("staged (WAP) writes target main; a branch is already isolated")
         spark = SparkSession.getActiveSession()
         tbl = self.table(database, name)
-        prev = tbl.current_snapshot()
+        prev = self._write_head(tbl, branch)
         if prev is None:
             raise LookupError(f"table {database}.{name} does not exist")
         if mode == "merge-on-read":
             with _commit_lock(tbl.root):
-                prev = tbl.current_snapshot()  # re-read under the lock
+                prev = self._write_head(tbl, branch)  # re-read under the lock
                 cur = _with_match(
                     spark,
                     tbl._read_files(
@@ -4005,13 +4047,11 @@ class SnapCatalog:
                     else None,
                 )
                 _record_commit_schema(meta, sid, prev)
-                meta["snapshots"].append(asdict(snap))
-                if not staged:  # WAP: staged MOR delete stays unpublished
-                    meta["current_id"] = sid
+                _append_commit(meta, asdict(snap), branch=branch, staged=staged)
                 tbl._save_meta(meta)
                 return snap
         with _commit_lock(tbl.root):
-            prev = tbl.current_snapshot()  # re-read under the lock
+            prev = self._write_head(tbl, branch)  # re-read under the lock
             cur = _with_match(
                 spark,
                 tbl._read_files(
@@ -4030,7 +4070,7 @@ class SnapCatalog:
                 return self._commit(
                     tbl, prev, list(prev.files), [], "delete", committed_at,
                     {"rewritten-data-files": "0", **(summary_extra or {})},
-                    staged=staged,
+                    staged=staged, branch=branch,
                 )
             # survivors carry their lineage into the rewrite (carry-over
             # rows keep id AND last-updated commit, Iceberg v3 rule).
@@ -4051,7 +4091,7 @@ class SnapCatalog:
                 tbl, prev, files, new_files, "delete", committed_at,
                 {"rewritten-data-files": str(len(affected_rel)),
                  **(summary_extra or {})}, sid=sid,
-                materialized_lineage=True, staged=staged,
+                materialized_lineage=True, staged=staged, branch=branch,
             )
 
     def truncate_table(
@@ -4178,6 +4218,7 @@ class SnapCatalog:
         committed_at: str | None = None,
         summary_extra: dict[str, str] | None = None,
         mode: str = "merge-on-read",
+        branch: str | None = None,
     ) -> Snapshot:
         """Row-level DELETE by key. Default MERGE-ON-READ (≙ Iceberg v2
         equality-delete files with ``write.delete.mode=merge-on-read``):
@@ -4197,12 +4238,15 @@ class SnapCatalog:
         the same selective-rewrite shape as :meth:`upsert`.
 
         COW optimizes for readers, MOR for writers — the classic
-        Iceberg trade."""
+        Iceberg trade.
+
+        ``branch="dev"``: delete against the BRANCH head; only the
+        branch ref moves (≙ Iceberg branch-targeted DML)."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
         tbl = self.table(database, name)
         with _commit_lock(tbl.root):
-            prev = tbl.current_snapshot()
+            prev = self._write_head(tbl, branch)
             if prev is None:
                 raise LookupError(f"table {database}.{name} does not exist")
             kc = list(key_cols or keys.columns)
@@ -4230,6 +4274,7 @@ class SnapCatalog:
                         tbl, prev, list(prev.files), [], "delete", committed_at,
                         {"delete-mode": "copy-on-write",
                          "rewritten-data-files": "0", **(summary_extra or {})},
+                        branch=branch,
                     )
                 survivors = (
                     cur.where(F.col("__file").isin(list(affected_abs)))
@@ -4248,7 +4293,7 @@ class SnapCatalog:
                     {"delete-mode": "copy-on-write",
                      "rewritten-data-files": str(len(affected_rel)),
                      **(summary_extra or {})}, sid=sid,
-                    materialized_lineage=True,
+                    materialized_lineage=True, branch=branch,
                 )
             meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)
@@ -4279,8 +4324,7 @@ class SnapCatalog:
                 field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
             )
             _record_commit_schema(meta, sid, prev)
-            meta["snapshots"].append(asdict(snap))
-            meta["current_id"] = sid
+            _append_commit(meta, asdict(snap), branch=branch)
             tbl._save_meta(meta)
             return snap
 
@@ -4293,6 +4337,7 @@ class SnapCatalog:
         committed_at: str | None = None,
         extra_delete_keys: DataFrame | None = None,
         validate_unique_keys: bool = False,
+        branch: str | None = None,
     ) -> Snapshot:
         """MERGE, merge-on-read flavor (≙ Iceberg
         ``write.merge.mode=merge-on-read``): ONE commit appends the new
@@ -4310,18 +4355,22 @@ class SnapCatalog:
         :meth:`upsert`. Like :meth:`upsert`, assumes a key-unique
         TARGET: the equality delete hides EVERY older row under a
         key, so pre-existing duplicates collapse into the one update
-        row (Spark/Iceberg MERGE would update each)."""
+        row (Spark/Iceberg MERGE would update each).
+
+        ``branch="dev"``: append + delete file land on the BRANCH head
+        and only the branch ref moves (≙ Iceberg branch-targeted
+        MERGE)."""
         if validate_unique_keys:
             self._check_unique_keys(database, name, updates, key_cols)
         tbl = self.table(database, name)
-        prev = tbl.current_snapshot()
+        prev = self._write_head(tbl, branch)
         if prev is None or not prev.files:
             return self.write(
                 database, name, updates, mode="append",
-                committed_at=committed_at, operation="merge",
+                committed_at=committed_at, operation="merge", branch=branch,
             )
         with _commit_lock(tbl.root):
-            prev = tbl.current_snapshot()  # re-read under the lock
+            prev = self._write_head(tbl, branch)  # re-read under the lock
             meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)
             new_files = self._write_data_files(tbl, sid, updates, prev.partition_spec)
@@ -4355,8 +4404,7 @@ class SnapCatalog:
                 field_ids=dict(prev.field_ids) if prev.field_ids is not None else None,
             )
             _record_commit_schema(meta, sid, prev)
-            meta["snapshots"].append(asdict(snap))
-            meta["current_id"] = sid
+            _append_commit(meta, asdict(snap), branch=branch)
             tbl._save_meta(meta)
             return snap
 
@@ -4369,6 +4417,7 @@ class SnapCatalog:
         committed_at: str | None = None,
         staged: bool = False,
         mode: str = "copy-on-write",
+        branch: str | None = None,
     ) -> Snapshot:
         """Row-level UPDATE (≙ Iceberg ``UPDATE t SET … WHERE …``,
         strategy switched by ``write.update.mode``). ``condition``
@@ -4392,12 +4441,19 @@ class SnapCatalog:
         identical to COW; only write amplification differs. Updated
         rows keep their ``_row_id`` and bump ``_last_updated_seq`` to
         this commit (Iceberg v3 row lineage), same as the COW rewrite.
-        ``compact`` materializes the deletes away later."""
+        ``compact`` materializes the deletes away later.
+
+        ``branch="dev"``: scan the BRANCH head, commit onto the branch
+        ref only (≙ Iceberg branch-targeted ``UPDATE t.branch_dev``);
+        main is untouched until :meth:`fast_forward`. Mutually
+        exclusive with ``staged``."""
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"mode must be copy-on-write|merge-on-read, got {mode!r}")
+        if branch is not None and staged:
+            raise ValueError("staged (WAP) writes target main; a branch is already isolated")
         spark = SparkSession.getActiveSession()
         tbl = self.table(database, name)
-        prev = tbl.current_snapshot()
+        prev = self._write_head(tbl, branch)
         if prev is None:
             raise LookupError(f"table {database}.{name} does not exist")
         exprs = {
@@ -4410,7 +4466,7 @@ class SnapCatalog:
             raise ValueError(f"UPDATE of unknown columns {unknown} in {database}.{name}")
         if mode == "merge-on-read":
             with _commit_lock(tbl.root):
-                prev = tbl.current_snapshot()  # re-read under the lock
+                prev = self._write_head(tbl, branch)  # re-read under the lock
                 cur = _with_match(
                     spark,
                     tbl._read_files(
@@ -4484,13 +4540,11 @@ class SnapCatalog:
                     else None,
                 )
                 _record_commit_schema(meta, sid, prev)
-                meta["snapshots"].append(asdict(snap))
-                if not staged:  # WAP: staged MOR update stays unpublished
-                    meta["current_id"] = sid
+                _append_commit(meta, asdict(snap), branch=branch, staged=staged)
                 tbl._save_meta(meta)
                 return snap
         with _commit_lock(tbl.root):
-            prev = tbl.current_snapshot()  # re-read under the lock
+            prev = self._write_head(tbl, branch)  # re-read under the lock
             cur = _with_match(
                 spark,
                 tbl._read_files(
@@ -4508,7 +4562,7 @@ class SnapCatalog:
             if not affected_rel:  # no-op update still commits (audit trail)
                 return self._commit(
                     tbl, prev, list(prev.files), [], "update", committed_at,
-                    {"rewritten-data-files": "0"}, staged=staged,
+                    {"rewritten-data-files": "0"}, staged=staged, branch=branch,
                 )
             sid = _next_id(tbl._load_meta(expand=False))
             # updated rows keep their _row_id but bump _last_updated_seq
@@ -4533,7 +4587,7 @@ class SnapCatalog:
             return self._commit(
                 tbl, prev, files, new_files, "update", committed_at,
                 {"rewritten-data-files": str(len(affected_rel))}, sid=sid,
-                materialized_lineage=True, staged=staged,
+                materialized_lineage=True, staged=staged, branch=branch,
             )
 
     # ---- refs & write-audit-publish -------------------------------------

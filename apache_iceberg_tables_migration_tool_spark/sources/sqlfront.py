@@ -406,16 +406,23 @@ _DML_CTAS = re.compile(
 )
 _DML_MERGE_HEAD = re.compile(
     rf"^\s*MERGE\s+INTO\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
+    rf"(?:\.(?P<branch>branch_{_IDENT}))?"  # Iceberg branch-targeted MERGE
     rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+USING\s+",
     re.IGNORECASE,
 )
+# DELETE/UPDATE accept Iceberg's identifier-based branch target
+# (db.t.branch_dev): the statement scans the BRANCH head and commits
+# onto the branch ref only — main is untouched until fast_forward
 _DML_DELETE = re.compile(
     rf"^\s*DELETE\s+FROM\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
+    rf"(?:\.(?P<branch>branch_{_IDENT}))?"
     rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_UPDATE = re.compile(
-    rf"^\s*UPDATE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+SET\s+(?P<sets>.+?)"
+    rf"^\s*UPDATE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})"
+    rf"(?:\.(?P<branch>branch_{_IDENT}))?"
+    rf"\s+SET\s+(?P<sets>.+?)"
     rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -976,6 +983,14 @@ def _merge_execute(
     each insert, as upstream. Free-text sections are located over the
     MASKED text at paren depth 0, spans read from the original."""
     db, tbl = _uq(m, "db", query), _uq(m, "tbl", query)
+    # Iceberg branch-targeted MERGE (MERGE INTO db.t.branch_dev …):
+    # every target-state read below resolves the BRANCH head, and the
+    # commit moves only the branch ref
+    branch = (
+        query[m.start("branch"):m.end("branch")].split("_", 1)[1]
+        if m.start("branch") != -1
+        else None
+    )
     t_alias = m.group("alias") or tbl
     on_at = _find_top_kw(masked_q, m.end(), "ON")
     if on_at < 0:
@@ -989,7 +1004,21 @@ def _merge_execute(
     t = catalog.table(db, tbl)
     if not t.exists():
         raise LookupError(f"MERGE INTO: {db}.{tbl} does not exist")
-    schema = t.schema()
+
+    def tread() -> DataFrame:
+        """The target's CURRENT state for this statement: the branch
+        head when branch-targeted, else the published head."""
+        return t.read(spark, ref=branch) if branch else t.read(spark)
+
+    if branch is not None:
+        # schema at the BRANCH head (a branch append may have evolved it)
+        from apache_iceberg_tables_migration_tool_spark.sources import snapcat as _sc
+
+        schema = _sc.T._parse_datatype_string(
+            t.resolve_snapshot(ref=branch).schema_ddl
+        )
+    else:
+        schema = t.schema()
     tgt = [f.name for f in schema.fields]
 
     rel_text, s_alias = _split_relation_alias(src_text)
@@ -1074,7 +1103,7 @@ def _merge_execute(
             # a source column bound to multiple target keys (ON t.a=s.k
             # AND t.b=s.k) must require BOTH equalities — checking a
             # deduped sk→tk map would flag duplicates that match no row
-            tkeys = t.read(spark).select(
+            tkeys = tread().select(
                 *dict.fromkeys(tk for tk, _ in pairs)
             ).distinct()
             jc = None
@@ -1147,7 +1176,7 @@ def _merge_execute(
         # condition-filtered) join the delete-key set, its UPDATE SET
         # rows join the upsert parts — the full CDC-plus-prune
         # statement stays ONE commit.
-        existing = t.read(spark).select(
+        existing = tread().select(
             *[F.col(tk).alias(sk) for tk, sk in pairs]
         ).distinct()
         parts: list[DataFrame] = []
@@ -1157,7 +1186,7 @@ def _merge_execute(
             for tk, sk in pairs:
                 term = F.col(f"{t_alias}.{tk}") == F.col(f"{s_a}.{sk}")
                 join_cond = term if join_cond is None else (join_cond & term)
-            joined = t.read(spark).alias(t_alias).join(
+            joined = tread().alias(t_alias).join(
                 src_df.alias(s_a), join_cond, "inner"
             )
             route = None
@@ -1235,7 +1264,7 @@ def _merge_execute(
             # unmatched-by-source target row goes to the FIRST clause
             # whose condition holds (none → untouched); conditions see
             # only the target alias (there is no source row)
-            bys_rows = t.read(spark).join(
+            bys_rows = tread().join(
                 src_keys_df(), tgt_keys, "left_anti"
             ).alias(t_alias)
             broute = None
@@ -1267,16 +1296,16 @@ def _merge_execute(
                 delkeys = delkeys.unionByName(p)
             delkeys = delkeys.distinct()
         if not parts:  # delete-routed rows only
-            snap = catalog.delete_keys(db, tbl, delkeys, key_cols=tgt_keys, mode=mode)
+            snap = catalog.delete_keys(db, tbl, delkeys, key_cols=tgt_keys, mode=mode, branch=branch)
             return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
         updates = parts[0]
         for p in parts[1:]:
             updates = updates.unionByName(p)
         kw = {"extra_delete_keys": delkeys} if delkeys is not None else {}
         if mode == "merge-on-read":
-            snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys, **kw)
+            snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys, branch=branch, **kw)
         else:
-            snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys, **kw)
+            snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys, branch=branch, **kw)
         return _dml_report(spark, "MERGE", db, tbl, snap)
 
     if upd and upd[0] == "delete":
@@ -1285,7 +1314,7 @@ def _merge_execute(
         # the standalone form
         assert ins is None and bys is None
         snap = catalog.delete_keys(
-            db, tbl, src_keys_df(), key_cols=tgt_keys, mode=mode
+            db, tbl, src_keys_df(), key_cols=tgt_keys, mode=mode, branch=branch
         )
         return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
 
@@ -1294,27 +1323,27 @@ def _merge_execute(
         # source match: one anti-join key set, one keyed delete in the
         # mode the table property selects; an AND condition (over the
         # target alias) filters the doomed rows
-        doomed = t.read(spark).join(
+        doomed = tread().join(
             src_keys_df(), tgt_keys, "left_anti"
         ).alias(t_alias)
         if bys_cond is not None:
             doomed = doomed.where(F.expr(bys_cond))
         doomed = doomed.select(*tgt_keys).distinct()
-        snap = catalog.delete_keys(db, tbl, doomed, key_cols=tgt_keys, mode=mode)
+        snap = catalog.delete_keys(db, tbl, doomed, key_cols=tgt_keys, mode=mode, branch=branch)
         return _dml_report(spark, "MERGE DELETE", db, tbl, snap)
 
     # fast path — the verbs' native semantics, no extra target read
     if upd == ("update_star", None) and ins == ("insert_star", None) and bys is None:
         updates = require_full_schema(rename_keys(src_df), "UPDATE SET * / INSERT *")
         if mode == "merge-on-read":
-            snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys)
+            snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys, branch=branch)
         else:
-            snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys)
+            snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys, branch=branch)
         return _dml_report(spark, "MERGE", db, tbl, snap)
 
     # one target-key read drives the matched and not-matched sides;
     # keys are aliased to the SOURCE names so the semi/anti joins bind
-    existing = t.read(spark).select(
+    existing = tread().select(
         *[F.col(tk).alias(sk) for tk, sk in pairs]
     ).distinct()
 
@@ -1331,7 +1360,7 @@ def _merge_execute(
                     for f in schema.fields
                 ]
             )
-        snap = catalog.write(db, tbl, new_rows, mode="append")
+        snap = catalog.write(db, tbl, new_rows, mode="append", branch=branch)
         return _dml_report(spark, "MERGE INSERT", db, tbl, snap)
 
     parts: list[DataFrame] = []
@@ -1343,7 +1372,7 @@ def _merge_execute(
         for tk, sk in pairs:
             term = F.col(f"{t_alias}.{tk}") == F.col(f"{s_a}.{sk}")
             join_cond = term if join_cond is None else (join_cond & term)
-        joined = t.read(spark).alias(t_alias).join(
+        joined = tread().alias(t_alias).join(
             src_df.alias(s_a), join_cond, "inner"
         )
         parts.append(
@@ -1375,7 +1404,7 @@ def _merge_execute(
         # unmatched-by-source target rows, SET exprs (and an AND
         # condition) see the target alias; condition-failing rows
         # simply aren't in the updates — untouched
-        untouched = t.read(spark).join(
+        untouched = tread().join(
             src_keys_df(), tgt_keys, "left_anti"
         ).alias(t_alias)
         if bys_cond is not None:
@@ -1406,21 +1435,21 @@ def _merge_execute(
         # the plan you want when most rows change; to prune without a
         # rewrite, use the standalone BY SOURCE DELETE form instead.
         if upd is None:
-            kept = t.read(spark).join(src_keys_df(), tgt_keys, "left_semi")
+            kept = tread().join(src_keys_df(), tgt_keys, "left_semi")
             parts.insert(0, kept.select(*tgt))
         final = parts[0]
         for p in parts[1:]:
             final = final.unionByName(p)
-        snap = catalog.write(db, tbl, final, mode="overwrite", operation="merge")
+        snap = catalog.write(db, tbl, final, mode="overwrite", operation="merge", branch=branch)
         return _dml_report(spark, "MERGE", db, tbl, snap)
 
     updates = parts[0]
     for p in parts[1:]:
         updates = updates.unionByName(p)
     if mode == "merge-on-read":
-        snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys)
+        snap = catalog.upsert_mor(db, tbl, updates, key_cols=tgt_keys, branch=branch)
     else:
-        snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys)
+        snap = catalog.upsert(db, tbl, updates, key_cols=tgt_keys, branch=branch)
     return _dml_report(spark, "MERGE", db, tbl, snap)
 
 
@@ -1639,6 +1668,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
                 raise ValueError(f"UPDATE SET: cannot parse {part!r}")
             sets[_unquote(col.strip())] = expr.strip()
         udb, utbl = _unquote(orig("db")), _unquote(orig("tbl"))
+        ubranch = orig("branch")
+        ubranch = ubranch.split("_", 1)[1] if ubranch else None
         ucond = _dml_cond(spark, catalog, orig("cond"))
         ut = catalog.table(udb, utbl)
         # Iceberg's row-level-strategy switch for UPDATE (completing
@@ -1651,11 +1682,13 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             if ut.exists()
             else "copy-on-write"  # update_where raises its LookupError
         )
-        snap = catalog.update_where(udb, utbl, ucond, sets, mode=umode)
+        snap = catalog.update_where(udb, utbl, ucond, sets, mode=umode, branch=ubranch)
         return _dml_report(spark, "UPDATE", udb, utbl, snap)
     m = _DML_DELETE.match(query)
     if m:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        branch = m.group("branch")
+        branch = branch.split("_", 1)[1] if branch else None
         t = catalog.table(db, tbl)
         # Iceberg's row-level-strategy switch for DELETE (the twin of
         # MERGE's write.merge.mode and UPDATE's write.update.mode):
@@ -1667,7 +1700,8 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             else "copy-on-write"  # delete_where raises its LookupError
         )
         snap = catalog.delete_where(
-            db, tbl, _dml_cond(spark, catalog, m.group("cond")), mode=mode
+            db, tbl, _dml_cond(spark, catalog, m.group("cond")), mode=mode,
+            branch=branch,
         )
         return _dml_report(spark, "DELETE", db, tbl, snap)
     m = _DML_TRUNCATE.match(query)

