@@ -498,6 +498,22 @@ _DML_ALTER_PART_REPL = re.compile(
     rf"REPLACE\s+PARTITION\s+FIELD\s+(?P<old>.+?)\s+WITH\s+(?P<new>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Iceberg's branch/tag DDL SQL extension: ALTER TABLE … CREATE
+# [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] name [AS OF VERSION id],
+# REPLACE BRANCH|TAG name AS OF VERSION id, DROP BRANCH|TAG
+# [IF EXISTS] name — the DDL half of the refs the read path already
+# speaks (FROM db.t.branch_dev / VERSION AS OF 'tag'). RETAIN /
+# retention clauses are not modeled (snapshots expire via
+# expire_snapshots, which keeps ref'd snapshots).
+_DML_ALTER_REF = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"(?P<op>CREATE(?:\s+OR\s+REPLACE)?|REPLACE|DROP)\s+"
+    rf"(?P<kind>BRANCH|TAG)\s+"
+    rf"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+|(?P<ie>IF\s+EXISTS)\s+)?"
+    rf"(?P<ref>{_QIDENT})"
+    rf"(?:\s+AS\s+OF\s+VERSION\s+(?P<ver>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_ALTER_DROP = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
     rf"DROP\s+COLUMNS?\s*\(?(?P<cols>[^()]+?)\)?\s*;?\s*$",
@@ -1898,6 +1914,72 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         return _dml_report(
             spark, "ALTER TABLE ALTER COLUMN TYPE", _uq(m, "db"), _uq(m, "tbl"), snap
         )
+    m = _DML_ALTER_REF.match(query)
+    if m:
+        # branch/tag DDL (≙ Iceberg's SQL extension; API twins:
+        # snapcat.create_branch / tag / drop_ref). Semantics: CREATE
+        # rejects an existing ref (IF NOT EXISTS no-ops, OR REPLACE
+        # re-points), bare REPLACE requires one, DROP rejects a
+        # missing ref (IF EXISTS no-ops) and a kind mismatch (a tag
+        # can't be dropped as a branch).
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        ref = _uq(m, "ref")
+        kind = m.group("kind").lower()
+        op = re.sub(r"\s+", " ", m.group("op").upper())
+        t = catalog.table(db, tbl)
+        if not t.exists():
+            raise LookupError(
+                f"ALTER TABLE {op} {kind.upper()}: {db}.{tbl} does not exist"
+            )
+        refs = t.refs()
+        existing_kind = refs.get(ref, {}).get("type")
+        ver = int(m.group("ver")) if m.group("ver") else None
+        stmt = f"ALTER TABLE {op} {kind.upper()}"
+
+        def report(sid) -> DataFrame:
+            return spark.createDataFrame(
+                [(stmt, f"{db}.{tbl}", ref, sid)],
+                "statement string, table string, ref string, snapshot_id bigint",
+            )
+
+        if op == "DROP":
+            if existing_kind is None:
+                if m.group("ie"):
+                    return report(None)
+                raise LookupError(
+                    f"{stmt}: ref {ref!r} not found in {db}.{tbl}"
+                )
+            if existing_kind != kind:
+                raise ValueError(
+                    f"{stmt}: {ref!r} is a {existing_kind}, not a {kind}"
+                )
+            sid = refs[ref]["snapshot_id"]
+            catalog.drop_ref(db, tbl, ref)
+            return report(sid)
+        if existing_kind is not None:
+            if m.group("ine"):
+                return report(refs[ref]["snapshot_id"])
+            if "REPLACE" not in op:
+                raise ValueError(
+                    f"{stmt}: ref {ref!r} already exists in {db}.{tbl} "
+                    "(use CREATE OR REPLACE to re-point it)"
+                )
+            if existing_kind != kind:
+                raise ValueError(
+                    f"{stmt}: {ref!r} is a {existing_kind}, not a {kind}"
+                )
+        elif op == "REPLACE":
+            raise LookupError(
+                f"{stmt}: ref {ref!r} not found in {db}.{tbl} "
+                "(use CREATE to make a new one)"
+            )
+        if kind == "tag":
+            sid = catalog.tag(db, tbl, ref, snapshot_id=ver)
+        else:
+            if existing_kind is not None:  # OR REPLACE on a branch
+                catalog.drop_ref(db, tbl, ref)
+            sid = catalog.create_branch(db, tbl, ref, snapshot_id=ver)
+        return report(sid)
     m = _DML_ALTER_PART_REPL.match(query) or _DML_ALTER_PART.match(query)
     if m:
         # partition evolution (≙ Iceberg ALTER TABLE … ADD/DROP/REPLACE
