@@ -398,7 +398,8 @@ _NEST1 = r"[^()]*(?:\([^()]*\)[^()]*)*"
 # the canonical Iceberg CTAS spelling: CREATE TABLE db.t [USING iceberg]
 # [PARTITIONED BY (spec,…)] [TBLPROPERTIES ('k'='v',…)] AS <query>
 _DML_CTAS = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
     rf"(?:USING\s+(?P<using>{_IDENT})\s+)?"
     rf"(?:PARTITIONED\s+BY\s*\((?P<spec>{_NEST1})\)\s*)?"
     rf"(?:TBLPROPERTIES\s*\((?P<props>[^()]*)\)\s*)?AS\s+(?P<rest>.+)$",
@@ -429,7 +430,8 @@ _DML_UPDATE = re.compile(
 
 
 _DML_DROP = re.compile(
-    rf"^\s*DROP\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*$",
+    rf"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*$",
     re.IGNORECASE,
 )
 # NAMESPACE/DATABASE/SCHEMA are synonyms, as in Spark SQL; the
@@ -450,8 +452,26 @@ _DML_DROP_NS = re.compile(
 # against current table state at every read
 _DML_CREATE_VIEW = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
-    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+AS\s+(?P<rest>.+)$",
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*"
+    rf"(?:\((?P<cols>[^()]*)\)\s*)?AS\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+# ALTER VIEW db.v AS <query>: re-validate + atomic text swap on an
+# EXISTING view (≙ Iceberg view-spec replace; CREATE OR REPLACE VIEW
+# is the create-or-swap twin)
+_DML_ALTER_VIEW = re.compile(
+    rf"^\s*ALTER\s+VIEW\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+AS\s+"
+    rf"(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# CREATE TABLE … LIKE: metadata-only clone of schema + partition spec
+# + properties — the natural SQL spelling of the reference's stage-3
+# schema clone (3_create_dst_tables.py:79-92)
+_DML_CREATE_LIKE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s+"
+    rf"LIKE\s+(?P<db2>{_QIDENT})\.(?P<tbl2>{_QIDENT})\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DML_DROP_VIEW = re.compile(
     rf"^\s*DROP\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?"
@@ -474,7 +494,8 @@ _DML_RENAME = re.compile(
 
 
 _DML_CREATE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*"
+    rf"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<db>{_QIDENT})\.(?P<tbl>{_QIDENT})\s*"
     rf"\((?P<cols>{_NEST1})\)\s*"
     rf"(?:USING\s+(?P<using>{_IDENT})\s*)?"
     rf"(?:PARTITIONED\s+BY\s*\((?P<spec>{_NEST1})\)\s*)?"
@@ -1507,11 +1528,19 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
           (Iceberg's identifier-based branch write; reads via
           FROM db.t.branch_dev / db.t.tag_v1 or VERSION AS OF 'dev')
         INSERT OVERWRITE db.t <select>   → write(mode="overwrite")
-        CREATE TABLE db.t AS <select>    → write on a fresh table
+        CREATE TABLE [IF NOT EXISTS] db.t AS <select> → write on a
+          fresh table (IF NOT EXISTS: existing table is a no-op)
+        CREATE TABLE [IF NOT EXISTS] db.t2 LIKE db.t1 → metadata-only
+          clone: schema + partition spec + properties, no data
         DELETE FROM db.t [WHERE <cond>]  → delete_where
           (mode from the target's ``write.delete.mode``)
         UPDATE db.t SET c = e, … [WHERE] → update_where
           (mode from the target's ``write.update.mode``)
+        DELETE FROM db.t.branch_b … | UPDATE db.t.branch_b SET … |
+          MERGE INTO db.t.branch_b … → branch-targeted row-level DML:
+          the statement scans the BRANCH head and commits onto the
+          branch ref only; main is untouched until CALL
+          system.fast_forward publishes the branch
         TRUNCATE TABLE db.t → truncate_table (metadata-only commit:
           zero files referenced, nothing read or rewritten; history
           stays time-travelable)
@@ -1524,10 +1553,17 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
           ``write.merge.mode`` property; see _merge_execute)
         CREATE TABLE db.t (<ddl cols>) [PARTITIONED BY (spec,…)]
           [TBLPROPERTIES ('k'='v',…)]  → create_table (G2-correct)
-        CREATE [OR REPLACE] VIEW db.v AS <select> | DROP VIEW
+        CREATE [OR REPLACE] VIEW db.v [(col, …)] AS <select>
+          | ALTER VIEW db.v AS <select> | DROP VIEW
           [IF EXISTS] db.v | SHOW VIEWS IN db → catalog views
           (≙ Iceberg view spec: stored text, re-planned per read,
-          resolved recursively in any query; cycles reject)
+          resolved recursively in any query; cycles reject; the
+          column list renames the body's output positionally)
+        ALTER TABLE db.t CREATE [OR REPLACE] BRANCH|TAG
+          [IF NOT EXISTS] name [AS OF VERSION id]
+          | REPLACE BRANCH|TAG name AS OF VERSION id
+          | DROP BRANCH|TAG [IF EXISTS] name → ref DDL
+          (create_branch / tag / drop_ref)
         CREATE NAMESPACE|DATABASE|SCHEMA [IF NOT EXISTS] db
           → create_namespace (the reference's stage-3 SQL form)
         DROP NAMESPACE|DATABASE|SCHEMA [IF EXISTS] db [CASCADE|RESTRICT]
@@ -1552,6 +1588,14 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
         is_ctas = m.re is _DML_CTAS
         if is_ctas and catalog.table(db, tbl).exists():
+            if m.group("ine"):  # IF NOT EXISTS: tolerated no-op, no write
+                head = catalog.table(db, tbl).current_snapshot()
+                return spark.createDataFrame(
+                    [("CREATE TABLE AS", f"{db}.{tbl}",
+                      head.snapshot_id if head else None, "noop")],
+                    "statement string, table string, snapshot_id bigint, "
+                    "operation string",
+                )
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} already exists")
         if is_ctas and catalog.view_text(db, tbl) is not None:
             raise ValueError(f"CREATE TABLE AS: {db}.{tbl} is an existing VIEW")
@@ -1580,6 +1624,19 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
             ):
                 ins_cols = [_unquote(c) for c in parts_]
                 rest = tail
+        if not is_ctas and not re.match(
+            r"^\s*(?:\(|SELECT|VALUES|WITH|TABLE|FROM|MAP|REDUCE)\b",
+            rest, re.IGNORECASE,
+        ):
+            # a body that isn't a query (INSERT … PARTITION (k=1) …,
+            # INSERT … REPLACE WHERE …) must reject with the cause,
+            # not die parsing the remainder as a SELECT
+            raise ValueError(
+                f"INSERT {how.upper()} {db}.{tbl}: unsupported body "
+                f"starting at {rest.strip()[:40]!r} — expected a query "
+                "(SELECT/VALUES/WITH); static PARTITION clauses are not "
+                "supported (partitioning is declarative via the table spec)"
+            )
         df = snapcat_sql(spark, catalog, rest)
         t = catalog.table(db, tbl)
         if not is_ctas and not t.exists():
@@ -1731,25 +1788,65 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     if m:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
         if not catalog.table(db, tbl).exists():
+            if m.group("ie"):  # DROP TABLE IF EXISTS: tolerated no-op
+                return spark.createDataFrame(
+                    [("DROP TABLE", f"{db}.{tbl}")],
+                    "statement string, table string",
+                )
             raise LookupError(f"DROP TABLE: {db}.{tbl} does not exist")
         catalog.drop_table(db, tbl)
         return spark.createDataFrame(
             [("DROP TABLE", f"{db}.{tbl}")],
             "statement string, table string",
         )
-    m = _DML_CREATE_VIEW.match(query)
+    m = _DML_CREATE_VIEW.match(query) or _DML_ALTER_VIEW.match(query)
     if m:
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        is_alter = m.re is _DML_ALTER_VIEW
+        if is_alter:
+            # ALTER VIEW requires the view to exist (and must not be
+            # pointed at a TABLE by mistake)
+            if catalog.table(db, tbl).exists():
+                raise ValueError(f"ALTER VIEW: {db}.{tbl} is a TABLE")
+            if catalog.view_text(db, tbl) is None:
+                raise LookupError(f"ALTER VIEW: view {db}.{tbl} does not exist")
         body = m.group("rest").strip().rstrip(";").strip()
-        # validate NOW (plan the body once) so a typo'd view fails at
-        # CREATE, not at first read; only the TEXT is stored — the
-        # view re-plans against current table state on every read
+        cols_text = None if is_alter else m.group("cols")
+        if cols_text is not None:
+            # CREATE VIEW db.v (alias, …) AS <query>: the column alias
+            # list renames the body's output positionally (ANSI). The
+            # stored text wraps the body so every later read re-plans
+            # it under the aliased names.
+            aliases = [c.strip() for c in _split_top(cols_text)]
+            if not all(re.fullmatch(_QIDENT, a) for a in aliases):
+                raise ValueError(
+                    f"CREATE VIEW {db}.{tbl}: column list must be plain "
+                    f"identifiers, got ({cols_text.strip()})"
+                )
+            src_cols = snapcat_sql(spark, catalog, body).columns
+            if len(aliases) != len(src_cols):
+                raise ValueError(
+                    f"CREATE VIEW {db}.{tbl}: column list names "
+                    f"{len(aliases)} column(s), query produces {len(src_cols)}"
+                )
+            sel = ", ".join(
+                "`{}` AS `{}`".format(
+                    s.replace("`", "``"), _unquote(a).replace("`", "``")
+                )
+                for s, a in zip(src_cols, aliases)
+            )
+            body = f"SELECT {sel} FROM ({body}) __view_body"
+        # validate NOW (plan the text once) so a typo'd view fails at
+        # CREATE/ALTER, not at first read; only the TEXT is stored —
+        # the view re-plans against current table state on every read
         snapcat_sql(spark, catalog, body)
         catalog.create_view(
-            db, tbl, body, replace=m.group("replace") is not None
+            db, tbl, body,
+            replace=is_alter or m.group("replace") is not None,
         )
         return spark.createDataFrame(
-            [("CREATE VIEW", f"{db}.{tbl}")], "statement string, view string"
+            [("ALTER VIEW" if is_alter else "CREATE VIEW", f"{db}.{tbl}")],
+            "statement string, view string",
         )
     m = _DML_DROP_VIEW.match(query)
     if m:
@@ -1869,6 +1966,40 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     m = _DML_SHOW_PARTS.match(query)
     if m:
         return catalog.table(_uq(m, "db"), _uq(m, "tbl")).partitions_df(spark)
+    m = _DML_CREATE_LIKE.match(query)
+    if m:
+        # CREATE TABLE db.t2 LIKE db.t1 — metadata-only clone: current
+        # schema, partition spec and table properties; no data, no
+        # history (the reference's stage-3 destination-table shape)
+        db, tbl = _uq(m, "db"), _uq(m, "tbl")
+        sdb, stbl = _uq(m, "db2"), _uq(m, "tbl2")
+        src = catalog.table(sdb, stbl)
+        if not src.exists():
+            if catalog.view_text(sdb, stbl) is not None:
+                raise ValueError(
+                    f"CREATE TABLE LIKE: {sdb}.{stbl} is a VIEW (clone the "
+                    "table it reads, or CREATE VIEW instead)"
+                )
+            raise LookupError(f"CREATE TABLE LIKE: {sdb}.{stbl} does not exist")
+        if catalog.view_text(db, tbl) is not None:
+            raise ValueError(f"CREATE TABLE LIKE: {db}.{tbl} is an existing VIEW")
+        if catalog.table(db, tbl).exists():
+            if m.group("ine"):
+                return spark.createDataFrame(
+                    [("CREATE TABLE LIKE", f"{db}.{tbl}", f"{sdb}.{stbl}")],
+                    "statement string, table string, source string",
+                )
+            raise ValueError(f"CREATE TABLE LIKE: {db}.{tbl} already exists")
+        snap = src.current_snapshot() or src.snapshots()[-1]
+        catalog.create_table(
+            db, tbl, snap.schema_ddl,
+            partition_by=list(snap.partition_spec),
+            properties=src.properties(),
+        )
+        return spark.createDataFrame(
+            [("CREATE TABLE LIKE", f"{db}.{tbl}", f"{sdb}.{stbl}")],
+            "statement string, table string, source string",
+        )
     m = _DML_CREATE.match(query)
     if m:
         # CREATE TABLE db.t (<DDL cols>) [PARTITIONED BY (spec,…)]
@@ -1878,6 +2009,12 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
         # engine's schema parser verbatim
         db, tbl = _uq(m, "db"), _uq(m, "tbl")
         if catalog.table(db, tbl).exists():
+            if m.group("ine"):  # IF NOT EXISTS: tolerated no-op
+                return spark.createDataFrame(
+                    [("CREATE TABLE", f"{db}.{tbl}", "", 0)],
+                    "statement string, table string, partition_spec string, "
+                    "n_properties int",
+                )
             raise ValueError(f"CREATE TABLE: {db}.{tbl} already exists")
         if catalog.view_text(db, tbl) is not None:
             raise ValueError(f"CREATE TABLE: {db}.{tbl} is an existing VIEW")
@@ -2076,6 +2213,66 @@ def snapcat_dml(spark: SparkSession, catalog, query: str) -> DataFrame | None:
     m = _DML_CALL.match(_mask_literals(query))
     if m:
         return _call_procedure(spark, catalog, query, m)
+    return _reject_unmatched_statement(catalog, query)
+
+
+#: statement-shaped openers: if one of these starts the query AND the
+#: text names an existing catalog table/view, falling through to the
+#: read path can only produce a misleading Catalyst error
+_STMT_HEAD = re.compile(
+    r"^\s*(INSERT|UPDATE|DELETE|MERGE|TRUNCATE|ALTER|CREATE|DROP)\b",
+    re.IGNORECASE,
+)
+#: Spark-native session-local objects the read path legitimately runs
+#: (CREATE [OR REPLACE] [GLOBAL] TEMP/TEMPORARY VIEW|FUNCTION, DROP
+#: TEMPORARY …) — never intercept these
+_STMT_TEMP = re.compile(r"\b(?:TEMP|TEMPORARY)\s+(?:VIEW|FUNCTION|TABLE)\b", re.IGNORECASE)
+
+
+def _reject_unmatched_statement(catalog, query: str) -> None:
+    """Loud catch-all (verdict r13): a DML/DDL-shaped statement that
+    NAMES a catalog table or view but matched no handler must fail
+    with a message that points at the real cause — not fall through
+    to the read path and die inside Catalyst with an unrelated error
+    (`DELETE FROM db.t.tag_v1`, `ALTER VIEW db.v RENAME …`,
+    `CREATE EXTERNAL TABLE db.t …`). Statements over session-local
+    temp objects and plain reads still pass through (returns None)."""
+    head = _STMT_HEAD.match(query)
+    if not head:
+        return None
+    masked = _mask_literals(query)
+    if _STMT_TEMP.search(masked):
+        return None
+    for dm in re.finditer(rf"({_QIDENT})\.({_QIDENT})", masked):
+        db = _unquote(query[dm.start(1):dm.end(1)])
+        tbl = _unquote(query[dm.start(2):dm.end(2)])
+        is_view = (
+            hasattr(catalog, "view_text")
+            and catalog.view_text(db, tbl) is not None
+        )
+        if is_view or tbl in catalog.list_tables(db):
+            kind = "view" if is_view else "table"
+            raise ValueError(
+                f"unsupported statement: this {head.group(1).upper()} form "
+                f"is not recognized by the catalog SQL surface, but it names "
+                f"the catalog {kind} {db}.{tbl} — check the statement shape "
+                "(supported forms are listed in snapcat_dml's docstring); "
+                "it was NOT run as a read"
+            )
+        if head.group(1).upper() in ("CREATE", "DROP") and db in (
+            catalog.list_namespaces() if hasattr(catalog, "list_namespaces") else ()
+        ):
+            # a CREATE/DROP naming a NEW object inside an existing
+            # catalog namespace (CREATE EXTERNAL TABLE db.x …) can
+            # only die in Catalyst with SCHEMA_NOT_FOUND — the catalog
+            # namespace isn't a Spark schema; reject with the cause
+            raise ValueError(
+                f"unsupported statement: this {head.group(1).upper()} form "
+                f"is not recognized by the catalog SQL surface, but "
+                f"{db}.{tbl} names the catalog namespace {db!r} — check "
+                "the statement shape (supported forms are listed in "
+                "snapcat_dml's docstring); it was NOT run as a read"
+            )
     return None
 
 
