@@ -913,10 +913,12 @@ def _merge_expected_rows(tgt: dict, src: list, combo):
 
 @given(
     tgt=_merge_rows, src=_merge_src_rows, combo=_merge_combos,
-    mor=st.booleans(), qual=st.booleans(),
+    mor=st.booleans(), qual=st.booleans(), on_branch=st.booleans(),
 )
 @settings(max_examples=25, deadline=None)
-def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor, qual):
+def test_merge_clause_matrix_fuzz(
+    spark, tmp_path_factory, tgt, src, combo, mor, qual, on_branch
+):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import snapcat_dml
 
@@ -929,6 +931,8 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor,
     )
     if mor:  # both row-level strategies must agree with the reference
         cat.set_properties("db", "t", {"write.merge.mode": "merge-on-read"})
+    if on_branch:  # branch arm: identical semantics on the branch line
+        cat.create_branch("db", "t", "fz")
     cat.write(
         "db", "s",
         spark.createDataFrame(sorted(src), "k int, v int"),
@@ -950,21 +954,29 @@ def test_merge_clause_matrix_fuzz(spark, tmp_path_factory, tgt, src, combo, mor,
         clauses.append("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1")
     # qual arm: the fully-qualified three-part ON spelling Spark accepts
     on = "db.t.k = s.k" if qual else "t.k = s.k"
-    stmt = f"MERGE INTO db.t USING db.s AS s ON {on} " + " ".join(clauses)
+    target = "db.t.branch_fz" if on_branch else "db.t"
+    stmt = f"MERGE INTO {target} USING db.s AS s ON {on} " + " ".join(clauses)
+
+    def state(**kw):
+        return sorted(
+            (r["k"], r["v"]) for r in cat.table("db", "t").read(spark, **kw).collect()
+        )
+
     raises, expected = _merge_expected_rows(tgt, src, combo)
     if raises:
         with pytest.raises(ValueError, match="cardinality violation"):
             snapcat_dml(spark, cat, stmt)
-        got = sorted(
-            (r["k"], r["v"]) for r in cat.table("db", "t").read(spark).collect()
-        )
-        assert got == sorted(tgt.items())  # guard fired BEFORE any commit
+        assert state() == sorted(tgt.items())  # guard fired BEFORE any commit
+        if on_branch:
+            assert state(ref="fz") == sorted(tgt.items())
         return
     snapcat_dml(spark, cat, stmt)
-    got = sorted(
-        (r["k"], r["v"]) for r in cat.table("db", "t").read(spark).collect()
-    )
-    assert got == expected
+    if on_branch:
+        # the branch carries the merge result; main is untouched
+        assert state(ref="fz") == expected
+        assert state() == sorted(tgt.items())
+    else:
+        assert state() == expected
 
 
 #: CDC changelog as a LIST of (k, v, op) rows — duplicate keys are
@@ -1077,11 +1089,11 @@ def _subq_matched(k: int, tomb: list, shape: str) -> bool:
     tbl=_dml_tbl, tomb=_dml_tomb,
     shape=st.sampled_from(["in", "not_in", "exists", "scalar"]),
     op=st.sampled_from(["delete", "update"]),
-    mor=st.booleans(),
+    mor=st.booleans(), on_branch=st.booleans(),
 )
 @settings(max_examples=20, deadline=None)
 def test_dml_subquery_predicate_fuzz(
-    spark, tmp_path_factory, tbl, tomb, shape, op, mor
+    spark, tmp_path_factory, tbl, tomb, shape, op, mor, on_branch
 ):
     from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
@@ -1099,16 +1111,19 @@ def test_dml_subquery_predicate_fuzz(
             "write.delete.mode": "merge-on-read",
             "write.update.mode": "merge-on-read",
         })
+    if on_branch:  # branch arm: same semantics, branch-isolated commit
+        cat.create_branch("db", "t", "fz")
     cond = {
         "in": "id IN (SELECT id FROM db.tomb)",
         "not_in": "id NOT IN (SELECT id FROM db.tomb)",
         "exists": "EXISTS (SELECT 1 FROM db.tomb WHERE db.tomb.id = t.id)",
         "scalar": "id > (SELECT max(id) FROM db.tomb)",
     }[shape]
+    target = "db.t.branch_fz" if on_branch else "db.t"
     stmt = (
-        f"DELETE FROM db.t WHERE {cond}"
+        f"DELETE FROM {target} WHERE {cond}"
         if op == "delete"
-        else f"UPDATE db.t SET v = -7 WHERE {cond}"
+        else f"UPDATE {target} SET v = -7 WHERE {cond}"
     )
     snapcat_execute(spark, cat, stmt)
     if op == "delete":
@@ -1117,9 +1132,17 @@ def test_dml_subquery_predicate_fuzz(
     else:
         expected = {k: (-7 if _subq_matched(k, tomb, shape) else v)
                     for k, v in tbl.items()}
-    got = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+    kw = {"ref": "fz"} if on_branch else {}
+    got = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark, **kw).collect()}
     assert got == expected
+    if on_branch:  # main untouched by the branch commit
+        main = {r["id"]: r["v"] for r in cat.table("db", "t").read(spark).collect()}
+        assert main == dict(tbl)
+    head = (
+        cat.table("db", "t").resolve_snapshot(ref="fz")
+        if on_branch
+        else cat.table("db", "t").current_snapshot()
+    )
     if mor:  # merge-on-read: the seed data file is carried by reference
-        head = cat.table("db", "t").current_snapshot()
         assert any(f.path.startswith("data/s000001") for f in head.files)
         assert all(d.kind == "position" for d in head.delete_files)
