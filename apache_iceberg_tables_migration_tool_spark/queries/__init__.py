@@ -82,29 +82,26 @@ from apache_iceberg_tables_migration_tool_spark.queries import search  # noqa: F
 # pytest at sf0.001 + the sf0.01 sweep.
 _DRIVER_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-13 ROTATION (verdict r12 action #2, standing
+    # ROUND-14 ROTATION (verdict r13 action #3, standing
     # longest-ungraded-first policy). Kept for continuity: the
     # flagship + the two bench watch-list dedups + the two bench
-    # second carriers (5). Rotated IN: the three never-graded r12
-    # registrations (important_stock_q11, shipmode_priority_q12,
-    # sql_truncate_lifecycle); sql_update_lifecycle — NEW this round,
-    # carrying the write.update.mode merge-on-read UPDATE (position-
-    # delete + append, one commit, no rewrite; COW≡MOR pinned
-    # in-query) and the CREATE/DROP NAMESPACE SQL forms;
-    # contamination_benchmark_overlap — re-grade after de-vacuation
-    # (its r10 green was 0 vs 0 rows; now 6 rows at sf0.01); the 32
-    # r9-tier rows queued FIRST by the r12 rotation comment; and 8
-    # r10-tier rows nearest this round's touched code — the row-level
-    # DML family (rowlevel_merge_delete), the catalog metadata plane
-    # the truncate/update commits ride (wap_audit_publish,
-    # snapshot_history_ops, scan_planning_report), the migration e2e
-    # carrier (migration_e2e_report), the SQL front-end read carrier
-    # (sql_api_top_spenders), and two TPC-H singles
-    # (min_cost_supplier_q2, shipping_priority_q3). Rotated OUT: the
-    # 45 non-continuity rows graded in round 12 (all >=2 greens).
-    # bpe_train_merges stays out by the rows-only policy (the window
-    # keeps its 100%-hash-checked discipline; exactness is
-    # pytest-pinned against a sequential reference).
+    # second carriers (5). Rotated IN: sql_view_catalog — the r13
+    # registration queued first by the r13 rotation comment, now ALSO
+    # carrying this round's ALTER VIEW atomic text swap
+    # (alter_view_ok); sql_branch_dml_lifecycle — NEW this round,
+    # carrying branch-targeted UPDATE/DELETE/MERGE (commits move only
+    # the branch ref; branch_isolated pins main across all three),
+    # the ALTER TABLE CREATE BRANCH/TAG DDL, fast_forward publish,
+    # tag pre-publish readback, and CREATE TABLE LIKE (clone_ok);
+    # the 35 rows last graded in round 10 (the full r10 tier); and 8
+    # r11-tier rows nearest this round's touched code — the SQL
+    # DDL/maintenance/CDC carriers (sql_ddl_lifecycle,
+    # sql_merge_upsert, sql_call_maintenance, sql_changes_between),
+    # the snapshot-diff row riding the commit plumbing
+    # (snapshot_row_diff), and three read-side continuity rows
+    # (integrity_fingerprint, asof_join_click_purchase, table_counts).
+    # Rotated OUT: the 45 non-continuity rows graded in round 13 (all
+    # >=2 greens). bpe_train_merges stays out by the rows-only policy.
     # ------------------------------------------------------------------
     # continuity: flagship + bench watch
     "flagship_topk_revenue",
@@ -112,55 +109,54 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "local_supply_revenue",
     "returned_revenue_by_customer",
-    # never driver-graded: the r12 registrations + this round's carrier
-    "important_stock_q11",
-    "shipmode_priority_q12",
-    "sql_truncate_lifecycle",
-    "sql_update_lifecycle",
-    # re-grade after de-vacuation (now non-empty at sf0.01)
-    "contamination_benchmark_overlap",
-    # the 32 r9-tier rows queued by the r12 rotation comment
-    "ann_index_maintenance",
-    "bloom_point_lookup",
-    "bracket_revenue_q19",
-    "chunk_documents_overlap",
-    "curation_pipeline_e2e",
-    "data_quality_report",
-    "dedup_image_ingest_index",
-    "dedup_semantic_ann",
-    "dup_ngram_doc_filter",
-    "incremental_distinct_view",
-    "incremental_join_chain_view",
-    "incremental_quantile_view",
-    "incremental_topk_join_view",
-    "incremental_topk_view",
-    "incremental_view_maintenance",
-    "knn_pq_adc",
-    "partition_stats_metadata",
-    "resample_daily_forward_fill",
-    "rolling_zscore_anomalies",
-    "row_lineage_audit",
-    "session_window_events",
-    "small_quantity_revenue_q17",
-    "source_reputation_gate",
-    "sql_time_travel_catalog",
-    "stream_stream_join_events",
-    "streaming_catalog_sync",
-    "streaming_catalog_tail",
-    "streaming_view_maintenance",
-    "table_column_stats",
-    "top_supplier_q15",
-    "view_rewrite_join_navigation",
-    "view_rewrite_navigation",
-    # 8 r10-tier rows nearest this round's touched code
-    "rowlevel_merge_delete",
-    "wap_audit_publish",
-    "snapshot_history_ops",
-    "scan_planning_report",
-    "migration_e2e_report",
-    "sql_api_top_spenders",
-    "min_cost_supplier_q2",
-    "shipping_priority_q3",
+    # the r13 registration (queued first) + this round's new carrier
+    "sql_view_catalog",
+    "sql_branch_dml_lifecycle",
+    # the 35 rows last graded in round 10
+    "audio_spectral_profile",
+    "bigram_surprisal_quality",
+    "bm25_search_topk",
+    "clean_text_stats",
+    "dataset_split_report",
+    "dedup_clusters",
+    "dedup_duplicate_spans",
+    "dedup_embedding_clusters",
+    "dedup_image_phash",
+    "dedup_incremental_ingest",
+    "embedding_outliers",
+    "incremental_minmax_view",
+    "inverted_index_terms",
+    "knn_graph_neighbors",
+    "knn_int8_quantized",
+    "knn_ivf",
+    "large_volume_customers_q18",
+    "migration_history_replay",
+    "mixture_weighted_sample",
+    "multimodal_decode_image",
+    "multimodal_feature_knn",
+    "oov_rate_report",
+    "pack_training_sequences",
+    "pii_redaction",
+    "profit_by_nation_year_q9",
+    "quality_weighted_sample",
+    "repetition_profile",
+    "sample_fixed_per_lang",
+    "stratified_sample_langs",
+    "streaming_changelog_view",
+    "token_count_bpe",
+    "top_bigrams_per_lang",
+    "unigram_surprisal_quality",
+    "video_frame_sample",
+    "window_topk_orders_per_customer",
+    # 8 r11-tier rows nearest this round's touched code
+    "sql_ddl_lifecycle",
+    "sql_merge_upsert",
+    "sql_call_maintenance",
+    "sql_changes_between",
+    "snapshot_row_diff",
+    "integrity_fingerprint",
+    "asof_join_click_purchase",
+    "table_counts",
 ]
     # ------------------------------------------------------------------
     # ROUND-12 ROTATION (verdict r11 actions #2 and #3, standing
@@ -238,12 +234,24 @@ _DRIVER_PRIORITY = [
 # rides the sql_merge_sync / sql_merge_cdc_apply carriers graded THIS
 # round. Fill the remaining slots with the oldest r10-tier rows.
 #
-# Queued FIRST for the r14 window: `sql_view_catalog` — registered
-# during round 13 (catalog views ≙ Iceberg view spec: CREATE/DROP
-# VIEW, recursive resolution, re-plan-per-read pinned in-query, plus
-# ALTER TABLE ADD PARTITION FIELD evolution; oracle- and
-# sweep-verified at registration) — then the 36 rows last graded in
-# round 10 under the standing longest-ungraded-first policy.
+# Queued FIRST for the r15 window: the 36 r11-tier rows left out of
+# the r14 rotation — antijoin_orders_without_items,
+# approx_distinct_users, approx_percentile_quality,
+# argmax_customer_per_nation, correlated_exists_late_orders,
+# cube_lineitem_flags, dedup_exact_documents, distinct_counts,
+# doc_fingerprint, funnel_conversion, grouping_sets_flags,
+# having_popular_parts, json_extract_events, knn_topk_cosine,
+# lag_order_gap_days, min_price_item_per_order, ntile_price_quartiles,
+# order_count_distribution_q13, orders_by_weekday,
+# pivot_status_priority, portable_corr_stats, pricing_summary,
+# range_join_value_buckets, rolling_30d_customer_spend,
+# rollup_order_stats, running_total_per_customer,
+# scalar_functions_showcase, skew_salted_agg, sliding_window_events,
+# source_overlap_matrix, tumbling_window_events, unpivot_lineitem_metrics,
+# user_event_type_sets, weekly_cohort_retention, window_rank_metrics,
+# zorder_values — then the oldest r12-tier rows under the standing
+# longest-ungraded-first policy; plus any carrier registered during
+# round 14 after this window was set.
 
 
 def _apply_driver_priority() -> None:

@@ -3284,7 +3284,8 @@ agg AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_busy,
        CAST(SUM(n_orders) AS BIGINT) AS orders_covered,
        TRUE AS view_not_materialized,
-       TRUE AS spec_evolved
+       TRUE AS spec_evolved,
+       TRUE AS alter_view_ok
 FROM agg WHERE n_orders >= 3
 """,
 )
@@ -3299,8 +3300,10 @@ def sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrier evolves the base table's partition spec through ``ALTER
     TABLE ADD PARTITION FIELD bucket(4, cust)`` and writes under the
     evolved spec (``spec_evolved``: the spec round-trips and old +
-    new layouts read together). The oracle rebuilds the final grouped
-    state relationally from the fixture."""
+    new layouts read together). An ``ALTER VIEW`` phase (r14) swaps
+    the stored text atomically and pins that the next read re-plans
+    the NEW body (``alter_view_ok``). The oracle rebuilds the final
+    grouped state relationally from the fixture."""
     from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
         snapcat_dml,
         snapcat_sql,
@@ -3352,6 +3355,20 @@ def sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         spec_evolved = (
             cat.table("db", "base").partition_spec() == ["bucket(4, cust)"]
         )
+        # ALTER VIEW (r14): atomic stored-text swap — the next read
+        # re-plans the NEW body (result-equal here: price is non-null
+        # in the fixture, so the added filter keeps every row)
+        snapcat_dml(
+            spark, cat,
+            "ALTER VIEW db.v_base AS SELECT cust, price FROM db.base "
+            "WHERE price IS NOT NULL",
+        )
+        alter_view_ok = (
+            "price IS NOT NULL" in (cat.view_text("db", "v_base") or "")
+            and snapcat_sql(
+                spark, cat, "SELECT count(*) AS n FROM db.v_base"
+            ).collect()[0]["n"] == direct
+        )
         agg = snapcat_sql(
             spark, cat,
             "SELECT cast(count(*) AS bigint) AS n_busy, "
@@ -3360,9 +3377,10 @@ def sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         return spark.createDataFrame(
             [(agg["n_busy"], agg["orders_covered"],
-              view_not_materialized, spec_evolved)],
+              view_not_materialized, spec_evolved, alter_view_ok)],
             "n_busy bigint, orders_covered bigint, "
-            "view_not_materialized boolean, spec_evolved boolean",
+            "view_not_materialized boolean, spec_evolved boolean, "
+            "alter_view_ok boolean",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3480,6 +3498,120 @@ def sql_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows bigint, n_updated bigint, sum_cust bigint, "
             "mor_no_rewrite boolean, cow_equals_mor boolean, "
             "ns_ddl_ok boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sql_branch_dml_lifecycle",
+    tags=("migration", "sql", "dml", "branch"),
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS ok, CAST(o_custkey AS BIGINT) AS cust
+    FROM orders WHERE o_orderkey % 4 = 0
+),
+upd AS (
+    SELECT ok, CASE WHEN ok % 5 = 0 THEN cust + 1000000 ELSE cust END AS cust
+    FROM base
+),
+del AS (SELECT * FROM upd WHERE ok % 7 <> 0),
+src AS (SELECT ok, cust FROM base WHERE ok % 11 = 0),
+merged AS (
+    SELECT d.ok,
+           CASE WHEN s.ok IS NOT NULL THEN s.cust + 5 ELSE d.cust END AS cust
+    FROM del d LEFT JOIN src s ON d.ok = s.ok
+    UNION ALL
+    SELECT s.ok, s.cust FROM src s
+    WHERE s.ok NOT IN (SELECT ok FROM del)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cust) AS BIGINT) AS sum_cust,
+       TRUE AS branch_isolated,
+       TRUE AS tag_ok,
+       TRUE AS clone_ok
+FROM merged
+""",
+)
+def sql_branch_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-targeted row-level DML end-to-end (r14, verdict r13 #1/#2:
+    `sqlfront` branch DML dispatch + `snapcat._write_head`/`
+    _append_commit` + the new ref DDL): CTAS a fixture slice, cut a
+    branch with ``ALTER TABLE … CREATE BRANCH`` (SQL), then run
+    UPDATE / DELETE / MERGE against ``db.t.branch_audit`` — every
+    commit moves ONLY the branch ref (``branch_isolated`` pins main's
+    count+sum across all three statements, the Iceberg staging
+    pattern a CDC user fixes data with). A pre-publish TAG is cut in
+    SQL, ``CALL system.fast_forward`` publishes the branch into main,
+    and ``tag_ok`` pins that the tag still reads the pre-publish
+    state. ``CREATE TABLE … LIKE`` clones the published table
+    metadata-only (``clone_ok``: schema + evolved partition spec
+    round-trip, zero rows — reference stage-3 parity,
+    3_create_dst_tables.py:79-92). The oracle recomputes the final
+    published state relationally from the fixture."""
+    from apache_iceberg_tables_migration_tool_spark.sources.sqlfront import (
+        snapcat_execute as E,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapcat_branch_")
+    try:
+        cat = SnapCatalog(os.path.join(root, "wh"))
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").cast("long").alias("o_custkey")
+        ).createOrReplaceTempView("orders_branch_src")
+        E(spark, cat,
+          "CREATE TABLE db.t AS SELECT o_orderkey AS ok, o_custkey AS cust "
+          "FROM orders_branch_src WHERE o_orderkey % 4 = 0")
+        main_before = E(
+            spark, cat,
+            "SELECT count(*) AS n, sum(cust) AS s FROM db.t",
+        ).collect()[0]
+        E(spark, cat, "ALTER TABLE db.t CREATE BRANCH audit")
+        E(spark, cat,
+          "UPDATE db.t.branch_audit SET cust = cust + 1000000 WHERE ok % 5 = 0")
+        E(spark, cat, "DELETE FROM db.t.branch_audit WHERE ok % 7 = 0")
+        E(spark, cat,
+          "MERGE INTO db.t.branch_audit USING "
+          "(SELECT ok, cust FROM db.t WHERE ok % 11 = 0) s ON t.ok = s.ok "
+          "WHEN MATCHED THEN UPDATE SET cust = s.cust + 5 "
+          "WHEN NOT MATCHED THEN INSERT *")
+        main_after = E(
+            spark, cat,
+            "SELECT count(*) AS n, sum(cust) AS s FROM db.t",
+        ).collect()[0]
+        branch_isolated = (
+            main_before["n"] == main_after["n"]
+            and main_before["s"] == main_after["s"]
+        )
+        E(spark, cat, "ALTER TABLE db.t CREATE TAG pre_publish")
+        E(spark, cat, "CALL system.fast_forward('db.t', 'audit')")
+        tag_row = E(
+            spark, cat,
+            "SELECT count(*) AS n, sum(cust) AS s FROM db.t.tag_pre_publish",
+        ).collect()[0]
+        tag_ok = (
+            tag_row["n"] == main_before["n"] and tag_row["s"] == main_before["s"]
+        )
+        # metadata-only clone of the published table (with an evolved
+        # hidden-partition spec, so LIKE must carry the spec too)
+        E(spark, cat, "ALTER TABLE db.t ADD PARTITION FIELD bucket(4, ok)")
+        E(spark, cat, "CREATE TABLE db.clone LIKE db.t")
+        clone = cat.table("db", "clone")
+        clone_ok = (
+            clone.schema() == cat.table("db", "t").schema()
+            and clone.partition_spec() == ["bucket(4, ok)"]
+            and clone.read(spark).count() == 0
+        )
+        agg = E(
+            spark, cat,
+            "SELECT cast(count(*) AS bigint) AS n_rows, "
+            "cast(sum(cust) AS bigint) AS sum_cust FROM db.t",
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(agg["n_rows"], agg["sum_cust"],
+              branch_isolated, tag_ok, clone_ok)],
+            "n_rows bigint, sum_cust bigint, branch_isolated boolean, "
+            "tag_ok boolean, clone_ok boolean",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
