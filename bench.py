@@ -96,6 +96,43 @@ def main() -> None:
             "incremental_join_view",
         ]
     )
+    # round 14 (verdict r13 #7): the BASELINE B2 row — create target
+    # tables + copy data + verify (reference stages 3/5/6), tracked so
+    # a B2 regression is visible per round under the same min-of-reps
+    # protocol. The SOURCE warehouse is a fixture precondition (the
+    # reference migrates an EXISTING catalog), so it is built ONCE
+    # outside the timer; each rep runs plan → migrate → verify into a
+    # FRESH destination. B2 = 23.04 s (r3 quiet measurement: 11.45 s).
+    import shutil
+    import tempfile
+
+    from apache_iceberg_tables_migration_tool_spark.plans import (
+        collect_plan,
+        migrate,
+        verify,
+    )
+    from apache_iceberg_tables_migration_tool_spark.queries.migration import (
+        _T,
+        build_source_warehouse,
+    )
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    b2_root = tempfile.mkdtemp(prefix="bench_b2_")
+    try:
+        src_cat = build_source_warehouse(spark, sf_dir, b2_root)
+        samples = []
+        for i in range(reps):
+            dst = SnapCatalog(os.path.join(b2_root, f"dst{i}"))
+            t0 = time.monotonic()
+            plan = collect_plan(src_cat, as_of="2024-06-03T12:00:00+00:00")
+            migrate(spark, plan, src_cat, dst, committed_at=_T[4])
+            verify(spark, plan, src_cat, dst).count()
+            samples.append(round(time.monotonic() - t0, 3))
+            shutil.rmtree(os.path.join(b2_root, f"dst{i}"), ignore_errors=True)
+        raw_runs["migration_e2e"] = samples
+        feature["migration_e2e"] = min(samples)
+    finally:
+        shutil.rmtree(b2_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
