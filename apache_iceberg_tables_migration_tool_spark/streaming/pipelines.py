@@ -868,19 +868,35 @@ def _old_state(
     k = on[0]
     if not isinstance(tbl.schema(snapshot_id=wm)[k].dataType, T.NumericType):
         return full()  # string footer stats may be truncated — no range trust
-    probe = (
-        other_cl.select(k).where(F.col(k).isNotNull())
-        .distinct().limit(257).collect()
-    )
-    if not probe:
+    # ONE delta-sized job answers emptiness + bounds + (approximately)
+    # "is the key set small": min/max double as the non-null-key probe
+    # (lo is NULL ⇔ no non-null delta keys ⇔ inner join is empty).
+    # The exact ≤256-key probe job now runs ONLY when the approx
+    # distinct count says it can pay off — a large delta (the common
+    # refresh after a bulk append) skips it, halving the driver jobs
+    # this helper costs. The gate is approximate but SOUND: if it
+    # fires spuriously the probe just overflows 257 and we keep the
+    # range prune; if it misses a genuinely small set we only lose the
+    # isin sharpening, never correctness (rsd 5% ⇒ a true ≤256-key set
+    # estimates well under the 384 gate).
+    stats = other_cl.agg(
+        F.min(k).alias("lo"),
+        F.max(k).alias("hi"),
+        F.approx_count_distinct(k).alias("nd"),
+    ).first()
+    if stats["lo"] is None:
         return full().limit(0)  # no non-null delta keys: nothing joins
-    bounds = other_cl.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
     pruned = tbl.read_where(
-        spark, [(k, ">=", bounds["lo"]), (k, "<=", bounds["hi"])],
+        spark, [(k, ">=", stats["lo"]), (k, "<=", stats["hi"])],
         snapshot_id=wm,
     ).select(*cols)
-    if len(probe) <= 256:
-        pruned = pruned.where(F.col(k).isin([r[k] for r in probe]))
+    if stats["nd"] <= 384:
+        probe = (
+            other_cl.select(k).where(F.col(k).isNotNull())
+            .distinct().limit(257).collect()
+        )
+        if len(probe) <= 256:
+            pruned = pruned.where(F.col(k).isin([r[k] for r in probe]))
     return pruned
 
 
