@@ -60,16 +60,24 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 def hashed_word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """``word_shingles`` with each shingle replaced by its ``xxhash64``
-    → (id, shingle: long).
+    """Word n-gram shingles hashed to longs → (id, shingle: long).
 
     Self-joins and shuffles then move 8-byte longs instead of
     variable-length strings — measured ~20% off the exact-Jaccard
-    pair join at sf0.1. A cross-doc collision would need two of the
-    corpus's distinct shingles to share a 64-bit hash (birthday bound
-    ≈ d²/2⁶⁴: ~3e-9 at the sf0.01 oracle gate, ~0.05 even at 10¹²
-    shingles — and a single collision shifts one intersection count
-    by 1, far inside near-dup tolerance).
+    pair join at sf0.1. The hash is ``xxhash64`` over the n token
+    strings DIRECTLY (multi-argument form) instead of hashing a
+    ``concat_ws`` of them: the concatenated shingle string is never
+    materialized and ``array_distinct`` compares 8-byte longs instead
+    of strings — measured 2.60 s → 1.74 s on the capped exact-Jaccard
+    query at sf0.1 (r14). Any injective-modulo-collisions token→long
+    map yields the same Jaccard values, so consumers (exact pairs,
+    LSH verify, contamination) are hash-family-independent; only the
+    MinHash signature kernel pins its own hash (seed-sensitive recall
+    contract) and does not route through here. A cross-doc collision
+    would need two of the corpus's distinct shingles to share a
+    64-bit hash (birthday bound ≈ d²/2⁶⁴: ~3e-9 at the sf0.01 oracle
+    gate, ~0.05 even at 10¹² shingles — and a single collision shifts
+    one intersection count by 1, far inside near-dup tolerance).
 
     NOTE: do NOT carry the per-doc shingle-array (or anything derived
     from it) past the explode — an array column referenced above a
@@ -77,8 +85,15 @@ def hashed_word_shingles(
     measured 2× the whole pipeline at sf0.1). The separate sizes
     aggregation in the Jaccard path exists to avoid exactly that.
     """
-    return word_shingles(df, id_col, text_col, n).withColumn(
-        "shingle", F.xxhash64("shingle")
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    args = ", ".join(f"element_at(__toks, i + {j + 1})" for j in range(n))
+    shingle_arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> xxhash64({args})))"
+    )
+    return (
+        toks.where(F.size("__toks") >= n)
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
     )
 
 
