@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -900,6 +901,26 @@ def _old_state(
     return pruned
 
 
+def _old_states_parallel(
+    spark: SparkSession,
+    ta, wm_a: int, a_cols: list[str], cl_b: DataFrame | None,
+    tb, wm_b: int, b_cols: list[str], cl_a: DataFrame | None,
+    on: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Both join sides' pruned old states, computed concurrently.
+
+    Each :func:`_old_state` call is an independent driver-blocking
+    chain (it materializes the OTHER side's changelog checkpoint and
+    runs a delta-sized stats agg), so submitting the two from a
+    2-thread pool overlaps their jobs on the cluster instead of
+    serializing them on the driver — actions are only sequential
+    because the driver calls them sequentially (guide §2.6)."""
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_a = pool.submit(_old_state, spark, ta, wm_a, a_cols, cl_b, on)
+        fut_b = pool.submit(_old_state, spark, tb, wm_b, b_cols, cl_a, on)
+        return fut_a.result(), fut_b.result()
+
+
 def refresh_join_view(
     spark: SparkSession,
     catalog,
@@ -1018,8 +1039,9 @@ def refresh_join_view(
             if wm_b != hb.snapshot_id
             else None
         )
-        a_old = _old_state(spark, ta, wm_a, a_cols, cl_b, on)
-        b_old = _old_state(spark, tb, wm_b, b_cols, cl_a, on)
+        a_old, b_old = _old_states_parallel(
+            spark, ta, wm_a, a_cols, cl_b, tb, wm_b, b_cols, cl_a, on
+        )
         jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
         base = vt.read(spark)
         if sum_cols is not None:
@@ -1202,8 +1224,9 @@ def refresh_topk_join_view(
             if wm_b != hb.snapshot_id
             else None
         )
-        a_old = _old_state(spark, ta, wm_a, a_cols, cl_b, on)
-        b_old = _old_state(spark, tb, wm_b, b_cols, cl_a, on)
+        a_old, b_old = _old_states_parallel(
+            spark, ta, wm_a, a_cols, cl_b, tb, wm_b, b_cols, cl_a, on
+        )
         jd = ivm.join_delta(cl_a, a_old, cl_b, b_old, on)
         refreshed = ivm.apply_topk_delta(
             vt.read(spark), jd, a_new.join(b_new, on),
