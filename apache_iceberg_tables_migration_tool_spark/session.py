@@ -39,7 +39,16 @@ DEFAULT_CONF: dict[str, str] = {
     # the 10m default unless overridden per-join with broadcast()
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
+    # Initial shuffle partition count — an UPPER bound under AQE
+    # coalescing (advisory-size merging shrinks it per stage at
+    # runtime). The local default (32 = the bench core count) keeps
+    # driver bench runs comparable round-over-round; on a cluster set
+    # $SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3× total cores (or a
+    # value sized for ~100 MB-1 GB per partition of the largest
+    # shuffle) and let AQE coalesce the small stages down.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 

@@ -1265,15 +1265,27 @@ def _df_key_pruned(df: DataFrame, cl: DataFrame | None, on: list[str]) -> DataFr
     if cl is None or len(on) != 1:
         return df
     k = on[0]
-    probe = (
-        cl.select(k).where(F.col(k).isNotNull()).distinct().limit(257).collect()
-    )
-    if not probe:
+    # One delta-sized job answers emptiness + bounds + (approximately)
+    # key-set size — the exact ≤256-key probe runs only when the
+    # approx distinct count says it can pay off (same single-agg shape
+    # and soundness argument as _old_state: a spurious gate fire just
+    # overflows the probe; a miss only forgoes the isin sharpening).
+    # Bulk deltas — where the probe's distinct shuffle is priciest —
+    # now cost ONE job here instead of two.
+    stats = cl.agg(
+        F.min(k).alias("lo"),
+        F.max(k).alias("hi"),
+        F.approx_count_distinct(k).alias("nd"),
+    ).first()
+    if stats["lo"] is None:
         return df.limit(0)  # no non-null delta keys: the term is empty
-    if len(probe) <= 256:
-        return df.where(F.col(k).isin([r[k] for r in probe]))
-    bounds = cl.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
-    return df.where((F.col(k) >= bounds["lo"]) & (F.col(k) <= bounds["hi"]))
+    if stats["nd"] <= 384:
+        probe = (
+            cl.select(k).where(F.col(k).isNotNull()).distinct().limit(257).collect()
+        )
+        if len(probe) <= 256:
+            return df.where(F.col(k).isin([r[k] for r in probe]))
+    return df.where((F.col(k) >= stats["lo"]) & (F.col(k) <= stats["hi"]))
 
 
 def refresh_join_chain_view(
