@@ -42,6 +42,7 @@ import threading
 import time
 import urllib.parse
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass, field, replace
 from datetime import datetime, timezone
 
@@ -3537,15 +3538,22 @@ class SnapCatalog:
             # columns so each FRESH file lands with tight, near-disjoint
             # [min, max] bounds — range predicates on the sort key then
             # manifest-prune new data immediately, without waiting for a
-            # sort compaction. Skipped when an explicit distribution was
-            # requested (that caller already chose the layout).
+            # sort compaction. Under an explicit distribution the
+            # exchange is the caller's choice, but the declared sort
+            # order is still honored LOCALLY (sortWithinPartitions) —
+            # Iceberg applies the table sort order within each write
+            # task under write.distribution-mode=hash, so a migrated
+            # copy of a sort-by table keeps its range-pruning layout
+            # (r14 ADVICE: hash distribution silently dropped it).
             props = tbl.properties()
             sort_cols = [
                 c.strip()
                 for c in props.get("write.sort-by", "").split(",")
                 if c.strip() and c.strip() in df.columns
             ]
-            if sort_cols and not distribution:
+            if sort_cols and distribution:
+                df = df.sortWithinPartitions(*sort_cols)
+            elif sort_cols:
                 # write.sort-partitions pins the range-exchange width
                 # (AQE honors an explicit count and will otherwise
                 # size-coalesce — correct at scale, where partitions
@@ -3897,9 +3905,12 @@ class SnapCatalog:
             )
         with _commit_lock(tbl.root):
             prev = self._write_head(tbl, branch)  # re-read under the lock
+            # PASS 1 (discovery): which files contain a matched key.
+            # Lineage is NOT requested — the semi-join only reads the
+            # key columns + __file, so the scan stays key-narrow
             cur = tbl._read_files(
                 spark, prev, [f.path for f in prev.files],
-                with_file_path=True, apply_deletes=True, with_lineage=True,
+                with_file_path=True, apply_deletes=True,
             )
             keys = updates.select(*key_cols).distinct()
             full_keys = keys  # update keys ∪ delete keys drive the rewrite set
@@ -3914,7 +3925,13 @@ class SnapCatalog:
             affected_rel = {tbl._abs_to_rel(p) for p in affected_abs}
             sid = _next_id(tbl._load_meta(expand=False))
             if affected_rel:
-                touched = cur.where(F.col("__file").isin(list(affected_abs)))
+                # PASS 2 (rewrite): re-read ONLY the matched files
+                # (file-level pruning, guide §6) — the unmatched files
+                # carry over by reference and are never scanned again
+                touched = tbl._read_files(
+                    spark, prev, sorted(affected_rel),
+                    apply_deletes=True, with_lineage=True,
+                )
                 # matched update rows INHERIT the replaced row's _row_id
                 # (UPDATE keeps identity, v3 rule); inserts carry null →
                 # fresh ids by first_row_id+pos inheritance at read
@@ -3932,7 +3949,7 @@ class SnapCatalog:
                     ),
                 )
                 rewritten = (
-                    touched.drop("__file")
+                    touched
                     # drop matched rows — update keys get their new
                     # version from updates_l; extra delete keys simply
                     # aren't re-emitted
@@ -4052,6 +4069,14 @@ class SnapCatalog:
                 return snap
         with _commit_lock(tbl.root):
             prev = self._write_head(tbl, branch)  # re-read under the lock
+            # PASS 1 (discovery): which files contain a matching row.
+            # with_lineage stays on: a correlated-subquery condition is
+            # planned via spark.sql over this scan, and the bare
+            # union-of-commit-groups shape (no post-union join) trips
+            # Catalyst's PushProjectionThroughUnion on the rewritten
+            # EXISTS join ("key not found" on a dedup'd union attr);
+            # the lineage join above the union sidesteps it, and its
+            # columns prune away for plain-expression conditions
             cur = _with_match(
                 spark,
                 tbl._read_files(
@@ -4072,17 +4097,27 @@ class SnapCatalog:
                     {"rewritten-data-files": "0", **(summary_extra or {})},
                     staged=staged, branch=branch,
                 )
-            # survivors carry their lineage into the rewrite (carry-over
-            # rows keep id AND last-updated commit, Iceberg v3 rule).
+            # PASS 2 (rewrite): re-read ONLY the matched files
+            # (file-level pruning, guide §6). Survivors carry their
+            # lineage into the rewrite (carry-over rows keep id AND
+            # last-updated commit, Iceberg v3 rule).
             # SQL DELETE removes rows where the predicate is TRUE —
             # NULL-evaluating rows SURVIVE (__match coalesces NULL to
             # false, so ~__match keeps them; a bare ~cond would
             # silently drop them from rewritten files while identical
             # rows in untouched files lived on)
             survivors = (
-                cur.where(F.col("__file").isin(list(affected_abs)))
+                _with_match(
+                    spark,
+                    tbl._read_files(
+                        spark, prev, sorted(affected_rel),
+                        apply_deletes=True, with_lineage=True,
+                    ),
+                    condition,
+                    alias=name,
+                )
                 .where(~F.col("__match"))
-                .drop("__file", "__match")
+                .drop("__match")
             )
             sid = _next_id(tbl._load_meta(expand=False))
             new_files = self._write_data_files(tbl, sid, survivors, prev.partition_spec)
@@ -4258,9 +4293,10 @@ class SnapCatalog:
                 )
             if mode == "copy-on-write":
                 spark = keys.sparkSession
+                # PASS 1 (discovery): key-narrow scan, no lineage
                 cur = tbl._read_files(
                     spark, prev, [f.path for f in prev.files],
-                    with_file_path=True, apply_deletes=True, with_lineage=True,
+                    with_file_path=True, apply_deletes=True,
                 )
                 kdf = keys.select(*kc).distinct()
                 affected_abs = [
@@ -4276,11 +4312,12 @@ class SnapCatalog:
                          "rewritten-data-files": "0", **(summary_extra or {})},
                         branch=branch,
                     )
-                survivors = (
-                    cur.where(F.col("__file").isin(list(affected_abs)))
-                    .join(kdf, kc, "left_anti")
-                    .drop("__file")
-                )
+                # PASS 2 (rewrite): re-read ONLY the matched files
+                # (file-level pruning, guide §6)
+                survivors = tbl._read_files(
+                    spark, prev, sorted(affected_rel),
+                    apply_deletes=True, with_lineage=True,
+                ).join(kdf, kc, "left_anti")
                 sid = _next_id(tbl._load_meta(expand=False))
                 new_files = self._write_data_files(
                     tbl, sid, survivors, prev.partition_spec
@@ -4373,16 +4410,27 @@ class SnapCatalog:
             prev = self._write_head(tbl, branch)  # re-read under the lock
             meta = tbl._load_meta(expand=False)
             sid = _next_id(meta)
-            new_files = self._write_data_files(tbl, sid, updates, prev.partition_spec)
-            # new row versions get fresh virtual row ids (v3: MOR merge
-            # writes new rows; their _last_updated_seq is this commit)
-            _assign_row_ids(meta, new_files, materialized=False)
             del_keys = updates.select(*key_cols)
             if extra_delete_keys is not None:
                 del_keys = del_keys.unionByName(
                     extra_delete_keys.select(*key_cols)
                 )
-            new_dels = self._write_delete_files(tbl, sid, del_keys, key_cols)
+            # the data-file write and the delete-key write are
+            # independent jobs into disjoint commit directories — run
+            # them concurrently so the key write back-fills the data
+            # write's task tail (guide §2.6) instead of waiting for it
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_data = pool.submit(
+                    self._write_data_files, tbl, sid, updates, prev.partition_spec
+                )
+                fut_dels = pool.submit(
+                    self._write_delete_files, tbl, sid, del_keys, key_cols
+                )
+                new_files = fut_data.result()
+                new_dels = fut_dels.result()
+            # new row versions get fresh virtual row ids (v3: MOR merge
+            # writes new rows; their _last_updated_seq is this commit)
+            _assign_row_ids(meta, new_files, materialized=False)
             files = list(prev.files) + new_files
             snap = Snapshot(
                 snapshot_id=sid,
@@ -4545,6 +4593,9 @@ class SnapCatalog:
                 return snap
         with _commit_lock(tbl.root):
             prev = self._write_head(tbl, branch)  # re-read under the lock
+            # PASS 1 (discovery): predicate scan. with_lineage stays on
+            # for the same PushProjectionThroughUnion reason as
+            # delete_where's discovery pass (subquery conditions)
             cur = _with_match(
                 spark,
                 tbl._read_files(
@@ -4565,10 +4616,20 @@ class SnapCatalog:
                     {"rewritten-data-files": "0"}, staged=staged, branch=branch,
                 )
             sid = _next_id(tbl._load_meta(expand=False))
-            # updated rows keep their _row_id but bump _last_updated_seq
-            # to this commit; carried rows keep both (Iceberg v3)
+            # PASS 2 (rewrite): re-read ONLY the matched files
+            # (file-level pruning, guide §6). Updated rows keep their
+            # _row_id but bump _last_updated_seq to this commit;
+            # carried rows keep both (Iceberg v3)
             m = F.col("__match")
-            rewritten = cur.where(F.col("__file").isin(list(affected_abs))).select(
+            rewritten = _with_match(
+                spark,
+                tbl._read_files(
+                    spark, prev, sorted(affected_rel),
+                    apply_deletes=True, with_lineage=True,
+                ),
+                condition,
+                alias=name,
+            ).select(
                 *[
                     (
                         F.when(m, exprs[c]).otherwise(F.col(c)).alias(c)

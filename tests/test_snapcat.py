@@ -2093,6 +2093,47 @@ def test_write_sort_by_property_clusters_fresh_files(spark, tmp_path):
     assert tbl.read(spark).count() == 400
 
 
+def test_write_sort_by_survives_explicit_distribution(spark, tmp_path):
+    """An explicit write distribution (the migration copy's hash mode)
+    must not silently drop the table's declared write.sort-by: the
+    sort order is applied WITHIN each write task (Iceberg's behavior
+    under write.distribution-mode=hash), so every fresh file still
+    carries tight per-file [min, max] bounds on the sort key."""
+    from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
+
+    cat = SnapCatalog(str(tmp_path / "wh"))
+    cat.create_table(
+        "db", "t", "id bigint, part int, v bigint",
+        partition_by=["part"],
+        properties={"write.sort-by": "id"},
+    )
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("part"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .repartition(8)  # shuffled input: only write-side sorting can order it
+    )
+    cat.write("db", "t", df, partition_by=["part"], distribution="hash")
+    tbl = cat.table("db", "t")
+    files = [f for f in tbl.current_snapshot().files if f.records]
+    # hash distribution: one file per partition value, not 8 × 4
+    assert len(files) == 4
+    # rows within each file are sorted on the declared sort column
+    import pyarrow.parquet as _pq
+
+    import os as _os
+
+    for f in files:
+        ids = _pq.read_table(
+            _os.path.join(tbl.root, f.path), columns=["id"]
+        )["id"].to_pylist()
+        assert ids == sorted(ids)
+    assert tbl.read(spark).count() == 400
+
+
 def test_export_snapshot_plain_parquet_escape_hatch(spark, tmp_path):
     import json as _json
     import os as _os
