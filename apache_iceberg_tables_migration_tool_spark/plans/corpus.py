@@ -40,10 +40,12 @@ substrate semantics (staged snapshots ≙ ``spark.wap.id``).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 from apache_iceberg_tables_migration_tool_spark.operators import curation as C
 from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
@@ -127,7 +129,7 @@ def build_corpus(
     # Gates 1-2 are row-local w.r.t. each batch; pin the gated pool
     # once so the per-batch loop doesn't recompute the reputation
     # scoreboard and the contamination join per iteration.
-    ok = ok.localCheckpoint(eager=False)
+    ok = ok.transform(pin)
 
     stats: list[dict] = []
     for b in range(batches):
@@ -138,7 +140,7 @@ def build_corpus(
         # is the expensive step, never pay it twice.
         batch_bands = D.band_table(
             batch_docs, num_hashes=num_hashes, bands=bands, seed=seed
-        ).localCheckpoint(eager=False)
+        ).transform(pin)
         if b == 0:
             accepted = batch_docs
             accepted_bands = batch_bands
@@ -160,70 +162,88 @@ def build_corpus(
             dup_ids = (
                 dups.select(F.col("doc_a").alias("doc_id"))
                 .distinct()
-                .localCheckpoint(eager=False)  # two consumers below
+                .transform(pin)  # two consumers below
             )
             n_dups = dup_ids.count()
             accepted = batch_docs.join(dup_ids, "doc_id", "left_anti")
             accepted_bands = batch_bands.join(dup_ids, "doc_id", "left_anti")
 
         payload = accepted.withColumn("ingest_batch", F.lit(b).cast("int"))
-        # WAP: stage → audit → publish. The staged snapshot is
-        # invisible to normal reads until the audit passes.
-        staged = cat.write(
-            database, "docs", payload,
-            staged=True, wap_id=f"ingest-{b}", committed_at=_T[2 * b],
-        )
-        tbl = cat.table(database, "docs")
-        staged_df = tbl.read(spark, snapshot_id=staged.snapshot_id)
-        prev_ids = (
-            tbl.read(spark).select("doc_id")
-            if b > 0
-            else spark.range(0).select(F.col("id").alias("doc_id"))
-        )
-        # one audit job: benchmark-leak count, id-collision count and
-        # the batch's accepted count come from a single pass over the
-        # staged snapshot (left join against prior ids replaces the
-        # separate semi-join count)
-        audit = (
-            staged_df.join(
-                prev_ids.withColumn("__prev", F.lit(True)), "doc_id", "left"
-            )
-            .agg(
-                F.sum(
-                    (F.col("doc_id") % bench_mod == 0).cast("long")
-                ).alias("bench"),
-                F.sum(
-                    (
-                        (F.col("ingest_batch") == b) & F.col("__prev").isNotNull()
-                    ).cast("long")
-                ).alias("collisions"),
-                F.sum((F.col("ingest_batch") == b).cast("long")).alias("accepted"),
-            )
-            .collect()[0]
-        )
-        audit_bench, audit_dup_ids = audit["bench"], audit["collisions"]
-        if audit_bench or audit_dup_ids:
-            raise RuntimeError(
-                f"ingest-{b} failed audit: {audit_bench} benchmark docs, "
-                f"{audit_dup_ids} id collisions — staged snapshot "
-                f"{staged.snapshot_id} NOT published"
-            )
-        cat.publish(database, "docs", staged.snapshot_id, committed_at=_T[2 * b + 1])
 
-        # Append the accepted docs' band rows to the persisted index —
-        # the next ingest joins against it instead of re-signaturing
-        # the corpus (partitioned by band → the candidate join prunes).
-        # Reuses the batch's single signature pass (accepted_bands).
-        cat.write(
-            database, "band_index", accepted_bands,
-            mode="append", partition_by=["band"], committed_at=_T[2 * b + 1],
-        )
+        def _wap_chain() -> dict:
+            # WAP: stage → audit → publish. The staged snapshot is
+            # invisible to normal reads until the audit passes.
+            staged = cat.write(
+                database, "docs", payload,
+                staged=True, wap_id=f"ingest-{b}", committed_at=_T[2 * b],
+            )
+            tbl = cat.table(database, "docs")
+            staged_df = tbl.read(spark, snapshot_id=staged.snapshot_id)
+            prev_ids = (
+                tbl.read(spark).select("doc_id")
+                if b > 0
+                else spark.range(0).select(F.col("id").alias("doc_id"))
+            )
+            # one audit job: benchmark-leak count, id-collision count and
+            # the batch's accepted count come from a single pass over the
+            # staged snapshot (left join against prior ids replaces the
+            # separate semi-join count)
+            audit = (
+                staged_df.join(
+                    prev_ids.withColumn("__prev", F.lit(True)), "doc_id", "left"
+                )
+                .agg(
+                    F.sum(
+                        (F.col("doc_id") % bench_mod == 0).cast("long")
+                    ).alias("bench"),
+                    F.sum(
+                        (
+                            (F.col("ingest_batch") == b) & F.col("__prev").isNotNull()
+                        ).cast("long")
+                    ).alias("collisions"),
+                    F.sum((F.col("ingest_batch") == b).cast("long")).alias("accepted"),
+                )
+                .collect()[0]
+            )
+            audit_bench, audit_dup_ids = audit["bench"], audit["collisions"]
+            if audit_bench or audit_dup_ids:
+                raise RuntimeError(
+                    f"ingest-{b} failed audit: {audit_bench} benchmark docs, "
+                    f"{audit_dup_ids} id collisions — staged snapshot "
+                    f"{staged.snapshot_id} NOT published"
+                )
+            cat.publish(database, "docs", staged.snapshot_id, committed_at=_T[2 * b + 1])
+            return {"audit": audit, "snapshot_id": staged.snapshot_id}
+
+        def _index_append() -> None:
+            # Append the accepted docs' band rows to the persisted index —
+            # the next ingest joins against it instead of re-signaturing
+            # the corpus (partitioned by band → the candidate join prunes).
+            # Reuses the batch's single signature pass (accepted_bands).
+            cat.write(
+                database, "band_index", accepted_bands,
+                mode="append", partition_by=["band"], committed_at=_T[2 * b + 1],
+            )
+
+        # The WAP chain (stage → audit → publish, sequenced by WAP
+        # semantics) and the band-index append touch DIFFERENT tables
+        # and both derive from this batch's pinned relations — run them
+        # as two concurrent driver jobs so the index write back-fills
+        # the audit/publish chain's scheduling tails (guide §2.6). An
+        # audit failure still aborts the build before publish; the
+        # index append of the aborted batch is unreachable (nothing
+        # reads the index after a failed build).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            wap_fut = pool.submit(_wap_chain)
+            idx_fut = pool.submit(_index_append)
+            wap = wap_fut.result()
+            idx_fut.result()
         stats.append(
             {
                 "batch": b,
-                "accepted": int(audit["accepted"]),
+                "accepted": int(wap["audit"]["accepted"]),
                 "near_dups_dropped": n_dups,
-                "snapshot_id": staged.snapshot_id,
+                "snapshot_id": wap["snapshot_id"],
             }
         )
 
