@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 from apache_iceberg_tables_migration_tool_spark.operators.text import (
     hashed_word_shingles,
@@ -393,7 +394,7 @@ def pack_sequences(
     parts = toks.repartitionByRange(F.col(strata_col), F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    parts = parts.localCheckpoint(eager=False)  # pin partition ids for reuse
+    parts = parts.transform(pin)  # pin partition ids for reuse
     subtotals = (
         parts.groupBy(strata_col, "__pid")
         .agg(F.sum("n_tokens").alias("__sub"))

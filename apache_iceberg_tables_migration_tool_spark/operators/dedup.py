@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 from apache_iceberg_tables_migration_tool_spark.operators.text import (
     hashed_word_shingles,
@@ -281,7 +282,7 @@ def band_table(
     # ``corpus_bands``), which is the same barrier in durable form.
     sigs = minhash_signatures(
         docs, id_col, text_col, n, num_hashes, seed
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     band_hashes = F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)])
@@ -347,7 +348,7 @@ def dedup_batch_against_corpus(
         # without a materialization point each would recompute BOTH
         # band tables — i.e. re-signature the corpus. The candidate
         # set is near-dup-pair sized (tiny), so pin it once.
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     cand_corpus = corpus_docs.join(
         candidates.select(F.col("doc_b").alias(id_col)).distinct(),
@@ -366,7 +367,7 @@ def dedup_batch_against_corpus(
         id_col,
         text_col,
         n,
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     return _pair_jaccard(sh, pair_filter=candidates, pre_materialized=True).where(
         F.col("jaccard") >= threshold
     )
@@ -415,7 +416,7 @@ def minhash_lsh_pairs(
     # have the pair join discard it wastes a corpus-sized shuffle —
     # semi-join prune first (same shape as the incremental-ingest
     # variant). The candidate set feeds two consumers; pin it once.
-    candidates = candidates.localCheckpoint(eager=False)
+    candidates = candidates.transform(pin)
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
@@ -432,7 +433,7 @@ def minhash_lsh_pairs(
     # (measured 2.72 s → 2.08 s at sf0.1).
     sh = hashed_word_shingles(
         docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     return _pair_jaccard(sh, pair_filter=candidates, pre_materialized=True).where(
         F.col("jaccard") >= threshold
     )
@@ -642,10 +643,10 @@ def connected_components(
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint()
+    edges = edges.transform(pin, eager=True)
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr = (
@@ -659,7 +660,7 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -758,7 +759,7 @@ def banded_hamming_pairs(
             f"(got {len(band_cols)}): pigeonhole only guarantees recall "
             "for distance < band count"
         )
-    sig = sig.select(id_col, *band_cols).localCheckpoint(eager=True)
+    sig = sig.select(id_col, *band_cols).transform(pin, eager=True)
     arr = F.array(*[F.col(c) for c in band_cols])
     blocks = sig.select(
         F.col(id_col), *band_cols, F.posexplode(arr).alias("band", "blk")
@@ -835,7 +836,7 @@ def hamming_batch_against_index(
 
     # the batch is signatured once (it is typically the output of a
     # decode+hash pass); the index side is a plain table scan
-    a = blocks(batch_sig.select(id_col, *band_cols).localCheckpoint(eager=True), "a")
+    a = blocks(batch_sig.select(id_col, *band_cols).transform(pin, eager=True), "a")
     if index_blocks is not None:
         b = index_blocks.select(
             F.col(id_col).alias("id_b"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 #: column naming contract shared by both halves
 _COUNT = "group_count"
@@ -169,7 +170,7 @@ def apply_minmax_delta(
         )
         affected = hit if affected is None else (affected | hit)
     affected = F.coalesce(affected, F.lit(False))
-    merged = merged.withColumn("__affected", affected).localCheckpoint(eager=False)
+    merged = merged.withColumn("__affected", affected).transform(pin)
 
     clean = merged.where(~F.col("__affected") & (F.col(_COUNT) > 0)).select(
         *keys, *viewcols
@@ -336,7 +337,7 @@ def apply_topk_delta(
     # the clean re-rank); without a checkpoint each consumer replays
     # the upstream — for a join delta that is the whole bilinearity
     # join, measured 2× end-to-end on the sf0.1 carrier
-    last = last.localCheckpoint(eager=False)
+    last = last.transform(pin)
     ins = last.where(F.col("_change_type") == "insert").select(
         *keys, *ids, metric_col
     )
@@ -354,7 +355,7 @@ def apply_topk_delta(
         .join(changed.alias("__d"), kcond, "left_semi")
         .select(*keys)
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     stored = base.select(*keys, *ids, metric_col)

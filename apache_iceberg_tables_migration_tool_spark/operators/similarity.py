@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 _TOPK_SCHEMA = "qid bigint, vec_id bigint, sim double"
 _PAIRS_SCHEMA = "vec_a bigint, vec_b bigint, sim double"
@@ -143,7 +144,7 @@ def cosine_pairs(
             pruned, threshold, id_col=id_col, vec_col=vec_col,
             target_block_rows=target_block_rows,
         )
-    pruned = pruned.localCheckpoint(eager=True)  # one upstream execution
+    pruned = pruned.transform(pin, eager=True)  # one upstream execution
     n = pruned.count()  # reads the checkpoint, not the lineage
     if n > max_broadcast_rows:
         n_blocks = max(1, -(-n // max(1, target_block_rows)))
@@ -218,7 +219,7 @@ def _pack_blocks(
     the upstream twice."""
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if n_blocks is None:
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(pin, eager=True)
         n = e.count()
         n_blocks = max(1, -(-n // max(1, target_block_rows)))
     packed = (
@@ -1012,7 +1013,7 @@ def semantic_dup_pairs(
         from apache_iceberg_tables_migration_tool_spark.operators.dedup import cap_blocks
 
         cells = cap_blocks(
-            cells.localCheckpoint(eager=True), ["cell"], max_bucket,
+            cells.transform(pin, eager=True), ["cell"], max_bucket,
             "vec_id", "semantic_dup_pairs",
         )
     cand = (

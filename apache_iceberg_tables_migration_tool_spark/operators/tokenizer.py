@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 #: token separator inside the "word as token string" encoding
 SEP = "\x00"
@@ -96,7 +97,7 @@ def train_bpe(
     )
     # reused K times: materialize once, keep lineage flat (at scale:
     # a persisted temp table / dataset cache)
-    words = words.localCheckpoint(eager=True)
+    words = words.transform(pin, eager=True)
     merges: list[Row] = []
     for rank in range(num_merges):
         pairs = (
@@ -127,7 +128,7 @@ def train_bpe(
         )
         words = words.withColumn("toks", _apply_merge(F.col("toks"), left, right))
         if (rank + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
+            words = words.transform(pin, eager=True)
     return merges
 
 

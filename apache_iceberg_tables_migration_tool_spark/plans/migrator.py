@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 from apache_iceberg_tables_migration_tool_spark.plans.plan import MigrationPlan, TableMigration
 from apache_iceberg_tables_migration_tool_spark.sources.snapcat import SnapCatalog
@@ -233,7 +234,7 @@ def _replay_delete_delta(
     cl = table.changelog(spark, prev_id, s.snapshot_id, net_changes=True)
     data_cols = [c for c in cl.columns if not c.startswith("_")]
     dels = cl.where(F.col("_change_type") == "delete").select(*data_cols)
-    dels = dels.localCheckpoint(eager=False)  # consumed by 3 plans
+    dels = dels.transform(pin)  # consumed by 3 plans
     n_dels = dels.count()
     stamp = {"replayed-from": str(s.snapshot_id)}
     if n_dels == 0:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 from apache_iceberg_tables_migration_tool_spark.operators import dedup as D
 from apache_iceberg_tables_migration_tool_spark.operators import multimodal as M
@@ -1232,7 +1233,7 @@ def dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     found = S.semantic_dup_pairs(emb, threshold=0.45, nlist=8, probes=3)
     exact = S.cosine_pairs(emb, threshold=0.45).select("vec_a", "vec_b")
-    exact = exact.localCheckpoint(eager=False)  # consumed by 2 plans
+    exact = exact.transform(pin)  # consumed by 2 plans
     n_exact = exact.count()
     n_found_true = found.join(
         exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"

@@ -18,6 +18,7 @@ creation and bake in the settings that matter at 100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +51,32 @@ DEFAULT_CONF: dict[str, str] = {
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
 }
+
+
+def pin(df, eager: bool = False):
+    """Cut a DataFrame's lineage so several consumers share one
+    computation (the multi-consumer barrier used across the engine).
+
+    Default: ``localCheckpoint`` — blocks live on executors only, the
+    cheapest barrier and correct for local/single-host runs. At
+    cluster scale with executor loss/preemption (spot fleets), a lost
+    block fails the query outright because no lineage remains to
+    recompute; set ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` to route every
+    barrier through a reliable ``checkpoint()`` instead, whose blocks
+    persist under ``SPARK_GRAFT_CHECKPOINT_DIR`` (or
+    ``<spark.local.dir>/spark-graft-ckpt``) and survive executor loss
+    (guide §5 trade-off: durability for write cost)."""
+    if not os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"):
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if not sc._jsc.sc().getCheckpointDir().isDefined():
+        # on a cluster point this at durable shared storage (HDFS/S3);
+        # the tempdir fallback only makes the switch testable locally
+        ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or tempfile.mkdtemp(
+            prefix="spark-graft-ckpt-"
+        )
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
 
 
 def get_spark(

@@ -22,6 +22,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from apache_iceberg_tables_migration_tool_spark.session import pin
 
 _log = logging.getLogger(__name__)
 
@@ -1029,13 +1030,13 @@ def refresh_join_view(
         # once instead of replaying the changelog per consumer
         cl_a = (
             ta.changelog(spark, wm_a, ha.snapshot_id)
-            .select(*a_cols, *meta).localCheckpoint(eager=False)
+            .select(*a_cols, *meta).transform(pin)
             if wm_a != ha.snapshot_id
             else None
         )
         cl_b = (
             tb.changelog(spark, wm_b, hb.snapshot_id)
-            .select(*b_cols, *meta).localCheckpoint(eager=False)
+            .select(*b_cols, *meta).transform(pin)
             if wm_b != hb.snapshot_id
             else None
         )
@@ -1214,13 +1215,13 @@ def refresh_topk_join_view(
         meta = ["_change_type"]
         cl_a = (
             ta.changelog(spark, wm_a, ha.snapshot_id)
-            .select(*a_cols, *meta).localCheckpoint(eager=False)
+            .select(*a_cols, *meta).transform(pin)
             if wm_a != ha.snapshot_id
             else None
         )
         cl_b = (
             tb.changelog(spark, wm_b, hb.snapshot_id)
-            .select(*b_cols, *meta).localCheckpoint(eager=False)
+            .select(*b_cols, *meta).transform(pin)
             if wm_b != hb.snapshot_id
             else None
         )
@@ -1424,7 +1425,7 @@ def refresh_join_chain_view(
     else:
         cls = [
             tbls[i].changelog(spark, wms[i], heads[i].snapshot_id)
-            .select(*col_lists[i], "_change_type").localCheckpoint(eager=False)
+            .select(*col_lists[i], "_change_type").transform(pin)
             if wms[i] != heads[i].snapshot_id
             else None
             for i in range(n)
@@ -1440,7 +1441,7 @@ def refresh_join_chain_view(
                 )
                 new_cl = ivm.join_delta(
                     l_cl, _df_key_pruned(l_old, r_cl, on_s), r_cl, r_pruned, on_s
-                ).localCheckpoint(eager=False)
+                ).transform(pin)
             else:
                 new_cl = None
             # the UNPRUNED accumulation — later steps prune it against

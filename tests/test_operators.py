@@ -687,3 +687,31 @@ def test_resample_forward_fill_gap_days(spark):
     assert d4["day_sum"] == 10_000_000 and d4["filled_sum"] == 10_000_000
     # user 2: one day, no gaps
     assert {k[1] for k in out if k[0] == 2} == {"2024-01-02"}
+
+
+def test_pin_reliable_checkpoint(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT routes the engine's lineage
+    barriers through a reliable checkpoint (blocks on durable storage,
+    survives executor loss) instead of localCheckpoint."""
+    import os
+
+    from apache_iceberg_tables_migration_tool_spark.session import pin
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = pin(df, eager=True)
+    assert out.count() == 100
+    assert sorted(r["x"] for r in out.collect()) == [2 * i for i in range(100)]
+    # the reliable path materialized blocks under the checkpoint dir
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckpt)
+        for f in fn
+    ]
+    assert files, "reliable checkpoint wrote nothing under SPARK_GRAFT_CHECKPOINT_DIR"
+    # default path (env unset) stays localCheckpoint: nothing new on disk
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    out2 = pin(spark.range(10), eager=True)
+    assert out2.count() == 10
