@@ -35,25 +35,43 @@ def token_count(col: Column | str) -> Column:
     return F.size(words(col))
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, window_expr: str
+) -> DataFrame:
+    """Shared shingle scaffold: tokenize once, slide an ``n``-window
+    ``transform`` over the token array, dedupe, explode → (id,
+    shingle). ``window_expr`` is the per-window SQL expression (it
+    sees ``__toks`` and the window start ``i``); both shingle
+    variants differ ONLY in it, so tokenizer/guard fixes land once.
 
-    Built with sequence/transform/slice so shingling happens inside
-    whole-stage codegen; docs shorter than ``n`` words yield no rows
-    (guarded — Spark's ``sequence`` would otherwise run backwards).
+    The split happens once into a projected column — the naive form
+    re-evaluates split() inside the guard, the sequence bound, and
+    every window (Catalyst does not CSE across those positions;
+    measured ~3× the scan cost at sf0.1). Docs shorter than ``n``
+    words yield no rows (guarded — Spark's ``sequence`` would
+    otherwise run backwards).
     """
-    # split once into a projected column — the naive form re-evaluates
-    # split() inside the guard, the sequence bound, and every slice
-    # (Catalyst does not CSE across those positions; measured ~3× the
-    # scan cost at sf0.1)
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     shingle_arr = F.expr(
         f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
-        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+        f"i -> {window_expr}))"
     )
     return (
         toks.where(F.size("__toks") >= n)
         .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Built with sequence/transform/slice so shingling happens inside
+    whole-stage codegen (see ``_exploded_shingles`` for the shared
+    scaffold and its guards).
+    """
+    return _exploded_shingles(
+        df, id_col, text_col, n,
+        f"concat_ws(' ', slice(__toks, i + 1, {n}))",
     )
 
 
@@ -85,16 +103,8 @@ def hashed_word_shingles(
     measured 2× the whole pipeline at sf0.1). The separate sizes
     aggregation in the Jaccard path exists to avoid exactly that.
     """
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     args = ", ".join(f"element_at(__toks, i + {j + 1})" for j in range(n))
-    shingle_arr = F.expr(
-        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
-        f"i -> xxhash64({args})))"
-    )
-    return (
-        toks.where(F.size("__toks") >= n)
-        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
-    )
+    return _exploded_shingles(df, id_col, text_col, n, f"xxhash64({args})")
 
 
 def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
