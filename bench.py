@@ -94,6 +94,10 @@ def main() -> None:
             # round 8: the join-view IVM family's carrier — commit-count
             # cost class; tracked so refresh-regressions surface per round
             "incremental_join_view",
+            # round 15 (verdict r14 #4): the join-CHAIN IVM carrier —
+            # its `_df_key_pruned` prune fusion shipped in r14 without a
+            # timing row; additions-only so prior rounds stay comparable
+            "incremental_join_chain_view",
         ]
     )
     # round 14 (verdict r13 #7): the BASELINE B2 row — create target

@@ -12,11 +12,10 @@ import re
 import sys
 import traceback
 
-from pyspark.sql import SparkSession
-
 sys.path.insert(0, "/root/repo")
 
 from apache_iceberg_tables_migration_tool_spark.queries import QUERIES  # noqa: E402
+from apache_iceberg_tables_migration_tool_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -33,13 +32,13 @@ MARKS = [
 
 
 def main() -> None:
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    # session.get_spark(): plans must be captured under DEFAULT_CONF
+    # (AQE, runtime bloom filters, 64m broadcast) — the configuration
+    # bench.py runs with — or BHJ/SMJ/Exchange counts diverge from the
+    # executed plans (r14 ADVICE)
+    spark = get_spark(
+        app_name="plan_audit",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     out = os.environ.get("PLAN_AUDIT_OUT", "/root/repo/plans/r14/plan_audit.md")
