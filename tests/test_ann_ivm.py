@@ -48,6 +48,7 @@ def _same_rows(a, b) -> bool:
     return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_ann_index_exact_under_mutation(spark, tmp_path):
     cat = SnapCatalog(str(tmp_path / "wh"))
     args = (spark, cat, "v", "emb", "v", "cells", "cent")
@@ -272,6 +273,7 @@ def test_refresh_ann_index_delete_only_slice(spark, tmp_path):
     assert "delete" in ops
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_ann_index_bounded_delete_files(spark, tmp_path):
     """VERDICT r9 #4: a long-running maintained index must not
     accumulate equality-delete files without bound. ~20 refresh

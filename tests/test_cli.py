@@ -23,6 +23,7 @@ def warehouse(spark, tmp_path_factory):
     return root, str(root / "src")
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_cli_full_workflow(spark, warehouse, capsys):
     root, src_root = warehouse
     dst_root = str(root / "dst")
@@ -70,6 +71,7 @@ def test_cli_maintain_and_query(warehouse, capsys):
     assert main(["query", "--name", "nope"]) == 2
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_cli_migrate_history_flag(spark, warehouse):
     root, src_root = warehouse
     dst_root = str(root / "dst_hist")
@@ -584,6 +586,7 @@ def test_cli_topk_join_view_refresh(spark, tmp_path, capsys):
     assert got == {("x", 12): 1, ("x", 11): 2, ("y", 21): 1, ("y", 20): 2}
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_cli_join_chain_view_refresh(spark, tmp_path, capsys):
     from pyspark.sql import functions as F
 

@@ -97,6 +97,7 @@ def test_minmax_null_keys_merge(spark):
     assert _view_rows(out) == _view_rows(ivm.grouped_minmax(cur, ["g"], ["v"]))
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_sum_view_exact_under_mutation(spark, tmp_path):
     """The changelog-backed COUNT/SUM refresh equals a recompute after
     append → COW delete → compact → append, refreshed at arbitrary
@@ -392,6 +393,7 @@ def test_maintain_topk_view_changelog_stream(spark, tmp_path):
     assert got == {2: 1, 1: 2}
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_topk_view_exact_under_mutation(spark, tmp_path):
     """Changelog-driven top-k view over a catalog table: appends, a
     COW delete of ranked rows and a MOR delete fold exactly with
@@ -550,6 +552,7 @@ def test_join_delta_bilinearity(spark):
         ivm.join_delta(None, a_old, None, b_old, ["ok"])
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_join_view_exact_under_mutation(spark, tmp_path):
     """End-to-end join-view maintenance over two catalog tables:
     initial build, no-op refresh, then appends on BOTH sides + a COW
@@ -1006,6 +1009,7 @@ def test_topk_net_zero_churn_skips_rescan(spark, monkeypatch):
     assert _view_rows(out) == _view_rows(base)
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_topk_join_view_exact_under_mutation(spark, tmp_path):
     """Joined leaderboard over A ⋈ B maintained from both changelogs:
     staggered appends (each single-sided delta path), then a COW
@@ -1090,6 +1094,7 @@ def test_maintain_topk_join_view_changelog_stream(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.full  # deep soak — round-close tier (SPARK_GRAFT_FULL_TESTS=1)
 def test_refresh_join_chain_view_exact_under_mutation(spark, tmp_path):
     """Three-table chain (dim ⋈ mid ⋈ fact — star keys: both join
     keys live on the MIDDLE table) maintained from all three

@@ -34,12 +34,49 @@ _BNLJ_OK = {"range", "scalar-broadcast"}
 #: whose plan genuinely cannot be captured (none today).
 _SKIP: set[str] = set()
 
+#: queries whose DataFrame BUILD runs a full catalog history /
+#: streaming drain (1.5-13 s per parametrized test, ×2 audits): full
+#: tier (VERDICT r14 #1 — the suite must complete inside the driver's
+#: pytest budget). Plan shape is code-determined, and the round-close
+#: gate runs these under SPARK_GRAFT_FULL_TESTS=1 plus the committed
+#: plan_audit over ALL queries; the default tier keeps the audits for
+#: every cheap-build query (~135 of them).
+_SLOW_BUILD = {
+    "ann_index_maintenance", "bpe_train_merges", "changelog_cdc_stream",
+    "corpus_build_e2e", "dedup_clusters", "dedup_incremental_ingest",
+    "dedup_semantic_ann", "dedup_simhash", "hidden_partition_scan",
+    "incremental_catalog_sync", "incremental_distinct_view",
+    "incremental_join_chain_view", "incremental_join_view",
+    "incremental_minmax_view", "incremental_moments_view",
+    "incremental_quantile_view", "incremental_topk_join_view",
+    "incremental_topk_view", "incremental_view_maintenance",
+    "knn_ivf_persisted", "merge_on_read_lifecycle",
+    "migration_e2e_report", "migration_history_replay",
+    "partition_stats_metadata", "rollback_and_orphan_cleanup",
+    "row_lineage_audit", "rowlevel_merge_delete", "snapshot_history_ops",
+    "sql_branch_dml_lifecycle", "sql_call_maintenance",
+    "sql_changes_between", "sql_merge_cdc_apply", "sql_merge_sync",
+    "sql_merge_upsert", "sql_update_lifecycle", "sql_view_catalog",
+    "stream_stream_join_events", "streaming_catalog_sync",
+    "streaming_changelog_view", "view_rewrite_join_navigation",
+    "view_rewrite_navigation",
+}
+
+
+_PLAN_IDS = [n for n in sorted(QUERIES) if n not in _SKIP]
+
 
 def _plans():
-    return [(n, s) for n, s in sorted(QUERIES.items()) if n not in _SKIP]
+    return [
+        pytest.param(n, s, marks=pytest.mark.full)
+        if n in _SLOW_BUILD
+        else (n, s)
+        for n, s in sorted(QUERIES.items())
+        if n not in _SKIP
+    ]
 
 
-@pytest.mark.parametrize("name,spec", _plans(), ids=[n for n, _ in _plans()])
+@pytest.mark.parametrize("name,spec", _plans(), ids=_PLAN_IDS)
 def test_plan_hygiene(spark, name, spec):
     plan = physical_plan(spec.fn(spark, SF_DIR))
     tags = set(spec.tags)
@@ -124,7 +161,7 @@ def test_aqe_promotes_dehinted_joins_at_runtime(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
-@pytest.mark.parametrize("name,spec", _plans(), ids=[n for n, _ in _plans()])
+@pytest.mark.parametrize("name,spec", _plans(), ids=_PLAN_IDS)
 def test_no_broadcast_hint_on_sf_proportional_tables(spark, name, spec):
     if set(spec.tags) & _HINT_OK_TAGS:
         pytest.skip("1-row scalar-aggregate broadcast — fixed-size payload")

