@@ -1436,11 +1436,21 @@ def refresh_join_chain_view(
             on_s = ons[s_i - 1]
             r_cl = cls[s_i]
             if l_cl is not None or r_cl is not None:
-                r_pruned = _old_state(
-                    spark, tbls[s_i], wms[s_i], col_lists[s_i], l_cl, on_s
-                )
+                # the right table's manifest-pruned old state (stats agg
+                # over the LEFT delta) and the accumulated left old
+                # state's key prune (stats agg over the RIGHT delta) are
+                # independent driver-blocking chains — overlap them,
+                # same §2.6 shape as refresh_join_view's two sides
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fut_r = pool.submit(
+                        _old_state,
+                        spark, tbls[s_i], wms[s_i], col_lists[s_i], l_cl, on_s,
+                    )
+                    fut_l = pool.submit(_df_key_pruned, l_old, r_cl, on_s)
+                    r_pruned = fut_r.result()
+                    l_old_pruned = fut_l.result()
                 new_cl = ivm.join_delta(
-                    l_cl, _df_key_pruned(l_old, r_cl, on_s), r_cl, r_pruned, on_s
+                    l_cl, l_old_pruned, r_cl, r_pruned, on_s
                 ).transform(pin)
             else:
                 new_cl = None
